@@ -1,0 +1,743 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, DiffEngine, Multimodal, Similarity, TextAnalysis}
+
+/** The operator inventory (SURVEY.md §2 Tier A + §7.1 Tier B), one entry
+  * per operator: a Spark implementation and, where ANSI-SQL-expressible,
+  * a DuckDB oracle producing the identical result (same column names,
+  * same rounding, same integer widths — the driver hash-compares).
+  *
+  * Conventions for oracle parity:
+  *   - every aggregate / computed column is aliased identically on both
+  *     sides;
+  *   - doubles that pass through arithmetic are `round(_, n)` on both
+  *     sides (raw column passthroughs stay exact);
+  *   - integer-typed computed columns are cast to BIGINT on both sides
+  *     (Spark `size`/`year`/... return int, DuckDB returns bigint).
+  */
+object QueryCatalog {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = false)
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private val segments =
+    Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
+
+  /** documents ∪ first-10-docs-recopied-with-shifted-ids: planted exact
+    * dups so near-dup operators have guaranteed positives to find. */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val plantedDocsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10"""
+      .stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Tier A: reference parity (SURVEY.md §2)
+    // ------------------------------------------------------------------
+
+    Q("q_filter_eq", // F1 (Download.py:89)
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    Q("q_filter_in", // F2 (Upload.py:127)
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin)),
+
+    Q("q_project_drop", // P1 (Download.py:95-113)
+      (s, d) => t(s, d, "lineitem")
+        .drop("l_tax", "l_extendedprice", "l_discount", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+             |       l_quantity, l_returnflag, l_linestatus
+             |FROM lineitem""".stripMargin)),
+
+    Q("q_null_scrub", // S2 (Download.py:148) — 'NULL' literal means missing
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          scrubNullLiteral(
+            when(col("doc_id") % 10 === 0, lit("NULL")).otherwise(col("lang")))
+            .as("lang_scrubbed")),
+      Some("""SELECT doc_id,
+             |  nullif(CASE WHEN doc_id % 10 = 0 THEN 'NULL' ELSE lang END,
+             |         'NULL') AS lang_scrubbed
+             |FROM documents""".stripMargin)),
+
+    Q("q_date_format", // S1 (Download.py:130-136) — %m-%d-%Y presentation
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), dateMdY(col("o_orderdate")).as("odate_str")),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS odate_str
+             |FROM orders""".stripMargin)),
+
+    Q("q_percent_format", // S3 (Download.py:146-155)
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          percent(col("l_discount")).as("disc_pct")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  concat(CAST(round(l_discount * 100, 0) AS BIGINT), '%') AS disc_pct
+             |FROM lineitem""".stripMargin)),
+
+    Q("q_header_norm", // S6/S7 (Upload.py:137-145, Compare.py:34-39)
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          normHeaderSnake(col("p_name")).as("norm_snake"),
+          normHeaderSpace(col("p_name")).as("norm_space")),
+      Some("""SELECT p_partkey,
+             |  regexp_replace(regexp_replace(
+             |    lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))),
+             |    '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g') AS norm_snake,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower(trim(p_name)), '[\s_]+', ' ', 'g'),
+             |    '[^a-z0-9 ]', '', 'g')) AS norm_space
+             |FROM part""".stripMargin)),
+
+    Q("q_keep_last", // J1/A2 (Compare.py:55-63) — duplicate keys keep LAST
+      (s, d) => DiffEngine
+        .keepLast(t(s, d, "orders"), "o_custkey", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1""".stripMargin)),
+
+    Q("q_diff_classify", // J2/J3/S9 — the Compare engine as one query
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val oldq = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").cast("string").as("k"),
+            col("o_orderkey").as("ord"),
+            col("o_orderpriority").as("prio"), col("o_orderstatus").as("stat"))
+        val newq = o.select(col("o_orderkey").cast("string").as("k"),
+          when(col("o_orderkey") % 7 === 0, lit("X-MUTATED"))
+            .when(col("o_orderkey") % 11 === 0, lit(""))
+            .otherwise(col("o_orderpriority")).as("prio"),
+          col("o_orderstatus").as("stat"))
+        DiffEngine.diff(oldq, newq, "k", "ord", Seq("prio", "stat"))
+          .withColumnRenamed("column", "col_name")
+      },
+      Some("""WITH oldq AS (
+             |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             |         o_orderpriority AS prio, o_orderstatus AS stat
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |newq AS (
+             |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN 'X-MUTATED'
+             |         WHEN o_orderkey % 11 = 0 THEN ''
+             |         ELSE o_orderpriority END AS prio,
+             |    o_orderstatus AS stat
+             |  FROM orders),
+             |j AS (
+             |  SELECT n.k, n.prio AS np, n.stat AS nst, o.prio AS op,
+             |         o.stat AS ost, (o.k IS NULL) AS is_new
+             |  FROM newq n LEFT JOIN oldq o USING (k))
+             |SELECT k AS key, 'prio' AS col_name,
+             |  coalesce(op, '') AS old_value, np AS new_value,
+             |  CASE WHEN is_new THEN 'NEW'
+             |       WHEN coalesce(op, '') <> '' AND np = '' THEN 'CLEARED'
+             |       WHEN np <> coalesce(op, '') THEN 'CHANGED'
+             |       ELSE 'UNCHANGED' END AS status
+             |FROM j
+             |UNION ALL
+             |SELECT k AS key, 'stat' AS col_name,
+             |  coalesce(ost, '') AS old_value, nst AS new_value,
+             |  CASE WHEN is_new THEN 'NEW'
+             |       WHEN coalesce(ost, '') <> '' AND nst = '' THEN 'CLEARED'
+             |       WHEN nst <> coalesce(ost, '') THEN 'CHANGED'
+             |       ELSE 'UNCHANGED' END AS status
+             |FROM j""".stripMargin),
+      headline = true),
+
+    Q("q_word_diff_count", // S10 (Compare.py:87-110) scalar summary form
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          DiffEngine.wordDiffChangedCount(col("p_name"),
+            expr("replace(p_name, 'small', 'tiny')"))
+            .cast("long").as("n_changed")),
+      Some("""SELECT p_partkey,
+             |  CAST(len(list_filter(string_split(p_name, ' '),
+             |                       x -> x = 'small')) AS BIGINT) AS n_changed
+             |FROM part""".stripMargin)),
+
+    Q("q_word_diff_runs", // S10 full rich-text-run form (non-SQL shape)
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          DiffEngine.wordDiff(col("text"),
+            expr("replace(text, 'spark', 'flink')")).as("runs")),
+      None),
+
+    Q("q_custom_sort", // O1 (Upload.py:192-205) — sort by list position
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          array_position(typedLit(segments), col("c_mktsegment")).as("seg_rank")),
+      Some(s"""SELECT c_custkey, c_mktsegment,
+              |  CAST(list_position([${segments.map("'" + _ + "'").mkString(", ")}],
+              |                     c_mktsegment) AS BIGINT) AS seg_rank
+              |FROM customer""".stripMargin)),
+
+    Q("q_anti_join", // J3 (Compare.py:179-185)
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin)),
+
+    Q("q_semi_join", // EXISTS shape (engine scope)
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") >= 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice >= 100000)"""
+        .stripMargin)),
+
+    Q("q_left_outer_count", // J2 + A1
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Tier B: relational coverage (SURVEY.md §7.1)
+    // ------------------------------------------------------------------
+
+    Q("q1_agg", // grouped aggregation (TPC-H Q1 shape)
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    Q("q_join5_revenue", // 5-way join (TPC-H Q5 shape); dims broadcast
+      (s, d) => {
+        val rn = broadcast(
+          t(s, d, "nation").join(t(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(rn, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      headline = true),
+
+    Q("q_window_rank", // row_number / top-3 per group
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    Q("q_window_running", // running sum frame
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             |    AS running_total
+             |FROM orders""".stripMargin),
+      headline = true),
+
+    Q("q_window_lag", // lag/delta
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+              .as("delta_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(o_totalprice - lag(o_totalprice, 1) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta_prev
+             |FROM orders""".stripMargin)),
+
+    Q("q_topk", // global ordered limit
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q_distinct_count",
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n")),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+             |  count(*) AS n
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    Q("q_rollup",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("acct_sum")),
+      Some("""SELECT r_name, n_name, count(*) AS n,
+             |  round(sum(c_acctbal), 2) AS acct_sum
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)),
+
+    Q("q_intersect",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("c_custkey"))),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT
+             |SELECT o_custkey AS c_custkey FROM orders""".stripMargin)),
+
+    Q("q_except",
+      (s, d) => t(s, d, "customer").select(col("c_custkey"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("c_custkey"))),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders""".stripMargin)),
+
+    Q("q_union_tag", // U1 — tagged ordered union-all of filtered blocks
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey"), lit("high").as("band"))
+          .unionByName(o.filter(col("o_totalprice") < 10000)
+            .select(col("o_orderkey"), lit("low").as("band")))
+      },
+      Some("""SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 200000
+             |UNION ALL
+             |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice < 10000"""
+        .stripMargin)),
+
+    Q("q_string_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        length(col("p_name")).cast("long").as("n_chars"),
+        lpad(col("p_brand"), 12, ".").as("pad_brand"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words")),
+      Some("""SELECT p_partkey, upper(p_name) AS up_name,
+             |  substr(p_name, 1, 5) AS pfx,
+             |  CAST(length(p_name) AS BIGINT) AS n_chars,
+             |  lpad(p_brand, 12, '.') AS pad_brand,
+             |  concat_ws('|', p_brand, p_type) AS brand_type,
+             |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+             |FROM part""".stripMargin)),
+
+    Q("q_math_funcs",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        round(log(col("l_quantity") + 1), 4).as("ln_qty"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        pmod(col("l_orderkey"), lit(7)).cast("long").as("okey_mod7")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(sqrt(l_quantity), 4) AS sqrt_qty,
+             |  round(ln(l_quantity + 1), 4) AS ln_qty,
+             |  round(pow(l_discount, 2), 6) AS disc_sq,
+             |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+             |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+             |  CAST(l_orderkey % 7 AS BIGINT) AS okey_mod7
+             |FROM lineitem""".stripMargin)),
+
+    Q("q_date_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(to_date(lit("2025-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_2025")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01')
+             |       AS BIGINT) AS days_to_2025
+             |FROM orders""".stripMargin)),
+
+    Q("q_json_extract", // events.props JSON column
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("k_val")), 3).as("avg_k"),
+          round(sum(col("value")), 2).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3)
+             |    AS avg_k,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    Q("q_case_buckets", // S9-style conditional classification
+      (s, d) => t(s, d, "customer")
+        .select(col("c_mktsegment"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("bucket"),
+          col("c_acctbal"))
+        .groupBy(col("c_mktsegment"), col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal")),
+      Some("""SELECT c_mktsegment,
+             |  CASE WHEN c_acctbal < 0 THEN 'neg'
+             |       WHEN c_acctbal < 5000 THEN 'low'
+             |       ELSE 'high' END AS bucket,
+             |  count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+             |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_array_funcs",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_el"),
+        round(Similarity.norm(col("embedding")), 6).as("l2_norm")),
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+             |  round(sqrt(list_aggregate(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+             |    AS l2_norm
+             |FROM embeddings""".stripMargin)),
+
+    Q("q_full_outer",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_nationkey") < 15)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val b = t(s, d, "supplier").filter(col("s_nationkey") >= 5)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        a.join(b, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT coalesce(a.nationkey, b.nationkey) AS nationkey,
+             |  coalesce(a.n_cust, 0) AS n_cust, coalesce(b.n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer WHERE c_nationkey < 15 GROUP BY 1) a
+             |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |           FROM supplier WHERE s_nationkey >= 5 GROUP BY 1) b
+             |ON a.nationkey = b.nationkey""".stripMargin)),
+
+    Q("q_cross_join",
+      (s, d) => t(s, d, "region")
+        .crossJoin(t(s, d, "orders").select(col("o_orderstatus")).distinct())
+        .select(col("r_name"), col("o_orderstatus")),
+      Some("""SELECT r_name, o_orderstatus
+             |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t"""
+        .stripMargin)),
+
+    Q("q_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 10),
+      Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+             |GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin)),
+
+    Q("q_pivot_status", // pivot via conditional aggregation (portable form)
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(when(col("o_orderstatus") === "O", lit(1))).as("n_open"),
+          count(when(col("o_orderstatus") === "F", lit(1))).as("n_filled"),
+          count(when(col("o_orderstatus") === "P", lit(1))).as("n_partial")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+             |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Events: batch equivalents of the streaming windows (§2.9 engine scope)
+    // ------------------------------------------------------------------
+
+    Q("q_event_tumbling", // tumbling 1h window aggregation
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_event_sessions", // gap-based sessionization (30 min)
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp")) -
+                unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L,
+              lit(1)).otherwise(lit(0)))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(sum(CASE WHEN prev_ts IS NULL
+             |                  OR ts - prev_ts > INTERVAL 30 MINUTE
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM e GROUP BY user_id""".stripMargin),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // LLM-pipeline operators (engine scope; BASELINE.json north star)
+    // ------------------------------------------------------------------
+
+    Q("q_dedup_exact", // exact dedup via content hash
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             |  count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin),
+      headline = true),
+
+    Q("q_token_stats", // token counting per language
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(tokenCount(col("text"))), 3).as("avg_tokens"),
+          round(avg(length(col("text"))), 2).as("avg_chars")),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(avg(len(string_split_regex(trim(text), '\s+'))), 3)
+             |    AS avg_tokens,
+             |  round(avg(length(text)), 2) AS avg_chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    Q("q_quality", // quality-scoring features per doc
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(meanWordLen(col("text")), 4).as("mean_wlen")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_tokens,
+             |  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |          x -> x IN ('the','a','an','and','of','to','in','is')))
+             |        / len(string_split_regex(trim(text), '\s+')), 4)
+             |    AS stop_ratio,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]',
+             |          '', 'g'))) / length(text), 4) AS punct_ratio,
+             |  round(list_aggregate(list_transform(
+             |          string_split_regex(trim(text), '\s+'), x -> length(x)),
+             |          'sum')
+             |        / len(string_split_regex(trim(text), '\s+')), 4)
+             |    AS mean_wlen
+             |FROM documents""".stripMargin)),
+
+    Q("q_lang_id", // bigram-profile language ID
+      (s, d) => TextAnalysis.languageId(s, t(s, d, "documents"), "doc_id", "text"),
+      Some(langIdOracleSql)),
+
+    Q("q_fingerprint", // rolling-hash document fingerprint
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split_regex(trim(text), '\s+'),
+             |        t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+             |    (a, b) -> (a * 31 + b) % 2147483648) AS fp
+             |FROM documents""".stripMargin)),
+
+    Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
+      (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),
+      Some(s"""WITH docs AS ($plantedDocsSql),
+              |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              |      FROM docs),
+              |g AS (SELECT DISTINCT doc_id, sh FROM (
+              |        SELECT doc_id, unnest(list_filter(
+              |          list_transform(toks, (x, i) ->
+              |            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+              |          v -> v IS NOT NULL)) AS sh
+              |        FROM t) u),
+              |sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+              |rare AS (SELECT sh FROM g GROUP BY sh
+              |         HAVING count(*) BETWEEN 2 AND 20),
+              |pairs AS (SELECT g1.doc_id AS id_a, g2.doc_id AS id_b,
+              |            count(*) AS inter
+              |          FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
+              |          WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+              |FROM pairs
+              |JOIN sz sa ON sa.doc_id = id_a
+              |JOIN sz sb ON sb.doc_id = id_b
+              |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5""".stripMargin),
+      headline = true),
+
+    Q("q_minhash_pairs", // MinHash+LSH near-dup candidates (non-SQL hashes)
+      (s, d) => Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text"),
+      None, headline = true),
+
+    Q("q_simhash", // 64-bit SimHash per doc (non-SQL hashes)
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sim")),
+      None),
+
+    Q("q_cosine_knn", // brute-force cosine top-k against one query vector
+      (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 20),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT e.vec_id AS id,
+             |  list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+             |  FROM embeddings e, q WHERE e.vec_id <> 0)
+             |SELECT id, round(c, 6) AS cos_sim FROM s
+             |ORDER BY round(c, 6) DESC, id LIMIT 20""".stripMargin),
+      headline = true),
+
+    Q("q_srp_topk", // LSH-bucketed ANN variant (non-SQL hashes)
+      (s, d) => Similarity.srpTopK(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 20),
+      None),
+
+    Q("q_media_meta", // multimodal binary-column metadata path
+      (s, d) => {
+        val media = Multimodal.asMediaTable(t(s, d, "documents"),
+          "doc_id", "text", "text")
+        Multimodal.extractFeatures(s, media)
+          .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+            col("content_md5"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5
+             |FROM documents""".stripMargin)),
+
+    Q("q_media_features", // multimodal stub feature extraction (non-SQL)
+      (s, d) => {
+        val media = Multimodal.asMediaTable(t(s, d, "documents"),
+          "doc_id", "text", "text")
+        Multimodal.extractFeatures(s, media).toDF()
+      },
+      None),
+  )
+
+  /** Oracle for q_lang_id, generated from the same profile table the Spark
+    * implementation uses so the two can never drift. */
+  private lazy val langIdOracleSql: String = {
+    val values = TextAnalysis.bigramProfiles.toSeq.sortBy(_._1)
+      .flatMap { case (lang, bs) => bs.map(b => s"('$lang', '$b')") }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s
+       |  FROM documents),
+       |b AS (
+       |  SELECT DISTINCT doc_id, bigram FROM (
+       |    SELECT doc_id, unnest(list_filter(
+       |      list_transform(string_split(s, ''), (x, i) -> substr(s, i, 2)),
+       |      g -> length(g) = 2 AND g NOT LIKE '% %')) AS bigram
+       |    FROM d) u),
+       |p (cand_lang, bigram) AS (VALUES $values),
+       |sc AS (
+       |  SELECT b.doc_id, p.cand_lang, count(*) AS score
+       |  FROM b JOIN p USING (bigram) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, cand_lang, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, cand_lang) AS rn
+       |  FROM sc)
+       |SELECT d2.doc_id AS id, coalesce(t.cand_lang, 'und') AS pred_lang,
+       |  coalesce(t.score, 0) AS score
+       |FROM (SELECT doc_id FROM documents) d2
+       |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)"""
+      .stripMargin
+  }
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

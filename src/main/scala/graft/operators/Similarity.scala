@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — engine-scope addition (SURVEY.md §7.1 Tier B).
+  *
+  * Baseline: brute-force cosine top-k, a single scan with the dot product
+  * as a codegen'd `zip_with`/`aggregate` expression — at 100 TB this is
+  * one pass over the corpus per query batch, no shuffle except the top-k.
+  *
+  * Scale path: IVF-style partitioning — assign every vector to its
+  * nearest of `nCells` deterministic hyperplane cells (SRP-LSH: sign bits
+  * of random-projection dot products, Charikar 2002), then probe only the
+  * query's cell. Turns a full scan into a 1/nCells partial scan at the
+  * cost of recall; probing neighboring cells (multi-probe) restores it.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (codegen'd, no UDF).
+    * Elements are cast to double BEFORE multiplying so the result is
+    * bit-comparable with a double-precision oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm of a float-array column (double-precision accumulation). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
+
+  /** Cosine similarity of two float-array columns; 0 when either is a
+    * zero vector. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0d))
+  }
+
+  /** Brute-force cosine top-k: the `k` vectors most similar to the single
+    * query row `queryId`. The query vector is a 1-row broadcast join —
+    * the corpus scan stays distributed and embarrassingly parallel.
+    * Ties broken by id for determinism. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val q = broadcast(
+      df.filter(col(idCol) === queryId)
+        .select(col(vecCol).as("__qvec")))
+    df.filter(col(idCol) =!= queryId)
+      .join(q)
+      .select(col(idCol).as("id"),
+        round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Sign-random-projection bit signature: `nBits` sign bits of dot
+    * products against deterministic pseudo-random hyperplanes (seeded by
+    * bit index and dimension via xxhash64 — reproducible across runs). */
+  def srpSignature(vecCol: Column, nBits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), bit => {
+        val proj = aggregate(
+          zip_with(vecCol,
+            // pseudo-random +-1 per (bit, dim): parity of xxhash64
+            transform(sequence(lit(0), size(vecCol) - 1),
+              d => when(pmod(xxhash64(bit, d), lit(2)) === 0, lit(1.0d))
+                .otherwise(lit(-1.0d))),
+            (x, s) => x * s),
+          lit(0.0d), (acc, v) => acc + v)
+        when(proj >= 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** LSH-bucketed ANN: vectors sharing the query's SRP cell are scored
+    * exactly; others are skipped. One scan to bucket (cacheable /
+    * precomputable as a corpus column), then a pruned exact top-k. */
+  def srpTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    val withSig = df.select(col(idCol), col(vecCol),
+      srpSignature(col(vecCol), nBits).as("__cell"))
+    val q = broadcast(withSig.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("__cell").as("__qcell")))
+    withSig.join(q, col("__cell") === col("__qcell"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("id"),
+        round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** All-pairs near-neighbors above a similarity floor, SRP-blocked:
+    * join on cell, exact cosine within the block. */
+  def srpNeighborPairs(df: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double, nBits: Int = 8,
+                       maxBucketSize: Int = 256): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpSignature(col(vecCol), nBits).as("cell"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val capped = withSig.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize).drop("__rn")
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for corpus curation (engine scope, SURVEY.md
+  * §7.1 Tier B): language ID, quality scoring, token counting, document
+  * fingerprinting. All are per-row codegen'd expressions or
+  * broadcast-joined profile lookups — linear scans at 100 TB, no
+  * all-pairs work.
+  */
+object TextAnalysis {
+
+  /** Tiny public character-bigram profiles (top bigrams per language from
+    * published frequency tables). Deliberately small: language ID here is
+    * a deterministic, testable heuristic, not a trained model. */
+  val bigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de" -> Seq("er", "en", "ch", "de", "ei", "te", "in", "nd", "ie", "ge"),
+    "es" -> Seq("de", "es", "en", "el", "la", "os", "ar", "ue", "ra", "as"),
+    "fr" -> Seq("es", "le", "de", "en", "re", "nt", "on", "er", "te", "et"),
+    "zh" -> Seq("zh", "sh", "ng", "ia", "ua", "uo", "ji", "xi", "qi", "an"))
+
+  /** Language-ID by bigram-profile vote: per document, score each profile
+    * by how many of its marker bigrams occur in the text; highest score
+    * (ties broken alphabetically) wins; score 0 -> "und".
+    *
+    * Implemented as explode + broadcast profile join + window top-1: the
+    * shape that scales (profiles are a broadcast dim; the doc side stays
+    * partitioned).
+    */
+  def languageId(spark: SparkSession, docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    import spark.implicits._
+    val profile = broadcast(
+      bigramProfiles.toSeq
+        .flatMap { case (lang, bs) => bs.map(b => (lang, b)) }
+        .toDF("cand_lang", "bigram"))
+
+    val docBigrams = docs
+      .select(col(idCol).as("id"),
+        array_distinct(charBigrams(col(textCol))).as("bs"))
+      .select(col("id"), explode(col("bs")).as("bigram"))
+
+    val scored = docBigrams.join(profile, Seq("bigram"))
+      .groupBy(col("id"), col("cand_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    val top = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cand_lang").as("pred_lang"), col("score"))
+
+    docs.select(col(idCol).as("id"))
+      .join(top, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Character bigrams of the lowercased text; non-letters dropped,
+    * bigrams spanning a word boundary excluded. */
+  def charBigrams(c: Column): Column = {
+    val s = regexp_replace(lower(c), "[^a-z ]", "")
+    when(length(s) >= 2,
+      filter(
+        transform(sequence(lit(1), length(s) - 1),
+          i => s.substr(i, lit(2))),
+        b => length(b) === 2 && !b.contains(" ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document stats bundle: char count, whitespace token count,
+    * BPE-ish token estimate, quality score, rolling-hash fingerprint. */
+  def docStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      tokenEstimate(col(textCol)).as("n_tokens_bpe"),
+      qualityScore(col(textCol)).as("quality"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}
