@@ -684,7 +684,7 @@ object QueryCatalog {
 
     Q("q_srp_topk", // LSH-bucketed ANN variant (non-SQL hashes)
       (s, d) => Similarity.srpTopK(t(s, d, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 20),
+        "vec_id", "embedding", queryId = 0L, k = 20, nBits = 4),
       None),
 
     Q("q_media_meta", // multimodal binary-column metadata path

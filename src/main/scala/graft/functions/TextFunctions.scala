@@ -23,7 +23,7 @@ object TextFunctions {
     * Input may be string or timestamp; output is the display string.
     */
   def dateMdY(c: Column): Column =
-    date_format(c.cast("timestamp"), "MM-dd-yyyy")
+    date_format(try_to_timestamp(c.cast("string")), "MM-dd-yyyy")
 
   /** Percent presentation (reference `Download.py:146-155`): numeric x ->
     * `f"{x*100:.0f}%"`; null passes through as null. HALF_UP rounding

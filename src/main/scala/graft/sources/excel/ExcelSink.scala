@@ -1,0 +1,137 @@
+package graft.sources.excel
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.operators.SchemaReconciler
+
+/** Excel sink implementing the reference's write modes (SURVEY.md §2.1):
+  *
+  *   - SNK1 template-clone naming: `<Ministry>_<MM_DD_YYYY>.<ext>`
+  *   - SNK2 positional row-writer: cells left-to-right from a start
+  *     (row, col), SKIPPING configured sheet-column ordinals; null -> ''
+  *   - SNK3 header-matched writer: only columns whose normalized name
+  *     intersects the template's headers, at the template's positions
+  *   - SNK4 metadata cell (run-date stamp on a second sheet)
+  *   - SNK7 row-count report (returned, not printed)
+  *
+  * A workbook is one file, so the write funnels through a single
+  * partition — Excel is a small-export sink by design (SURVEY.md §7.4);
+  * the scale path is parquet. `maxRows` guards against accidentally
+  * funneling a 100 TB relation into a workbook.
+  */
+object ExcelSink {
+
+  val DefaultMaxRows = 1000000 // xlsx hard sheet limit (2^20 rows)
+
+  private def cellValue(v: Any): Xlsx.CellValue = v match {
+    case null => Xlsx.SStr("") // reference: null -> '' (Download.py:186)
+    case s: String => Xlsx.SStr(s)
+    case d: java.sql.Timestamp => Xlsx.SStr(d.toString)
+    case d: java.sql.Date => Xlsx.SStr(d.toString)
+    case b: Boolean => Xlsx.SBool(b)
+    case n: Number => Xlsx.SNum(n.doubleValue())
+    case other => Xlsx.SStr(other.toString)
+  }
+
+  /** SNK1: clone a template workbook next to `destDir` under the
+    * reference's naming contract. `runDate` is an explicit parameter, not
+    * wall-clock (determinism caveat, SURVEY.md §4.2). */
+  def cloneTemplate(templatePath: String, destDir: String, token: String,
+                    runDate: LocalDate): String = {
+    val ext = templatePath.reverse.takeWhile(_ != '.').reverse
+    val safe = token.map(c => if ("\\/:*?\"<>|".contains(c)) '_' else c)
+    val name = s"${safe}_${runDate.format(DateTimeFormatter.ofPattern("MM_dd_yyyy"))}.$ext"
+    val dest = Paths.get(destDir, name)
+    Files.createDirectories(dest.getParent)
+    Files.copy(Paths.get(templatePath), dest, StandardCopyOption.REPLACE_EXISTING)
+    dest.toString
+  }
+
+  /** SNK2: positional write. DataFrame column i lands in the i-th
+    * NON-SKIPPED sheet column at/after `startCol`, rows from `startRow`.
+    * Returns rows written. Single-partition funnel (small-export only).
+    */
+  def writePositional(df: DataFrame, path: String, sheetName: String = "Sheet1",
+                      startRow: Int = 8, startCol: Int = 1,
+                      skipSheetCols: Set[Int] = Set.empty,
+                      metadata: Seq[(String, (Int, Int), String)] = Nil,
+                      maxRows: Int = DefaultMaxRows): Long = {
+    // target sheet column for each DF ordinal: skip the configured ones
+    val width = df.schema.length
+    val targets = Iterator.from(startCol)
+      .filterNot(skipSheetCols.contains).take(width).toArray
+    writeRows(df, path, sheetName, startRow, targets, metadata, maxRows)
+  }
+
+  /** SNK3: header-matched write into a template sheet: the template's
+    * header row (at `headerRow`) is probed, source columns are matched by
+    * normalized name (+ overrides) and written at the template's column
+    * positions from `startRow`. Returns rows written. */
+  def writeHeaderMatched(df: DataFrame, templatePath: String, outPath: String,
+                         sheetName: String = "Sheet1", headerRow: Int = 5,
+                         startRow: Int = 6,
+                         overrides: Map[String, String] = Map.empty,
+                         maxRows: Int = DefaultMaxRows): Long = {
+    val sheet = ExcelScan.loadSheet(templatePath, None)
+    val opts = ExcelOptions(sheet = None, headerRow = headerRow,
+      dataStartRow = startRow, useHeader = true, blankRunStop = 10, maxCols = 500)
+    val headers = ExcelScan.probeHeaders(sheet, opts)
+    val headerPos: Map[String, Int] = headers.zipWithIndex
+      .filterNot(_._1.startsWith("_c"))
+      .map { case (h, i) => h -> (i + 1) }.toMap
+    val matched = SchemaReconciler.matchColumns(
+      df.columns.toSeq, headerPos.keys.toSeq, overrides)
+    require(matched.nonEmpty,
+      "no source columns match the template headers (Upload.py:184-190)")
+    val proj = df.selectExpr(matched.map(m => s"`${m._1}`"): _*)
+    val targets = matched.map(m => headerPos(m._2)).toArray
+    // header row re-emitted so the output is self-describing
+    val headerCells = matched.zip(targets).map { case ((_, tgt), c) =>
+      Xlsx.Cell(headerRow, c, Xlsx.SStr(tgt))
+    }
+    writeRows(proj, outPath, sheetName, startRow, targets,
+      metadata = Nil, maxRows = maxRows, extraCells = headerCells)
+  }
+
+  private def writeRows(df: DataFrame, path: String, sheetName: String,
+                        startRow: Int, targets: Array[Int],
+                        metadata: Seq[(String, (Int, Int), String)],
+                        maxRows: Int,
+                        extraCells: Seq[Xlsx.Cell] = Nil): Long = {
+    // Single-file format -> single partition. toLocalIterator streams one
+    // partition at a time through the driver: bounded memory, and the
+    // guard below refuses relations that don't belong in a workbook.
+    val rows: Iterator[Row] = df.coalesce(1).toLocalIterator().asScala
+    var n = 0L
+    val cellIter: Iterator[Xlsx.Cell] =
+      extraCells.iterator ++ rows.flatMap { r =>
+        n += 1
+        if (n > maxRows) throw new IllegalStateException(
+          s"Excel sink refuses > $maxRows rows; use parquet for large relations")
+        val rowIdx = startRow + n.toInt - 1
+        targets.indices.iterator.map(i =>
+          Xlsx.Cell(rowIdx, targets(i), cellValue(r.get(i))))
+      }
+    val sheets = Seq(sheetName -> cellIter) ++
+      metadata.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, cells) =>
+        s -> cells.sortBy(c => c._2).iterator
+          .map { case (_, (row, col), v) => Xlsx.Cell(row, col, Xlsx.SStr(v)) }
+      }
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try Xlsx.write(out, sheets) finally out.close()
+    n
+  }
+
+  private implicit class RichJIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}

@@ -1,0 +1,255 @@
+package graft.sources.excel
+
+import java.io.{InputStream, OutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** Minimal xlsx codec built on `java.util.zip` + StAX — no external
+  * dependency (offline build; no POI in /opt/spark/jars). xlsx is a zip
+  * of XML parts; we emit inline strings (no sharedStrings table) and
+  * parse both inline and shared strings on read.
+  *
+  * This is the byte-level core; Spark integration lives in
+  * [[ExcelTable]] / [[ExcelSink]].
+  */
+object Xlsx {
+
+  // ---------------------------------------------------------------- write
+
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c if c >= ' ' || c == '\t' || c == '\n' || c == '\r' => sb.append(c)
+      case _ => () // strip control chars xlsx forbids
+    }
+    sb.toString
+  }
+
+  /** Column ordinal (1-based) -> Excel letters. */
+  def colLetter(n: Int): String = {
+    @annotation.tailrec
+    def go(x: Int, acc: String): String =
+      if (x <= 0) acc else go((x - 1) / 26, ('A' + (x - 1) % 26).toChar.toString + acc)
+    go(n, "")
+  }
+
+  /** Excel letters -> 1-based ordinal. */
+  def colOrdinal(letters: String): Int =
+    letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1))
+
+  /** A cell value with its target 1-based (row, col). */
+  final case class Cell(row: Int, col: Int, value: CellValue)
+
+  sealed trait CellValue
+  final case class SStr(v: String) extends CellValue
+  final case class SNum(v: Double) extends CellValue
+  final case class SBool(v: Boolean) extends CellValue
+  case object SBlank extends CellValue
+
+  /** Write a single-sheet (plus optional extra sheets) workbook.
+    * `sheets` maps sheet name -> iterator of sparse cells, which MUST be
+    * grouped by row in ascending row order (cells within a row in
+    * ascending col order). Streaming: one pass, constant memory.
+    */
+  def write(out: OutputStream, sheets: Seq[(String, Iterator[Cell])]): Unit = {
+    val zip = new ZipOutputStream(out)
+    def part(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    val n = sheets.size
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString +
+        """</Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString +
+        """</sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString +
+        """</Relationships>""")
+
+    sheets.zipWithIndex.foreach { case ((_, cells), i) =>
+      zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(zip, "UTF-8"))
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      var curRow = -1
+      cells.foreach { c =>
+        if (c.row != curRow) {
+          if (curRow != -1) w.write("</row>")
+          w.write(s"""<row r="${c.row}">""")
+          curRow = c.row
+        }
+        val ref = colLetter(c.col) + c.row
+        c.value match {
+          case SStr(v) =>
+            w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
+          case SNum(v) => w.write(s"""<c r="$ref"><v>$v</v></c>""")
+          case SBool(v) => w.write(s"""<c r="$ref" t="b"><v>${if (v) 1 else 0}</v></c>""")
+          case SBlank => w.write(s"""<c r="$ref"/>""")
+        }
+      }
+      if (curRow != -1) w.write("</row>")
+      w.write("""</sheetData></worksheet>""")
+      w.flush()
+      zip.closeEntry()
+    }
+    zip.finish()
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** One parsed sheet: sparse cells as (row, col) -> string value.
+    * All-string read (reference Compare.py:41-43 `dtype=str`): numeric
+    * cells keep their literal XML text. */
+  final case class Sheet(name: String, cells: Map[(Int, Int), String]) {
+    val maxRow: Int = if (cells.isEmpty) 0 else cells.keys.map(_._1).max
+    val maxCol: Int = if (cells.isEmpty) 0 else cells.keys.map(_._2).max
+    def apply(row: Int, col: Int): String = cells.getOrElse((row, col), "")
+  }
+
+  private def parseRef(ref: String): (Int, Int) = {
+    val letters = ref.takeWhile(_.isLetter)
+    val digits = ref.drop(letters.length)
+    (digits.toInt, colOrdinal(letters))
+  }
+
+  /** Parse every worksheet (and sharedStrings, if present). */
+  def read(in: InputStream): Seq[Sheet] = {
+    val zin = new ZipInputStream(in)
+    val parts = mutable.Map[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/sharedStrings.xml" ||
+        e.getName == "xl/workbook.xml" ||
+        e.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
+        parts(e.getName) = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+    val names: Seq[String] = parts.get("xl/workbook.xml")
+      .map(parseSheetNames).getOrElse(Seq.empty)
+    val sheetParts = parts.keys.filter(_.startsWith("xl/worksheets/"))
+      .toSeq.sortBy(p => p.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt)
+    sheetParts.zipWithIndex.map { case (p, i) =>
+      Sheet(names.lift(i).getOrElse(s"Sheet${i + 1}"),
+        parseSheet(parts(p), shared))
+    }
+  }
+
+  private val xif: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val out = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; cur.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = false; out += cur.toString
+            case "t" => inT = false
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  private def parseSheetNames(bytes: Array[Byte]): Seq[String] = {
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val out = mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+        out += Option(r.getAttributeValue(null, "name")).getOrElse("")
+    }
+    out.toSeq
+  }
+
+  private def parseSheet(bytes: Array[Byte],
+                         shared: IndexedSeq[String]): Map[(Int, Int), String] = {
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val cells = mutable.Map[(Int, Int), String]()
+    var ref: String = null
+    var cellType: String = null
+    var inV = false
+    var inIsT = false
+    val text = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "c" =>
+              ref = r.getAttributeValue(null, "r")
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              text.clear()
+            case "v" => inV = true
+            case "t" => inIsT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inV || inIsT =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" => inIsT = false
+            case "c" if ref != null =>
+              val raw = text.toString
+              val value = cellType match {
+                case "s" => shared.lift(raw.trim.toInt).getOrElse("")
+                case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+                case _ => raw
+              }
+              if (value.nonEmpty) cells(parseRef(ref)) = value
+              ref = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    cells.toMap
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming coverage over the `events` table (engine scope —
+  * SURVEY.md §2.9: the reference is batch-only, the 100 TB capability set
+  * requires incremental patterns).
+  *
+  * Each transform takes the streaming DataFrame so the identical logic
+  * runs in batch (tested against the batch oracle queries) and in a
+  * `readStream` pipeline. Watermarks bound state; `eventTimeWindow` and
+  * `sessionize` are the streaming twins of q_event_tumbling /
+  * q_event_sessions in the catalog.
+  */
+object EventStreams {
+
+  /** Schema of the events stream (matches Tables.events output). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of event parquet files
+    * (one-file-per-trigger batches in tests). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state: counts and value sums per (window, event_type). */
+  def eventTimeWindow(events: DataFrame, windowLen: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window variant (5 min slide over 1 h windows). */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows (gap-based, 30 min). */
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("user_id"), col("n_events"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation: running per-user totals via
+    * mapGroupsWithState (the arbitrary-state API the built-in aggs can't
+    * express). NoTimeout: a processing-time timeout makes the engine
+    * schedule continuous empty micro-batches to evaluate expirations,
+    * which spins thousands of no-op stages in a drained stream; state
+    * eviction for idle users belongs to an event-time watermark policy
+    * in a production deployment. */
+  def userRunningTotals(spark: SparkSession,
+                        events: Dataset[Event]): Dataset[UserTotals] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(uid, n, math.round(tot * 100).toDouble / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming exact dedup on event_id within the watermark horizon
+    * (`dropDuplicates` keyed on id + event time — Spark keeps id state
+    * only as long as the watermark requires). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+}

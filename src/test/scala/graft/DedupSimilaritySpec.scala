@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup
+    (4L, "completely different text about spark query engines and distributed shuffles here"),
+    (5L, "another unrelated document mentioning parquet files and columnar storage formats"))
+    .toDF("id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(corpus, "id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L) // keep_id = min
+  }
+
+  test("minhash signature: identical texts identical, disjoint differ") {
+    val sigs = corpus
+      .select($"id", Dedup.minhashSignature($"text", 32, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).length == 32)
+  }
+
+  test("minhashPairs surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(corpus, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)   // exact dup: all positions agree
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup found
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: identical equal; near-dup within few bits; unrelated far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = corpus.select($"id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) <= 12)
+    assert(hamming(h(1L), h(4L)) > 12)
+  }
+
+  test("ngramJaccardPairs: dup pair scores 1.0, threshold filters rest") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = 10)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.8f, 0.0f, 0.2f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val c = vecs.filter($"vec_id" === 0L)
+      .select(
+        Similarity.cosine($"embedding", $"embedding").as("self"),
+        Similarity.norm($"embedding").as("n"))
+      .collect()(0)
+    assert(math.abs(c.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(c.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("cosineTopK ranks by similarity with id tiebreak") {
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 4L, 2L))
+    assert(top(0)._2 > top(1)._2 && top(1)._2 > top(2)._2)
+  }
+
+  test("srpTopK finds same-cell neighbors deterministically") {
+    val a = Similarity.srpTopK(vecs, "vec_id", "embedding", 0L, 3, nBits = 2)
+      .as[(Long, Double)].collect().toSeq
+    val b = Similarity.srpTopK(vecs, "vec_id", "embedding", 0L, 3, nBits = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b)           // deterministic hyperplanes
+    assert(a.nonEmpty)       // query's own cell is never empty of itself? no:
+                             // at 2 bits the close vectors co-bucket
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.Pipelines
+import graft.sources.excel.{ExcelSink, ExcelScan, ExcelOptions, Xlsx}
+
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir: String =
+    Files.createTempDirectory("excel_spec").toString
+
+  test("xlsx write -> read round-trips strings, numbers, blanks") {
+    val dir = tmpDir
+    val df = Seq(("a", 1.5, "x"), ("b", 2.0, null), ("c & <d>", 3.25, "z"))
+      .toDF("name", "num", "opt")
+    val path = s"$dir/rt.xlsx"
+    val n = ExcelSink.writePositional(df, path, startRow = 1)
+    assert(n == 3)
+    val back = spark.read.format("xlsx")
+      .option("headerRow", "1").option("header", "false")
+      .option("dataStartRow", "1").load(path)
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 3)
+    assert(rows(0) == (("a", "1.5", "x")))
+    assert(rows(1)._3 == null)              // null -> '' -> blank -> null
+    assert(rows(2)._1 == "c & <d>")         // XML escaping round-trip
+  }
+
+  test("positional write skips configured sheet columns (SNK2)") {
+    val dir = tmpDir
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val path = s"$dir/skip.xlsx"
+    ExcelSink.writePositional(df, path, startRow = 8, startCol = 1,
+      skipSheetCols = Set(2, 4))
+    val sheet = ExcelScan.loadSheet(path, None)
+    assert(sheet(8, 1) == "1.0")
+    assert(sheet(8, 2) == "")   // skipped
+    assert(sheet(8, 3) == "2.0")
+    assert(sheet(8, 4) == "")   // skipped
+    assert(sheet(8, 5) == "3.0")
+  }
+
+  test("metadata cell stamp lands on its own sheet at K4 (SNK4)") {
+    val dir = tmpDir
+    val path = s"$dir/meta.xlsx"
+    ExcelSink.writePositional(Seq((1)).toDF("a"), path,
+      metadata = Seq(("Data Validation", (4, 11), "08/12/2026")))
+    val sheets = {
+      val in = new java.io.FileInputStream(path)
+      try Xlsx.read(in) finally in.close()
+    }
+    val dv = sheets.find(_.name == "Data Validation").get
+    assert(dv(4, 11) == "08/12/2026")
+  }
+
+  test("header probe: blank-run termination and 500-col cap (SRC3)") {
+    val dir = tmpDir
+    val path = s"$dir/probe.xlsx"
+    // headers with an interior blank, then >10 blanks, then a ghost col
+    val cells = (Seq("h1", "h2", "", "h4").zipWithIndex.map { case (h, i) =>
+      Xlsx.Cell(1, i + 1, Xlsx.SStr(h))
+    } :+ Xlsx.Cell(1, 30, Xlsx.SStr("ghost"))).iterator
+    val out = new java.io.FileOutputStream(path)
+    try Xlsx.write(out, Seq("S" -> cells)) finally out.close()
+    val sheet = ExcelScan.loadSheet(path, None)
+    val opts = ExcelOptions(None, headerRow = 1, dataStartRow = 2,
+      useHeader = true, blankRunStop = 10, maxCols = 500)
+    val headers = ExcelScan.probeHeaders(sheet, opts)
+    assert(headers == Seq("h1", "h2", "_c3", "h4"))  // ghost beyond run: dropped
+  }
+
+  test("download pipeline: clone-name, row 8 start, K4 stamp (e2e)") {
+    val dir = tmpDir
+    val (path, n) = Pipelines.download(spark, sfDir, "BUILDING",
+      LocalDate.of(2026, 8, 12), dir)
+    assert(path.endsWith("BUILDING_08_12_2026.xlsx"))
+    assert(n > 0)
+    val sheets = { val in = new java.io.FileInputStream(path)
+      try Xlsx.read(in) finally in.close() }
+    val data = sheets.head
+    assert(data(7, 1) == "")                  // nothing above startRow 8
+    assert(data(8, 1).nonEmpty)
+    assert(data(8, 3) == "" && data(8, 5) == "") // skip columns honored
+    val dv = sheets.find(_.name == "Data Validation").get
+    assert(dv(4, 11) == "08/12/2026")
+    // date column formatted %m-%d-%Y somewhere in row 8
+    val row8 = (1 to data.maxCol).map(c => data(8, c))
+    assert(row8.exists(_.matches("\\d{2}-\\d{2}-\\d{4}")))
+    assert(row8.exists(_.matches("-?\\d+%")))  // percent column
+  }
+
+  test("upload pipeline: header-matched write honors template positions") {
+    val dir = tmpDir
+    // build a template: headers at row 5, cols 2/4/6; fuzzy-case names
+    val template = s"$dir/template.xlsx"
+    val cells = Seq(
+      Xlsx.Cell(5, 2, Xlsx.SStr("C  Name")),      // matches c_name
+      Xlsx.Cell(5, 4, Xlsx.SStr("C_MKTSEGMENT")), // matches c_mktsegment
+      Xlsx.Cell(5, 6, Xlsx.SStr("No Such Col"))).iterator
+    val out = new java.io.FileOutputStream(template)
+    try Xlsx.write(out, Seq("Sheet1" -> cells)) finally out.close()
+
+    val (path, n) = Pipelines.upload(spark, sfDir, "ALL", template, dir,
+      LocalDate.of(2026, 8, 12))
+    assert(path.endsWith("ALL_08_12_2026.xlsx"))
+    val sheet = ExcelScan.loadSheet(path, None)
+    assert(n > 0)
+    assert(sheet(6, 2).nonEmpty)        // c_name under template col 2
+    assert(sheet(6, 4).nonEmpty)        // segment under template col 4
+    assert(sheet(6, 1) == "" && sheet(6, 3) == "" && sheet(6, 6) == "")
+    // O1: ALL-mode block order follows SegmentOrder, not data order
+    val segCol = (0 until n.toInt).map(i => sheet(6 + i, 4)).filter(_.nonEmpty)
+    val order = segCol.distinct
+    assert(order == Pipelines.SegmentOrder.filter(order.contains))
+  }
+
+  test("compare pipeline over two workbooks classifies changes (e2e)") {
+    val dir = tmpDir
+    val q1 = Seq(("k1", "alpha beta"), ("k2", "same")).toDF("id", "val")
+    val q2 = Seq(("k1", "alpha GAMMA"), ("k2", "same"), ("k3", "brand new"))
+      .toDF("id", "val")
+    val p1 = s"$dir/q1.xlsx"; val p2 = s"$dir/q2.xlsx"
+    // write with header row so the xlsx reader picks up column names
+    def writeWithHeader(df: org.apache.spark.sql.DataFrame, p: String): Unit = {
+      val withHdr = ExcelSink.writePositional(df, p, startRow = 2)
+      val sheet = ExcelScan.loadSheet(p, None)
+      val out = new java.io.FileOutputStream(p)
+      val hdr = df.columns.zipWithIndex.map { case (c, i) =>
+        Xlsx.Cell(1, i + 1, Xlsx.SStr(c)) }
+      val data = for {
+        r <- (2 to sheet.maxRow).iterator
+        c <- 1 to sheet.maxCol
+        if sheet(r, c).nonEmpty
+      } yield Xlsx.Cell(r, c, Xlsx.SStr(sheet(r, c)))
+      try Xlsx.write(out, Seq("Sheet1" -> (hdr.iterator ++ data)))
+      finally out.close()
+    }
+    writeWithHeader(q1, p1); writeWithHeader(q2, p2)
+
+    val diff = Pipelines.compare(spark, p1, p2, "id", Seq("val"),
+      wordDiffCols = Set("val"))
+    val byKey = diff.collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(byKey("k1") == "CHANGED")
+    assert(byKey("k2") == "UNCHANGED")
+    assert(byKey("k3") == "NEW")
+    val runs = diff.filter($"key" === "k1")
+      .select($"word_runs").as[Seq[(String, Boolean)]].collect()(0)
+    assert(runs == Seq(("alpha", false), ("GAMMA", true)))
+  }
+}

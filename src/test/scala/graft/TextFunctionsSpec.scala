@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("scrubNullLiteral maps the string 'NULL' to null, passes others") {
+    assert(eval1(scrubNullLiteral(lit("NULL"))) == null)
+    assert(eval1(scrubNullLiteral(lit("ok"))) == "ok")
+  }
+
+  test("toStr canonicalizes null to blank and trims (Compare.py:45-48)") {
+    assert(eval1(toStr(lit(null).cast("string"))) == "")
+    assert(eval1(toStr(lit("  x "))) == "x")
+    assert(eval1(toStr(lit(42))) == "42")
+  }
+
+  test("dateMdY formats %m-%d-%Y and coerces garbage to null (S1)") {
+    assert(eval1(dateMdY(lit("2024-03-07"))) == "03-07-2024")
+    assert(eval1(dateMdY(lit("not a date"))) == null)
+  }
+
+  test("percent formats f'{x*100:.0f}%' with null passthrough (S3)") {
+    assert(eval1(percent(lit(0.07))) == "7%")
+    assert(eval1(percent(lit(1.0))) == "100%")
+    assert(eval1(percent(lit(null).cast("double"))) == null)
+  }
+
+  test("safeFnameToken replaces all nine forbidden chars (Upload.py:105)") {
+    assert(eval1(safeFnameToken(lit("""a\b/c:d*e?f"g<h>i|j"""))) ==
+      "a_b_c_d_e_f_g_h_i_j")
+  }
+
+  test("normHeaderSpace: NBSP/CR/LF, underscores, punctuation (S6)") {
+    assert(eval1(normHeaderSpace(lit("  OB Main__ID (v2)\r\n"))) ==
+      "ob main id v2")
+  }
+
+  test("normHeaderSnake: snake_case with stripped underscores (S7)") {
+    assert(eval1(normHeaderSnake(lit("  OB Main-ID? "))) == "ob_main_id")
+    // idempotence: norm(norm(x)) == norm(x)
+    assert(eval1(normHeaderSnake(normHeaderSnake(lit("A  b!c")))) ==
+      eval1(normHeaderSnake(lit("A  b!c"))))
+  }
+
+  test("tokens/tokenCount handle blank input") {
+    assert(eval1(tokenCount(lit("a bb  ccc"))) == 3)
+    assert(eval1(tokenCount(lit("   "))) == 0)
+    assert(eval1(tokenCount(lit(""))) == 0)
+  }
+
+  test("tokenEstimate: 1 per word plus length/4 rounding") {
+    // "supercalifragilistic" = 20 chars -> ceil(20/4) = 5
+    assert(eval1(tokenEstimate(lit("supercalifragilistic"))) == 5L)
+    assert(eval1(tokenEstimate(lit("a b"))) == 2L)
+  }
+
+  test("stopwordRatio and meanWordLen") {
+    assert(eval1(stopwordRatio(lit("the cat and the hat"))) == 3.0 / 5.0)
+    assert(eval1(meanWordLen(lit("ab cdef"))) == 3.0)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val a = eval1(fingerprint(lit("alpha beta gamma")))
+    val b = eval1(fingerprint(lit("beta alpha gamma")))
+    val a2 = eval1(fingerprint(lit("alpha beta gamma")))
+    assert(a == a2)
+    assert(a != b)
+  }
+
+  test("shingles: 3-grams, distinct, short-doc guard") {
+    assert(eval1(shingles(lit("a b c d"), 3)) ==
+      Seq("a b c", "b c d"))
+    assert(eval1(shingles(lit("a b"), 3)) == Seq())
+    // repeated shingle deduped
+    assert(eval1(shingles(lit("x y x y x y"), 2)) ==
+      Seq("x y", "y x"))
+  }
+}
