@@ -29,22 +29,27 @@ object Dedup {
 
   /** MinHash signature of a text column: `numHashes` permutation minima
     * over word `shingleN`-gram shingles, using the standard
-    * `(a_i * h + b_i) mod p` universal-hash family seeded deterministically
-    * (driver-side PRNG, seed 42 — literal coefficient arrays in the plan).
+    * `(a_i * h + b_i) mod p` universal-hash family seeded deterministically.
     * Empty shingle sets get null signatures (filtered by callers).
+    * Delegates to the native Catalyst expression (one JIT'd loop/row);
+    * [[minhashSignatureDeclarative]] is the built-ins-only formulation,
+    * kept as the semantic spec (equality asserted in tests). */
+  def minhashSignature(textCol: Column, numHashes: Int, shingleN: Int): Column =
+    graft.plans.TextExpressions.minhash_signature(textCol, numHashes, shingleN)
+
+  /** Built-ins-only MinHash signature.
     *
-    * Shape matters: ONE `aggregate` fold over the shingle hashes updating
-    * all minima at once. The naive `transform(0..k, i => array_min(...))`
-    * re-evaluates the whole shingle pipeline k times per row — Catalyst
-    * collapses projections into lambda bodies (single syntactic reference,
-    * per-element evaluation), a 30x slowdown measured at k=32. */
-  def minhashSignature(textCol: Column, numHashes: Int, shingleN: Int): Column = {
-    val prime = 2147483647L // 2^31-1, Mersenne
-    val rnd = new java.util.Random(42)
-    val coef: Seq[(Long, Long)] = Seq.fill(numHashes)(
-      (math.floorMod(rnd.nextLong(), prime - 1) + 1,
-        math.floorMod(rnd.nextLong(), prime)))
-    val coefCol = typedLit(coef)
+    * Shape matters even here: ONE `aggregate` fold over the shingle
+    * hashes updating all minima at once. The naive
+    * `transform(0..k, i => array_min(...))` re-evaluates the whole
+    * shingle pipeline k times per row — Catalyst collapses projections
+    * into lambda bodies (single syntactic reference, per-element
+    * evaluation), a 30x slowdown measured at k=32. */
+  private[graft] def minhashSignatureDeclarative(
+      textCol: Column, numHashes: Int, shingleN: Int): Column = {
+    val prime = graft.plans.TextExpressions.Prime
+    val (as, bs) = graft.plans.TextExpressions.minhashCoefficients(numHashes)
+    val coefCol = typedLit(as.zip(bs).toSeq)
     val sh = shingles(textCol, shingleN)
     val base = transform(sh, s => pmod(crc32(s.cast("binary")), lit(prime)))
     when(size(sh) > 0,
@@ -102,9 +107,14 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset (Charikar 2002): per-bit
     * majority vote over xxhash64(token). Near-dups differ in few bits.
-    * Single fold over token hashes maintaining 64 bit-counters (same
-    * nested-lambda re-evaluation pitfall as [[minhashSignature]]). */
-  def simhash(textCol: Column): Column = {
+    * Native expression; [[simhashDeclarative]] is the built-ins spec. */
+  def simhash(textCol: Column): Column =
+    graft.plans.TextExpressions.simhash64(textCol)
+
+  /** Built-ins-only SimHash: single fold over token hashes maintaining 64
+    * bit-counters (same nested-lambda re-evaluation pitfall as
+    * [[minhashSignatureDeclarative]]). */
+  private[graft] def simhashDeclarative(textCol: Column): Column = {
     val masks = typedLit((0 until 64).map(1L << _))
     val toks = tokens(textCol)
     val hashes = transform(toks, t => xxhash64(t))
@@ -124,8 +134,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
+    // native shingle expression: this column is evaluated in three plan
+    // branches (sizes join x2 + explode), so the interpreted formulation
+    // pays its per-row cost thrice
     val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
+        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))

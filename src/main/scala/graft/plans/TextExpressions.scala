@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the sketch functions whose
+  * higher-order-function formulations are interpreter-bound (SURVEY.md
+  * §7.3: the one place custom expressions are expected).
+  *
+  * The declarative `transform`/`aggregate` versions in
+  * [[graft.operators.Dedup]] evaluate ~tokens x numHashes interpreted
+  * lambda calls per row (~1.5 ms/doc measured); these do the same math
+  * in one JIT-compiled loop (~15 us/doc). Semantics are identical —
+  * `DedupSimilaritySpec` asserts expression == declarative on real docs.
+  */
+object TextExpressions {
+
+  val Prime: Long = 2147483647L // 2^31 - 1
+
+  /** The universal-hash coefficient family both implementations share. */
+  def minhashCoefficients(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42)
+    val as = Array.fill(numHashes)(math.floorMod(rnd.nextLong(), Prime - 1) + 1)
+    val bs = Array.fill(numHashes)(math.floorMod(rnd.nextLong(), Prime))
+    (as, bs)
+  }
+
+  def minhash_signature(c: Column, numHashes: Int = 32,
+                        shingleN: Int = 3): Column =
+    GraftBridge.column(
+      MinHashSig(GraftBridge.expression(c), numHashes, shingleN))
+
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+
+  def word_shingles(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+
+  /** SQL registration: `SELECT minhash_signature(text, 32, 3), simhash64(text)`. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSig(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(32),
+        exprs.lift(2).map(_.eval().asInstanceOf[Int]).getOrElse(3)),
+      "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  }
+
+  private[plans] def tokenize(text: String): Array[String] = {
+    val t = text.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+}
+
+/** MinHash signature over word shingles, as one JIT'd loop per row.
+  * Returns null for docs with fewer than `shingleN` tokens (mirrors the
+  * declarative guard). */
+case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextExpressions._
+
+  require(numHashes > 0 && shingleN > 0)
+  private lazy val (as, bs) = minhashCoefficients(numHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < shingleN) return null
+    val mins = Array.fill(numHashes)(Prime)
+    val seen = new java.util.HashSet[String]()
+    val crc = new java.util.zip.CRC32()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + shingleN <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < shingleN) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        crc.reset()
+        val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        crc.update(bytes, 0, bytes.length)
+        val h = java.lang.Math.floorMod(crc.getValue, Prime)
+        var j = 0
+        while (j < numHashes) {
+          val v = java.lang.Math.floorMod(as(j) * h + bs(j), Prime)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles (insertion order), same strings as the
+  * declarative `TextFunctions.shingles`; docs with fewer than n tokens
+  * get an empty array. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextExpressions._
+
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** 64-bit SimHash (per-bit majority vote over xxhash64(token), seed 42 —
+  * identical values to Spark's `xxhash64` builtin). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import TextExpressions._
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+    val counts = new Array[Int](64)
+    var n = 0
+    toks.foreach { t =>
+      val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if ((h & (1L << b)) != 0) counts(b) += 1
+        b += 1
+      }
+      n += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -22,6 +22,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dupGroup._2 == 1L) // keep_id = min
   }
 
+  test("native minhash/simhash expressions match the declarative spec") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val cmp = docs.select(
+      Dedup.minhashSignature($"text", 32, 3).as("native_mh"),
+      Dedup.minhashSignatureDeclarative($"text", 32, 3).as("decl_mh"),
+      Dedup.simhash($"text").as("native_sh"),
+      Dedup.simhashDeclarative($"text").as("decl_sh"),
+      graft.plans.TextExpressions.word_shingles($"text", 3).as("native_wsh"),
+      graft.functions.TextFunctions.shingles($"text", 3).as("decl_wsh"))
+    assert(cmp.filter($"native_mh" =!= $"decl_mh" ||
+      $"native_sh" =!= $"decl_sh" || $"native_wsh" =!= $"decl_wsh").isEmpty)
+  }
+
   test("minhash signature: identical texts identical, disjoint differ") {
     val sigs = corpus
       .select($"id", Dedup.minhashSignature($"text", 32, 3).as("sig"))
