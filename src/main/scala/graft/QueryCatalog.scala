@@ -706,6 +706,202 @@ object QueryCatalog {
         Multimodal.extractFeatures(s, media).toDF()
       },
       None),
+
+    // ------------------------------------------------------------------
+    // Tier B, batch 2: statistical aggs, more windows/strings, subqueries
+    // ------------------------------------------------------------------
+
+    Q("q_stats_agg", // statistical aggregate menu
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qp"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             |  round(var_samp(l_extendedprice), 2) AS var_price,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+             |  min(l_extendedprice) AS min_price,
+             |  max(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Q("q_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+        .stripMargin)),
+
+    Q("q_percentile", // exact interpolated percentiles
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90")),
+      Some("""SELECT c_mktsegment,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4)
+             |    AS p50,
+             |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 4)
+             |    AS p90
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    Q("q_string_funcs2",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        expr("replace(p_name, ' ', '-')").as("dashed"),
+        translate(col("p_brand"), "Bad#", "bXD_").as("translated"),
+        expr("repeat(p_type, 2)").as("doubled"),
+        reverse(col("p_name")).as("reversed"),
+        expr("split_part(p_name, ' ', 1)").as("first_part"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 3)").as("r3")),
+      Some("""SELECT p_partkey,
+             |  replace(p_name, ' ', '-') AS dashed,
+             |  translate(p_brand, 'Bad#', 'bXD_') AS translated,
+             |  repeat(p_type, 2) AS doubled,
+             |  reverse(p_name) AS reversed,
+             |  split_part(p_name, ' ', 1) AS first_part,
+             |  left(p_name, 4) AS l4,
+             |  right(p_name, 3) AS r3
+             |FROM part""".stripMargin)),
+
+    Q("q_minmax_by", // arg-max/arg-min with a composite deterministic order
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_custkey"),
+            col("c_acctbal") * 100000000L + col("c_custkey")).as("richest"),
+          min_by(col("c_custkey"),
+            col("c_acctbal") * 100000000L + col("c_custkey")).as("poorest")),
+      Some("""SELECT c_mktsegment,
+             |  max_by(c_custkey, c_acctbal * 100000000 + c_custkey) AS richest,
+             |  min_by(c_custkey, c_acctbal * 100000000 + c_custkey) AS poorest
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    Q("q_window_funcs2", // ranking menu: dense_rank/percent_rank/ntile/...
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            dense_rank().over(w).cast("long").as("drank"),
+            round(percent_rank().over(w), 6).as("prank"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            first(col("c_custkey")).over(wf).as("seg_top"))
+          .filter(col("drank") <= 50)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_mktsegment, c_custkey,
+             |    CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             |    round(percent_rank() OVER w, 6) AS prank,
+             |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |    round(cume_dist() OVER w, 6) AS cdist,
+             |    first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS seg_top
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment
+             |               ORDER BY c_acctbal DESC, c_custkey))
+             |WHERE drank <= 50""".stripMargin)),
+
+    Q("q_sliding_window", // 1h windows sliding by 15 min (batch form)
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n")),
+      Some("""SELECT time_bucket(INTERVAL 15 minute, ts)
+             |         - (k * INTERVAL 15 minute) AS w_start,
+             |       event_type, count(*) AS n
+             |FROM events, (VALUES (0), (1), (2), (3)) t(k)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_scalar_subquery", // filter against a global aggregate
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgPrice = o.agg(avg(col("o_totalprice")).as("__avg"))
+        o.join(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("__avg"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""
+        .stripMargin)),
+
+    Q("q_in_subquery", // IN (subquery) membership
+      (s, d) => {
+        val asiaNations = t(s, d, "nation")
+          .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_regionkey") < 2)
+          .select(col("n_nationkey"))
+        t(s, d, "customer")
+          .join(broadcast(asiaNations),
+            col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("c_custkey"), col("c_nationkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE c_nationkey IN (
+             |  SELECT n_nationkey FROM nation
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_regionkey < 2)""".stripMargin)),
+
+    Q("q_top_words", // explode/unnest + top-k by frequency
+      (s, d) => t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    Q("q_embed_centroid", // element-wise mean vector per label (long form)
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid_v")),
+      Some("""SELECT label, CAST(pos AS BIGINT) AS pos,
+             |  round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v
+             |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+             |             unnest(embedding) AS v
+             |      FROM embeddings)
+             |GROUP BY label, pos""".stripMargin)),
+
+    Q("q_excel_roundtrip", // the xlsx connector in the catalog (rows-only)
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+        val path = s"$dir/sample.xlsx"
+        val sample = t(s, d, "customer")
+          .orderBy(col("c_custkey")).limit(200)
+          .select(col("c_custkey").cast("string").as("c_custkey"),
+            col("c_name"), col("c_mktsegment"))
+        graft.sources.excel.ExcelSink.writePositional(sample, path, startRow = 2)
+        val hdr = sample.columns.zipWithIndex.map { case (c, i) =>
+          graft.sources.excel.Xlsx.Cell(1, i + 1, graft.sources.excel.Xlsx.SStr(c)) }
+        // prepend a header row so the read is self-describing
+        val sheet = graft.sources.excel.ExcelScan.loadSheet(path, None)
+        val data = for {
+          r <- (2 to sheet.maxRow).iterator; c <- 1 to sheet.maxCol
+          if sheet(r, c).nonEmpty
+        } yield graft.sources.excel.Xlsx.Cell(r, c,
+          graft.sources.excel.Xlsx.SStr(sheet(r, c)))
+        val out = new java.io.FileOutputStream(path)
+        try graft.sources.excel.Xlsx.write(out,
+          Seq("Sheet1" -> (hdr.iterator ++ data)))
+        finally out.close()
+        s.read.format("xlsx").load(path)
+      },
+      None),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark
