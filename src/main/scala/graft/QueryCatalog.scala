@@ -902,6 +902,55 @@ object QueryCatalog {
         s.read.format("xlsx").load(path)
       },
       None),
+
+    Q("q_fname_token", // S5 filename sanitizer (Upload.py:105-107)
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          safeFnameToken(concat(col("lang"), lit("/"), col("source"),
+            lit(":"), col("doc_id"))).as("fname")),
+      Some("""SELECT doc_id,
+             |  translate(lang || '/' || source || ':' || CAST(doc_id AS VARCHAR),
+             |            '\/:*?"<>|', '_________') AS fname
+             |FROM documents""".stripMargin)),
+
+    Q("q_date_funcs2", // date arithmetic menu
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        date_add(to_date(col("o_orderdate")), 45).as("plus45d"),
+        last_day(to_date(col("o_orderdate"))).as("eom"),
+        trunc(to_date(col("o_orderdate")), "year").as("year_start"),
+        ((lit(2025) - year(col("o_orderdate"))) * 12 +
+          (lit(6) - month(col("o_orderdate")))).cast("long").as("mo_to_jun25")),
+      Some("""SELECT o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             |    AS plus3m,
+             |  CAST(o_orderdate AS DATE) + 45 AS plus45d,
+             |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+             |  CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start,
+             |  CAST((2025 - year(o_orderdate)) * 12 + (6 - month(o_orderdate))
+             |       AS BIGINT) AS mo_to_jun25
+             |FROM orders""".stripMargin)),
+
+    Q("q_grouping_sets",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")), Seq()),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT n_name, c_mktsegment, count(*) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())"""
+        .stripMargin)),
+
+    Q("q_approx_distinct", // HLL sketch (approximate: rows-only check —
+      // DuckDB's approx_count_distinct uses a different sketch)
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+          count(lit(1)).as("n")),
+      None),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

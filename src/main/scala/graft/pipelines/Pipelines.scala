@@ -91,4 +91,16 @@ object Pipelines {
         col("status") === "CHANGED",
         DiffEngine.wordDiff(col("old_value"), col("new_value"))))
   }
+
+  /** Compare + SNK5 presentation: also emits the styled
+    * `<q2> (change highlighted).xlsx` copy (CHANGED blue, CLEARED pink,
+    * NEW whole-row yellow — reference Compare.py:212-220). */
+  def compareAndHighlight(spark: SparkSession, q1Path: String, q2Path: String,
+                          keyCol: String, compareCols: Seq[String])
+      : (DataFrame, String) = {
+    val diff = compare(spark, q1Path, q2Path, keyCol, compareCols)
+    val highlighted = ExcelSink.writeHighlighted(
+      q2Path, diff.filter(col("status") =!= "UNCHANGED"), keyCol)
+    (diff, highlighted)
+  }
 }

@@ -5,6 +5,7 @@ import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.operators.SchemaReconciler
@@ -96,6 +97,61 @@ object ExcelSink {
     }
     writeRows(proj, outPath, sheetName, startRow, targets,
       metadata = Nil, maxRows = maxRows, extraCells = headerCells)
+  }
+
+  /** SNK5: styled change-highlight sink (reference Compare.py:212-220).
+    * Copies the Q2 grid into `<q2 stem> (change highlighted).xlsx` with
+    * fills applied from a diff result (long form: key, column, status):
+    * CHANGED -> blue, CLEARED -> pink, NEW -> whole-row yellow. The diff
+    * is presentation-scale (it collects to the driver) — the scalable
+    * artifact is the diff DataFrame itself.
+    * Returns the written path. */
+  def writeHighlighted(q2Path: String, diff: DataFrame, keyCol: String,
+                       headerRow: Int = 1): String = {
+    val sheet = ExcelScan.loadSheet(q2Path, None)
+    val opts = ExcelOptions(None, headerRow, headerRow + 1, useHeader = true,
+      blankRunStop = 10, maxCols = 500)
+    val headerPos: Map[String, Int] = ExcelScan.probeHeaders(sheet, opts)
+      .zipWithIndex.map { case (h, i) => h -> (i + 1) }.toMap
+    val keyIdx = headerPos.getOrElse(keyCol,
+      throw new IllegalArgumentException(s"key column '$keyCol' not in header"))
+    val rowByKey: Map[String, Int] =
+      ((headerRow + 1) to sheet.maxRow)
+        .map(r => sheet(r, keyIdx) -> r).filter(_._1.nonEmpty).toMap
+
+    val fills = Seq("FFADD8E6" /*1 CHANGED*/ , "FFFFC0CB" /*2 CLEARED*/ ,
+      "FFFFFF00" /*3 NEW*/ )
+    val styleOf = Map("CHANGED" -> 1, "CLEARED" -> 2, "NEW" -> 3)
+    val colField =
+      if (diff.columns.contains("col_name")) "col_name" else "column"
+    val marks: Map[(Int, Int), Int] = diff
+      .select(col("key").cast("string"),
+        col(colField).cast("string"), col("status"))
+      .collect()
+      .flatMap { r =>
+        val (k, c, st) = (r.getString(0), r.getString(1), r.getString(2))
+        for {
+          row <- rowByKey.get(k)
+          style <- styleOf.get(st)
+          colIdx <- headerPos.get(c)
+        } yield (row, colIdx) -> style
+      }.toMap
+    // NEW rows get the whole row highlighted (reference Compare.py:179-185)
+    val newRows: Set[Int] = marks.collect {
+      case ((r, _), 3) => r
+    }.toSet
+
+    val outPath = q2Path.replaceAll("\\.xlsx$", "") + " (change highlighted).xlsx"
+    val cells = for {
+      r <- (1 to sheet.maxRow).iterator
+      c <- (1 to sheet.maxCol).iterator
+      v = sheet(r, c)
+      style = if (newRows.contains(r)) 3 else marks.getOrElse((r, c), 0)
+      if v.nonEmpty || style > 0
+    } yield Xlsx.Cell(r, c, if (v.nonEmpty) Xlsx.SStr(v) else Xlsx.SBlank, style)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath))
+    try Xlsx.write(out, Seq(sheet.name -> cells), fills) finally out.close()
+    outPath
   }
 
   private def writeRows(df: DataFrame, path: String, sheetName: String,

@@ -42,8 +42,10 @@ object Xlsx {
   def colOrdinal(letters: String): Int =
     letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1))
 
-  /** A cell value with its target 1-based (row, col). */
-  final case class Cell(row: Int, col: Int, value: CellValue)
+  /** A cell value with its target 1-based (row, col) and an optional
+    * style: 0 = none, 1..n = 1-based index into the `fills` palette
+    * passed to [[write]] (ARGB hex strings). */
+  final case class Cell(row: Int, col: Int, value: CellValue, style: Int = 0)
 
   sealed trait CellValue
   final case class SStr(v: String) extends CellValue
@@ -56,7 +58,8 @@ object Xlsx {
     * grouped by row in ascending row order (cells within a row in
     * ascending col order). Streaming: one pass, constant memory.
     */
-  def write(out: OutputStream, sheets: Seq[(String, Iterator[Cell])]): Unit = {
+  def write(out: OutputStream, sheets: Seq[(String, Iterator[Cell])],
+            fills: Seq[String] = Nil): Unit = {
     val zip = new ZipOutputStream(out)
     def part(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
@@ -70,10 +73,30 @@ object Xlsx {
         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
         """<Default Extension="xml" ContentType="application/xml"/>""" +
         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
         (1 to n).map(i =>
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
           .mkString +
         """</Types>""")
+    // styles: fill k (1-based in Cell.style) -> cellXf index k; xf 0 = none.
+    // Fill ids 0/1 are reserved (none/gray125) per the OOXML spec.
+    part("xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>""" +
+        s"""<fills count="${fills.size + 2}">""" +
+        """<fill><patternFill patternType="none"/></fill>""" +
+        """<fill><patternFill patternType="gray125"/></fill>""" +
+        fills.map(argb =>
+          s"""<fill><patternFill patternType="solid"><fgColor rgb="$argb"/><bgColor indexed="64"/></patternFill></fill>""")
+          .mkString +
+        """</fills>""" +
+        """<borders count="1"><border/></borders>""" +
+        """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+        s"""<cellXfs count="${fills.size + 1}"><xf/>""" +
+        fills.indices.map(i =>
+          s"""<xf fillId="${i + 2}" applyFill="1"/>""").mkString +
+        """</cellXfs></styleSheet>""")
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
@@ -108,12 +131,13 @@ object Xlsx {
           curRow = c.row
         }
         val ref = colLetter(c.col) + c.row
+        val s = if (c.style > 0) s""" s="${c.style}"""" else ""
         c.value match {
           case SStr(v) =>
-            w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
-          case SNum(v) => w.write(s"""<c r="$ref"><v>$v</v></c>""")
-          case SBool(v) => w.write(s"""<c r="$ref" t="b"><v>${if (v) 1 else 0}</v></c>""")
-          case SBlank => w.write(s"""<c r="$ref"/>""")
+            w.write(s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
+          case SNum(v) => w.write(s"""<c r="$ref"$s><v>$v</v></c>""")
+          case SBool(v) => w.write(s"""<c r="$ref"$s t="b"><v>${if (v) 1 else 0}</v></c>""")
+          case SBlank => w.write(s"""<c r="$ref"$s/>""")
         }
       }
       if (curRow != -1) w.write("</row>")

@@ -119,6 +119,42 @@ class ExcelSpec extends SparkSpec {
     assert(order == Pipelines.SegmentOrder.filter(order.contains))
   }
 
+  test("highlighted workbook gets fills for CHANGED/NEW cells (SNK5)") {
+    val dir = tmpDir
+    val q1 = Seq(("k1", "old"), ("k2", "same")).toDF("id", "val")
+    val q2 = Seq(("k1", "new"), ("k2", "same"), ("k3", "added")).toDF("id", "val")
+    def writeWb(df: org.apache.spark.sql.DataFrame, p: String): Unit = {
+      val hdr = df.columns.zipWithIndex.map { case (c, i) =>
+        Xlsx.Cell(1, i + 1, Xlsx.SStr(c)) }
+      val rows = df.collect().zipWithIndex.flatMap { case (r, ri) =>
+        (0 until r.length).map(ci =>
+          Xlsx.Cell(ri + 2, ci + 1, Xlsx.SStr(r.getString(ci)))) }
+      val out = new java.io.FileOutputStream(p)
+      try Xlsx.write(out, Seq("Sheet1" -> (hdr ++ rows).iterator))
+      finally out.close()
+    }
+    writeWb(q1, s"$dir/h_q1.xlsx"); writeWb(q2, s"$dir/h_q2.xlsx")
+    val (diff, outPath) = Pipelines.compareAndHighlight(spark,
+      s"$dir/h_q1.xlsx", s"$dir/h_q2.xlsx", "id", Seq("val"))
+    assert(outPath.endsWith("h_q2 (change highlighted).xlsx"))
+    assert(diff.filter($"status" === "CHANGED").count() == 1)
+    // raw XML: the changed cell (B2) and the NEW row (4) carry style refs,
+    // and styles.xml defines the solid fills
+    val zf = new java.util.zip.ZipFile(outPath)
+    def entry(n: String): String = {
+      val in = zf.getInputStream(zf.getEntry(n))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val sheetXml = entry("xl/worksheets/sheet1.xml")
+    val stylesXml = entry("xl/styles.xml")
+    zf.close()
+    assert(sheetXml.contains("""<c r="B2" s="1""""))   // CHANGED -> fill 1
+    assert(sheetXml.contains("""<c r="A4" s="3""""))   // NEW row -> fill 3
+    assert(sheetXml.contains("""<c r="B4" s="3""""))
+    assert(!sheetXml.contains("""<c r="B3" s="""))     // UNCHANGED unstyled
+    assert(stylesXml.contains("FFADD8E6") && stylesXml.contains("FFFFFF00"))
+  }
+
   test("compare pipeline over two workbooks classifies changes (e2e)") {
     val dir = tmpDir
     val q1 = Seq(("k1", "alpha beta"), ("k2", "same")).toDF("id", "val")
