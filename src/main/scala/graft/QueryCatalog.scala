@@ -951,6 +951,52 @@ object QueryCatalog {
         .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
           count(lit(1)).as("n")),
       None),
+
+    Q("q_asof_join", // point-in-time enrichment (union + carry-last)
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val odedup = t(s, d, "orders")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+            col("o_orderkey"), col("o_totalprice"))
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin
+          .asOf(ev, odedup, "user_id", "ts", "o_orderdate",
+            Seq("o_orderkey", "o_totalprice"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("matched_order"),
+            col("o_totalprice").as("matched_price"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+             |         o_totalprice
+             |  FROM (SELECT *, row_number() OVER (
+             |          PARTITION BY o_custkey, o_orderdate
+             |          ORDER BY o_orderkey DESC) AS rn
+             |        FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, o.o_orderkey AS matched_order,
+             |       o.o_totalprice AS matched_price
+             |FROM events e ASOF LEFT JOIN o
+             |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate"""
+        .stripMargin),
+      headline = true),
+
+    Q("q_salted_join", // skew-mitigated join (semantics = plain join)
+      (s, d) => {
+        val dim = t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        graft.operators.SkewJoin
+          .saltedJoin(t(s, d, "lineitem"), dim, "l_partkey", buckets = 16)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev"))
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

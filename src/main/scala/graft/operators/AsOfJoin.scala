@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the single right row
+  * with the greatest `rightTime <= leftTime` within the same key — the
+  * canonical time-series enrichment operator (market data, CDC snapshots).
+  *
+  * Spark lacks a native as-of join; rather than a custom SparkPlan, this
+  * composes built-ins with the union + "last carried value" pattern
+  * (public technique, e.g. Flink temporal joins / pandas merge_asof
+  * semantics):
+  *
+  *   1. tag both sides, union on (key, time) — ONE shuffle on the key,
+  *   2. per key ordered by (time, tag), carry the last right payload
+  *      forward with `last(ignoreNulls)` over an unbounded-preceding
+  *      frame (right rows sort before left rows at equal times, so
+  *      `<=` semantics hold),
+  *   3. keep the left rows with whatever right payload they carried.
+  *
+  * Scale: equivalent to one sort-merge pass per key partition — no
+  * range-explosion, no per-row subqueries; skewed keys behave like any
+  * windowed aggregation (AQE/salting applies).
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (e.g. events)
+    * @param right      build side (e.g. orders / quotes)
+    * @param keyCol     equi-key column name present in both
+    * @param leftTime   event-time column in `left`
+    * @param rightTime  event-time column in `right`
+    * @param rightCols  right payload columns to carry (become nullable)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+           leftTime: String, rightTime: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+    val r = right.select(col(keyCol), col(rightTime).as("__t"),
+      lit(0).as("__tag"), struct(rightCols.map(col): _*).as("__payload"))
+
+    // align schemas for the union: left carries nulls for __payload,
+    // right carries nulls for the left columns
+    val lAligned = l.select(
+      (Seq(col(keyCol), col("__t"), col("__tag"),
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")) ++
+        leftCols.filterNot(_ == keyCol).map(col)): _*)
+    val rAligned = r.select(
+      (Seq(col(keyCol), col("__t"), col("__tag"), col("__payload")) ++
+        leftCols.filterNot(_ == keyCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+
+    carried.filter(col("__tag") === 1)
+      .select((leftCols.map(col) :+ col("__match")): _*)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__match.$c").as(c))): _*)
+  }
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join by key salting (the classic pre-AQE
+  * technique; still needed when AQE's skew-join can't apply, e.g.
+  * non-sort-merge plans or aggregations after the join).
+  *
+  * The fact side gets a random-but-deterministic salt in [0, buckets)
+  * derived from a hash of the whole row; the dim side is replicated
+  * `buckets` times. The join key becomes (key, salt), splitting a hot
+  * key's rows across `buckets` tasks. Replication cost: |dim| x buckets
+  * rows shuffled — use for small-to-medium dims with skewed facts.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `fact ⋈ dim` on `key`, salted into `buckets`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    require(buckets > 0)
+    // deterministic per-row salt (xxhash64 of all fact columns): stable
+    // across retries, unlike rand()
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}
