@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, for deployments that configure
+  * `spark.sql.extensions=graft.plans.GraftExtensions`:
+  *
+  * {{{
+  *   SELECT doc_id, minhash_signature(text, 32, 3), simhash64(text)
+  *   FROM documents
+  * }}}
+  *
+  * (Per-session alternative without extensions:
+  * [[TextExpressions.registerAll]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, default: Int): Int =
+    Option(e).map(_.eval().asInstanceOf[Int]).getOrElse(default)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(32),
+        exprs.lift(2).map(_.eval().asInstanceOf[Int]).getOrElse(3))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3))))
+  }
+}

@@ -51,6 +51,11 @@ object TextExpressions {
       "scala_udf")
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3)),
+      "scala_udf")
   }
 
   private[plans] def tokenize(text: String): Array[String] = {
