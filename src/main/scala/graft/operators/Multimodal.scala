@@ -73,4 +73,59 @@ object Multimodal {
         }
       }
   }
+
+  /** One resized image row: the blob after the (stubbed) resize plus its
+    * new pixel dimensions. */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          blob: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales with an image
+    * library, re-encodes. The fake deterministically downsamples the
+    * byte stream to `width*height` bytes (stride sampling) so output
+    * size, schema, and per-partition batching behave like the real op. */
+  def resize(spark: SparkSession, media: DataFrame,
+             width: Int, height: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val target = width * height
+    media.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val out = new Array[Byte](math.min(target, math.max(bytes.length, 1)))
+          if (bytes.nonEmpty) {
+            val stride = math.max(1, bytes.length / out.length)
+            var i = 0
+            while (i < out.length) {
+              out(i) = bytes(math.min(i.toLong * stride, bytes.length - 1).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(id, width, height, out)
+        }
+      }
+  }
+
+  /** One sampled frame: parent media, frame index, and the frame blob. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: a real implementation seeks keyframes in the
+    * container. The fake slices the byte stream into `everyNth`-spaced
+    * fixed-size windows. Emits 0..k rows per input row (flatMap shape —
+    * exactly how a real sampler fans out), so downstream ops see the
+    * (media_id, frame_idx) long-form layout. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 256, everyNth: Int = 4)
+      : Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(bytes.length / frameBytes, 0)
+        (0 until nFrames by everyNth).map { f =>
+          MediaFrame(id, f,
+            java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+              math.min((f + 1) * frameBytes, bytes.length)))
+        }
+      }
+  }
 }

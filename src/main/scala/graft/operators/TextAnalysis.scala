@@ -28,12 +28,33 @@ object TextAnalysis {
     * by how many of its marker bigrams occur in the text; highest score
     * (ties broken alphabetically) wins; score 0 -> "und".
     *
-    * Implemented as explode + broadcast profile join + window top-1: the
-    * shape that scales (profiles are a broadcast dim; the doc side stays
-    * partitioned).
+    * Shuffle-free: profiles are literal arrays, each score is
+    * `size(array_intersect(doc_bigrams, profile))`, arg-max is a when
+    * chain in alphabetical order — one narrow scan per corpus.
+    * [[languageIdJoin]] is the equivalent explode + broadcast-join +
+    * window formulation (the general shape for LARGE profile tables),
+    * kept as the semantic spec.
     */
   def languageId(spark: SparkSession, docs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
+    val bs = array_distinct(charBigrams(col(textCol)))
+    val scores = bigramProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      lang -> size(array_intersect(bs, typedLit(prof)))
+    }
+    val g = greatest(scores.map(_._2): _*)
+    val pred = scores
+      .foldLeft(when(g === 0, lit("und"))) { case (acc, (lang, sc)) =>
+        acc.when(sc === g, lit(lang))
+      }
+      .otherwise(lit("und"))
+    docs.select(col(idCol).as("id"), pred.as("pred_lang"),
+      g.cast("long").as("score"))
+  }
+
+  /** Explode + broadcast profile join + window top-1 (for profile tables
+    * too large to inline as literals). */
+  def languageIdJoin(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
     import spark.implicits._
     val profile = broadcast(
       bigramProfiles.toSeq
@@ -62,8 +83,14 @@ object TextAnalysis {
   }
 
   /** Character bigrams of the lowercased text; non-letters dropped,
-    * bigrams spanning a word boundary excluded. */
-  def charBigrams(c: Column): Column = {
+    * bigrams spanning a word boundary excluded. Native expression —
+    * the declarative form below re-runs its regex clean once per
+    * character position (nested-lambda inlining; see SCALE.md). */
+  def charBigrams(c: Column): Column =
+    graft.plans.TextExpressions.char_bigrams(c)
+
+  /** Built-ins-only formulation, kept as the semantic spec. */
+  private[graft] def charBigramsDeclarative(c: Column): Column = {
     val s = regexp_replace(lower(c), "[^a-z ]", "")
     when(length(s) >= 2,
       filter(

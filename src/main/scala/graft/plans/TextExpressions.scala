@@ -41,6 +41,9 @@ object TextExpressions {
   def word_shingles(c: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
 
+  def char_bigrams(c: Column): Column =
+    GraftBridge.column(CharBigrams(GraftBridge.expression(c)))
+
   /** SQL registration: `SELECT minhash_signature(text, 32, 3), simhash64(text)`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
@@ -153,6 +156,45 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** Character bigrams of the lowercased text, non-letters dropped,
+  * bigrams spanning a word boundary excluded — same output (order and
+  * duplicates included) as the declarative
+  * `TextAnalysis.charBigramsDeclarative`, whose
+  * `transform(sequence(...), i => substr(cleaned, i, 2))` formulation
+  * re-runs the regex clean per character (O(len^2) per doc). */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_bigrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if ((ch >= 'a' && ch <= 'z') || ch == ' ') sb.append(ch)
+      i += 1
+    }
+    val s = sb.toString
+    if (s.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length - 1)
+    var j = 0
+    while (j < s.length - 1) {
+      val a = s.charAt(j); val b = s.charAt(j + 1)
+      if (a != ' ' && b != ' ')
+        out += UTF8String.fromString(s.substring(j, j + 2))
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharBigrams =
     copy(child = c)
 }
 

@@ -30,9 +30,12 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.simhash($"text").as("native_sh"),
       Dedup.simhashDeclarative($"text").as("decl_sh"),
       graft.plans.TextExpressions.word_shingles($"text", 3).as("native_wsh"),
-      graft.functions.TextFunctions.shingles($"text", 3).as("decl_wsh"))
+      graft.functions.TextFunctions.shingles($"text", 3).as("decl_wsh"),
+      graft.operators.TextAnalysis.charBigrams($"text").as("native_bg"),
+      graft.operators.TextAnalysis.charBigramsDeclarative($"text").as("decl_bg"))
     assert(cmp.filter($"native_mh" =!= $"decl_mh" ||
-      $"native_sh" =!= $"decl_sh" || $"native_wsh" =!= $"decl_wsh").isEmpty)
+      $"native_sh" =!= $"decl_sh" || $"native_wsh" =!= $"decl_wsh" ||
+      $"native_bg" =!= $"decl_bg").isEmpty)
   }
 
   test("minhash signature: identical texts identical, disjoint differ") {
