@@ -997,6 +997,46 @@ object QueryCatalog {
              |  round(sum(l_extendedprice), 2) AS rev
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand""".stripMargin)),
+
+    Q("q_regexp_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_name").rlike("^s").as("starts_s"),
+        regexp_extract(col("p_brand"), "#(\\d+)$", 1).as("brand_num"),
+        regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)).as("digits"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("starred")),
+      Some("""SELECT p_partkey,
+             |  regexp_matches(p_name, '^s') AS starts_s,
+             |  regexp_extract(p_brand, '#(\d+)$', 1) AS brand_num,
+             |  regexp_extract_all(p_brand, '\d') AS digits,
+             |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred
+             |FROM part""".stripMargin)),
+
+    Q("q_array_funcs2",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        transform(slice(col("embedding"), 1, 4),
+          x => round(x.cast("double"), 4)).as("head4"),
+        exists(col("embedding"), x => x < 0).as("has_neg"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_el"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_el")),
+      Some("""SELECT vec_id,
+             |  list_transform(embedding[1:4],
+             |    x -> round(CAST(x AS DOUBLE), 4)) AS head4,
+             |  len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
+             |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_el,
+             |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_el
+             |FROM embeddings""".stripMargin)),
+
+    Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        t(s, d, "nation").write.mode("overwrite")
+          .option("header", "true").csv(s"$dir/nation")
+        s.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"$dir/nation")
+      },
+      None),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

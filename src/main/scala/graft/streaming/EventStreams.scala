@@ -93,4 +93,30 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Incremental ETL: drain whatever is in the source now
+    * (Trigger.AvailableNow), transform, land parquet partitioned by
+    * event_type via an idempotent foreachBatch (batchId-keyed overwrite:
+    * re-running a failed batch replaces, never duplicates). Blocks until
+    * the drain completes; returns the written path. Checkpoint makes
+    * successive calls process only NEW files. */
+  def etlAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
+                      checkpointDir: String): String = {
+    val q = readEventStream(spark, srcDir)
+      .withColumn("k_val",
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("props"), "$.k").cast("long"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    outDir
+  }
 }

@@ -66,6 +66,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("AvailableNow ETL drains the source once and is incremental") {
+    val src = java.nio.file.Files.createTempDirectory("etl_src").toString
+    val out = java.nio.file.Files.createTempDirectory("etl_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("etl_ckpt").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.limit(400).write.mode("append").parquet(src)
+    EventStreams.etlAvailableNow(spark, src, out, ckpt)
+    val first = spark.read.parquet(s"$out/batch=*").count()
+    assert(first == 400)
+    // second drain with no new files: no new rows land
+    EventStreams.etlAvailableNow(spark, src, out, ckpt)
+    assert(spark.read.parquet(s"$out/batch=*").count() == first)
+    // partitioned by event_type on disk
+    val batchDir = new java.io.File(out).listFiles().head
+    assert(batchDir.listFiles().exists(_.getName.startsWith("event_type=")))
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     // duplicate the stream directory content to force dups
     val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
