@@ -123,7 +123,8 @@ object QueryCatalog {
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_custkey
              |                       ORDER BY o_orderkey DESC) AS rn
-             |  FROM orders) WHERE rn = 1""".stripMargin)),
+             |  FROM orders) WHERE rn = 1""".stripMargin),
+      headline = true),
 
     Q("q_diff_classify", // J2/J3/S9 — the Compare engine as one query
       (s, d) => {
@@ -289,7 +290,8 @@ object QueryCatalog {
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    CAST(row_number() OVER (PARTITION BY o_custkey
              |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+             |  FROM orders) WHERE rn <= 3""".stripMargin),
+      headline = true),
 
     Q("q_window_running", // running sum frame
       (s, d) => {
@@ -327,7 +329,8 @@ object QueryCatalog {
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice")),
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      headline = true),
 
     Q("q_distinct_count",
       (s, d) => t(s, d, "customer")
@@ -349,7 +352,8 @@ object QueryCatalog {
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)),
+             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin),
+      headline = true),
 
     Q("q_intersect",
       (s, d) => t(s, d, "customer")
@@ -590,7 +594,8 @@ object QueryCatalog {
              |  round(avg(len(string_split_regex(trim(text), '\s+'))), 3)
              |    AS avg_tokens,
              |  round(avg(length(text)), 2) AS avg_chars
-             |FROM documents GROUP BY lang""".stripMargin)),
+             |FROM documents GROUP BY lang""".stripMargin),
+      headline = true),
 
     Q("q_quality", // quality-scoring features per doc
       (s, d) => t(s, d, "documents").select(
@@ -617,7 +622,7 @@ object QueryCatalog {
 
     Q("q_lang_id", // bigram-profile language ID
       (s, d) => TextAnalysis.languageId(s, t(s, d, "documents"), "doc_id", "text"),
-      Some(langIdOracleSql)),
+      Some(langIdOracleSql), headline = true),
 
     Q("q_fingerprint", // rolling-hash document fingerprint
       (s, d) => t(s, d, "documents")
@@ -685,7 +690,7 @@ object QueryCatalog {
     Q("q_srp_topk", // LSH-bucketed ANN variant (non-SQL hashes)
       (s, d) => Similarity.srpTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 20, nBits = 4),
-      None),
+      None, headline = true),
 
     Q("q_media_meta", // multimodal binary-column metadata path
       (s, d) => {
@@ -751,7 +756,8 @@ object QueryCatalog {
              |    AS p50,
              |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 4)
              |    AS p90
-             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+             |FROM customer GROUP BY c_mktsegment""".stripMargin),
+      headline = true),
 
     Q("q_string_funcs2",
       (s, d) => t(s, d, "part").select(
@@ -822,7 +828,8 @@ object QueryCatalog {
              |         - (k * INTERVAL 15 minute) AS w_start,
              |       event_type, count(*) AS n
              |FROM events, (VALUES (0), (1), (2), (3)) t(k)
-             |GROUP BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2""".stripMargin),
+      headline = true),
 
     Q("q_scalar_subquery", // filter against a global aggregate
       (s, d) => {
@@ -996,7 +1003,8 @@ object QueryCatalog {
       Some("""SELECT p_brand, count(*) AS n,
              |  round(sum(l_extendedprice), 2) AS rev
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |GROUP BY p_brand""".stripMargin)),
+             |GROUP BY p_brand""".stripMargin),
+      headline = true),
 
     Q("q_regexp_funcs",
       (s, d) => t(s, d, "part").select(
