@@ -1036,6 +1036,86 @@ object QueryCatalog {
              |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_el
              |FROM embeddings""".stripMargin)),
 
+    Q("q_nullsafe_eq", // null-safe equality (<=> / IS NOT DISTINCT FROM)
+      (s, d) => {
+        val withNulls = t(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang"))
+              .as("lang_a"),
+            when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang"))
+              .as("lang_b"))
+        withNulls.select(col("doc_id"),
+          (col("lang_a") <=> col("lang_b")).as("same"),
+          (col("lang_a") === col("lang_b")).as("naive_same"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang_a,
+             |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang_b
+             |  FROM documents)
+             |SELECT doc_id,
+             |  lang_a IS NOT DISTINCT FROM lang_b AS same,
+             |  lang_a = lang_b AS naive_same
+             |FROM w""".stripMargin)),
+
+    Q("q_bitwise",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("or_bit"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xored"),
+        expr("shiftleft(o_orderkey, 2)").as("shl2"),
+        expr("shiftright(o_orderkey, 3)").as("shr3")),
+      Some("""SELECT o_orderkey,
+             |  o_orderkey & 255 AS low_byte,
+             |  o_orderkey | 4096 AS or_bit,
+             |  xor(o_orderkey, o_custkey) AS xored,
+             |  o_orderkey << 2 AS shl2,
+             |  o_orderkey >> 3 AS shr3
+             |FROM orders""".stripMargin)),
+
+    Q("q_conditional_menu",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT"))
+          .as("seg_or_default"),
+        least(col("c_acctbal"), lit(5000.0)).as("capped"),
+        greatest(col("c_acctbal"), lit(0.0)).as("floored"),
+        when(col("c_acctbal").isNull, lit("missing"))
+          .otherwise(lit("present")).as("presence")),
+      Some("""SELECT c_custkey,
+             |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT')
+             |    AS seg_or_default,
+             |  least(c_acctbal, 5000.0) AS capped,
+             |  greatest(c_acctbal, 0.0) AS floored,
+             |  CASE WHEN c_acctbal IS NULL THEN 'missing' ELSE 'present' END
+             |    AS presence
+             |FROM customer""".stripMargin)),
+
+    Q("q_tpch_q3", // shipping-priority shape: filter + 3-way join + agg + top-k
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1997-01-01"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01'
+             |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      headline = true),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
