@@ -320,7 +320,7 @@ object QueryCatalog {
       },
       Some("""SELECT o_custkey, o_orderkey,
              |  round(o_totalprice - lag(o_totalprice, 1) OVER (
-             |    PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta_prev
+             |    PARTITION BY o_custkey ORDER BY o_orderkey), 2) + 0 AS delta_prev
              |FROM orders""".stripMargin)),
 
     Q("q_topk", // global ordered limit
@@ -478,7 +478,7 @@ object QueryCatalog {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_el"),
         round(Similarity.norm(col("embedding")), 6).as("l2_norm")),
       Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-             |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+             |  round(CAST(embedding[1] AS DOUBLE), 6) + 0 AS first_el,
              |  round(sqrt(list_aggregate(list_transform(embedding,
              |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
              |    AS l2_norm
@@ -683,7 +683,7 @@ object QueryCatalog {
              |   * sqrt(list_aggregate(list_transform(q.qv,
              |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
              |  FROM embeddings e, q WHERE e.vec_id <> 0)
-             |SELECT id, round(c, 6) AS cos_sim FROM s
+             |SELECT id, round(c, 6) + 0 AS cos_sim FROM s
              |ORDER BY round(c, 6) DESC, id LIMIT 20""".stripMargin),
       headline = true),
 
@@ -730,8 +730,8 @@ object QueryCatalog {
       Some("""SELECT l_returnflag,
              |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
              |  round(var_samp(l_extendedprice), 2) AS var_price,
-             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+             |  round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qp,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS covar_qp,
              |  min(l_extendedprice) AS min_price,
              |  max(l_extendedprice) AS max_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
@@ -878,7 +878,7 @@ object QueryCatalog {
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("centroid_v")),
       Some("""SELECT label, CAST(pos AS BIGINT) AS pos,
-             |  round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v
+             |  round(avg(CAST(v AS DOUBLE)), 6) + 0 AS centroid_v
              |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
              |             unnest(embedding) AS v
              |      FROM embeddings)
@@ -1030,10 +1030,10 @@ object QueryCatalog {
         round(array_min(col("embedding")).cast("double"), 4).as("min_el")),
       Some("""SELECT vec_id,
              |  list_transform(embedding[1:4],
-             |    x -> round(CAST(x AS DOUBLE), 4)) AS head4,
+             |    x -> round(CAST(x AS DOUBLE), 4) + 0) AS head4,
              |  len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
-             |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_el,
-             |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_el
+             |  round(CAST(list_max(embedding) AS DOUBLE), 4) + 0 AS max_el,
+             |  round(CAST(list_min(embedding) AS DOUBLE), 4) + 0 AS min_el
              |FROM embeddings""".stripMargin)),
 
     Q("q_nullsafe_eq", // null-safe equality (<=> / IS NOT DISTINCT FROM)
