@@ -1116,6 +1116,47 @@ object QueryCatalog {
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
       headline = true),
 
+    Q("q_date_spine", // generated calendar spine + left join (gap filling)
+      (s, d) => {
+        val spine = s.range(1).select(explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1999-12-01")),
+          expr("interval 1 month"))).as("month_start"))
+        val perMonth = t(s, d, "orders")
+          .groupBy(to_date(date_trunc("month", col("o_orderdate")))
+            .as("month_start"))
+          .agg(count(lit(1)).as("n_orders"))
+        spine.join(perMonth, Seq("month_start"), "left_outer")
+          .select(col("month_start"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(gs AS DATE) AS month_start
+             |  FROM generate_series(DATE '1995-01-01', DATE '1999-12-01',
+             |                       INTERVAL 1 MONTH) t(gs)),
+             |pm AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+             |           AS month_start,
+             |         count(*) AS n_orders
+             |  FROM orders GROUP BY 1)
+             |SELECT s.month_start, coalesce(pm.n_orders, 0) AS n_orders
+             |FROM spine s LEFT JOIN pm USING (month_start)""".stripMargin)),
+
+    Q("q_union_by_name", // union with schema reconciliation by NAME
+      (s, d) => {
+        val a = t(s, d, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("balance"))
+        val b = t(s, d, "supplier")
+          .select(col("s_name").as("name"), col("s_suppkey").as("id"))
+        a.unionByName(b.withColumn("balance", lit(null).cast("double")))
+          .withColumn("balance", coalesce(col("balance"), lit(-1.0)))
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance
+             |FROM customer
+             |UNION ALL
+             |SELECT s_suppkey AS id, s_name AS name, -1.0 AS balance
+             |FROM supplier""".stripMargin)),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
