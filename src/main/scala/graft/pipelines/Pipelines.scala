@@ -96,9 +96,10 @@ object Pipelines {
     * `<q2> (change highlighted).xlsx` copy (CHANGED blue, CLEARED pink,
     * NEW whole-row yellow — reference Compare.py:212-220). */
   def compareAndHighlight(spark: SparkSession, q1Path: String, q2Path: String,
-                          keyCol: String, compareCols: Seq[String])
+                          keyCol: String, compareCols: Seq[String],
+                          wordDiffCols: Set[String] = Set.empty)
       : (DataFrame, String) = {
-    val diff = compare(spark, q1Path, q2Path, keyCol, compareCols)
+    val diff = compare(spark, q1Path, q2Path, keyCol, compareCols, wordDiffCols)
     val highlighted = ExcelSink.writeHighlighted(
       q2Path, diff.filter(col("status") =!= "UNCHANGED"), keyCol)
     (diff, highlighted)

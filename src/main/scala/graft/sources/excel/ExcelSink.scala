@@ -124,10 +124,13 @@ object ExcelSink {
     val styleOf = Map("CHANGED" -> 1, "CLEARED" -> 2, "NEW" -> 3)
     val colField =
       if (diff.columns.contains("col_name")) "col_name" else "column"
-    val marks: Map[(Int, Int), Int] = diff
-      .select(col("key").cast("string"),
-        col(colField).cast("string"), col("status"))
+    val hasRuns = diff.columns.contains("word_runs")
+    val collected = diff
+      .select((Seq(col("key").cast("string"),
+        col(colField).cast("string"), col("status")) ++
+        (if (hasRuns) Seq(col("word_runs")) else Nil)): _*)
       .collect()
+    val marks: Map[(Int, Int), Int] = collected
       .flatMap { r =>
         val (k, c, st) = (r.getString(0), r.getString(1), r.getString(2))
         for {
@@ -135,6 +138,17 @@ object ExcelSink {
           style <- styleOf.get(st)
           colIdx <- headerPos.get(c)
         } yield (row, colIdx) -> style
+      }.toMap
+    // rich-text word runs for CHANGED cells that carry them (S10)
+    val runsAt: Map[(Int, Int), Seq[(String, Boolean)]] =
+      if (!hasRuns) Map.empty
+      else collected.flatMap { r =>
+        if (r.isNullAt(3)) None
+        else for {
+          row <- rowByKey.get(r.getString(0))
+          colIdx <- headerPos.get(r.getString(1))
+        } yield (row, colIdx) ->
+          r.getSeq[Row](3).map(x => (x.getString(0), x.getBoolean(1)))
       }.toMap
     // NEW rows get the whole row highlighted (reference Compare.py:179-185)
     val newRows: Set[Int] = marks.collect {
@@ -148,7 +162,11 @@ object ExcelSink {
       v = sheet(r, c)
       style = if (newRows.contains(r)) 3 else marks.getOrElse((r, c), 0)
       if v.nonEmpty || style > 0
-    } yield Xlsx.Cell(r, c, if (v.nonEmpty) Xlsx.SStr(v) else Xlsx.SBlank, style)
+    } yield runsAt.get((r, c)) match {
+      case Some(runs) => Xlsx.Cell(r, c, Xlsx.SRuns(runs), style)
+      case None =>
+        Xlsx.Cell(r, c, if (v.nonEmpty) Xlsx.SStr(v) else Xlsx.SBlank, style)
+    }
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath))
     try Xlsx.write(out, Seq(sheet.name -> cells), fills) finally out.close()
     outPath

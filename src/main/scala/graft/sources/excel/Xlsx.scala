@@ -53,6 +53,11 @@ object Xlsx {
   final case class SBool(v: Boolean) extends CellValue
   case object SBlank extends CellValue
 
+  /** Rich-text runs: (token, changed) pairs; changed tokens render in
+    * bold red (the reference's word-diff presentation,
+    * Compare.py:96-110). Tokens are joined by single spaces. */
+  final case class SRuns(runs: Seq[(String, Boolean)]) extends CellValue
+
   /** Write a single-sheet (plus optional extra sheets) workbook.
     * `sheets` maps sheet name -> iterator of sparse cells, which MUST be
     * grouped by row in ascending row order (cells within a row in
@@ -137,6 +142,15 @@ object Xlsx {
             w.write(s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
           case SNum(v) => w.write(s"""<c r="$ref"$s><v>$v</v></c>""")
           case SBool(v) => w.write(s"""<c r="$ref"$s t="b"><v>${if (v) 1 else 0}</v></c>""")
+          case SRuns(runs) =>
+            w.write(s"""<c r="$ref"$s t="inlineStr"><is>""")
+            runs.zipWithIndex.foreach { case ((tok, changed), i) =>
+              val text = (if (i > 0) " " else "") + tok
+              val pr =
+                if (changed) """<rPr><b/><color rgb="FFFF0000"/></rPr>""" else ""
+              w.write(s"""<r>$pr<t xml:space="preserve">${xmlEscape(text)}</t></r>""")
+            }
+            w.write("""</is></c>""")
           case SBlank => w.write(s"""<c r="$ref"$s/>""")
         }
       }

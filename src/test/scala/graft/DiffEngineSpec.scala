@@ -61,6 +61,29 @@ class DiffEngineSpec extends SparkSpec {
     assert(out(("k4", "b")) == "NEW")
   }
 
+  test("diff involution: diff(x, x) is all-UNCHANGED (SURVEY §5.2)") {
+    val o = Tables.orders(spark, sfDir).limit(500)
+      .select(col("o_orderkey").cast("string").as("k"),
+        col("o_orderkey").as("ord"),
+        col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+    val d = DiffEngine.diff(o, o, "k", "ord", Seq("a", "b"))
+    assert(d.filter(col("status") =!= "UNCHANGED").isEmpty)
+    assert(d.count() == 1000) // 500 keys x 2 compared columns
+  }
+
+  test("join decomposition law: left_outer = inner union anti-null-extended") {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey")
+    val leftOuter = c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select("c_custkey", "o_orderkey")
+    val inner = c.join(o, col("c_custkey") === col("o_custkey"), "inner")
+      .select("c_custkey", "o_orderkey")
+    val antiExtended = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(null).cast("long").as("o_orderkey"))
+    assert(leftOuter.exceptAll(inner.unionAll(antiExtended)).isEmpty)
+    assert(inner.unionAll(antiExtended).exceptAll(leftOuter).isEmpty)
+  }
+
   test("diff old_value reflects keep-last dedup (Compare.py:62)") {
     val oldDf = Seq(("k", 1, "first"), ("k", 2, "second")).toDF("k", "ord", "a")
     val newDf = Seq(("k", "third")).toDF("k", "a")

@@ -121,8 +121,9 @@ class ExcelSpec extends SparkSpec {
 
   test("highlighted workbook gets fills for CHANGED/NEW cells (SNK5)") {
     val dir = tmpDir
-    val q1 = Seq(("k1", "old"), ("k2", "same")).toDF("id", "val")
-    val q2 = Seq(("k1", "new"), ("k2", "same"), ("k3", "added")).toDF("id", "val")
+    val q1 = Seq(("k1", "alpha old"), ("k2", "same")).toDF("id", "val")
+    val q2 = Seq(("k1", "alpha new"), ("k2", "same"), ("k3", "added"))
+      .toDF("id", "val")
     def writeWb(df: org.apache.spark.sql.DataFrame, p: String): Unit = {
       val hdr = df.columns.zipWithIndex.map { case (c, i) =>
         Xlsx.Cell(1, i + 1, Xlsx.SStr(c)) }
@@ -135,7 +136,8 @@ class ExcelSpec extends SparkSpec {
     }
     writeWb(q1, s"$dir/h_q1.xlsx"); writeWb(q2, s"$dir/h_q2.xlsx")
     val (diff, outPath) = Pipelines.compareAndHighlight(spark,
-      s"$dir/h_q1.xlsx", s"$dir/h_q2.xlsx", "id", Seq("val"))
+      s"$dir/h_q1.xlsx", s"$dir/h_q2.xlsx", "id", Seq("val"),
+      wordDiffCols = Set("val"))
     assert(outPath.endsWith("h_q2 (change highlighted).xlsx"))
     assert(diff.filter($"status" === "CHANGED").count() == 1)
     // raw XML: the changed cell (B2) and the NEW row (4) carry style refs,
@@ -153,6 +155,11 @@ class ExcelSpec extends SparkSpec {
     assert(sheetXml.contains("""<c r="B4" s="3""""))
     assert(!sheetXml.contains("""<c r="B3" s="""))     // UNCHANGED unstyled
     assert(stylesXml.contains("FFADD8E6") && stylesXml.contains("FFFFFF00"))
+    // rich-text word runs: unchanged token plain, changed token bold red
+    assert(sheetXml.contains(
+      """<r><t xml:space="preserve">alpha</t></r>""" +
+        """<r><rPr><b/><color rgb="FFFF0000"/></rPr>""" +
+        """<t xml:space="preserve"> new</t></r>"""), sheetXml.take(2000))
   }
 
   test("compare pipeline over two workbooks classifies changes (e2e)") {
