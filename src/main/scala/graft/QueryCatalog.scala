@@ -1157,6 +1157,125 @@ object QueryCatalog {
              |SELECT s_suppkey AS id, s_name AS name, -1.0 AS balance
              |FROM supplier""".stripMargin)),
 
+    Q("q_range_join", // point-in-interval join via time-bin blocking
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("user_id"), col("o_orderdate"))
+        val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("ts"))
+        val matches = graft.operators.RangeJoin.pointInInterval(
+          o, e, "user_id",
+          start = col("o_orderdate"),
+          end = col("o_orderdate") + expr("interval 1 day"),
+          point = col("ts"),
+          binSeconds = 86400L)
+        val counts = matches.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_events"))
+        o.join(counts, Seq("o_orderkey"), "left_outer")
+          .select(col("o_orderkey"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      Some("""SELECT o_orderkey, count(e.event_id) AS n_events
+             |FROM orders o LEFT JOIN events e
+             |  ON e.user_id = o.o_custkey
+             | AND e.ts >= o.o_orderdate
+             | AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+             |GROUP BY o_orderkey""".stripMargin),
+      headline = true),
+
+    Q("q_det_sample", // reproducible hash-based (stratified) sampling
+      (s, d) => t(s, d, "documents")
+        .withColumn("__h", pmod(col("doc_id") * 2654435761L, lit(100)))
+        .filter(col("__h") <
+          when(col("lang") === "en", 50).otherwise(10))
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (doc_id * 2654435761) % 100 <
+             |      CASE WHEN lang = 'en' THEN 50 ELSE 10 END""".stripMargin)),
+
+    Q("q_funnel", // signup -> purchase conversion within 1 hour
+      (s, d) => {
+        val e = t(s, d, "events")
+        val signups = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_signup"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        signups.join(purchases, Seq("user_id"), "left_outer")
+          .withColumn("__conv",
+            col("p_ts").isNotNull && col("p_ts") > col("first_signup") &&
+              col("p_ts") <= col("first_signup") + expr("interval 1 hour"))
+          .groupBy(col("user_id"), col("first_signup"))
+          .agg(max(col("__conv")).as("converted"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, min(ts) AS first_signup FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id)
+             |SELECT s.user_id, s.first_signup,
+             |  coalesce(bool_or(e.ts > s.first_signup AND
+             |    e.ts <= s.first_signup + INTERVAL 1 HOUR), false)
+             |    AS converted
+             |FROM s LEFT JOIN events e
+             |  ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             |GROUP BY s.user_id, s.first_signup""".stripMargin)),
+
+    Q("q_cohort_retention", // first-seen cohort x activity month
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("month", col("ts"))).as("activity_month"))
+        val cohorts = e.groupBy(col("user_id"))
+          .agg(min(col("activity_month")).as("cohort_month"))
+        e.distinct().join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_month"), col("activity_month"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('month', ts) AS DATE) AS activity_month
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, min(activity_month) AS cohort_month
+             |  FROM e GROUP BY user_id)
+             |SELECT c.cohort_month, e.activity_month,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM (SELECT DISTINCT user_id, activity_month FROM e) e
+             |JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_tfidf", // corpus TF-IDF: top 20 (lang, token) scores
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count() // scalar: corpus size (driver-side, one agg)
+        val tf = docs.select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("lang"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(df_, Seq("token"))
+          .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+          .groupBy(col("lang"), col("token"))
+          .agg(round(sum(col("tfidf")), 4).as("score"))
+          .orderBy(col("score").desc, col("lang"), col("token"))
+          .limit(20)
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, lang, token, count(*) AS tf FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(string_split_regex(trim(text), '\s+')) AS token
+             |    FROM documents)
+             |  GROUP BY doc_id, lang, token),
+             |idf AS (
+             |  SELECT token, count(DISTINCT doc_id) AS df FROM tf
+             |  GROUP BY token),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT lang, token,
+             |  round(sum(tf * ln(CAST(n.n AS DOUBLE) / df)), 4) AS score
+             |FROM tf JOIN idf USING (token), n
+             |GROUP BY lang, token
+             |ORDER BY score DESC, lang, token LIMIT 20""".stripMargin)),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString

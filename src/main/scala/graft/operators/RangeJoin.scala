@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without a theta-join explosion: block
+  * both sides into fixed time bins, equi-join on (key, bin), then apply
+  * the exact range predicate.
+  *
+  * The naive formulation (`left JOIN right ON key AND point BETWEEN
+  * start AND end`) becomes a broadcast-nested-loop or a per-key
+  * cross-product in Spark. Binning turns it into a hash join whose
+  * fanout is interval_length/binSize + 1 copies of each LEFT row — at
+  * 100 TB the shuffle stays proportional to the data, not to the
+  * pairing space. Standard technique from public interval-join
+  * literature (e.g. Flink interval joins).
+  */
+object RangeJoin {
+
+  /** Matches of `point` (right) falling in [start, end) (left), equi on
+    * `key`. Left columns + right columns of the matched pairs.
+    *
+    * @param binSeconds bin width; choose >= typical interval length so
+    *                   each left interval spans <= 2 bins.
+    */
+  def pointInInterval(left: DataFrame, right: DataFrame, key: String,
+                      start: Column, end: Column, point: Column,
+                      binSeconds: Long): DataFrame = {
+    val sBin = floor(unix_timestamp(start) / binSeconds)
+    val eBin = floor(unix_timestamp(end) / binSeconds)
+    val l = left
+      .withColumn("__start", start).withColumn("__end", end)
+      .withColumn("__bin", explode(sequence(sBin, eBin)))
+    val r = right
+      .withColumn("__point", point)
+      .withColumn("__bin", floor(unix_timestamp(point) / binSeconds))
+    l.join(r, Seq(key, "__bin"))
+      .filter(col("__point") >= col("__start") && col("__point") < col("__end"))
+      .drop("__bin", "__start", "__end", "__point")
+  }
+}
