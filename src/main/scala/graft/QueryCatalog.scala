@@ -1276,6 +1276,61 @@ object QueryCatalog {
              |GROUP BY lang, token
              |ORDER BY score DESC, lang, token LIMIT 20""".stripMargin)),
 
+    Q("q_upsert", // batch MERGE: changeset applied over a base snapshot
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val base = o.filter(col("o_orderkey") % 4 =!= 0)
+        val updates = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+        graft.operators.Merge.upsert(base, updates, "o_orderkey")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey % 4 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         round(o_totalprice * 2, 2) AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL
+             |       THEN u.o_orderstatus ELSE b.o_orderstatus END
+             |    AS o_orderstatus,
+             |  round(CASE WHEN u.o_orderkey IS NOT NULL
+             |             THEN u.o_totalprice ELSE b.o_totalprice END, 2)
+             |    AS o_totalprice
+             |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey"""
+        .stripMargin)),
+
+    Q("q_profile", // one-pass column profiler (exact mode for the oracle)
+      (s, d) => graft.operators.Profiler.profile(
+        t(s, d, "customer"), exact = true),
+      Some("""SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+             |  count(*) - count(c_custkey) AS n_nulls,
+             |  count(DISTINCT c_custkey) AS n_distinct,
+             |  CAST(min(c_custkey) AS VARCHAR) AS min,
+             |  CAST(max(c_custkey) AS VARCHAR) AS max FROM customer
+             |UNION ALL
+             |SELECT 'c_name', count(*), count(*) - count(c_name),
+             |  count(DISTINCT c_name), CAST(min(c_name) AS VARCHAR),
+             |  CAST(max(c_name) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+             |  count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS VARCHAR),
+             |  CAST(max(c_nationkey) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+             |  count(DISTINCT c_acctbal), CAST(min(c_acctbal) AS VARCHAR),
+             |  CAST(max(c_acctbal) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+             |  count(DISTINCT c_mktsegment), CAST(min(c_mktsegment) AS VARCHAR),
+             |  CAST(max(c_mktsegment) AS VARCHAR) FROM customer"""
+        .stripMargin)),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Merge, Profiler}
+
+class MergeProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: updates win, inserts land, untouched rows pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B!"), (9L, "new")).toDF("k", "v")
+    val out = Merge.upsert(base, updates, "k")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "new"))
+  }
+
+  test("upsertWithDeletes removes flagged keys") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B!", false), (1L, "x", true))
+      .toDF("k", "v", "del")
+    val out = Merge.upsertWithDeletes(base, updates, "k", "del")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "B!"))
+  }
+
+  test("profile computes per-column stats in one pass") {
+    val df = Seq((1L, Some("x"), 1.5), (2L, None, 2.5), (2L, Some("y"), 2.5))
+      .toDF("id", "s", "d")
+    val p = Profiler.profile(df, exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("id") == ((3L, 0L, 2L, "1", "2")))
+    assert(p("s") == ((3L, 1L, 2L, "x", "y")))
+    assert(p("d") == ((3L, 0L, 2L, "1.5", "2.5")))
+  }
+
+  test("constraint checks return violations only") {
+    val df = Seq((1L, "ok"), (2L, null), (2L, "dup")).toDF("k", "v")
+    assert(Profiler.checkNotNull(df, Seq("v")).count() == 1)
+    assert(Profiler.checkUnique(df, "k").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    assert(Profiler.checkAccepted(df, "v", Seq("ok", "dup")).count() == 1)
+  }
+}
