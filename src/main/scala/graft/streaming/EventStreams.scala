@@ -94,6 +94,27 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream interval join: signups joined to the purchases that
+    * follow within `horizon` for the same user. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's state is droppable once the other side's watermark
+    * passes the horizon — bounded state, the canonical funnel join. */
+  def signupPurchaseJoin(events: DataFrame,
+                         horizon: String = "1 hour"): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    signups.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Incremental ETL: drain whatever is in the source now
     * (Trigger.AvailableNow), transform, land parquet partitioned by
     * event_type via an idempotent foreachBatch (batchId-keyed overwrite:

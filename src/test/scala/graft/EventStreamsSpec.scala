@@ -83,6 +83,68 @@ class EventStreamsSpec extends SparkSpec {
     assert(batchDir.listFiles().exists(_.getName.startsWith("event_type=")))
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val streamed = runToMemory(
+      EventStreams.signupPurchaseJoin(
+        EventStreams.readEventStream(spark, eventsDir)),
+      "ssj_out")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+      .collect().toSet
+
+    val ev = Tables.events(spark, sfDir)
+    val s = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("signup_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("purchase_ts"), $"value")
+    val batch = s.join(p, $"user_id" === $"pu" &&
+        $"purchase_ts" > $"signup_ts" &&
+        $"purchase_ts" <= $"signup_ts" + expr("interval 1 hour"))
+      .select($"user_id", $"signup_ts", $"purchase_ts", $"value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+      .collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // the data actually exercises the join
+  }
+
+  test("late data beyond the watermark is dropped from append output") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val dir = java.nio.file.Files.createTempDirectory("late_src").toString
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max($"ts")).collect()(0).getTimestamp(0)
+
+    // batch 1: everything we have
+    ev.write.mode("append").parquet(dir)
+    val agg = EventStreams.eventTimeWindow(
+      EventStreams.readEventStream(spark, dir),
+      windowLen = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one VERY late event (6h before max) plus one fresh event
+      // that pushes the watermark forward
+      val late = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(6 * 3600))
+      val fresh = java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(3 * 3600))
+      Seq((900001L, late, 1L, "click", 1.0, "{}"),
+        (900002L, fresh, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // batch 3: another late event, now behind the advanced watermark
+      Seq((900003L, late, 2L, "click", 5000.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the third batch's late event must NOT appear: its window closed
+    // when the fresh event advanced the watermark past it
+    val lateWindow = spark.table("late_out")
+      .filter($"sum_value" >= 5000.0)
+    assert(lateWindow.isEmpty)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     // duplicate the stream directory content to force dups
     val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
