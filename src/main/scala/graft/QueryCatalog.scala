@@ -1331,6 +1331,64 @@ object QueryCatalog {
              |  CAST(max(c_mktsegment) AS VARCHAR) FROM customer"""
         .stripMargin)),
 
+    Q("q_topk_per_group", // typed Aggregator top-k (buffer-capped UDAF)
+      (s, d) => graft.operators.TopK.topKPerGroup(
+          s, t(s, d, "orders"), "o_custkey", "o_orderkey", "o_totalprice", 3)
+        .select(col("group").as("o_custkey"), col("id").as("o_orderkey"),
+          col("value").as("o_totalprice")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    Q("q_string_agg", // ordered listagg per group
+      (s, d) => t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",")
+          .as("suppliers"),
+          count(lit(1)).as("n")),
+      Some("""SELECT n_name,
+             |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+             |  count(*) AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    Q("q_edit_distance",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), reverse(col("p_name"))).cast("long")
+          .as("lev_rev"),
+        levenshtein(col("p_name"), col("p_type")).cast("long").as("lev_type")),
+      Some("""SELECT p_partkey,
+             |  CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS lev_rev,
+             |  CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_type
+             |FROM part""".stripMargin)),
+
+    Q("q_histogram", // fixed-width value histogram
+      (s, d) => t(s, d, "events")
+        .groupBy((floor(col("value") / 50) * 50).cast("double").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("bin").isNotNull),
+      Some("""SELECT CAST(floor(value / 50) * 50 AS DOUBLE) AS bin,
+             |  count(*) AS n
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
+    Q("q_corr_subquery", // correlated subquery (decorrelated to a window)
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        t(s, d, "orders")
+          .withColumn("__cust_avg", avg(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") > col("__cust_avg"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+             |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+             |                      WHERE o2.o_custkey = o.o_custkey)"""
+        .stripMargin)),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString

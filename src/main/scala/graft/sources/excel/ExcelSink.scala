@@ -177,10 +177,12 @@ object ExcelSink {
                         metadata: Seq[(String, (Int, Int), String)],
                         maxRows: Int,
                         extraCells: Seq[Xlsx.Cell] = Nil): Long = {
-    // Single-file format -> single partition. toLocalIterator streams one
-    // partition at a time through the driver: bounded memory, and the
-    // guard below refuses relations that don't belong in a workbook.
-    val rows: Iterator[Row] = df.coalesce(1).toLocalIterator().asScala
+    // Single-file format -> single writer. toLocalIterator pulls ONE
+    // partition at a time through the driver (bounded memory) and
+    // preserves global order after an upstream orderBy (range-partitioned
+    // sort); the guard below refuses relations that don't belong in a
+    // workbook.
+    val rows: Iterator[Row] = df.toLocalIterator().asScala
     var n = 0L
     val cellIter: Iterator[Xlsx.Cell] =
       extraCells.iterator ++ rows.flatMap { r =>

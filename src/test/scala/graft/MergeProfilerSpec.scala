@@ -34,6 +34,22 @@ class MergeProfilerSpec extends SparkSpec {
     assert(p("d") == ((3L, 0L, 2L, "1.5", "2.5")))
   }
 
+  test("TopK aggregator equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sfDir)
+    val viaAgg = graft.operators.TopK.topKPerGroup(
+        spark, o, "o_custkey", "o_orderkey", "o_totalprice", 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = o.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("constraint checks return violations only") {
     val df = Seq((1L, "ok"), (2L, null), (2L, "dup")).toDF("k", "v")
     assert(Profiler.checkNotNull(df, Seq("v")).count() == 1)
