@@ -91,6 +91,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN index: embeddings written hive-partitioned by their
+    * SRP cell. A probe reads ONLY the query's cell directory (partition
+    * pruning — at 100 TB the scan touches 1/2^nBits of the corpus;
+    * multi-probe over neighboring cells trades scan for recall). */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, nBits: Int = 4): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        srpSignature(col(vecCol), nBits).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Exact top-k within the query vector's cell of a prebuilt index.
+    * `probes` > 1 additionally scans the cells at Hamming distance 1
+    * from the query's (multi-probe recall boost). */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+              queryVec: Array[Float], k: Int, nBits: Int = 4,
+              probes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val qCell = {
+      // same SRP signature, computed driver-side on the query vector
+      val q = spark.range(1).select(
+        srpSignature(typedlit(queryVec.toSeq), nBits).as("c"))
+      q.collect()(0).getLong(0)
+    }
+    val cells: Seq[Long] =
+      if (probes <= 1) Seq(qCell)
+      else qCell +: (0 until nBits).map(b => qCell ^ (1L << b))
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*)) // -> partition pruning
+      .select(col("id"),
+        round(cosine(col("v"), typedlit(queryVec.toSeq)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs near-neighbors above a similarity floor, SRP-blocked:
     * join on cell, exact cosine within the block. */
   def srpNeighborPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -99,6 +99,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(0)._2 > top(1)._2 && top(1)._2 > top(2)._2)
   }
 
+  test("IVF index: partition-pruned probe equals the in-memory SRP probe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nBits = 4)
+    // cell directories exist on disk
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell=")))
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].collect()(0)
+    // k+1 then drop the query row itself (it lives in its own cell)
+    val viaIndex = Similarity.ivfTopK(spark, dir, qVec, k = 11, nBits = 4)
+      .filter($"id" =!= 0L).as[(Long, Double)].collect().toSeq.take(10)
+    val viaMemory = Similarity.srpTopK(emb, "vec_id", "embedding", 0L,
+        k = 11, nBits = 4) // k+1: srpTopK excludes the query row itself
+      .as[(Long, Double)].collect().toSeq.take(10)
+    assert(viaIndex.map(_._1) == viaMemory.map(_._1))
+    // the probe's scan is partition-pruned to the query's cell
+    val probe = Similarity.ivfTopK(spark, dir, qVec, k = 10, nBits = 4)
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(500))
+  }
+
   test("srpTopK finds same-cell neighbors deterministically") {
     val a = Similarity.srpTopK(vecs, "vec_id", "embedding", 0L, 3, nBits = 2)
       .as[(Long, Double)].collect().toSeq
