@@ -1389,6 +1389,37 @@ object QueryCatalog {
              |                      WHERE o2.o_custkey = o.o_custkey)"""
         .stripMargin)),
 
+    Q("q_window_range", // value-RANGE frame: 30-day trailing spend
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("__epoch"))
+          .rangeBetween(-30L * 86400, 0)
+        t(s, d, "orders")
+          .withColumn("__epoch", unix_timestamp(col("o_orderdate")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (
+             |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+             |    AS trailing_30d
+             |FROM orders""".stripMargin)),
+
+    Q("q_map_funcs", // map column ops (rows-only: map literals don't
+      // canonicalize identically across engines)
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, BIGINT>"))
+            .as("m"))
+        .select(col("event_id"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          element_at(col("m"), "k").as("k_val"))
+        .filter(col("k_val").isNotNull),
+      None),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString

@@ -45,6 +45,30 @@ class ExcelSpec extends SparkSpec {
     assert(sheet(8, 5) == "3.0")
   }
 
+  test("xlsx DSv2 scan prunes columns to the required schema") {
+    val dir = tmpDir
+    val df = Seq(("a", "b", "c")).toDF("x", "y", "z")
+    val path = s"$dir/prune.xlsx"
+    ExcelSink.writePositional(df, path, startRow = 2)
+    val hdr = df.columns.zipWithIndex.map { case (c, i) =>
+      Xlsx.Cell(1, i + 1, Xlsx.SStr(c)) }
+    val sheet = ExcelScan.loadSheet(path, None)
+    val data = for {
+      r <- (2 to sheet.maxRow).iterator; c <- 1 to sheet.maxCol
+      if sheet(r, c).nonEmpty
+    } yield Xlsx.Cell(r, c, Xlsx.SStr(sheet(r, c)))
+    val out = new java.io.FileOutputStream(path)
+    try Xlsx.write(out, Seq("Sheet1" -> (hdr.iterator ++ data)))
+    finally out.close()
+
+    val narrow = spark.read.format("xlsx").load(path).select("y")
+    val scan = narrow.queryExecution.executedPlan.collectLeaves().head.toString
+    // DSv2 BatchScan prints its (pruned) output attribute list
+    assert(scan.contains("[y#") && !scan.contains("x#") && !scan.contains("z#"),
+      scan.take(400))
+    assert(narrow.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("metadata cell stamp lands on its own sheet at K4 (SNK4)") {
     val dir = tmpDir
     val path = s"$dir/meta.xlsx"
