@@ -28,6 +28,12 @@ import graft.functions.TextFunctions.toStr
   */
 object DiffEngine {
 
+  /** Typed row of the diff result (SURVEY.md §1.4: the diff-result model
+    * is where a typed Dataset earns its keep — compile-checked field
+    * access for downstream consumers). */
+  final case class DiffCell(key: String, column: String, old_value: String,
+                            new_value: String, status: String)
+
   /** Keep the LAST row per key, "last" defined by `ord` ascending.
     * Blank keys are dropped (reference `Compare.py:60-62`). */
   def keepLast(df: DataFrame, key: String, ord: String): DataFrame = {
@@ -98,5 +104,15 @@ object DiffEngine {
         col("cell.old_value").as("old_value"),
         col("cell.new_value").as("new_value"),
         col("cell.status").as("status"))
+  }
+
+  /** [[diff]] as a typed Dataset. Requires a string-typed key (cast
+    * upstream if numeric). */
+  def diffTyped(oldDf: DataFrame, newDf: DataFrame, key: String, ord: String,
+                compareCols: Seq[String])
+      : org.apache.spark.sql.Dataset[DiffCell] = {
+    val df = diff(oldDf, newDf, key, ord, compareCols)
+    import df.sparkSession.implicits._
+    df.withColumn("key", col("key").cast("string")).as[DiffCell]
   }
 }

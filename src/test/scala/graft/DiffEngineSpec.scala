@@ -61,6 +61,15 @@ class DiffEngineSpec extends SparkSpec {
     assert(out(("k4", "b")) == "NEW")
   }
 
+  test("diffTyped returns the typed DiffCell dataset") {
+    val oldDf = Seq(("k", 1, "v")).toDF("k", "ord", "a")
+    val newDf = Seq(("k", "w")).toDF("k", "a")
+    val cells = DiffEngine.diffTyped(oldDf, newDf, "k", "ord", Seq("a"))
+      .collect()
+    assert(cells.toSeq ==
+      Seq(DiffEngine.DiffCell("k", "a", "v", "w", "CHANGED")))
+  }
+
   test("diff involution: diff(x, x) is all-UNCHANGED (SURVEY §5.2)") {
     val o = Tables.orders(spark, sfDir).limit(500)
       .select(col("o_orderkey").cast("string").as("k"),
