@@ -1406,6 +1406,21 @@ object QueryCatalog {
              |    AS trailing_30d
              |FROM orders""".stripMargin)),
 
+    Q("q_bool_aggs", // boolean / conditional-count aggregates
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count_if(col("c_acctbal") > 5000).as("n_rich"),
+          bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
+          bool_or(col("c_acctbal") < 0).as("any_negative"),
+          round(expr("median(c_acctbal)"), 4).as("med_bal")),
+      Some("""SELECT c_mktsegment,
+             |  count_if(c_acctbal > 5000) AS n_rich,
+             |  bool_and(c_acctbal > -1000) AS all_above_floor,
+             |  bool_or(c_acctbal < 0) AS any_negative,
+             |  round(median(c_acctbal), 4) AS med_bal
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
     Q("q_map_funcs", // map column ops (rows-only: map literals don't
       // canonicalize identically across engines)
       (s, d) => t(s, d, "events")
