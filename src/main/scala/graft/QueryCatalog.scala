@@ -1435,6 +1435,31 @@ object QueryCatalog {
         .filter(col("k_val").isNotNull),
       None),
 
+    Q("q_excel_header_matched", // SNK3+SRC3: fuzzy header-matched write,
+      // probed read-back (rows-only: DuckDB reads no xlsx)
+      (s, d) => {
+        import graft.sources.excel.{ExcelSink, Xlsx}
+        val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_hm").toString
+        // template with fuzzy headers at row 5 (cols 2, 4)
+        val template = s"$dir/template.xlsx"
+        val cells = Seq(
+          Xlsx.Cell(5, 2, Xlsx.SStr("C  Name")),
+          Xlsx.Cell(5, 4, Xlsx.SStr("C_MKTSEGMENT"))).iterator
+        val out = new java.io.FileOutputStream(template)
+        try Xlsx.write(out, Seq("Sheet1" -> cells)) finally out.close()
+        val src = t(s, d, "customer")
+          .orderBy(col("c_custkey")).limit(100)
+        val path = s"$dir/out.xlsx"
+        java.nio.file.Files.copy(java.nio.file.Paths.get(template),
+          java.nio.file.Paths.get(path))
+        ExcelSink.writeHeaderMatched(src, template, path,
+          headerRow = 5, startRow = 6)
+        s.read.format("xlsx")
+          .option("headerRow", "5").option("dataStartRow", "6")
+          .load(path)
+      },
+      None),
+
     Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
