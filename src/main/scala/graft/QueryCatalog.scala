@@ -1406,6 +1406,67 @@ object QueryCatalog {
              |    AS trailing_30d
              |FROM orders""".stripMargin)),
 
+    Q("q_pct_of_total", // window over (): share of global total
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("c_acctbal")).as("__bal"))
+        .select(col("n_name"),
+          round(col("__bal"), 2).as("bal"),
+          round(col("__bal") / sum(col("__bal")).over(Window.partitionBy()) * 100, 4)
+            .as("pct_of_total")),
+      Some("""WITH per AS (
+             |  SELECT n_name, sum(c_acctbal) AS bal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name)
+             |SELECT n_name, round(bal, 2) AS bal,
+             |  round(bal / sum(bal) OVER () * 100, 4) AS pct_of_total
+             |FROM per""".stripMargin)),
+
+    Q("q_resample_locf", // hourly resample with last-observation-carried-forward
+      (s, d) => {
+        val hours = s.range(1).select(explode(sequence(
+          to_timestamp(lit("2024-01-01 00:00:00")),
+          to_timestamp(lit("2024-01-03 23:00:00")),
+          expr("interval 1 hour"))).as("hour"))
+        val users = t(s, d, "events").select(col("user_id")).distinct()
+        val spine = users.crossJoin(hours)
+        val hourly = t(s, d, "events")
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(round(avg(col("value")), 4).as("avg_value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("user_id", "hour"), "left_outer")
+          .select(col("user_id"), col("hour"),
+            coalesce(last(col("avg_value"), ignoreNulls = true).over(w),
+              lit(0.0)).as("value_locf"))
+      },
+      Some("""WITH hours AS (
+             |  SELECT gs AS hour FROM generate_series(
+             |    TIMESTAMP '2024-01-01 00:00:00',
+             |    TIMESTAMP '2024-01-03 23:00:00', INTERVAL 1 HOUR) t(gs)),
+             |users AS (SELECT DISTINCT user_id FROM events),
+             |spine AS (SELECT user_id, hour FROM users CROSS JOIN hours),
+             |hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS hour,
+             |         round(avg(value), 4) AS avg_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT s.user_id, s.hour,
+             |  coalesce(last_value(h.avg_value IGNORE NULLS) OVER (
+             |    PARTITION BY s.user_id ORDER BY s.hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             |    AS value_locf
+             |FROM spine s LEFT JOIN hourly h USING (user_id, hour)"""
+        .stripMargin)),
+
+    Q("q_dup_clusters", // near-dup pairs -> canonical cluster ids
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text")
+          .filter(col("est_jaccard") >= 0.8)
+        Dedup.clusterPairs(pairs)
+      },
+      None),
+
     Q("q_bool_aggs", // boolean / conditional-count aggregates
       (s, d) => t(s, d, "customer")
         .groupBy(col("c_mktsegment"))

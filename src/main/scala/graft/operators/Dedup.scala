@@ -127,6 +127,42 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Connected components over a near-dup pair list: every document in a
+    * duplicate cluster gets the cluster's MIN id as its canonical id —
+    * the step that turns pairwise similarity into "keep one per
+    * cluster". Iterative min-label propagation (each round joins labels
+    * across edges); converges in O(log(max component diameter)) rounds —
+    * near-dup clusters are small, so `maxIter` 10 is generous. The
+    * classic scalable formulation (no driver-side union-find).
+    */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a",
+                   idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "b", "label" -> "nl")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("min_neighbor"))
+      val next = labels.join(neighborLabels, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_neighbor"), col("label")))
+            .as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next.localCheckpoint() // truncate the iterative lineage
+      converged = changed
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Exact n-gram Jaccard similarity over LSH-free candidate pairs:
     * candidates share at least one `shingleN`-gram that appears in fewer
     * than `maxDocFreq` docs (rare-shingle blocking — common shingles

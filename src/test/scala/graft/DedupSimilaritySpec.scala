@@ -56,6 +56,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
   }
 
+  test("clusterPairs: chains collapse to one cluster with min-id label") {
+    // 1-2, 2-3 chain plus isolated pair 7-8: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("simhash: identical equal; near-dup within few bits; unrelated far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val h = corpus.select($"id", Dedup.simhash($"text").as("h"))
