@@ -1467,6 +1467,59 @@ object QueryCatalog {
       },
       None),
 
+    Q("q_weighted_avg", // extendedprice-weighted average discount
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_discount") * col("l_extendedprice"))
+          / sum(col("l_extendedprice")), 6).as("wavg_disc")),
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_discount * l_extendedprice)
+             |        / sum(l_extendedprice), 6) AS wavg_disc
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Q("q_multi_distinct", // several DISTINCT aggs in one pass (Expand)
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          countDistinct(col("l_orderkey")).as("d_orders"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS d_parts,
+             |  count(DISTINCT l_suppkey) AS d_supps,
+             |  count(DISTINCT l_orderkey) AS d_orders,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Q("q_unpivot", // wide -> long melt
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .unpivot(Array(col("c_mktsegment")),
+          Array(col("min_bal"), col("max_bal"), col("avg_bal")),
+          "stat", "value"),
+      Some("""WITH w AS (
+             |  SELECT c_mktsegment,
+             |    round(min(c_acctbal), 2) AS min_bal,
+             |    round(max(c_acctbal), 2) AS max_bal,
+             |    round(avg(c_acctbal), 2) AS avg_bal
+             |  FROM customer GROUP BY c_mktsegment)
+             |SELECT c_mktsegment, stat, value FROM w
+             |UNPIVOT (value FOR stat IN (min_bal, max_bal, avg_bal))"""
+        .stripMargin)),
+
+    Q("q_string_agg_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses")),
+      Some("""SELECT o_orderpriority,
+             |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             |    AS statuses
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     Q("q_bool_aggs", // boolean / conditional-count aggregates
       (s, d) => t(s, d, "customer")
         .groupBy(col("c_mktsegment"))
