@@ -166,7 +166,14 @@ object Dedup {
   /** Exact n-gram Jaccard similarity over LSH-free candidate pairs:
     * candidates share at least one `shingleN`-gram that appears in fewer
     * than `maxDocFreq` docs (rare-shingle blocking — common shingles
-    * would explode the join and add no discrimination). */
+    * would explode the join and add no discrimination).
+    *
+    * Best for high-entropy text where near-dup pairs share globally-rare
+    * shingles. On low-entropy corpora (tiny vocabulary / boilerplate)
+    * every shingle exceeds `maxDocFreq` and recall collapses — measured:
+    * 0 pairs at 50k docs over a 40-word vocabulary where
+    * [[minhashPairs]] finds 250k. Prefer MinHash LSH when shingle
+    * frequencies are unknown. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
