@@ -1459,6 +1459,12 @@ object QueryCatalog {
              |FROM spine s LEFT JOIN hourly h USING (user_id, hour)"""
         .stripMargin)),
 
+    Q("q_jaccard_lsh", // exact Jaccard over LSH-blocked candidates
+      // (rows-only: LSH banding isn't SQL-expressible)
+      (s, d) => Dedup.exactJaccardLshBlocked(plantedDocs(s, d),
+        "doc_id", "text"),
+      None),
+
     Q("q_dup_clusters", // near-dup pairs -> canonical cluster ids
       (s, d) => {
         val pairs = Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text")

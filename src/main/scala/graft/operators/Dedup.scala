@@ -105,6 +105,29 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Exact Jaccard over MinHash-LSH candidates: the robust hybrid —
+    * candidate pairs come from signature band buckets (immune to the
+    * rare-shingle blocking failure, see [[ngramJaccardPairs]]), then the
+    * TRUE Jaccard is computed on the pair's shingle sets
+    * (`array_intersect` / `array_union`), so the output carries exact
+    * similarities, not estimates. Cost: shingle arrays ride through the
+    * bucket shuffle for candidate rows only. */
+  def exactJaccardLshBlocked(df: DataFrame, idCol: String, textCol: String,
+                             minJaccard: Double = 0.5, numHashes: Int = 32,
+                             bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
+    val sh = df.select(col(idCol).as("id"),
+      graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash of the token multiset (Charikar 2002): per-bit
     * majority vote over xxhash64(token). Near-dups differ in few bits.
     * Native expression; [[simhashDeclarative]] is the built-ins spec. */

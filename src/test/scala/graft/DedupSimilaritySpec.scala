@@ -73,6 +73,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(h(1L), h(4L)) > 12)
   }
 
+  test("exactJaccardLshBlocked matches rare-shingle Jaccard on clean text") {
+    val viaLsh = Dedup.exactJaccardLshBlocked(corpus, "id", "text")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val viaBlocking = Dedup.ngramJaccardPairs(corpus, "id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = 10)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // every blocked pair is found by LSH with the same exact jaccard
+    viaBlocking.foreach { case (k, v) => assert(viaLsh.get(k).contains(v)) }
+    assert(viaLsh((1L, 2L)) == 1.0)
+  }
+
+  test("exactJaccardLshBlocked keeps recall on low-entropy corpora") {
+    // 40 copies of the same text: every shingle has doc-freq 40, so
+    // rare-shingle blocking (maxDocFreq=20) finds nothing; LSH blocking
+    // still pairs them, with exact jaccard 1.0
+    val lowEntropy = (1L to 40L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    assert(Dedup.ngramJaccardPairs(lowEntropy, "id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = 20).isEmpty)
+    val viaLsh = Dedup.exactJaccardLshBlocked(lowEntropy, "id", "text")
+    assert(viaLsh.count() > 0)
+    assert(viaLsh.filter($"jaccard" =!= 1.0).isEmpty)
+  }
+
   test("ngramJaccardPairs: dup pair scores 1.0, threshold filters rest") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text",
       shingleN = 3, minJaccard = 0.5, maxDocFreq = 10)
