@@ -1589,6 +1589,22 @@ object QueryCatalog {
           .csv(s"$dir/nation")
       },
       None),
+
+    Q("q_json_roundtrip", // json-lines source/sink coverage (rows-only)
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+        t(s, d, "region").write.mode("overwrite").json(s"$dir/region")
+        s.read.json(s"$dir/region")
+      },
+      None),
+
+    Q("q_orc_roundtrip", // ORC source/sink coverage (rows-only)
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        t(s, d, "supplier").write.mode("overwrite").orc(s"$dir/supplier")
+        s.read.orc(s"$dir/supplier")
+      },
+      None),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

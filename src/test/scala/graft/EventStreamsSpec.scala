@@ -145,6 +145,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(lateWindow.isEmpty)
   }
 
+  test("RocksDB state store produces the same windowed results") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val viaRocks = runToMemory(
+        EventStreams.eventTimeWindow(
+          EventStreams.readEventStream(spark, eventsDir)),
+        "rocks_out", mode = "complete")
+        .select("w_start", "event_type", "n", "sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(viaRocks == batch)
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     // duplicate the stream directory content to force dups
     val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
