@@ -1598,6 +1598,30 @@ object QueryCatalog {
       },
       None),
 
+    Q("q_binaryfile_ingest", // binaryFile source: media files -> blob rows
+      // feeding the multimodal pipeline (rows-only)
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+        // stage a few "media" files (opaque bytes is the point)
+        t(s, d, "documents").orderBy(col("doc_id")).limit(5)
+          .collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        val files = s.read.format("binaryFile").load(dir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+              .as("media_id"),
+            col("content").as("blob"),
+            struct(col("length").cast("int").as("n_bytes"),
+              lit("binary").as("kind")).as("meta"))
+        Multimodal.extractFeatures(s, files)
+          .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+            col("content_md5"))
+      },
+      None),
+
     Q("q_orc_roundtrip", // ORC source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
