@@ -1622,6 +1622,20 @@ object QueryCatalog {
       },
       None),
 
+    Q("q_sql_surface", // the raw spark.sql API over registered views —
+      // the same ANSI text runs on both engines verbatim
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT n_name, count(*) AS n_cust,
+                |  round(avg(c_acctbal), 2) AS avg_bal
+                |FROM customer JOIN nation ON c_nationkey = n_nationkey
+                |GROUP BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, count(*) AS n_cust,
+             |  round(avg(c_acctbal), 2) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
     Q("q_orc_roundtrip", // ORC source/sink coverage (rows-only)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
