@@ -1623,16 +1623,22 @@ object QueryCatalog {
       None),
 
     Q("q_sql_surface", // the raw spark.sql API over registered views —
-      // the same ANSI text runs on both engines verbatim
+      // the same ANSI text runs on both engines verbatim. Balances are
+      // totaled as exact integer cents: round(avg(double), 2) can sit on
+      // a .xx5 boundary where Spark (shortest-decimal-repr rounding) and
+      // DuckDB (binary-value rounding) legitimately disagree — observed
+      // at sf0.001 (4201.315 -> .32 vs .31).
       (s, d) => {
         Tables.registerAll(s, d)
         s.sql("""SELECT n_name, count(*) AS n_cust,
-                |  round(avg(c_acctbal), 2) AS avg_bal
+                |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+                |    AS total_cents
                 |FROM customer JOIN nation ON c_nationkey = n_nationkey
                 |GROUP BY n_name""".stripMargin)
       },
       Some("""SELECT n_name, count(*) AS n_cust,
-             |  round(avg(c_acctbal), 2) AS avg_bal
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+             |    AS total_cents
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
