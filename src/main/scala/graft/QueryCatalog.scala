@@ -184,11 +184,12 @@ object QueryCatalog {
              |                       x -> x = 'small')) AS BIGINT) AS n_changed
              |FROM part""".stripMargin)),
 
-    Q("q_word_diff_runs", // S10 full rich-text-run form (non-SQL shape)
+    Q("q_word_diff_runs", // S10 full rich-text-run form (non-SQL shape;
+      // runs serialized to JSON so the rows-only check can sort/hash)
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
-          DiffEngine.wordDiff(col("text"),
-            expr("replace(text, 'spark', 'flink')")).as("runs")),
+          to_json(DiffEngine.wordDiff(col("text"),
+            expr("replace(text, 'spark', 'flink')"))).as("runs")),
       None),
 
     Q("q_custom_sort", // O1 (Upload.py:192-205) — sort by list position
@@ -650,10 +651,14 @@ object QueryCatalog {
               |sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
               |rare AS (SELECT sh FROM g GROUP BY sh
               |         HAVING count(*) BETWEEN 2 AND 20),
-              |pairs AS (SELECT g1.doc_id AS id_a, g2.doc_id AS id_b,
-              |            count(*) AS inter
-              |          FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
-              |          WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2)
+              |cand AS (SELECT DISTINCT g1.doc_id AS id_a, g2.doc_id AS id_b
+              |         FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
+              |         WHERE g1.doc_id < g2.doc_id),
+              |pairs AS (SELECT id_a, id_b, count(*) AS inter
+              |          FROM cand
+              |          JOIN g g1 ON g1.doc_id = id_a
+              |          JOIN g g2 ON g2.doc_id = id_b AND g2.sh = g1.sh
+              |          GROUP BY 1, 2)
               |SELECT id_a, id_b,
               |  round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
               |FROM pairs
@@ -704,11 +709,18 @@ object QueryCatalog {
              |  md5(text) AS content_md5
              |FROM documents""".stripMargin)),
 
-    Q("q_media_features", // multimodal stub feature extraction (non-SQL)
+    Q("q_media_features", // multimodal stub feature extraction (non-SQL;
+      // feature vector serialized as integral 1e6-scaled CSV so the
+      // rows-only check can sort/hash)
       (s, d) => {
         val media = Multimodal.asMediaTable(t(s, d, "documents"),
           "doc_id", "text", "text")
         Multimodal.extractFeatures(s, media).toDF()
+          .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+            col("content_md5"),
+            array_join(transform(col("features"),
+              f => round(f.cast("double") * 1000000).cast("long").cast("string")),
+              ",").as("features_sig"))
       },
       None),
 
@@ -1007,30 +1019,38 @@ object QueryCatalog {
       headline = true),
 
     Q("q_regexp_funcs",
+      // list outputs are serialized to strings: the driver's pandas
+      // compare cannot sort/hash ndarray cells (CORRECTNESS_r01)
       (s, d) => t(s, d, "part").select(
         col("p_partkey"),
         col("p_name").rlike("^s").as("starts_s"),
         regexp_extract(col("p_brand"), "#(\\d+)$", 1).as("brand_num"),
-        regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)).as("digits"),
+        array_join(regexp_extract_all(col("p_brand"), lit("\\d"), lit(0)), ",")
+          .as("digits"),
         regexp_replace(col("p_name"), "[aeiou]", "*").as("starred")),
       Some("""SELECT p_partkey,
              |  regexp_matches(p_name, '^s') AS starts_s,
              |  regexp_extract(p_brand, '#(\d+)$', 1) AS brand_num,
-             |  regexp_extract_all(p_brand, '\d') AS digits,
+             |  array_to_string(regexp_extract_all(p_brand, '\d'), ',') AS digits,
              |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred
              |FROM part""".stripMargin)),
 
     Q("q_array_funcs2",
+      // head4 serialized as integral 1e4-scaled CSV: the driver's pandas
+      // compare cannot sort/hash ndarray cells, and integral scaling
+      // sidesteps cross-engine float-to-string formatting
       (s, d) => t(s, d, "embeddings").select(
         col("vec_id"),
-        transform(slice(col("embedding"), 1, 4),
-          x => round(x.cast("double"), 4)).as("head4"),
+        array_join(transform(slice(col("embedding"), 1, 4),
+          x => round(x.cast("double") * 10000).cast("long").cast("string")), ",")
+          .as("head4"),
         exists(col("embedding"), x => x < 0).as("has_neg"),
         round(array_max(col("embedding")).cast("double"), 4).as("max_el"),
         round(array_min(col("embedding")).cast("double"), 4).as("min_el")),
       Some("""SELECT vec_id,
-             |  list_transform(embedding[1:4],
-             |    x -> round(CAST(x AS DOUBLE), 4) + 0) AS head4,
+             |  array_to_string(list_transform(embedding[1:4],
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), ',')
+             |    AS head4,
              |  len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
              |  round(CAST(list_max(embedding) AS DOUBLE), 4) + 0 AS max_el,
              |  round(CAST(list_min(embedding) AS DOUBLE), 4) + 0 AS min_el
@@ -1533,27 +1553,42 @@ object QueryCatalog {
           count_if(col("c_acctbal") > 5000).as("n_rich"),
           bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
           bool_or(col("c_acctbal") < 0).as("any_negative"),
-          round(expr("median(c_acctbal)"), 4).as("med_bal")),
+          // median of an even group is the midpoint of two 2-decimal
+          // values (ends in .xx5): scale to integral mils so no engine
+          // faces a round-half decision on a float (see CORRECTNESS_r01
+          // q_bool_aggs hash_match:false)
+          round(expr("median(c_acctbal)") * 1000).cast("long").as("med_bal_mils")),
       Some("""SELECT c_mktsegment,
              |  count_if(c_acctbal > 5000) AS n_rich,
              |  bool_and(c_acctbal > -1000) AS all_above_floor,
              |  bool_or(c_acctbal < 0) AS any_negative,
-             |  round(median(c_acctbal), 4) AS med_bal
+             |  CAST(round(median(c_acctbal) * 1000) AS BIGINT) AS med_bal_mils
              |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
-    Q("q_map_funcs", // map column ops (rows-only: map literals don't
-      // canonicalize identically across engines)
+    Q("q_map_funcs", // map column ops; keys/values serialized as sorted
+      // CSV strings (map order is engine-defined, and the driver's pandas
+      // compare cannot hash array cells) — the JSON-keys DuckDB oracle
+      // makes this a full hash-checked query
       (s, d) => t(s, d, "events")
         .select(col("event_id"),
           from_json(col("props"),
             org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, BIGINT>"))
             .as("m"))
         .select(col("event_id"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
+          array_join(transform(array_sort(map_keys(col("m"))),
+            k => element_at(col("m"), k).cast("string")), ",").as("vs"),
           element_at(col("m"), "k").as("k_val"))
         .filter(col("k_val").isNotNull),
-      None),
+      Some("""SELECT event_id,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+             |  array_to_string(list_transform(list_sort(json_keys(props)),
+             |    k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)), ',')
+             |    AS vs,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events
+             |WHERE json_extract_string(props, '$.k') IS NOT NULL"""
+        .stripMargin)),
 
     Q("q_excel_header_matched", // SNK3+SRC3: fuzzy header-matched write,
       // probed read-back (rows-only: DuckDB reads no xlsx)

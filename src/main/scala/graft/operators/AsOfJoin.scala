@@ -40,8 +40,15 @@ object AsOfJoin {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
-    val r = right.select(col(keyCol), col(rightTime).as("__t"),
-      lit(0).as("__tag"), struct(rightCols.map(col): _*).as("__payload"))
+    // Null right key/time rows are excluded (merge_asof / ASOF-join
+    // semantics): nulls would sort first in the ascending window and be
+    // carried as the "match" for every left row until a real right row
+    // appears — null time is not negative infinity. Left rows always
+    // survive (null left time simply carries no payload).
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTime).isNotNull)
+      .select(col(keyCol), col(rightTime).as("__t"),
+        lit(0).as("__tag"), struct(rightCols.map(col): _*).as("__payload"))
 
     // align schemas for the union: left carries nulls for __payload,
     // right carries nulls for the left columns

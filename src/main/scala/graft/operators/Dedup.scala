@@ -189,7 +189,10 @@ object Dedup {
   /** Exact n-gram Jaccard similarity over LSH-free candidate pairs:
     * candidates share at least one `shingleN`-gram that appears in fewer
     * than `maxDocFreq` docs (rare-shingle blocking — common shingles
-    * would explode the join and add no discrimination).
+    * would explode the join and add no discrimination). The reported
+    * `jaccard` is then EXACT: the intersection is recomputed over each
+    * pair's full shingle sets (rare shingles only gate candidacy), so
+    * pairs that also share common shingles are not deflated.
     *
     * Best for high-entropy text where near-dup pairs share globally-rare
     * shingles. On low-entropy corpora (tiny vocabulary / boilerplate)
@@ -201,30 +204,31 @@ object Dedup {
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
     // native shingle expression: this column is evaluated in three plan
-    // branches (sizes join x2 + explode), so the interpreted formulation
-    // pays its per-row cost thrice
+    // branches (candidate join x2 + explode), so the interpreted
+    // formulation pays its per-row cost thrice
     val sh = df.select(col(idCol).as("id"),
         graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val rare = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("df_count"), collect_list(col("id")).as("ids"))
       .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
 
-    val pairs = rare
+    val candidates = rare
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .distinct()
 
-    pairs
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), Seq("id_b"))
+    // true Jaccard over the full shingle sets (WordShingles emits a set)
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

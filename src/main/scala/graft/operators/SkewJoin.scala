@@ -19,10 +19,15 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
     require(buckets > 0)
-    // deterministic per-row salt (xxhash64 of all fact columns): stable
-    // across retries, unlike rand()
+    // deterministic per-row salt: xxhash64 of all fact columns MIXED with
+    // a per-row ordinal — content alone would send fully-duplicated rows
+    // (a common real skew shape) to a single bucket, defeating the
+    // mitigation exactly when the hot key is identical rows.
+    // monotonically_increasing_id is (partition, position)-derived, so the
+    // salt stays stable across task retries for a fixed partition layout.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id() +: fact.columns.map(col).toSeq: _*),
+        lit(buckets)).cast("int"))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

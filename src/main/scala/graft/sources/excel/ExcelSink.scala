@@ -82,11 +82,20 @@ object ExcelSink {
     val opts = ExcelOptions(sheet = None, headerRow = headerRow,
       dataStartRow = startRow, useHeader = true, blankRunStop = 10, maxCols = 500)
     val headers = ExcelScan.probeHeaders(sheet, opts)
-    val headerPos: Map[String, Int] = headers.zipWithIndex
+    // ordered header seq, first occurrence wins when two headers collide
+    // after normalization — deterministic, unlike Map.keys iteration
+    val headerSeq: Seq[(String, Int)] = headers.zipWithIndex
       .filterNot(_._1.startsWith("_c"))
-      .map { case (h, i) => h -> (i + 1) }.toMap
+      .map { case (h, i) => h -> (i + 1) }
+      .foldLeft(Vector.empty[(String, Int)]) { (acc, hp) =>
+        if (acc.exists(_._1 == hp._1)) acc else acc :+ hp
+      }
+    val headerPos: Map[String, Int] = headerSeq.toMap
     val matched = SchemaReconciler.matchColumns(
-      df.columns.toSeq, headerPos.keys.toSeq, overrides)
+        df.columns.toSeq, headerSeq.map(_._1), overrides)
+      // Xlsx.write's contract: cells within a row in ascending col order —
+      // sort by target sheet ordinal, not source column order
+      .sortBy(m => headerPos(m._2))
     require(matched.nonEmpty,
       "no source columns match the template headers (Upload.py:184-190)")
     val proj = df.selectExpr(matched.map(m => s"`${m._1}`"): _*)
