@@ -49,6 +49,39 @@ object QueryCatalog {
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10"""
       .stripMargin
 
+  /** DuckDB CTE chain replicating [[Dedup.ngramJaccardPairs]] over
+    * [[plantedDocs]]: ends in `np(id_a, id_b, jac)` — exact Jaccard over
+    * full shingle sets, candidates gated by rare shingles (df in [2,20]),
+    * jac >= 0.5. Shared by q_ngram_jaccard and q_dup_clusters so the two
+    * oracles can never drift. */
+  private val ngramPairsCtes =
+    s"""docs AS ($plantedDocsSql),
+       |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |      FROM docs),
+       |g AS (SELECT DISTINCT doc_id, sh FROM (
+       |        SELECT doc_id, unnest(list_filter(
+       |          list_transform(toks, (x, i) ->
+       |            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |          v -> v IS NOT NULL)) AS sh
+       |        FROM t) u),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+       |rare AS (SELECT sh FROM g GROUP BY sh
+       |         HAVING count(*) BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT g1.doc_id AS id_a, g2.doc_id AS id_b
+       |         FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
+       |         WHERE g1.doc_id < g2.doc_id),
+       |pairs AS (SELECT id_a, id_b, count(*) AS inter
+       |          FROM cand
+       |          JOIN g g1 ON g1.doc_id = id_a
+       |          JOIN g g2 ON g2.doc_id = id_b AND g2.sh = g1.sh
+       |          GROUP BY 1, 2),
+       |np AS (SELECT id_a, id_b,
+       |         inter / (sa.n_sh + sb.n_sh - inter) AS jac
+       |       FROM pairs
+       |       JOIN sz sa ON sa.doc_id = id_a
+       |       JOIN sz sb ON sb.doc_id = id_b
+       |       WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -639,32 +672,9 @@ object QueryCatalog {
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),
-      Some(s"""WITH docs AS ($plantedDocsSql),
-              |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-              |      FROM docs),
-              |g AS (SELECT DISTINCT doc_id, sh FROM (
-              |        SELECT doc_id, unnest(list_filter(
-              |          list_transform(toks, (x, i) ->
-              |            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-              |          v -> v IS NOT NULL)) AS sh
-              |        FROM t) u),
-              |sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
-              |rare AS (SELECT sh FROM g GROUP BY sh
-              |         HAVING count(*) BETWEEN 2 AND 20),
-              |cand AS (SELECT DISTINCT g1.doc_id AS id_a, g2.doc_id AS id_b
-              |         FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
-              |         WHERE g1.doc_id < g2.doc_id),
-              |pairs AS (SELECT id_a, id_b, count(*) AS inter
-              |          FROM cand
-              |          JOIN g g1 ON g1.doc_id = id_a
-              |          JOIN g g2 ON g2.doc_id = id_b AND g2.sh = g1.sh
-              |          GROUP BY 1, 2)
-              |SELECT id_a, id_b,
-              |  round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-              |FROM pairs
-              |JOIN sz sa ON sa.doc_id = id_a
-              |JOIN sz sb ON sb.doc_id = id_b
-              |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5""".stripMargin),
+      Some(s"""WITH $ngramPairsCtes
+              |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM np"""
+        .stripMargin),
       headline = true),
 
     Q("q_minhash_pairs", // MinHash+LSH near-dup candidates (non-SQL hashes)
