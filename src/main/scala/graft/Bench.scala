@@ -21,8 +21,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val targets = QueryCatalog.all.filter(_.headline)
-    // one warm-up pass so JIT/codegen/file-listing costs don't land on q1
-    targets.headOption.foreach { q =>
+    // full warm-up pass (every headline query) so JIT/codegen/
+    // file-listing costs — and GC pressure left behind by a heavy
+    // neighbor — don't land on whichever query runs first after it
+    targets.foreach { q =>
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

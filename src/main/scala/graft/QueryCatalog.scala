@@ -52,8 +52,8 @@ object QueryCatalog {
   /** DuckDB CTE chain replicating [[Dedup.ngramJaccardPairs]] over
     * [[plantedDocs]]: ends in `np(id_a, id_b, jac)` — exact Jaccard over
     * full shingle sets, candidates gated by rare shingles (df in [2,20]),
-    * jac >= 0.5. Shared by q_ngram_jaccard and q_dup_clusters so the two
-    * oracles can never drift. */
+    * jac >= 0.5. Used by q_ngram_jaccard (extracted for reuse by future
+    * pair-based oracles, e.g. a SQL-expressible dup-cluster check). */
   private val ngramPairsCtes =
     s"""docs AS ($plantedDocsSql),
        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -217,13 +217,29 @@ object QueryCatalog {
              |                       x -> x = 'small')) AS BIGINT) AS n_changed
              |FROM part""".stripMargin)),
 
-    Q("q_word_diff_runs", // S10 full rich-text-run form (non-SQL shape;
-      // runs serialized to JSON so the rows-only check can sort/hash)
+    Q("q_word_diff_runs", // S10 full rich-text-run form; runs serialized
+      // to JSON. The oracle rebuilds Spark's to_json output byte-for-byte
+      // (documents.text is plain lowercase words — no JSON escaping
+      // cases; list_transform's index is 1-based so `i > len(ot)` is the
+      // reference's `i >= len(old_tokens)` pad rule).
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
           to_json(DiffEngine.wordDiff(col("text"),
             expr("replace(text, 'spark', 'flink')"))).as("runs")),
-      None),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ot,
+             |    string_split_regex(trim(replace(text, 'spark', 'flink')),
+             |                       '\s+') AS nt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  '[' || array_to_string(
+             |    list_transform(nt, (x, i) ->
+             |      '{"token":"' || x || '","changed":' ||
+             |      CASE WHEN i > len(ot) OR x <> ot[i]
+             |           THEN 'true' ELSE 'false' END || '}'),
+             |    ',') || ']' AS runs
+             |FROM s""".stripMargin)),
 
     Q("q_custom_sort", // O1 (Upload.py:192-205) — sort by list position
       (s, d) => t(s, d, "customer")
@@ -1276,7 +1292,10 @@ object QueryCatalog {
     Q("q_tfidf", // corpus TF-IDF: top 20 (lang, token) scores
       (s, d) => {
         val docs = t(s, d, "documents")
-        val n = docs.count() // scalar: corpus size (driver-side, one agg)
+        // corpus size as a broadcast 1-row aggregate (the
+        // q_scalar_subquery pattern), NOT an eager driver-side count():
+        // one job per query run, and the whole plan stays lazy
+        val n = docs.agg(count(lit(1)).cast("double").as("__n"))
         val tf = docs.select(col("doc_id"), col("lang"),
             explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("lang"), col("token"))
@@ -1284,7 +1303,8 @@ object QueryCatalog {
         val df_ = tf.groupBy(col("token"))
           .agg(countDistinct(col("doc_id")).as("df"))
         tf.join(df_, Seq("token"))
-          .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
           .groupBy(col("lang"), col("token"))
           .agg(round(sum(col("tfidf")), 4).as("score"))
           .orderBy(col("score").desc, col("lang"), col("token"))
@@ -1556,24 +1576,62 @@ object QueryCatalog {
              |    AS statuses
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
-    Q("q_bool_aggs", // boolean / conditional-count aggregates
-      (s, d) => t(s, d, "customer")
-        .groupBy(col("c_mktsegment"))
-        .agg(
+    Q("q_bool_aggs", // boolean / conditional-count aggregates + median.
+      // The median is computed by RANK ARITHMETIC ON INTEGER CENTS, not
+      // `median(double)`: an even group's median is the midpoint of two
+      // 2-decimal doubles, and the two engines build that midpoint with
+      // different float operation orders, so `round(median*1000)` can
+      // land on opposite sides of .5 (CORRECTNESS_r01/r02 hash_match:
+      // false, both rounds). All-integer path: cents = round(bal*100)
+      // (never near .5 — inputs have 2 decimals), sorted rank picks the
+      // middle one/two cents values, mils = (lo+hi)*5. No doubles cross
+      // an engine boundary.
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_mktsegment"),
+          col("c_acctbal"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val bools = c.groupBy(col("c_mktsegment")).agg(
           count_if(col("c_acctbal") > 5000).as("n_rich"),
           bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
-          bool_or(col("c_acctbal") < 0).as("any_negative"),
-          // median of an even group is the midpoint of two 2-decimal
-          // values (ends in .xx5): scale to integral mils so no engine
-          // faces a round-half decision on a float (see CORRECTNESS_r01
-          // q_bool_aggs hash_match:false)
-          round(expr("median(c_acctbal)") * 1000).cast("long").as("med_bal_mils")),
-      Some("""SELECT c_mktsegment,
-             |  count_if(c_acctbal > 5000) AS n_rich,
-             |  bool_and(c_acctbal > -1000) AS all_above_floor,
-             |  bool_or(c_acctbal < 0) AS any_negative,
-             |  CAST(round(median(c_acctbal) * 1000) AS BIGINT) AS med_bal_mils
-             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+          bool_or(col("c_acctbal") < 0).as("any_negative"))
+        val ranked = c
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("c_mktsegment")).orderBy(col("cents"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("c_mktsegment"))))
+        val med = ranked
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("c_mktsegment"))
+          .agg(when(count(lit(1)) === 1, sum(col("cents")) * 10)
+            .otherwise(sum(col("cents")) * 5).as("med_bal_mils"))
+        bools.join(med, Seq("c_mktsegment"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_mktsegment, c_acctbal,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer),
+             |b AS (
+             |  SELECT c_mktsegment,
+             |    count_if(c_acctbal > 5000) AS n_rich,
+             |    bool_and(c_acctbal > -1000) AS all_above_floor,
+             |    bool_or(c_acctbal < 0) AS any_negative
+             |  FROM c GROUP BY 1),
+             |r AS (
+             |  SELECT c_mktsegment, cents,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |                       ORDER BY cents) AS rn,
+             |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+             |  FROM c),
+             |m AS (
+             |  SELECT c_mktsegment,
+             |    CAST(CASE WHEN count(*) = 1 THEN sum(cents) * 10
+             |              ELSE sum(cents) * 5 END AS BIGINT) AS med_bal_mils
+             |  FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+             |  GROUP BY 1)
+             |SELECT b.c_mktsegment, n_rich, all_above_floor, any_negative,
+             |  med_bal_mils
+             |FROM b JOIN m USING (c_mktsegment)""".stripMargin)),
 
     Q("q_map_funcs", // map column ops; keys/values serialized as sorted
       // CSV strings (map order is engine-defined, and the driver's pandas
@@ -1625,7 +1683,9 @@ object QueryCatalog {
       },
       None),
 
-    Q("q_csv_roundtrip", // csv source/sink coverage (rows-only)
+    Q("q_csv_roundtrip", // csv source/sink coverage. Oracle = the source
+      // table itself: write->read identity IS the property under test
+      // (hash-checked, not rows-only).
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
         t(s, d, "nation").write.mode("overwrite")
@@ -1633,15 +1693,16 @@ object QueryCatalog {
         s.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$dir/nation")
       },
-      None),
+      Some("SELECT * FROM nation")),
 
-    Q("q_json_roundtrip", // json-lines source/sink coverage (rows-only)
+    Q("q_json_roundtrip", // json-lines source/sink coverage; oracle =
+      // roundtrip identity vs the source table
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
         t(s, d, "region").write.mode("overwrite").json(s"$dir/region")
         s.read.json(s"$dir/region")
       },
-      None),
+      Some("SELECT * FROM region")),
 
     Q("q_binaryfile_ingest", // binaryFile source: media files -> blob rows
       // feeding the multimodal pipeline (rows-only)
@@ -1687,11 +1748,31 @@ object QueryCatalog {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
-    Q("q_orc_roundtrip", // ORC source/sink coverage (rows-only)
+    Q("q_orc_roundtrip", // ORC source/sink coverage; oracle = roundtrip
+      // identity vs the source table (ORC preserves types exactly)
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
         t(s, d, "supplier").write.mode("overwrite").orc(s"$dir/supplier")
         s.read.orc(s"$dir/supplier")
+      },
+      Some("SELECT * FROM supplier")),
+
+    Q("q_ivf_topk", // IVF-partitioned ANN: build the hive-partitioned
+      // (by SRP cell) index in a temp dir, then a partition-pruned probe
+      // of the query vector's cell — the 100 TB ANN path (1/2^nBits of
+      // the corpus scanned). Rows-only: SRP cells aren't SQL-expressible;
+      // DedupSimilaritySpec asserts the probe equals the in-memory
+      // bucketed scan and that the plan is partition-pruned. The 1-row
+      // collect stages the query vector (parameter, not dataflow).
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf").toString + "/idx"
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nBits = 4)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfTopK(s, dir, qVec, k = 21, nBits = 4)
+          .filter(col("id") =!= 0L)
       },
       None),
   )

@@ -116,14 +116,42 @@ object Dedup {
                              minJaccard: Double = 0.5, numHashes: Int = 32,
                              bands: Int = 8, shingleN: Int = 3): DataFrame = {
     val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
+      .select(col("id_a"), col("id_b"))
     val sh = df.select(col(idCol).as("id"),
-      graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    exactJaccardForCandidates(candidates, sh, minJaccard)
+  }
+
+  /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over a
+    * per-doc shingle-SET relation `sh(id, sh: array<string>)`.
+    *
+    * The intersection is counted on the narrow exploded (id, shingle)
+    * relation — fan candidate pairs out over id_a's shingles, equi-join
+    * id_b's shingles — NOT by joining the full shingle arrays to each
+    * pair and running `array_intersect` (that shape shuffles wide arrays
+    * twice; shuffle volume ∝ docs x shingles x candidate fanout — the
+    * r2 bench's 11x q_ngram_jaccard regression). The id_b side is
+    * semi-joined down to candidate docs first so the equi-join's
+    * shuffled input is proportional to candidate docs, not the corpus. */
+  private def exactJaccardForCandidates(candidates: DataFrame, sh: DataFrame,
+                                        minJaccard: Double): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val sz = sh.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+    val candB = candidates.select(col("id_b").as("id")).distinct()
+    val eB = exploded.join(candB, Seq("id"), "left_semi")
+      .select(col("id").as("id_b"), col("s"))
+    val inter = candidates
+      .join(exploded.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(eB, Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -203,12 +231,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
-    // native shingle expression: this column is evaluated in three plan
-    // branches (candidate join x2 + explode), so the interpreted
-    // formulation pays its per-row cost thrice
+    // native shingle expression: this column is evaluated in multiple
+    // plan branches, so the interpreted formulation pays its per-row
+    // cost each time
     val sh = df.select(col(idCol).as("id"),
         graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    // narrow (id, shingle) rows — WordShingles emits a per-doc SET, so
+    // co-occurrence counts below ARE intersection sizes
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val rare = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("df_count"), collect_list(col("id")).as("ids"))
@@ -220,16 +250,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .distinct()
 
-    // true Jaccard over the full shingle sets (WordShingles emits a set)
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // TRUE intersection by co-occurrence counting on the exploded
+    // relation (rare shingles only gate candidacy; the count runs over
+    // ALL of each candidate pair's shingles, so similarities are exact,
+    // not deflated) — see [[exactJaccardForCandidates]] for why this
+    // shape, and not array_intersect over full arrays.
+    exactJaccardForCandidates(candidates, sh, minJaccard)
   }
 }

@@ -58,8 +58,20 @@ object Similarity {
 
   /** Sign-random-projection bit signature: `nBits` sign bits of dot
     * products against deterministic pseudo-random hyperplanes (seeded by
-    * bit index and dimension via xxhash64 — reproducible across runs). */
+    * bit index and dimension via xxhash64 — reproducible across runs).
+    * Delegates to the native Catalyst expression (sign matrix computed
+    * once, one JIT'd loop/row); [[srpSignatureDeclarative]] is the
+    * built-ins-only semantic spec (equality asserted in
+    * `DedupSimilaritySpec`). */
   def srpSignature(vecCol: Column, nBits: Int): Column =
+    graft.plans.TextExpressions.srp_signature(vecCol, nBits)
+
+  /** Built-ins-only SRP signature — the semantic spec for
+    * [[graft.plans.SrpSignature]]. Interpreter-bound and rebuilds the
+    * per-(bit, dim) hyperplane array on EVERY row (O(nBits x dim)
+    * lambda + hash calls/row for a row-invariant matrix) — do not use
+    * on a hot path. */
+  private[graft] def srpSignatureDeclarative(vecCol: Column, nBits: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nBits - 1)), bit => {
         val proj = aggregate(

@@ -44,6 +44,9 @@ object TextExpressions {
   def char_bigrams(c: Column): Column =
     GraftBridge.column(CharBigrams(GraftBridge.expression(c)))
 
+  def srp_signature(c: Column, nBits: Int): Column =
+    GraftBridge.column(SrpSignature(GraftBridge.expression(c), nBits))
+
   /** SQL registration: `SELECT minhash_signature(text, 32, 3), simhash64(text)`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
@@ -195,6 +198,79 @@ case class CharBigrams(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): CharBigrams =
+    copy(child = c)
+}
+
+/** Sign-random-projection bit signature of a float-vector column:
+  * `nBits` sign bits of dot products against deterministic pseudo-random
+  * +-1 hyperplanes (per-(bit, dim) parity of chained xxhash64, seed 42 —
+  * bit-identical to the declarative `xxhash64(bit, d)` formulation kept
+  * as the spec in [[graft.operators.Similarity.srpSignatureDeclarative]]).
+  *
+  * The declarative version is interpreter-bound AND rebuilds the
+  * hyperplane array per row (O(nBits x dim) lambda calls + hashes per
+  * row, for a matrix that is identical on every row — the r2 bench's
+  * q_srp_topk 5x regression). Here the sign matrix is computed once per
+  * (expression instance, dimension) and the projection is one JIT'd
+  * double loop per row. */
+case class SrpSignature(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBits > 0 && nBits <= 63)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_signature"
+
+  // sign matrix cache keyed by vector dimension (dims are uniform per
+  // corpus; ConcurrentHashMap because one expression instance may be
+  // evaluated by many local-mode tasks concurrently)
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  // accept array<float> (the corpus type) and array<double> (literals)
+  @transient private lazy val elementIsDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def signsFor(dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(dim, _ =>
+      Array.tabulate(nBits) { b =>
+        // declarative spec: xxhash64(bit, d) = chained per-column hash,
+        // int values, seed 42 (Spark's XxHash64 default)
+        val hb = XxHash64Function.hash(b, IntegerType, 42L)
+        Array.tabulate(dim) { d =>
+          val h = XxHash64Function.hash(d, IntegerType, hb)
+          if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0d else -1.0d
+        }
+      })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val signs = signsFor(dim)
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      val row = signs(b)
+      var acc = 0.0d
+      var d = 0
+      while (d < dim) {
+        // float -> double promotion BEFORE the multiply, matching the
+        // declarative zip_with's implicit cast
+        val x = if (elementIsDouble) arr.getDouble(d)
+                else arr.getFloat(d).toDouble
+        acc += x * row(d)
+        d += 1
+      }
+      if (acc >= 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SrpSignature =
     copy(child = c)
 }
 

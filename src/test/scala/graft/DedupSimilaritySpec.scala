@@ -38,6 +38,19 @@ class DedupSimilaritySpec extends SparkSpec {
       $"native_bg" =!= $"decl_bg").isEmpty)
   }
 
+  test("native srp_signature matches the declarative spec") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val cmp = emb.select(
+      Similarity.srpSignature($"embedding", 8).as("native"),
+      Similarity.srpSignatureDeclarative($"embedding", 8).as("decl"))
+    assert(cmp.filter($"native" =!= $"decl").isEmpty)
+    // and on the tiny in-memory vectors (covers a second dimension)
+    val cmp2 = vecs.select(
+      Similarity.srpSignature($"embedding", 4).as("native"),
+      Similarity.srpSignatureDeclarative($"embedding", 4).as("decl"))
+    assert(cmp2.filter($"native" =!= $"decl").isEmpty)
+  }
+
   test("minhash signature: identical texts identical, disjoint differ") {
     val sigs = corpus
       .select($"id", Dedup.minhashSignature($"text", 32, 3).as("sig"))
