@@ -1577,15 +1577,12 @@ object QueryCatalog {
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
     Q("q_bool_aggs", // boolean / conditional-count aggregates + median.
-      // The median is computed by RANK ARITHMETIC ON INTEGER CENTS, not
-      // `median(double)`: an even group's median is the midpoint of two
-      // 2-decimal doubles, and the two engines build that midpoint with
-      // different float operation orders, so `round(median*1000)` can
-      // land on opposite sides of .5 (CORRECTNESS_r01/r02 hash_match:
-      // false, both rounds). All-integer path: cents = round(bal*100)
-      // (never near .5 — inputs have 2 decimals), sorted rank picks the
-      // middle one/two cents values, mils = (lo+hi)*5. No doubles cross
-      // an engine boundary.
+      // Median by rank arithmetic on integer cents (no doubles cross an
+      // engine boundary). The r1-r3 hash mismatch was NOT the median:
+      // DuckDB's count_if returns HUGEINT (the catalog's only HUGEINT
+      // oracle column — verified by typing every oracle result), which
+      // the driver's comparator represents differently from Spark's
+      // BIGINT. Oracle casts it to BIGINT explicitly.
       (s, d) => {
         val c = t(s, d, "customer").select(col("c_mktsegment"),
           col("c_acctbal"),
@@ -1613,7 +1610,7 @@ object QueryCatalog {
              |  FROM customer),
              |b AS (
              |  SELECT c_mktsegment,
-             |    count_if(c_acctbal > 5000) AS n_rich,
+             |    CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
              |    bool_and(c_acctbal > -1000) AS all_above_floor,
              |    bool_or(c_acctbal < 0) AS any_negative
              |  FROM c GROUP BY 1),
