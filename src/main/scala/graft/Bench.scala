@@ -28,6 +28,8 @@ object Bench {
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // drain warm-up garbage so the first timed queries don't pay for it
+    System.gc()
     val results = targets.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -222,6 +222,20 @@ case class SrpSignature(child: Expression, nBits: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "srp_signature"
 
+  // reject non-floating element types at analysis time — nullSafeEval
+  // reads the array with getFloat/getDouble, which would silently
+  // reinterpret e.g. int bytes into garbage sign bits
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> input, " +
+            s"got ${other.catalogString}")
+    }
+
   // sign matrix cache keyed by vector dimension (dims are uniform per
   // corpus; ConcurrentHashMap because one expression instance may be
   // evaluated by many local-mode tasks concurrently)

@@ -32,8 +32,15 @@ object ExcelSink {
   private def cellValue(v: Any): Xlsx.CellValue = v match {
     case null => Xlsx.SStr("") // reference: null -> '' (Download.py:186)
     case s: String => Xlsx.SStr(s)
-    case d: java.sql.Timestamp => Xlsx.SStr(d.toString)
-    case d: java.sql.Date => Xlsx.SStr(d.toString)
+    // typed date cells (serial + date number format), not strings —
+    // reference parity: Download.py:188-191 writes real COM dates
+    case t: java.sql.Timestamp =>
+      Xlsx.SDateTime(Xlsx.dateTimeSerial(t.toLocalDateTime))
+    case d: java.sql.Date => Xlsx.SDate(Xlsx.dateSerial(d.toLocalDate))
+    case dt: java.time.LocalDateTime => Xlsx.SDateTime(Xlsx.dateTimeSerial(dt))
+    case d: java.time.LocalDate => Xlsx.SDate(Xlsx.dateSerial(d))
+    case i: java.time.Instant => Xlsx.SDateTime(Xlsx.dateTimeSerial(
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)))
     case b: Boolean => Xlsx.SBool(b)
     case n: Number => Xlsx.SNum(n.doubleValue())
     case other => Xlsx.SStr(other.toString)
@@ -199,8 +206,17 @@ object ExcelSink {
         if (n > maxRows) throw new IllegalStateException(
           s"Excel sink refuses > $maxRows rows; use parquet for large relations")
         val rowIdx = startRow + n.toInt - 1
-        targets.indices.iterator.map(i =>
-          Xlsx.Cell(rowIdx, targets(i), cellValue(r.get(i))))
+        // per-cell error context on coercion failure (reference parity:
+        // Download.py:195-199 re-raises with row/col attached)
+        targets.indices.iterator.map { i =>
+          val value =
+            try cellValue(r.get(i))
+            catch { case e: Exception => throw new IllegalStateException(
+              s"cell write failed at sheet row $rowIdx, col ${targets(i)} " +
+                s"(source column '${df.columns(i)}'): ${e.getMessage}", e)
+            }
+          Xlsx.Cell(rowIdx, targets(i), value)
+        }
       }
     val sheets = Seq(sheetName -> cellIter) ++
       metadata.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, cells) =>

@@ -53,6 +53,42 @@ object Xlsx {
   final case class SBool(v: Boolean) extends CellValue
   case object SBlank extends CellValue
 
+  /** Date / datetime cells: written as Excel serial numbers with a
+    * built-in date number format (numFmtId 14 / 22), the way real
+    * spreadsheet writers emit them (reference parity: Download.py:188-191
+    * writes typed COM dates, not strings). */
+  final case class SDate(serial: Double) extends CellValue
+  final case class SDateTime(serial: Double) extends CellValue
+
+  /** Excel's serial epoch in the 1900 date system. Day 1 = 1900-01-01,
+    * with the fictitious 1900-02-29 (Lotus bug) folded in by anchoring at
+    * 1899-12-30 — correct for all dates >= 1900-03-01, same convention
+    * as openpyxl/COM. */
+  private val ExcelEpoch = java.time.LocalDate.of(1899, 12, 30)
+
+  def dateSerial(d: java.time.LocalDate): Double =
+    java.time.temporal.ChronoUnit.DAYS.between(ExcelEpoch, d).toDouble
+
+  def dateTimeSerial(dt: java.time.LocalDateTime): Double =
+    dateSerial(dt.toLocalDate) +
+      (dt.toLocalTime.toNanoOfDay / 1e9) / 86400.0
+
+  /** Serial -> canonical string for the all-string scan: date-formatted
+    * cells read back as `yyyy-MM-dd`, datetime as `yyyy-MM-dd HH:mm:ss`
+    * (seconds-rounded) — mirroring how openpyxl surfaces typed date
+    * cells as date objects rather than raw serials. */
+  def serialToString(serial: Double, withTime: Boolean): String = {
+    val days = math.floor(serial).toLong
+    val date = ExcelEpoch.plusDays(days)
+    if (!withTime) date.toString
+    else {
+      val secs = math.round((serial - days) * 86400.0)
+      val dt = date.atStartOfDay.plusSeconds(secs)
+      dt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
+  }
+
   /** Rich-text runs: (token, changed) pairs; changed tokens render in
     * bold red (the reference's word-diff presentation,
     * Compare.py:96-110). Tokens are joined by single spaces. */
@@ -83,8 +119,12 @@ object Xlsx {
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
           .mkString +
         """</Types>""")
-    // styles: fill k (1-based in Cell.style) -> cellXf index k; xf 0 = none.
-    // Fill ids 0/1 are reserved (none/gray125) per the OOXML spec.
+    // styles: fill k (1-based in Cell.style) -> cellXf index k; xf 0 =
+    // none. Fill ids 0/1 are reserved (none/gray125) per the OOXML spec.
+    // Two trailing xfs carry the built-in date (numFmtId 14) and
+    // datetime (numFmtId 22) number formats for SDate/SDateTime cells.
+    val dateXf = fills.size + 1
+    val dateTimeXf = fills.size + 2
     part("xl/styles.xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
@@ -98,9 +138,11 @@ object Xlsx {
         """</fills>""" +
         """<borders count="1"><border/></borders>""" +
         """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
-        s"""<cellXfs count="${fills.size + 1}"><xf/>""" +
+        s"""<cellXfs count="${fills.size + 3}"><xf/>""" +
         fills.indices.map(i =>
           s"""<xf fillId="${i + 2}" applyFill="1"/>""").mkString +
+        """<xf numFmtId="14" applyNumberFormat="1"/>""" +
+        """<xf numFmtId="22" applyNumberFormat="1"/>""" +
         """</cellXfs></styleSheet>""")
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -141,6 +183,10 @@ object Xlsx {
           case SStr(v) =>
             w.write(s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
           case SNum(v) => w.write(s"""<c r="$ref"$s><v>$v</v></c>""")
+          case SDate(serial) =>
+            w.write(s"""<c r="$ref" s="$dateXf"><v>${serial.toLong}</v></c>""")
+          case SDateTime(serial) =>
+            w.write(s"""<c r="$ref" s="$dateTimeXf"><v>$serial</v></c>""")
           case SBool(v) => w.write(s"""<c r="$ref"$s t="b"><v>${if (v) 1 else 0}</v></c>""")
           case SRuns(runs) =>
             w.write(s"""<c r="$ref"$s t="inlineStr"><is>""")
@@ -179,7 +225,7 @@ object Xlsx {
     (digits.toInt, colOrdinal(letters))
   }
 
-  /** Parse every worksheet (and sharedStrings, if present). */
+  /** Parse every worksheet (and sharedStrings/styles, if present). */
   def read(in: InputStream): Seq[Sheet] = {
     val zin = new ZipInputStream(in)
     val parts = mutable.Map[String, Array[Byte]]()
@@ -187,6 +233,7 @@ object Xlsx {
     while (e != null) {
       if (e.getName == "xl/sharedStrings.xml" ||
         e.getName == "xl/workbook.xml" ||
+        e.getName == "xl/styles.xml" ||
         e.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
         parts(e.getName) = zin.readAllBytes()
       e = zin.getNextEntry
@@ -195,11 +242,13 @@ object Xlsx {
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
     val names: Seq[String] = parts.get("xl/workbook.xml")
       .map(parseSheetNames).getOrElse(Seq.empty)
+    val numFmts: IndexedSeq[Int] = parts.get("xl/styles.xml")
+      .map(parseCellXfNumFmts).getOrElse(IndexedSeq.empty)
     val sheetParts = parts.keys.filter(_.startsWith("xl/worksheets/"))
       .toSeq.sortBy(p => p.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt)
     sheetParts.zipWithIndex.map { case (p, i) =>
       Sheet(names.lift(i).getOrElse(s"Sheet${i + 1}"),
-        parseSheet(parts(p), shared))
+        parseSheet(parts(p), shared, numFmts))
     }
   }
 
@@ -247,12 +296,42 @@ object Xlsx {
     out.toSeq
   }
 
-  private def parseSheet(bytes: Array[Byte],
-                         shared: IndexedSeq[String]): Map[(Int, Int), String] = {
+  /** cellXfs -> numFmtId per xf index (for date-cell detection). */
+  private def parseCellXfNumFmts(bytes: Array[Byte]): IndexedSeq[Int] = {
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val out = mutable.ArrayBuffer[Int]()
+    var inCellXfs = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              out += Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  // built-in date/datetime number formats (ECMA-376 §18.8.30): 14-17
+  // date-only, 18-21 time, 22 datetime, 45-47 elapsed time
+  private def isDateFmt(id: Int) = id >= 14 && id <= 17
+  private def isDateTimeFmt(id: Int) = (id >= 18 && id <= 22) ||
+    (id >= 45 && id <= 47)
+
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+                         numFmts: IndexedSeq[Int]): Map[(Int, Int), String] = {
     val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
     val cells = mutable.Map[(Int, Int), String]()
     var ref: String = null
     var cellType: String = null
+    var styleIdx: Int = -1
     var inV = false
     var inIsT = false
     val text = new StringBuilder
@@ -263,6 +342,8 @@ object Xlsx {
             case "c" =>
               ref = r.getAttributeValue(null, "r")
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              styleIdx = Option(r.getAttributeValue(null, "s"))
+                .map(_.toInt).getOrElse(-1)
               text.clear()
             case "v" => inV = true
             case "t" => inIsT = true
@@ -276,9 +357,18 @@ object Xlsx {
             case "t" => inIsT = false
             case "c" if ref != null =>
               val raw = text.toString
+              val fmt = if (styleIdx >= 0) numFmts.lift(styleIdx).getOrElse(0)
+                        else 0
               val value = cellType match {
                 case "s" => shared.lift(raw.trim.toInt).getOrElse("")
                 case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+                // date-formatted numeric cells surface as dates, the way
+                // openpyxl hands them to the reference (Compare.py reads
+                // date objects, not serials)
+                case "n" if raw.nonEmpty && isDateFmt(fmt) =>
+                  serialToString(raw.trim.toDouble, withTime = false)
+                case "n" if raw.nonEmpty && isDateTimeFmt(fmt) =>
+                  serialToString(raw.trim.toDouble, withTime = true)
                 case _ => raw
               }
               if (value.nonEmpty) cells(parseRef(ref)) = value

@@ -219,4 +219,39 @@ class ExcelSpec extends SparkSpec {
       .select($"word_runs").as[Seq[(String, Boolean)]].collect()(0)
     assert(runs == Seq(("alpha", false), ("GAMMA", true)))
   }
+
+  test("date/timestamp columns write as typed date cells (S11)") {
+    val dir = tmpDir
+    val df = Seq((
+      java.sql.Date.valueOf("2026-03-14"),
+      java.sql.Timestamp.valueOf("2026-03-14 15:09:26"),
+      "note")).toDF("d", "ts", "s")
+    val path = s"$dir/dates.xlsx"
+    ExcelSink.writePositional(df, path, startRow = 1)
+
+    // raw XML: serial-number cells carrying the date / datetime number
+    // format (reference writes typed dates, Download.py:188-191) —
+    // serial 46095 = 2026-03-14 in the 1900 date system
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.FileInputStream(path))
+    var sheetXml = ""
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/worksheets/sheet1.xml")
+        sheetXml = new String(zin.readAllBytes(), "UTF-8")
+      e = zin.getNextEntry
+    }
+    zin.close()
+    assert(sheetXml.contains("""<c r="A1" s="1"><v>46095</v></c>"""),
+      sheetXml.take(500))
+    assert(sheetXml.contains("""<c r="B1" s="2"><v>46095.6"""),
+      sheetXml.take(500))
+
+    // the all-string scan surfaces them as rendered dates, not raw
+    // serials (openpyxl-style read behavior)
+    val sheet = ExcelScan.loadSheet(path, None)
+    assert(sheet(1, 1) == "2026-03-14")
+    assert(sheet(1, 2) == "2026-03-14 15:09:26")
+    assert(sheet(1, 3) == "note")
+  }
 }
