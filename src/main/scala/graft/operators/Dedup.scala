@@ -211,14 +211,18 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "b", "label" -> "nl")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("min_neighbor"))
+      // checkpoint BEFORE the convergence probe: isEmpty then reads the
+      // materialized result instead of re-running the iteration's joins,
+      // and the iterative lineage is truncated either way
       val next = labels.join(neighborLabels, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("min_neighbor"), col("label")))
             .as("label"))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).isEmpty
-      labels = next.localCheckpoint() // truncate the iterative lineage
-      converged = changed
+      labels = next
       iter += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
@@ -250,14 +254,21 @@ object Dedup {
     // narrow (id, shingle) rows — WordShingles emits a per-doc SET, so
     // co-occurrence counts below ARE intersection sizes
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val dfreq = exploded.groupBy(col("s"))
-      .agg(count(lit(1)).as("df_count"), collect_list(col("id")).as("ids"))
+    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
+    // id lists ONLY for shingles already known rare, so every collected
+    // array is bounded by maxDocFreq — collect_list over unfiltered
+    // shingles would build million-element arrays for stopword-ish
+    // shingles at corpus scale (executor OOM), for rows the rare filter
+    // then throws away
+    val rareIds = exploded
+      .join(dfc.filter(col("df_count") <= maxDocFreq &&
+        col("df_count") >= 2), Seq("s"))
+      .groupBy(col("s")).agg(collect_list(col("id")).as("ids"))
 
     // Candidate pairs share >= 1 rare shingle; each shared rare shingle
     // contributes one pair row, so the group count IS the shared-rare
     // count `r_inter` (exact, since shingle sets are deduped per doc).
-    val candCounts = dfreq
-      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
+    val candCounts = rareIds
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -273,7 +284,7 @@ object Dedup {
     // whose bound misses the threshold are dropped without ever touching
     // their shingles — measured at sf0.1: 1.12M candidates -> 266
     // survivors, turning the pair×shingles fanout from ~58M rows to ~14k.
-    val stats = exploded.join(dfreq.select(col("s"), col("df_count")), Seq("s"))
+    val stats = exploded.join(dfc, Seq("s"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sh"),
         count_if(col("df_count") > maxDocFreq).as("cm"))

@@ -176,4 +176,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.nonEmpty)       // query's own cell is never empty of itself? no:
                              // at 2 bits the close vectors co-bucket
   }
+
+  test("ngramJaccardPairs upper-bound prune is lossless vs brute force") {
+    // random corpus (seeded) with planted near-dups; vocabulary small
+    // enough that rare and common shingles both occur, so the prune's
+    // common-shingle bound actually engages
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(150)(i => s"w$i")
+    val base = (0 until 60).map { i =>
+      (i.toLong,
+        Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+    }
+    val mutated = base.take(8).map { case (id, text) =>
+      val toks = text.split(" ")
+      val j = rnd.nextInt(toks.length)
+      (id + 1000L, toks.updated(j, vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("id", "text")
+    val minJ = 0.3
+    val maxDf = 10
+
+    // driver-side brute force, same shingle semantics as WordShingles
+    // (trim, whitespace split, distinct space-joined 3-grams)
+    def shset(t: String): Set[String] =
+      t.trim.split("\\s+").toSeq.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = (base ++ mutated).map { case (id, t) => id -> shset(t) }
+      .filter(_._2.nonEmpty)
+    val df_ = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val expected: Map[(Long, Long), Double] = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      shared = sa intersect sb
+      if shared.exists(s => df_(s) >= 2 && df_(s) <= maxDf)
+      jac = shared.size.toDouble / (sa ++ sb).size
+      if jac >= minJ
+    } yield (a, b) -> jac).toMap
+
+    val got = Dedup.ngramJaccardPairs(docs, "id", "text",
+        shingleN = 3, minJaccard = minJ, maxDocFreq = maxDf)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 5e-4, s"$k: $v vs ${expected(k)}") }
+    assert(expected.nonEmpty) // the planted mutations must be found
+  }
 }
