@@ -64,6 +64,39 @@ object QueryCatalog {
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10"""
       .stripMargin
 
+  /** embeddings ∪ first-10-vectors-recopied-with-shifted-ids: planted
+    * exact duplicate vectors (cosine 1.0) so embedding near-dup
+    * operators have guaranteed positives — the corpus itself has no
+    * organic pair above cosine 0.61 at any SF (measured). */
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  /** DuckDB twin of the exact all-pairs cosine near-dup over
+    * [[plantedEmbeddings]] at threshold 0.99: double-precision dot and
+    * norms accumulated in the same order as the Spark expressions, so
+    * values are bit-comparable. */
+  private val embedNeardupOracleSql =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM emb),
+      |nrm AS (SELECT vec_id, v,
+      |          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+      |            AS nv
+      |        FROM e),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        round(list_aggregate(list_transform(a.v, (x, i) -> x * b.v[i]),
+      |          'sum') / (a.nv * b.nv), 6) AS cos_sim
+      |      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.99""".stripMargin
+
   /** DuckDB CTE chain replicating [[Dedup.ngramJaccardPairs]] over
     * [[plantedDocs]]: ends in `np(id_a, id_b, jac)` — exact Jaccard over
     * full shingle sets, candidates gated by rare shingles (df in [2,20]),
@@ -737,6 +770,23 @@ object QueryCatalog {
       (s, d) => Similarity.srpTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 20, nBits = 4),
       None, headline = true),
+
+    Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:
+      // O(n^2) all-pairs — the correctness spec for the SRP-blocked
+      // variant below, and directly oracle-able
+      (s, d) => Similarity.cosineNeighborPairs(plantedEmbeddings(s, d),
+        "vec_id", "embedding", minCos = 0.99),
+      Some(embedNeardupOracleSql)),
+
+    Q("q_srp_neighbors", // embedding near-dup, SRP-blocked (the corpus-
+      // scale path: cell join replaces the n^2 pair scan). Oracle = the
+      // exact baseline's: at threshold 0.99 only the planted EXACT
+      // copies qualify (organic max cosine 0.61), and exact duplicates
+      // always co-bucket, so the blocked result equals the exact one —
+      // the oracle doubles as the recall gate at these SFs.
+      (s, d) => Similarity.srpNeighborPairs(plantedEmbeddings(s, d),
+        "vec_id", "embedding", minCos = 0.99, nBits = 8),
+      Some(embedNeardupOracleSql), headline = true),
 
     Q("q_media_meta", // multimodal binary-column metadata path
       (s, d) => {

@@ -137,8 +137,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** All-pairs embedding near-duplicates, brute force: every (id_a <
+    * id_b) pair scored exactly, kept at `minCos` and above. O(n^2) —
+    * the correctness BASELINE for embedding-cosine dedup (and the shape
+    * DuckDB can oracle); the corpus-scale path is [[srpNeighborPairs]],
+    * which blocks the same computation by SRP cell. Rounded to 6
+    * decimals before the threshold so engine-boundary comparisons are
+    * stable. */
+  def cosineNeighborPairs(df: DataFrame, idCol: String, vecCol: String,
+                          minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** All-pairs near-neighbors above a similarity floor, SRP-blocked:
-    * join on cell, exact cosine within the block. */
+    * join on cell, exact cosine within the block. Misses pairs whose
+    * members land in different cells (per-bit miss probability θ/π for
+    * angle θ) — exact duplicates always co-bucket; near-dups trade
+    * recall for the 1/2^nBits block prune. */
   def srpNeighborPairs(df: DataFrame, idCol: String, vecCol: String,
                        minCos: Double, nBits: Int = 8,
                        maxBucketSize: Int = 256): DataFrame = {

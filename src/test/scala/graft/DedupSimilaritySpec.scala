@@ -177,6 +177,28 @@ class DedupSimilaritySpec extends SparkSpec {
                              // at 2 bits the close vectors co-bucket
   }
 
+  test("embedding near-dup: SRP-blocked equals exact baseline on dups") {
+    // planted exact copies (cosine 1.0) + one genuine near-dup pair
+    val planted = vecs.unionByName(
+      vecs.filter($"vec_id" < 2)
+        .select(($"vec_id" + 100).as("vec_id"), $"embedding"))
+    val exact = Similarity
+      .cosineNeighborPairs(planted, "vec_id", "embedding", minCos = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity
+      .srpNeighborPairs(planted, "vec_id", "embedding", minCos = 0.99,
+        nBits = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // exact copies: (0,100) and (1,101) at cos 1.0; vec 0 vs 1 sit at
+    // cos ~0.994 and may or may not co-bucket — assert the dup pairs
+    assert(exact.contains((0L, 100L, 1.0)) && exact.contains((1L, 101L, 1.0)),
+      exact.toString)
+    // exact duplicates always co-bucket, so the blocked result keeps them
+    assert(blocked.contains((0L, 100L, 1.0)) &&
+      blocked.contains((1L, 101L, 1.0)), blocked.toString)
+    assert(blocked.subsetOf(exact)) // blocking only ever DROPS pairs
+  }
+
   test("ngramJaccardPairs upper-bound prune is lossless vs brute force") {
     // random corpus (seeded) with planted near-dups; vocabulary small
     // enough that rare and common shingles both occur, so the prune's
