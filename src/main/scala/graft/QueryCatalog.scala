@@ -750,6 +750,11 @@ object QueryCatalog {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sim")),
       None),
 
+    Q("q_simhash_pairs", // SimHash hamming-neighbor dedup candidates
+      // (Manku et al. WWW'07 banding; exact recall for hamming <= 3)
+      (s, d) => Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text"),
+      None),
+
     Q("q_cosine_knn", // brute-force cosine top-k against one query vector
       (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 20),

@@ -188,6 +188,52 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** SimHash near-duplicate pairs via bit-band blocking (the Manku/
+    * Jain/Sarma WWW'07 web-dedup construction): the 64-bit signature is
+    * split into `bands` contiguous bit blocks and docs sharing any
+    * block value become candidates; the true Hamming distance is then
+    * checked exactly with `bit_count(xor)`. By pigeonhole, a pair
+    * within `maxHamming` bit flips leaves at least one of `bands`
+    * blocks intact whenever `maxHamming < bands`, so recall is EXACT
+    * for the returned distance bound — blocking only prunes work, not
+    * results. Same bucket-join shape (one shuffle, capped buckets,
+    * in-array pair expansion) as [[minhashPairs]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = 256): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigd = df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          call_function("shiftrightunsigned", col("sig"), b * lit(width))
+            .bitwiseAND(lit(mask)).as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val capped = banded.withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") <= maxBucketSize).drop("__rn")
+    val buckets = capped.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairsExpr = flatten(transform(col("ms"), (m, i) =>
+      transform(slice(col("ms"), i + 2, lit(maxBucketSize)), m2 =>
+        struct(m.getField("id").as("id_a"), m2.getField("id").as("id_b"),
+          m.getField("sig").as("sig_a"), m2.getField("sig").as("sig_b")))))
+    buckets
+      .select(explode(pairsExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Connected components over a near-dup pair list: every document in a
     * duplicate cluster gets the cluster's MIN id as its canonical id —
     * the step that turns pairwise similarity into "keep one per

@@ -177,6 +177,29 @@ class DedupSimilaritySpec extends SparkSpec {
                              // at 2 bits the close vectors co-bucket
   }
 
+  test("simhashPairs banding equals brute-force hamming filter") {
+    // 120 docs from the real corpus + planted dups: banding with
+    // maxHamming < bands guarantees EXACT recall (pigeonhole), so the
+    // blocked output must equal the all-pairs popcount filter
+    val docs = Tables.documents(spark, sfDir).limit(120)
+      .select($"doc_id", $"text")
+    val planted = docs.unionByName(docs.filter($"doc_id" < 5)
+      .select(($"doc_id" + 5000).as("doc_id"), $"text"))
+    val sigs = planted
+      .select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(planted, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.exists(_._3 == 0L)) // planted dups present
+  }
+
   test("embedding near-dup: SRP-blocked equals exact baseline on dups") {
     // planted exact copies (cosine 1.0) + one genuine near-dup pair
     val planted = vecs.unionByName(
