@@ -37,5 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3))))
+    ext.injectFunction((
+      FunctionIdentifier("char_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "char_bigrams"),
+      (exprs: Seq[Expression]) => CharBigrams(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("srp_signature"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
+      (exprs: Seq[Expression]) => SrpSignature(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8))))
   }
 }

@@ -62,6 +62,13 @@ object TextExpressions {
       exprs => WordShingles(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3)),
       "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "char_bigrams", exprs => CharBigrams(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "srp_signature",
+      exprs => SrpSignature(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8)),
+      "scala_udf")
   }
 
   private[plans] def tokenize(text: String): Array[String] = {
