@@ -46,6 +46,15 @@ object QueryCatalog {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** Scratch dir for connector round-trip queries: registered for
+    * JVM-exit deletion so repeated catalog runs don't accumulate /tmp
+    * litter (same hygiene as the IVF index dir). */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    TempDirs.deleteOnExit(dir.toFile)
+    dir.toString
+  }
+
   private val segments =
     Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
 
@@ -994,7 +1003,7 @@ object QueryCatalog {
 
     Q("q_excel_roundtrip", // the xlsx connector in the catalog (rows-only)
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+        val dir = scratchDir("graft_xlsx")
         val path = s"$dir/sample.xlsx"
         val sample = t(s, d, "customer")
           .orderBy(col("c_custkey")).limit(200)
@@ -1771,7 +1780,7 @@ object QueryCatalog {
       // probed read-back (rows-only: DuckDB reads no xlsx)
       (s, d) => {
         import graft.sources.excel.{ExcelSink, Xlsx}
-        val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_hm").toString
+        val dir = scratchDir("graft_xlsx_hm")
         // template with fuzzy headers at row 5 (cols 2, 4)
         val template = s"$dir/template.xlsx"
         val cells = Seq(
@@ -1802,7 +1811,7 @@ object QueryCatalog {
       // table itself: write->read identity IS the property under test
       // (hash-checked, not rows-only).
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val dir = scratchDir("graft_csv")
         t(s, d, "nation").write.mode("overwrite")
           .option("header", "true").csv(s"$dir/nation")
         s.read.option("header", "true").option("inferSchema", "true")
@@ -1813,7 +1822,7 @@ object QueryCatalog {
     Q("q_json_roundtrip", // json-lines source/sink coverage; oracle =
       // roundtrip identity vs the source table
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+        val dir = scratchDir("graft_json")
         t(s, d, "region").write.mode("overwrite").json(s"$dir/region")
         s.read.json(s"$dir/region")
       },
@@ -1822,7 +1831,7 @@ object QueryCatalog {
     Q("q_binaryfile_ingest", // binaryFile source: media files -> blob rows
       // feeding the multimodal pipeline (rows-only)
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+        val dir = scratchDir("graft_media")
         // stage a few "media" files (opaque bytes is the point)
         t(s, d, "documents").orderBy(col("doc_id")).limit(5)
           .collect().foreach { r =>
@@ -1873,7 +1882,7 @@ object QueryCatalog {
     Q("q_orc_roundtrip", // ORC source/sink coverage; oracle = roundtrip
       // identity vs the source table (ORC preserves types exactly)
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val dir = scratchDir("graft_orc")
         t(s, d, "supplier").write.mode("overwrite").orc(s"$dir/supplier")
         s.read.orc(s"$dir/supplier")
       },
