@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
@@ -17,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda calls per row (~1.5 ms/doc measured); these do the same math
   * in one JIT-compiled loop (~15 us/doc). Semantics are identical —
   * `DedupSimilaritySpec` asserts expression == declarative on real docs.
+  *
+  * All five implement `doGenCode` (NOT `CodegenFallback`): each keeps its
+  * per-row loop in a public `compute` method and generates a direct call
+  * to it through a codegen reference object, so any projection containing
+  * a sketch column stays inside whole-stage codegen — a `CodegenFallback`
+  * anywhere in a projection forces the whole stage back to interpreted
+  * rows (`CollapseCodegenStages` rejects the node), taxing exactly the
+  * dedup/ANN queries these expressions exist to speed up.
   */
 object TextExpressions {
 
@@ -81,7 +90,7 @@ object TextExpressions {
   * Returns null for docs with fewer than `shingleN` tokens (mirrors the
   * declarative guard). */
 case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TextExpressions._
 
   require(numHashes > 0 && shingleN > 0)
@@ -91,8 +100,13 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Null when the doc has fewer than `shingleN` tokens. Public: called
+    * from generated code via a codegen reference object. */
+  def compute(input: UTF8String): ArrayData = {
+    val toks = tokenize(input.toString)
     if (toks.length < shingleN) return null
     val mins = Array.fill(numHashes)(Prime)
     val seen = new java.util.HashSet[String]()
@@ -125,6 +139,20 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = $ref.compute(${childGen.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
@@ -133,7 +161,7 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
   * declarative `TextFunctions.shingles`; docs with fewer than n tokens
   * get an empty array. */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TextExpressions._
 
   require(n > 0)
@@ -141,8 +169,13 @@ case class WordShingles(child: Expression, n: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Never null for non-null input (short docs get an empty array).
+    * Public: called from generated code. */
+  def compute(input: UTF8String): ArrayData = {
+    val toks = tokenize(input.toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder()
@@ -165,6 +198,11 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
 }
@@ -176,14 +214,18 @@ case class WordShingles(child: Expression, n: Int)
   * `transform(sequence(...), i => substr(cleaned, i, 2))` formulation
   * re-runs the regex clean per character (O(len^2) per doc). */
 case class CharBigrams(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "char_bigrams"
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Never null for non-null input. Public: called from generated code. */
+  def compute(input: UTF8String): ArrayData = {
+    val raw = input.toString.toLowerCase
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
     while (i < raw.length) {
@@ -204,6 +246,11 @@ case class CharBigrams(child: Expression)
     new GenericArrayData(out.toArray)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charBigrams", this, classOf[CharBigrams].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
   override protected def withNewChildInternal(c: Expression): CharBigrams =
     copy(child = c)
 }
@@ -221,7 +268,7 @@ case class CharBigrams(child: Expression)
   * (expression instance, dimension) and the projection is one JIT'd
   * double loop per row. */
 case class SrpSignature(child: Expression, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nBits > 0 && nBits <= 63)
 
@@ -267,8 +314,11 @@ case class SrpSignature(child: Expression, nBits: Int)
         }
       })
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  /** Public: called from generated code. */
+  def compute(arr: ArrayData): Long = {
     val dim = arr.numElements()
     val signs = signsFor(dim)
     var out = 0L
@@ -288,7 +338,12 @@ case class SrpSignature(child: Expression, nBits: Int)
       if (acc >= 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpSig", this, classOf[SrpSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): SrpSignature =
@@ -298,15 +353,19 @@ case class SrpSignature(child: Expression, nBits: Int)
 /** 64-bit SimHash (per-bit majority vote over xxhash64(token), seed 42 —
   * identical values to Spark's `xxhash64` builtin). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TextExpressions._
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = tokenize(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[UTF8String]))
+
+  /** Public: called from generated code. */
+  def compute(input: UTF8String): Long = {
+    val toks = tokenize(input.toString)
     val counts = new Array[Int](64)
     var n = 0
     toks.foreach { t =>
@@ -324,7 +383,12 @@ case class SimHash64(child: Expression)
       if (counts(b) * 2 > n) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =

@@ -270,4 +270,43 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(math.abs(v - expected(k)) < 5e-4, s"$k: $v vs ${expected(k)}") }
     assert(expected.nonEmpty) // the planted mutations must be found
   }
+
+  test("sketch expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // CODEGEN_ONLY + fallback=false: a janino compile error in the
+    // generated code THROWS here instead of silently degrading to the
+    // interpreted path, so this test pins both plan shape and that the
+    // doGenCode output actually compiles and evaluates.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val textDf = corpus.select(
+        Dedup.minhashSignature($"text", 32, 3).as("mh"),
+        Dedup.simhash($"text").as("sh"),
+        graft.plans.TextExpressions.word_shingles($"text", 3).as("wsh"),
+        graft.plans.TextExpressions.char_bigrams($"text").as("bg"))
+      val vecDf = Seq(Tuple1(Array(0.5f, -1.0f, 2.0f)), Tuple1(Array(1f, 1f, 1f)))
+        .toDF("v")
+        .select(graft.plans.TextExpressions.srp_signature($"v", 8).as("srp"))
+      for (df <- Seq(textDf, vecDf)) {
+        val plan = df.queryExecution.executedPlan
+        val stages = plan.collect { case w: WholeStageCodegenExec => w }
+        val sketchNames = Seq("minhash_signature", "simhash64",
+          "word_shingles", "char_bigrams", "srp_signature")
+        val planStr = plan.toString
+        sketchNames.filter(planStr.contains).foreach { name =>
+          assert(stages.exists(_.toString.contains(name)),
+            s"$name not inside a WholeStageCodegen stage:\n$planStr")
+        }
+        assert(df.collect().nonEmpty) // forces the generated code to compile+run
+      }
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", prevFactory)
+      restore("spark.sql.codegen.fallback", prevFallback)
+    }
+  }
 }
