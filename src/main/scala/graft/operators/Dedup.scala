@@ -27,6 +27,21 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cheap pre-filter equivalent to "the doc has >= n whitespace tokens"
+    * — exactly the condition under which the sketch expressions produce
+    * a null signature / empty shingle set.
+    *
+    * Filtering on the CHEAP predicate before computing the sketch
+    * matters: a post-hoc `.filter(sig.isNotNull)` gets pushed below the
+    * projection by Catalyst (PushDownPredicates substitutes the alias),
+    * so the expensive sketch expression is evaluated TWICE per row —
+    * once in the scan-side filter, once in the projection. Measured on
+    * q_minhash_pairs at sf0.1: the double evaluation was the whole of
+    * the r4 1.64x bench regression. */
+  private def hasMinTokens(textCol: Column, n: Int): Column =
+    textCol.isNotNull && trim(textCol) =!= "" &&
+      size(split(trim(textCol), "\\s+")) >= n
+
   /** MinHash signature of a text column: `numHashes` permutation minima
     * over word `shingleN`-gram shingles, using the standard
     * `(a_i * h + b_i) mod p` universal-hash family seeded deterministically.
@@ -66,10 +81,14 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    maxBucketSize: Int = 64): DataFrame = {
     val rows = numHashes / bands
+    // token-count guard BEFORE the signature projection (not
+    // `.filter(sig.isNotNull)` after it — see [[hasMinTokens]]); the
+    // guard is exactly the signature's null condition, so `sig` below
+    // is never null
     val sigd = df
+      .filter(hasMinTokens(col(textCol), shingleN))
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
-      .filter(col("sig").isNotNull)
 
     val banded = sigd.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -122,14 +141,29 @@ object Dedup {
                              bands: Int = 8, shingleN: Int = 3): DataFrame = {
     val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
       .select(col("id_a"), col("id_b"))
-    val sh = df.select(col(idCol).as("id"),
-        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    exactJaccardForCandidates(candidates, sh, minJaccard)
+    exactJaccardForCandidates(candidates,
+      shingleRelation(df, idCol, textCol, shingleN), minJaccard)
   }
 
-  /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over a
-    * per-doc shingle-SET relation `sh(id, sh: array<string>)`.
+  /** The narrow exploded (id, shingle) relation, persisted: every
+    * Jaccard pipeline references it from several plan branches
+    * (doc-frequency counts, candidate generation, per-doc stats, and
+    * both sides of the intersection join), and without the persist each
+    * branch re-runs [[graft.plans.TextExpressions.WordShingles]] over
+    * the full corpus. MEMORY_AND_DISK so oversized corpora spill
+    * instead of OOM; the driver-side ContextCleaner unpersists the
+    * block once the query's DataFrame is garbage-collected. */
+  private def shingleRelation(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int): DataFrame =
+    df.filter(hasMinTokens(col(textCol), shingleN))
+      .select(col(idCol).as("id"),
+        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over
+    * the narrow exploded (id, shingle) relation from
+    * [[shingleRelation]] (one row per doc x distinct shingle).
     *
     * The intersection is counted on the narrow exploded (id, shingle)
     * relation — fan candidate pairs out over id_a's shingles, equi-join
@@ -144,10 +178,11 @@ object Dedup {
     * they never reach the output even when `minJaccard = 0` (callers
     * document this; all shipped entry points default to thresholds
     * > 0 where the exclusion is unobservable). */
-  private def exactJaccardForCandidates(candidates: DataFrame, sh: DataFrame,
+  private def exactJaccardForCandidates(candidates: DataFrame,
+                                        exploded: DataFrame,
                                         minJaccard: Double): DataFrame = {
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val sz = sh.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+    // shingles are a per-doc SET, so the per-id row count IS the set size
+    val sz = exploded.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val candB = candidates.select(col("id_b").as("id")).distinct()
     val eB = exploded.join(candB, Seq("id"), "left_semi")
       .select(col("id").as("id_b"), col("s"))
@@ -291,15 +326,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
-    // native shingle expression: this column is evaluated in multiple
-    // plan branches, so the interpreted formulation pays its per-row
-    // cost each time
-    val sh = df.select(col(idCol).as("id"),
-        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // narrow (id, shingle) rows — WordShingles emits a per-doc SET, so
-    // co-occurrence counts below ARE intersection sizes
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    // persisted narrow (id, shingle) rows — WordShingles emits a
+    // per-doc SET, so co-occurrence counts below ARE intersection sizes
+    val exploded = shingleRelation(df, idCol, textCol, shingleN)
     val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
     // id lists ONLY for shingles already known rare, so every collected
     // array is bounded by maxDocFreq — collect_list over unfiltered
@@ -351,6 +380,6 @@ object Dedup {
     // shingles, so similarities are exact, not deflated) — see
     // [[exactJaccardForCandidates]] for why this shape, and not
     // array_intersect over full arrays.
-    exactJaccardForCandidates(survivors, sh, minJaccard)
+    exactJaccardForCandidates(survivors, exploded, minJaccard)
   }
 }
