@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,34 @@ object Dedup {
     textCol.isNotNull && trim(textCol) =!= "" &&
       size(split(trim(textCol), "\\s+")) >= n
 
+  /** Caps each bucket (the `partCols` group, ordered by id) at
+    * `maxBucketSize` members — the skew guard for pathological buckets
+    * (boilerplate shingles / constant signatures). Members beyond the
+    * cap are DROPPED, and with them any candidate pairs they were part
+    * of, so every recall statement in this file is conditional on
+    * buckets fitting the cap.
+    *
+    * Pass `capObservation` to make the loss visible: the observation
+    * reports `dropped_candidates` (rows past the cap) and
+    * `largest_bucket` after the query's first action —
+    * `obs.get("dropped_candidates")`. The accounting is opt-in because
+    * it must rank EVERY bucket member: the default path lets Spark's
+    * WindowGroupLimit rewrite discard over-cap rows map-side before the
+    * exchange (top-`maxBucketSize` per group per partition), which is
+    * exactly the shuffle-volume protection hot buckets need at corpus
+    * scale, and which whole-bucket counting necessarily forfeits. */
+  private[operators] def capBuckets(banded: DataFrame, partCols: Seq[String],
+                                    maxBucketSize: Int,
+                                    capObservation: Option[Observation]): DataFrame = {
+    val wB = Window.partitionBy(partCols.map(col): _*).orderBy(col("id"))
+    val ranked = banded.withColumn("__rn", row_number().over(wB))
+    val observed = capObservation.fold(ranked)(obs => ranked.observe(obs,
+      sum(when(col("__rn") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_candidates"),
+      max(col("__rn")).as("largest_bucket")))
+    observed.filter(col("__rn") <= maxBucketSize).drop("__rn")
+  }
+
   /** MinHash signature of a text column: `numHashes` permutation minima
     * over word `shingleN`-gram shingles, using the standard
     * `(a_i * h + b_i) mod p` universal-hash family seeded deterministically.
@@ -76,10 +104,13 @@ object Dedup {
   /** MinHash+LSH near-duplicate candidate pairs: band the signature,
     * bucket-join on (band, band-hash), emit distinct (id_a < id_b) pairs
     * with the fraction of matching signature positions (estimated
-    * Jaccard). `maxBucketSize` caps pathological buckets (boilerplate). */
+    * Jaccard). `maxBucketSize` caps pathological buckets (boilerplate);
+    * pairs among capped-away members are lost — pass `capObservation`
+    * to count what the cap drops (see [[capBuckets]]). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                   maxBucketSize: Int = 64): DataFrame = {
+                   maxBucketSize: Int = 64,
+                   capObservation: Option[Observation] = None): DataFrame = {
     val rows = numHashes / bands
     // token-count guard BEFORE the signature projection (not
     // `.filter(sig.isNotNull)` after it — see [[hasMinTokens]]); the
@@ -103,9 +134,8 @@ object Dedup {
     // cap bounds bucket size first (skew guard: boilerplate buckets),
     // and its (band, bucket) partitioning is reused by the groupBy, so
     // the cap costs no extra exchange.
-    val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    val capped = banded.withColumn("__rn", row_number().over(wB))
-      .filter(col("__rn") <= maxBucketSize).drop("__rn")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize,
+      capObservation)
 
     val buckets = capped.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
@@ -229,13 +259,19 @@ object Dedup {
     * block value become candidates; the true Hamming distance is then
     * checked exactly with `bit_count(xor)`. By pigeonhole, a pair
     * within `maxHamming` bit flips leaves at least one of `bands`
-    * blocks intact whenever `maxHamming < bands`, so recall is EXACT
-    * for the returned distance bound — blocking only prunes work, not
-    * results. Same bucket-join shape (one shuffle, capped buckets,
-    * in-array pair expansion) as [[minhashPairs]]. */
+    * blocks intact whenever `maxHamming < bands`, so blocking itself
+    * prunes only work, not results — recall for the returned distance
+    * bound is exact PROVIDED every (band, bucket) fits within
+    * `maxBucketSize`: the skew cap drops bucket members past the cap,
+    * and pairs among dropped members with them (heavy-boilerplate
+    * corpora are precisely where buckets overflow — pass
+    * `capObservation` to count the loss, see [[capBuckets]]). Same
+    * bucket-join shape (one shuffle, capped buckets, in-array pair
+    * expansion) as [[minhashPairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   maxBucketSize: Int = 256): DataFrame = {
+                   maxBucketSize: Int = 256,
+                   capObservation: Option[Observation] = None): DataFrame = {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
     require(64 % bands == 0, s"bands ($bands) must divide 64")
@@ -249,9 +285,8 @@ object Dedup {
           call_function("shiftrightunsigned", col("sig"), b * lit(width))
             .bitwiseAND(lit(mask)).as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    val capped = banded.withColumn("__rn", row_number().over(wB))
-      .filter(col("__rn") <= maxBucketSize).drop("__rn")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize,
+      capObservation)
     val buckets = capped.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) >= 2)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -158,15 +157,18 @@ object Similarity {
     * join on cell, exact cosine within the block. Misses pairs whose
     * members land in different cells (per-bit miss probability θ/π for
     * angle θ) — exact duplicates always co-bucket; near-dups trade
-    * recall for the 1/2^nBits block prune. */
+    * recall for the 1/2^nBits block prune. Cells past `maxBucketSize`
+    * members are truncated (dropping their excess vectors and any pairs
+    * those were in) — pass `capObservation` to count the loss, see
+    * [[graft.operators.Dedup.capBuckets]]. */
   def srpNeighborPairs(df: DataFrame, idCol: String, vecCol: String,
                        minCos: Double, nBits: Int = 8,
-                       maxBucketSize: Int = 256): DataFrame = {
+                       maxBucketSize: Int = 256,
+                       capObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       srpSignature(col(vecCol), nBits).as("cell"))
-    val w = Window.partitionBy(col("cell")).orderBy(col("id"))
-    val capped = withSig.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucketSize).drop("__rn")
+    val capped = Dedup.capBuckets(withSig, Seq("cell"), maxBucketSize,
+      capObservation)
     val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cell"))

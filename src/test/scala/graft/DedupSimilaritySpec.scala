@@ -271,6 +271,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expected.nonEmpty) // the planted mutations must be found
   }
 
+  test("bucket-cap observation counts dropped candidates on a hot bucket") {
+    import org.apache.spark.sql.Observation
+    // 40 identical docs: every band bucket holds all 40, so a cap of 8
+    // must drop 32 per (band, bucket). With 8 bands: 8 * 32 = 256.
+    val hot = (1L to 40L).map(i => (i, "all these documents share the exact same text body"))
+      .toDF("id", "text")
+    val obs = Observation("minhash_cap")
+    val pairs = Dedup.minhashPairs(hot, "id", "text", maxBucketSize = 8,
+      capObservation = Some(obs))
+    val n = pairs.count()
+    assert(obs.get("dropped_candidates") == 256L)
+    assert(obs.get("largest_bucket") == 40L)
+    // the cap visibly truncates the result: only 8*7/2 pairs survive
+    assert(n == 28L)
+
+    // simhash path: identical docs -> identical signature -> one hot
+    // bucket per band (4 bands), 40 - 10 = 30 dropped per band
+    val obs2 = Observation("simhash_cap")
+    Dedup.simhashPairs(hot, "id", "text", maxBucketSize = 10,
+      capObservation = Some(obs2)).count()
+    assert(obs2.get("dropped_candidates") == 120L)
+
+    // srp path: identical vectors share a cell
+    val obs3 = Observation("srp_cap")
+    val vecs = (1L to 20L).map(i => (i, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    Similarity.srpNeighborPairs(vecs, "id", "v", minCos = 0.9, nBits = 4,
+      maxBucketSize = 5, capObservation = Some(obs3)).count()
+    assert(obs3.get("dropped_candidates") == 15L)
+
+    // default path (no observation) still caps, silently but documented
+    assert(Dedup.minhashPairs(hot, "id", "text", maxBucketSize = 8).count() == 28L)
+  }
+
   test("sketch expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // CODEGEN_ONLY + fallback=false: a janino compile error in the
