@@ -116,11 +116,17 @@ object ExcelSink {
   }
 
   /** SNK5: styled change-highlight sink (reference Compare.py:212-220).
-    * Copies the Q2 grid into `<q2 stem> (change highlighted).xlsx` with
-    * fills applied from a diff result (long form: key, column, status):
-    * CHANGED -> blue, CLEARED -> pink, NEW -> whole-row yellow. The diff
-    * is presentation-scale (it collects to the driver) — the scalable
-    * artifact is the diff DataFrame itself.
+    * Copies the Q2 WORKBOOK PACKAGE into `<q2 stem> (change
+    * highlighted).xlsx` with fills applied from a diff result (long
+    * form: key, column, status): CHANGED -> blue, CLEARED -> pink,
+    * NEW -> whole-row yellow. The copy is in-place-style
+    * ([[Xlsx.highlightCopy]]): all pre-existing workbook formatting —
+    * fonts, borders, number formats, merges, column widths, other
+    * sheets — survives, and each highlighted cell's fill is layered ON
+    * TOP of its original style (reference parity: Compare.py:123-126
+    * opens Q2 with styles and saves a copy where only diff fills are
+    * added). The diff is presentation-scale (it collects to the
+    * driver) — the scalable artifact is the diff DataFrame itself.
     * Returns the written path. */
   def writeHighlighted(q2Path: String, diff: DataFrame, keyCol: String,
                        headerRow: Int = 1): String = {
@@ -166,25 +172,19 @@ object ExcelSink {
         } yield (row, colIdx) ->
           r.getSeq[Row](3).map(x => (x.getString(0), x.getBoolean(1)))
       }.toMap
-    // NEW rows get the whole row highlighted (reference Compare.py:179-185)
+    // NEW rows get the whole row highlighted (reference Compare.py:179-185);
+    // the row-wide NEW fill takes precedence over any cell-level mark,
+    // matching the previous rebuild semantics
     val newRows: Set[Int] = marks.collect {
       case ((r, _), 3) => r
     }.toSet
+    val allMarks: Map[(Int, Int), Int] = marks ++
+      (for (r <- newRows; c <- 1 to math.max(sheet.maxCol, 1)) yield (r, c) -> 3)
 
     val outPath = q2Path.replaceAll("\\.xlsx$", "") + " (change highlighted).xlsx"
-    val cells = for {
-      r <- (1 to sheet.maxRow).iterator
-      c <- (1 to sheet.maxCol).iterator
-      v = sheet(r, c)
-      style = if (newRows.contains(r)) 3 else marks.getOrElse((r, c), 0)
-      if v.nonEmpty || style > 0
-    } yield runsAt.get((r, c)) match {
-      case Some(runs) => Xlsx.Cell(r, c, Xlsx.SRuns(runs), style)
-      case None =>
-        Xlsx.Cell(r, c, if (v.nonEmpty) Xlsx.SStr(v) else Xlsx.SBlank, style)
-    }
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath))
-    try Xlsx.write(out, Seq(sheet.name -> cells), fills) finally out.close()
+    try Xlsx.highlightCopy(q2Path, out, Some(sheet.name), fills, allMarks, runsAt)
+    finally out.close()
     outPath
   }
 

@@ -66,8 +66,18 @@ object Xlsx {
     * as openpyxl/COM. */
   private val ExcelEpoch = java.time.LocalDate.of(1899, 12, 30)
 
-  def dateSerial(d: java.time.LocalDate): Double =
+  /** First date for which the 1899-12-30 anchor is exact (serials for
+    * 1900-01-01..1900-02-28 are off by one under this convention). */
+  private val MinExactDate = java.time.LocalDate.of(1900, 3, 1)
+
+  def dateSerial(d: java.time.LocalDate): Double = {
+    // refuse rather than silently corrupt: the documented validity
+    // window of the Lotus-compatible epoch starts at 1900-03-01
+    require(!d.isBefore(MinExactDate),
+      s"date $d predates 1900-03-01; the 1900 serial date system cannot " +
+        "represent it exactly (Lotus leap-year bug) — write it as a string")
     java.time.temporal.ChronoUnit.DAYS.between(ExcelEpoch, d).toDouble
+  }
 
   def dateTimeSerial(dt: java.time.LocalDateTime): Double =
     dateSerial(dt.toLocalDate) +
@@ -121,10 +131,16 @@ object Xlsx {
         """</Types>""")
     // styles: fill k (1-based in Cell.style) -> cellXf index k; xf 0 =
     // none. Fill ids 0/1 are reserved (none/gray125) per the OOXML spec.
-    // Two trailing xfs carry the built-in date (numFmtId 14) and
-    // datetime (numFmtId 22) number formats for SDate/SDateTime cells.
+    // After the fill xfs come the built-in date (numFmtId 14) and
+    // datetime (numFmtId 22) xfs for unstyled SDate/SDateTime cells,
+    // then one (date, datetime) xf pair PER FILL so a date cell that
+    // also carries a highlight keeps both its number format and its
+    // fill (a date xf that ignored Cell.style would silently drop
+    // diff highlights on changed date cells).
     val dateXf = fills.size + 1
     val dateTimeXf = fills.size + 2
+    def dateFillXf(style: Int) = fills.size + 2 + (style - 1) * 2 + 1
+    def dateTimeFillXf(style: Int) = fills.size + 2 + (style - 1) * 2 + 2
     part("xl/styles.xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
@@ -138,11 +154,14 @@ object Xlsx {
         """</fills>""" +
         """<borders count="1"><border/></borders>""" +
         """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
-        s"""<cellXfs count="${fills.size + 3}"><xf/>""" +
+        s"""<cellXfs count="${fills.size * 3 + 3}"><xf/>""" +
         fills.indices.map(i =>
           s"""<xf fillId="${i + 2}" applyFill="1"/>""").mkString +
         """<xf numFmtId="14" applyNumberFormat="1"/>""" +
         """<xf numFmtId="22" applyNumberFormat="1"/>""" +
+        fills.indices.map(i =>
+          s"""<xf numFmtId="14" applyNumberFormat="1" fillId="${i + 2}" applyFill="1"/>""" +
+            s"""<xf numFmtId="22" applyNumberFormat="1" fillId="${i + 2}" applyFill="1"/>""").mkString +
         """</cellXfs></styleSheet>""")
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -184,9 +203,11 @@ object Xlsx {
             w.write(s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
           case SNum(v) => w.write(s"""<c r="$ref"$s><v>$v</v></c>""")
           case SDate(serial) =>
-            w.write(s"""<c r="$ref" s="$dateXf"><v>${serial.toLong}</v></c>""")
+            val xf = if (c.style > 0) dateFillXf(c.style) else dateXf
+            w.write(s"""<c r="$ref" s="$xf"><v>${serial.toLong}</v></c>""")
           case SDateTime(serial) =>
-            w.write(s"""<c r="$ref" s="$dateTimeXf"><v>$serial</v></c>""")
+            val xf = if (c.style > 0) dateTimeFillXf(c.style) else dateTimeXf
+            w.write(s"""<c r="$ref" s="$xf"><v>$serial</v></c>""")
           case SBool(v) => w.write(s"""<c r="$ref"$s t="b"><v>${if (v) 1 else 0}</v></c>""")
           case SRuns(runs) =>
             w.write(s"""<c r="$ref"$s t="inlineStr"><is>""")
@@ -206,6 +227,223 @@ object Xlsx {
       zip.closeEntry()
     }
     zip.finish()
+  }
+
+  // --------------------------------------------------- highlight-in-place
+
+  /** Copy a source workbook package verbatim, adding highlight `fills`
+    * (ARGB) to its styles and applying per-cell edits to ONE sheet:
+    * each cell in `marks` gets a cellXf CLONING its original xf with
+    * the fill applied on top (fonts, borders, number formats, alignment
+    * all survive), and cells in `runsAt` are additionally replaced by
+    * bold-red rich-text runs. Every other byte of the package — shared
+    * strings, merged cells, column widths, other sheets, themes —
+    * passes through untouched. This is the reference's mutate-and-save
+    * semantic (Compare.py:123-126 opens Q2 with styles and saves a copy
+    * where only the diff fills are added).
+    *
+    * `marks` values are 1-based indices into `fills`. Marks on cells
+    * with no element in the sheet XML are inserted at the end of their
+    * row (ECMA-376 imposes no intra-row order; readers are tolerant).
+    * A cell replaced by rich text loses a formula if it had one — same
+    * as the reference, which overwrites the cell value with diffed
+    * text. */
+  def highlightCopy(srcPath: String, out: OutputStream,
+                    sheetName: Option[String], fills: Seq[String],
+                    marks: Map[(Int, Int), Int],
+                    runsAt: Map[(Int, Int), Seq[(String, Boolean)]] = Map.empty): Unit = {
+    val zin = new ZipInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(srcPath)))
+    val parts = mutable.LinkedHashMap[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) parts(e.getName) = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    zin.close()
+
+    val names = parts.get("xl/workbook.xml").map(parseSheetNames).getOrElse(Seq.empty)
+    val idx = sheetName.map(n => names.indexOf(n)).filter(_ >= 0).getOrElse(0)
+    val sheetPart = s"xl/worksheets/sheet${idx + 1}.xml"
+    require(parts.contains(sheetPart), s"missing $sheetPart in $srcPath")
+    require(parts.contains("xl/styles.xml"),
+      s"$srcPath has no xl/styles.xml; highlightCopy patches existing styles")
+
+    val cellStyles = parseCellStyleIdx(parts(sheetPart))
+    val styleOf: ((Int, Int)) => Int = rc => cellStyles.getOrElse(rc, 0)
+    val combos: Seq[(Int, Int)] = marks.toSeq
+      .map { case (rc, f) => (styleOf(rc), f) }.distinct.sorted
+    val (patchedStyles, comboXf) = patchStyles(
+      new String(parts("xl/styles.xml"), "UTF-8"), fills, combos)
+    val patchedSheet = patchSheet(new String(parts(sheetPart), "UTF-8"),
+      rc => comboXf((styleOf(rc), marks(rc))), marks, runsAt)
+
+    val zout = new ZipOutputStream(out)
+    parts.foreach { case (name, bytes) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(name match {
+        case "xl/styles.xml" => patchedStyles.getBytes("UTF-8")
+        case `sheetPart` => patchedSheet.getBytes("UTF-8")
+        case _ => bytes
+      })
+      zout.closeEntry()
+    }
+    zout.finish()
+  }
+
+  /** Per-cell style index (`s` attribute) of a sheet part; cells
+    * without one are xf 0 and omitted. */
+  private def parseCellStyleIdx(bytes: Array[Byte]): Map[(Int, Int), Int] = {
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val out = mutable.Map[(Int, Int), Int]()
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "c") {
+        val ref = r.getAttributeValue(null, "r")
+        val s = Option(r.getAttributeValue(null, "s")).map(_.toInt).getOrElse(0)
+        if (ref != null && s > 0) out(parseRef(ref)) = s
+      }
+    }
+    out.toMap
+  }
+
+  /** Append `fills` and one cellXf per (original xf, fill) combo to an
+    * existing styles.xml; the combo xf is the original xf element with
+    * fillId overridden, so every other facet of the original style is
+    * retained. Returns the patched XML and combo -> new xf index. */
+  private def patchStyles(xml: String, fills: Seq[String],
+                          combos: Seq[(Int, Int)]): (String, Map[(Int, Int), Int]) = {
+    require(xml.contains("</fills>") && xml.contains("</cellXfs>"),
+      "styles.xml lacks fills/cellXfs sections")
+    val fillCountRe = """<fills count="(\d+)"""".r
+    val oldFillCount = fillCountRe.findFirstMatchIn(xml)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException("fills has no count attr"))
+    var x = xml.replaceFirst(s"""<fills count="$oldFillCount"""",
+      s"""<fills count="${oldFillCount + fills.size}"""")
+    val fillXml = fills.map(argb =>
+      s"""<fill><patternFill patternType="solid"><fgColor rgb="$argb"/><bgColor indexed="64"/></patternFill></fill>""")
+      .mkString
+    x = x.replace("</fills>", fillXml + "</fills>")
+
+    val start = x.indexOf("<cellXfs")
+    val tagEnd = x.indexOf('>', start)
+    val end = x.indexOf("</cellXfs>")
+    require(start >= 0 && end > tagEnd)
+    val inner = x.substring(tagEnd + 1, end)
+    val xfRe = """(?s)<xf\b[^>]*?(?:/>|>.*?</xf>)""".r
+    val xfs = xfRe.findAllIn(inner).toVector
+    val newXfs = combos.map { case (orig, fill) =>
+      val base = if (orig >= 0 && orig < xfs.size) xfs(orig) else "<xf/>"
+      withFillId(base, oldFillCount + fill - 1)
+    }
+    val comboMap = combos.zipWithIndex
+      .map { case (c, i) => c -> (xfs.size + i) }.toMap
+    val oldTag = x.substring(start, tagEnd + 1)
+    val newTag =
+      if (oldTag.contains("count=\""))
+        oldTag.replaceAll("""count="\d+"""", s"""count="${xfs.size + combos.size}"""")
+      else oldTag
+    x = x.substring(0, start) + newTag + inner + newXfs.mkString +
+      "</cellXfs>" + x.substring(end + "</cellXfs>".length)
+    (x, comboMap)
+  }
+
+  /** Clone an `<xf .../>` element with its fillId replaced. */
+  private def withFillId(xf: String, fillId: Int): String = {
+    val tagEnd = xf.indexOf('>')
+    var tag = xf.substring(0, tagEnd)
+    val selfClosing = tag.endsWith("/")
+    if (selfClosing) tag = tag.dropRight(1)
+    tag = tag.replaceAll("""\s+fillId="\d+"""", "")
+      .replaceAll("""\s+applyFill="[^"]*"""", "") +
+      s""" fillId="$fillId" applyFill="1""""
+    tag + (if (selfClosing) "/>" else ">") + xf.substring(tagEnd + 1)
+  }
+
+  /** Rewrite a sheet XML: marked cells get their new xf (and rich-text
+    * replacement where present); marks without a cell element are
+    * appended inside (or as) their row. */
+  private def patchSheet(xml: String, newXfFor: ((Int, Int)) => Int,
+                         marks: Map[(Int, Int), Int],
+                         runsAt: Map[(Int, Int), Seq[(String, Boolean)]]): String = {
+    def quoted(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+    val seen = mutable.Set[(Int, Int)]()
+    val cellRe = """(?s)<c\b[^>]*?(?:/>|>.*?</c>)""".r
+    val refRe = """\br="([A-Z]+\d+)"""".r
+    var x = cellRe.replaceAllIn(xml, m => {
+      val elem = m.matched
+      refRe.findFirstMatchIn(elem).map(_.group(1)) match {
+        case Some(ref) =>
+          val rc = parseRef(ref)
+          if (!marks.contains(rc)) quoted(elem)
+          else {
+            seen += rc
+            val s = newXfFor(rc)
+            quoted(runsAt.get(rc) match {
+              case Some(runs) => richTextCell(ref, s, runs)
+              case None => setStyleAttr(elem, s)
+            })
+          }
+        case None => quoted(elem)
+      }
+    })
+    val missingByRow: Map[Int, Seq[(Int, Int)]] =
+      (marks.keySet -- seen).toSeq.sorted.groupBy(_._1)
+    if (missingByRow.nonEmpty) {
+      def newCells(r: Int): String = missingByRow(r).map { rc =>
+        runsAt.get(rc) match {
+          case Some(runs) =>
+            richTextCell(colLetter(rc._2) + rc._1, newXfFor(rc), runs)
+          case None =>
+            s"""<c r="${colLetter(rc._2)}${rc._1}" s="${newXfFor(rc)}"/>"""
+        }
+      }.mkString
+      val doneRows = mutable.Set[Int]()
+      val rowRe = """(?s)<row\b[^>]*?(?:/>|>.*?</row>)""".r
+      val rowNumRe = """\br="(\d+)"""".r
+      x = rowRe.replaceAllIn(x, m => {
+        val elem = m.matched
+        rowNumRe.findFirstMatchIn(elem).map(_.group(1).toInt) match {
+          case Some(r) if missingByRow.contains(r) =>
+            doneRows += r
+            quoted(
+              if (elem.endsWith("/>")) elem.dropRight(2) + ">" + newCells(r) + "</row>"
+              else elem.stripSuffix("</row>") + newCells(r) + "</row>")
+          case _ => quoted(elem)
+        }
+      })
+      val leftover = missingByRow.keys.filterNot(doneRows).toSeq.sorted
+      if (leftover.nonEmpty) {
+        val rowsXml = leftover
+          .map(r => s"""<row r="$r">${newCells(r)}</row>""").mkString
+        x = if (x.contains("</sheetData>"))
+          x.replace("</sheetData>", rowsXml + "</sheetData>")
+        else x.replace("<sheetData/>", s"<sheetData>$rowsXml</sheetData>")
+      }
+    }
+    x
+  }
+
+  private def setStyleAttr(cellElem: String, xf: Int): String = {
+    val tagEnd = cellElem.indexOf('>')
+    var tag = cellElem.substring(0, tagEnd)
+    val selfClosing = tag.endsWith("/")
+    if (selfClosing) tag = tag.dropRight(1)
+    tag = tag.replaceAll("""\s+s="\d+"""", "") + s""" s="$xf""""
+    tag + (if (selfClosing) "/>" else ">") + cellElem.substring(tagEnd + 1)
+  }
+
+  private def richTextCell(ref: String, xf: Int,
+                           runs: Seq[(String, Boolean)]): String = {
+    val sb = new StringBuilder
+    sb.append(s"""<c r="$ref" s="$xf" t="inlineStr"><is>""")
+    runs.zipWithIndex.foreach { case ((tok, changed), i) =>
+      val text = (if (i > 0) " " else "") + tok
+      val pr = if (changed) """<rPr><b/><color rgb="FFFF0000"/></rPr>""" else ""
+      sb.append(s"""<r>$pr<t xml:space="preserve">${xmlEscape(text)}</t></r>""")
+    }
+    sb.append("</is></c>")
+    sb.toString
   }
 
   // ----------------------------------------------------------------- read

@@ -14,6 +14,8 @@ class ExcelSpec extends SparkSpec {
   private def tmpDir: String =
     Files.createTempDirectory("excel_spec").toString
 
+  import XlsxTestUtil.{cellXf, fillOf, zipPart}
+
   test("xlsx write -> read round-trips strings, numbers, blanks") {
     val dir = tmpDir
     val df = Seq(("a", 1.5, "x"), ("b", 2.0, null), ("c & <d>", 3.25, "z"))
@@ -174,16 +176,84 @@ class ExcelSpec extends SparkSpec {
     val sheetXml = entry("xl/worksheets/sheet1.xml")
     val stylesXml = entry("xl/styles.xml")
     zf.close()
-    assert(sheetXml.contains("""<c r="B2" s="1""""))   // CHANGED -> fill 1
-    assert(sheetXml.contains("""<c r="A4" s="3""""))   // NEW row -> fill 3
-    assert(sheetXml.contains("""<c r="B4" s="3""""))
-    assert(!sheetXml.contains("""<c r="B3" s="""))     // UNCHANGED unstyled
-    assert(stylesXml.contains("FFADD8E6") && stylesXml.contains("FFFFFF00"))
+    // resolve each cell's style ref through cellXfs -> fills to the ARGB
+    // (in-place highlighting appends combo xfs after the source's own,
+    // so absolute indices are layout-dependent)
+    assert(fillOf(stylesXml, cellXf(sheetXml, "B2")) == Some("FFADD8E6")) // CHANGED
+    assert(fillOf(stylesXml, cellXf(sheetXml, "A4")) == Some("FFFFFF00")) // NEW row
+    assert(fillOf(stylesXml, cellXf(sheetXml, "B4")) == Some("FFFFFF00"))
+    assert(cellXf(sheetXml, "B3").isEmpty)             // UNCHANGED unstyled
     // rich-text word runs: unchanged token plain, changed token bold red
     assert(sheetXml.contains(
       """<r><t xml:space="preserve">alpha</t></r>""" +
         """<r><rPr><b/><color rgb="FFFF0000"/></rPr>""" +
         """<t xml:space="preserve"> new</t></r>"""), sheetXml.take(2000))
+  }
+
+  test("highlightCopy preserves pre-existing styling, layers fills on top") {
+    val dir = tmpDir
+    val src = s"$dir/styled.xlsx"
+    // source workbook with its own styling: a green-filled cell (A2) and
+    // a typed date cell (B2, numFmtId 14)
+    val cells = Seq(
+      Xlsx.Cell(1, 1, Xlsx.SStr("id")), Xlsx.Cell(1, 2, Xlsx.SStr("when")),
+      Xlsx.Cell(2, 1, Xlsx.SStr("k1"), style = 1),
+      Xlsx.Cell(2, 2, Xlsx.SDate(Xlsx.dateSerial(LocalDate.of(2026, 3, 5)))),
+      Xlsx.Cell(3, 1, Xlsx.SStr("k2")), Xlsx.Cell(3, 2, Xlsx.SStr("plain")))
+    val o0 = new java.io.FileOutputStream(src)
+    try Xlsx.write(o0, Seq("Sheet1" -> cells.iterator), fills = Seq("FF00FF00"))
+    finally o0.close()
+    val srcSheetXml = zipPart(src, "xl/worksheets/sheet1.xml")
+    val srcA2 = cellXf(srcSheetXml, "A2")
+
+    // highlight the DATE cell as CHANGED (blue)
+    val outP = s"$dir/styled_hl.xlsx"
+    val o1 = new java.io.FileOutputStream(outP)
+    try Xlsx.highlightCopy(src, o1, None, Seq("FFADD8E6"), Map((2, 2) -> 1))
+    finally o1.close()
+
+    val sheetXml = zipPart(outP, "xl/worksheets/sheet1.xml")
+    val stylesXml = zipPart(outP, "xl/styles.xml")
+    // the pre-styled unmarked cell keeps its exact original style index
+    // and its green fill still resolves
+    assert(cellXf(sheetXml, "A2") == srcA2)
+    assert(fillOf(stylesXml, cellXf(sheetXml, "A2")) == Some("FF00FF00"))
+    // the marked date cell gets the blue fill AND keeps its date format:
+    // the combo xf clones the original (numFmtId 14) with fillId replaced
+    assert(fillOf(stylesXml, cellXf(sheetXml, "B2")) == Some("FFADD8E6"))
+    val cx = stylesXml.substring(stylesXml.indexOf("<cellXfs"),
+      stylesXml.indexOf("</cellXfs>"))
+    val xfs = """(?s)<xf\b[^>]*?(?:/>|>.*?</xf>)""".r.findAllIn(cx).toVector
+    assert(xfs(cellXf(sheetXml, "B2").get).contains("""numFmtId="14""""))
+    // values survive: the date still reads back as a date string
+    val back = ExcelScan.loadSheet(outP, None)
+    assert(back(2, 2) == "2026-03-05" && back(2, 1) == "k1" &&
+      back(3, 2) == "plain")
+  }
+
+  test("date cells with a highlight style keep both format and fill") {
+    val dir = tmpDir
+    val p = s"$dir/datefill.xlsx"
+    val cells = Seq(Xlsx.Cell(1, 1,
+      Xlsx.SDate(Xlsx.dateSerial(LocalDate.of(2026, 7, 1))), style = 2))
+    val o = new java.io.FileOutputStream(p)
+    try Xlsx.write(o, Seq("S" -> cells.iterator),
+      fills = Seq("FFADD8E6", "FFFFC0CB")) finally o.close()
+    val sheetXml = zipPart(p, "xl/worksheets/sheet1.xml")
+    val stylesXml = zipPart(p, "xl/styles.xml")
+    assert(fillOf(stylesXml, cellXf(sheetXml, "A1")) == Some("FFFFC0CB"))
+    val cx = stylesXml.substring(stylesXml.indexOf("<cellXfs"),
+      stylesXml.indexOf("</cellXfs>"))
+    val xfs = """(?s)<xf\b[^>]*?(?:/>|>.*?</xf>)""".r.findAllIn(cx).toVector
+    assert(xfs(cellXf(sheetXml, "A1").get).contains("""numFmtId="14""""))
+    assert(Xlsx.read(new java.io.FileInputStream(p)).head(1, 1) == "2026-07-01")
+  }
+
+  test("dateSerial refuses pre-1900-03-01 dates instead of corrupting") {
+    intercept[IllegalArgumentException] {
+      Xlsx.dateSerial(LocalDate.of(1900, 2, 28))
+    }
+    assert(Xlsx.dateSerial(LocalDate.of(1900, 3, 1)) == 61.0)
   }
 
   test("compare pipeline over two workbooks classifies changes (e2e)") {
