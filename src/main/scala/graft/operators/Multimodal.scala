@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode / feature-extract runs per-partition in
   * batch form.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs): `stubDecodeFeatures` derives a deterministic fake feature
-  * vector from the bytes. Everything around it — schema, the
-  * binary+metadata column convention, the per-partition batch iteration,
-  * partition sizing — is the real plumbing a codec-backed implementation
-  * would drop into.
+  * IMAGE decode is REAL: `kind = "image"` blobs go through
+  * `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JDK) and the feature
+  * vector is grid-pooled mean luminance over the decoded pixels. Audio/
+  * video decode stays STUBBED (no codecs in this container):
+  * `stubDecodeFeatures` derives a deterministic fake vector from the
+  * bytes, and undecodable image blobs fall back to it too (the
+  * `decoder` output field says which path ran). Everything around the
+  * decode — schema, the binary+metadata column convention, the
+  * per-partition batch iteration, partition sizing — is shared.
   *
   * Scale notes: blobs never pass through a shuffle wider than their
   * partition (feature extraction is mapPartitions — narrow); metadata-only
@@ -21,9 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed result row of the feature-extraction stage. */
+  /** Typed result row of the feature-extraction stage; `decoder` is
+    * "imageio" when the blob was really decoded, "stub" otherwise. */
   case class MediaFeatures(media_id: Long, n_bytes: Int, content_md5: String,
-                           features: Array[Float])
+                           features: Array[Float], decoder: String)
 
   /** Wrap a source with a text-ish payload column into the multimodal
     * convention: (media_id, blob binary, meta struct<n_bytes, kind>). */
@@ -55,21 +59,70 @@ object Multimodal {
     out
   }
 
+  /** Real image decode: grid-pooled mean luminance (BT.601 weights) of
+    * the decoded pixels, pooled into a ceil(sqrt(dim))-wide cell grid —
+    * deterministic, partition-independent, and sensitive to actual
+    * image content (unlike the byte stub). None when `javax.imageio`
+    * has no reader for the bytes. */
+  private[operators] def decodeImageFeatures(bytes: Array[Byte],
+                                             dim: Int): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val gh = math.ceil(dim.toDouble / gw).toInt
+      val out = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        val gy = math.min(gh - 1, y * gh / img.getHeight)
+        var x = 0
+        while (x < img.getWidth) {
+          val gx = math.min(gw - 1, x * gw / img.getWidth)
+          val cell = gy * gw + gx
+          if (cell < dim) {
+            val rgb = img.getRGB(x, y)
+            out(cell) += (((rgb >> 16) & 0xff) * 0.299f +
+              ((rgb >> 8) & 0xff) * 0.587f + (rgb & 0xff) * 0.114f) / 255.0f
+            counts(cell) += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      var d = 0
+      while (d < dim) { if (counts(d) > 0) out(d) /= counts(d); d += 1 }
+      Some(out)
+    }
+  }
+
   /** Per-partition batch feature extraction over a media table produced
-    * by [[asMediaTable]]. mapPartitions (not a per-row UDF) so a real
-    * decoder could amortize codec/model setup per batch — the Scala
-    * analog of `mapInPandas` batch shape. */
+    * by [[asMediaTable]]. mapPartitions (not a per-row UDF) so the
+    * decoder amortizes codec setup per batch — the Scala analog of
+    * `mapInPandas` batch shape. `kind = "image"` rows are REALLY
+    * decoded ([[decodeImageFeatures]]); other kinds, and image blobs
+    * ImageIO cannot parse, take the deterministic stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select(col("media_id"), col("blob"))
-      .as[(Long, Array[Byte])]
+    media.select(col("media_id"), col("blob"), col("meta.kind").as("kind"))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // per-partition setup would happen here (codec init, model load)
-        rows.map { case (id, bytes) =>
+        // per-partition codec setup: no ImageIO disk cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes, kind) =>
           val md5 = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString
-          MediaFeatures(id, bytes.length, md5, stubDecodeFeatures(bytes, dim))
+          val (features, decoder) =
+            if (kind == "image")
+              decodeImageFeatures(bytes, dim) match {
+                case Some(f) => (f, "imageio")
+                case None => (stubDecodeFeatures(bytes, dim), "stub")
+              }
+            else (stubDecodeFeatures(bytes, dim), "stub")
+          MediaFeatures(id, bytes.length, md5, features, decoder)
         }
       }
   }

@@ -26,6 +26,49 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(_.length == 16))
   }
 
+  private def pngBytes(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("extractFeatures really decodes image blobs via javax.imageio") {
+    // 8x8 PNG: left half black, right half white -> with dim=4 the 2x2
+    // luminance grid must read [left~0, right~1, left~0, right~1]
+    val png = pngBytes(8, 8, (x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val imgDf = Seq((1L, png)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(imgDf, "id", "payload", "image"), dim = 4)
+      .collect().head
+    assert(feats.decoder == "imageio")
+    assert(feats.n_bytes == png.length)
+    val f = feats.features
+    assert(f.length == 4)
+    assert(math.abs(f(0)) < 1e-3 && math.abs(f(2)) < 1e-3, f.toSeq)   // black
+    assert(math.abs(f(1) - 1.0) < 1e-3 && math.abs(f(3) - 1.0) < 1e-3, f.toSeq)
+    // decode is content-sensitive, not byte-stripe: inverted image flips it
+    val inv = pngBytes(8, 8, (x, _) => if (x < 4) 0xFFFFFF else 0x000000)
+    val f2 = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(Seq((1L, inv)).toDF("id", "payload"),
+        "id", "payload", "image"), dim = 4).collect().head.features
+    assert(math.abs(f2(0) - 1.0) < 1e-3 && math.abs(f2(1)) < 1e-3)
+  }
+
+  test("extractFeatures falls back to the stub for undecodable blobs") {
+    // kind=image but not an image -> stub path, flagged as such
+    val junk = Seq((7L, "not actually an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val r = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(junk, "id", "payload", "image")).collect().head
+    assert(r.decoder == "stub")
+    // non-image kinds never attempt a decode
+    val txt = Multimodal.extractFeatures(spark, media).collect()
+    assert(txt.forall(_.decoder == "stub"))
+  }
+
   test("resize: bounded output size, deterministic") {
     val out = Multimodal.resize(spark, media, 8, 8).collect()
     assert(out.forall(r => r.blob.length <= 64 && r.blob.nonEmpty))
