@@ -2,15 +2,18 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** JDBC source configuration surface (reference SRC1: the ODBC
+/** JDBC source (reference SRC1: the ODBC
   * `SELECT * FROM Working_Table_Uploadtest_V2` scan, Download.py:78-86 /
   * Upload.py:116-123) on Spark's JDBC connector — which, unlike the
   * reference, pushes filters and prunes columns into the database
   * (SURVEY.md §4.1) and can split the scan into `numPartitions` parallel
   * range queries.
   *
-  * No database exists in the test environment; `jdbcUrl` and the option
-  * map are unit-testable, `read` is exercised in deployments.
+  * No SQL Server exists in the test environment, so the sqlserver URL
+  * builder is unit-tested only; `read`/`write` themselves are exercised
+  * live against an in-process embedded Derby database (on the Spark
+  * classpath) in JdbcSourceSpec — same connector code path as any
+  * production database, different dialect.
   */
 object JdbcSource {
 
@@ -50,4 +53,12 @@ object JdbcSource {
 
   def read(spark: SparkSession, options: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(options).load()
+
+  /** Write a relation into a database table. `batchsize` batches the
+    * inserts per round trip; each Spark partition opens one connection,
+    * so upstream partitioning controls write parallelism. */
+  def write(df: DataFrame, options: Map[String, String],
+            mode: String = "overwrite", batchSize: Int = 10000): Unit =
+    df.write.format("jdbc").options(options)
+      .option("batchsize", batchSize.toString).mode(mode).save()
 }
