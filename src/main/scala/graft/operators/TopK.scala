@@ -22,16 +22,45 @@ object TopK {
   type In = (Long, Long, Double)
   type Entry = (Double, Long)
 
+  /** Buffer invariant: ascending "badness" — the WORST surviving entry
+    * is at the head, so the common case (an input that doesn't make the
+    * cut once the buffer is full) is an O(1) head comparison, a
+    * qualifying insert is O(position), and merging two buffers is one
+    * O(k) sorted-list merge. The previous implementation re-sorted the
+    * whole buffer on every row (O(k log k) per input) — the wrong shape
+    * for the bounded ordered sketch this advertises. A binary heap has
+    * the same bounds; the sorted list keeps the buffer a plain
+    * `List[Entry]` that Spark's ExpressionEncoder serializes natively. */
   class TopKAggregator(k: Int) extends Aggregator[In, List[Entry], Seq[Entry]] {
-    private def ord: Ordering[Entry] =
-      Ordering.by[Entry, (Double, Long)] { case (v, id) => (-v, id) }
-    private def trim(xs: List[Entry]): List[Entry] = xs.sorted(ord).take(k)
+    // strict total order: a ranks strictly worse than b
+    // (smaller value, or same value with the larger id)
+    private def worseThan(a: Entry, b: Entry): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+
+    private def insert(b: List[Entry], e: Entry): List[Entry] =
+      if (k == 0 || (b.lengthCompare(k) >= 0 && worseThan(e, b.head))) b
+      else {
+        val (worse, better) = b.span(worseThan(_, e))
+        val grown = worse ::: e :: better
+        if (grown.lengthCompare(k) > 0) grown.tail else grown
+      }
+
     override def zero: List[Entry] = Nil
     override def reduce(b: List[Entry], a: In): List[Entry] =
-      trim((a._3, a._2) :: b)
-    override def merge(b1: List[Entry], b2: List[Entry]): List[Entry] =
-      trim(b1 ++ b2)
-    override def finish(r: List[Entry]): Seq[Entry] = r.sorted(ord)
+      insert(b, (a._3, a._2))
+    override def merge(b1: List[Entry], b2: List[Entry]): List[Entry] = {
+      @annotation.tailrec
+      def go(x: List[Entry], y: List[Entry], acc: List[Entry]): List[Entry] =
+        (x, y) match {
+          case (Nil, r) => acc reverse_::: r
+          case (l, Nil) => acc reverse_::: l
+          case (xh :: xt, yh :: yt) =>
+            if (worseThan(xh, yh)) go(xt, y, xh :: acc) else go(x, yt, yh :: acc)
+        }
+      val merged = go(b1, b2, Nil)
+      merged.drop(math.max(0, merged.length - k))
+    }
+    override def finish(r: List[Entry]): Seq[Entry] = r.reverse
     override def bufferEncoder: Encoder[List[Entry]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
   }

@@ -50,6 +50,29 @@ class MergeProfilerSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("TopKAggregator: bounded-buffer invariants (ties, merge order, k)") {
+    import graft.operators.TopK
+    val agg = new TopK.TopKAggregator(3)
+    val rows: Seq[TopK.In] = Seq((1L, 10L, 5.0), (1L, 11L, 5.0),
+      (1L, 12L, 1.0), (1L, 13L, 9.0), (1L, 14L, 2.0))
+    // two partial buffers then a merge — the distributed execution path
+    val (p1, p2) = rows.splitAt(2)
+    val b1 = p1.foldLeft(agg.zero)(agg.reduce)
+    val b2 = p2.foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(agg.merge(b1, b2))
+    assert(out == Seq((9.0, 13L), (5.0, 10L), (5.0, 11L))) // desc val, asc id
+    assert(agg.finish(agg.merge(b2, b1)) == out)           // merge commutes
+    // the partial buffer is bounded by k at every step
+    assert(rows.scanLeft(agg.zero)(agg.reduce).forall(_.lengthCompare(3) <= 0))
+    // k exceeding the group size returns everything, fully ordered
+    val agg9 = new TopK.TopKAggregator(9)
+    assert(agg9.finish(rows.foldLeft(agg9.zero)(agg9.reduce)) ==
+      Seq((9.0, 13L), (5.0, 10L), (5.0, 11L), (2.0, 14L), (1.0, 12L)))
+    // k = 0 stays empty
+    val agg0 = new TopK.TopKAggregator(0)
+    assert(agg0.finish(rows.foldLeft(agg0.zero)(agg0.reduce)).isEmpty)
+  }
+
   test("constraint checks return violations only") {
     val df = Seq((1L, "ok"), (2L, null), (2L, "dup")).toDF("k", "v")
     assert(Profiler.checkNotNull(df, Seq("v")).count() == 1)
