@@ -1613,6 +1613,15 @@ object QueryCatalog {
       // shingle-blocked exact pair list whenever both blockers reach all
       // >= 0.5 pairs — verified hash-identical at sf0.001/0.01/0.1, so
       // the ngram oracle doubles as a recall gate for the LSH path.
+      // ASSUMPTION (data-dependent, not an invariant): both blockers
+      // reaching every >= 0.5 pair holds for the CURRENT corpora, whose
+      // near-dup pairs are planted exact copies (always co-bucketed AND
+      // always sharing rare shingles). If the test corpus is ever
+      // regenerated with borderline organic pairs, a single pair missed
+      // by one blocker flips this gate red without a code bug — in that
+      // case relax to a subset+recall assertion instead of hash
+      // equality (DedupSimilaritySpec already covers divergent-blocker
+      // corpora explicitly).
       (s, d) => Dedup.exactJaccardLshBlocked(plantedDocs(s, d),
         "doc_id", "text"),
       Some(s"""WITH $ngramPairsCtes
