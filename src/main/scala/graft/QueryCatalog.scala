@@ -1653,6 +1653,31 @@ object QueryCatalog {
               |SELECT id, min(label) AS cluster_id FROM walk GROUP BY id"""
         .stripMargin)),
 
+    Q("q_neardup_corpus", // one-call corpus dedup: pairs -> components
+      // -> keep min-id canonical per cluster, with absorbed-count.
+      // Oracle extends the q_dup_clusters recursive closure with the
+      // canonical filter + cluster sizes + the untouched remainder.
+      (s, d) => Dedup.nearDedup(plantedDocs(s, d), "doc_id", "text",
+        minJaccard = 0.8),
+      Some(s"""WITH RECURSIVE $ngramPairsCtes,
+              |np8 AS (SELECT id_a, id_b FROM np WHERE jac >= 0.8),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM np8
+              |          UNION SELECT id_b, id_a FROM np8),
+              |walk AS (
+              |  SELECT a AS id, a AS label FROM edges
+              |  UNION
+              |  SELECT w.id, e.b AS label
+              |  FROM walk w JOIN edges e ON e.a = w.label),
+              |comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+              |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+              |          FROM comp GROUP BY cluster_id)
+              |SELECT d.doc_id,
+              |  CAST(COALESCE(s.n_members, 1) AS BIGINT) AS n_members
+              |FROM docs d
+              |LEFT JOIN comp c ON c.id = d.doc_id
+              |LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+              |WHERE c.id IS NULL OR c.id = c.cluster_id""".stripMargin)),
+
     Q("q_weighted_avg", // extendedprice-weighted average discount
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -417,4 +417,39 @@ object Dedup {
     // array_intersect over full arrays.
     exactJaccardForCandidates(survivors, exploded, minJaccard)
   }
+
+  /** End-to-end near-duplicate corpus dedup — the one-call form of the
+    * pipeline a training-data curation job runs: near-dup pair
+    * generation ([[ngramJaccardPairs]]: exact Jaccard over blocked
+    * candidates) -> connected components ([[clusterPairs]]) -> keep
+    * each cluster's canonical (min-id) document.
+    *
+    * Returns `(idCol, n_members)`: every non-duplicate document plus
+    * one representative per duplicate cluster, where `n_members` is how
+    * many near-dups the kept row absorbed (1 for docs in no cluster).
+    * Join back to the source on `idCol` for the surviving payloads.
+    *
+    * Scale shape: the cluster relation only contains documents that
+    * appear in some near-dup pair (tiny vs the corpus at real dup
+    * rates); the corpus-sized work is one anti-join plus one left join,
+    * both shuffling on the id key. */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3, minJaccard: Double = 0.8,
+                maxDocFreq: Int = 20): DataFrame = {
+    val clusters = clusterPairs(
+      ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard, maxDocFreq))
+    // cluster_id is the component's min id, so the canonical row is the
+    // one whose own id equals it
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val canon = clusters.filter(col("id") === col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("id").as(idCol), col("n_members"))
+    val dropIds = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.select(col(idCol))
+      .join(dropIds, Seq(idCol), "left_anti")
+      .join(canon, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_members"), lit(1L)).as("n_members"))
+  }
 }

@@ -271,6 +271,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expected.nonEmpty) // the planted mutations must be found
   }
 
+  test("nearDedup keeps one canonical per cluster with absorbed counts") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river"),
+      (3L, "the quick brown fox jumps over the lazy dog by the river"),
+      (4L, "completely different text about spark query engines and shuffles"),
+      (5L, "another unrelated document about parquet and columnar formats"))
+      .toDF("id", "text")
+    val out = Dedup.nearDedup(docs, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    // cluster {1,2,3} collapses to min id 1 with 3 members; 4 and 5
+    // survive untouched with count 1
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("bucket-cap observation counts dropped candidates on a hot bucket") {
     import org.apache.spark.sql.Observation
     // 40 identical docs: every band bucket holds all 40, so a cap of 8
