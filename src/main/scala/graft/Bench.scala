@@ -20,6 +20,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val targets = QueryCatalog.all.filter(_.headline)
     // full warm-up pass (every headline query) so JIT/codegen/
     // file-listing costs — and GC pressure left behind by a heavy
@@ -30,19 +31,35 @@ object Bench {
     }
     // drain warm-up garbage so the first timed queries don't pay for it
     System.gc()
-    val results = targets.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+    // `iters` timed passes per query, interleaved at the pass level so a
+    // slow neighbor's GC debt spreads across all queries instead of
+    // landing on one iteration of one query; per-query we report
+    // best-of-N (min: least-noise estimate of the true cost), mean, and
+    // stddev so regressions can be told apart from run-to-run variance
+    val samples = (0 until iters).map { _ =>
+      targets.map { q =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        q.name -> (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = targets.map { q =>
+      val ts = samples.map(_.find(_._1 == q.name).get._2)
+      val mean = ts.sum / ts.size
+      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+      (q.name, ts.min, mean, sd)
+    }
+    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
+    val stats = results.map { case (k, mn, mean, sd) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.3f,"mean":$mean%.3f,"sd":$sd%.3f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"stats":$stats,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -750,19 +750,63 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
-    Q("q_minhash_pairs", // MinHash+LSH near-dup candidates (non-SQL hashes)
-      (s, d) => Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text"),
-      None, headline = true),
+    Q("q_minhash_pairs", // MinHash+LSH near-dup candidates. The full
+      // pair set isn't SQL-expressible (MinHash estimates), so the gate
+      // pins the planted-duplicate property (the q_approx_distinct
+      // pattern): every planted exact copy with enough tokens for a
+      // signature must surface as a candidate pair with est_jaccard
+      // exactly 1.0 — identical text gives identical signatures, which
+      // co-bucket in every band. The full operator still runs (the
+      // projection left-joins its output), so a recall miss shows as a
+      // null est_jaccard and flips the hash red.
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text")
+        val expected = t(s, d, "documents")
+          .filter(col("doc_id") < 10 && col("text").isNotNull &&
+            trim(col("text")) =!= "" &&
+            size(split(trim(col("text")), "\\s+")) >= 3)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1000000).as("id_b"))
+        expected.join(pairs, Seq("id_a", "id_b"), "left_outer")
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+             |  CAST(1.0 AS DOUBLE) AS est_jaccard
+             |FROM documents
+             |WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
+             |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
+        .stripMargin),
+      headline = true),
 
-    Q("q_simhash", // 64-bit SimHash per doc (non-SQL hashes)
+    Q("q_simhash", // 64-bit SimHash per doc. Signature bits aren't
+      // SQL-expressible (xxhash64), so the gate pins the PROPERTY that
+      // the native codegen'd expression equals the built-ins-only
+      // declarative spec on every document (null-safe equality) — an
+      // implementation==specification check the oracle states as a
+      // constant-true column; any bit divergence on any doc goes red.
       (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sim")),
-      None),
+        .select(col("doc_id"),
+          (Dedup.simhash(col("text")) <=>
+            Dedup.simhashDeclarative(col("text"))).as("sig_ok")),
+      Some("SELECT doc_id, true AS sig_ok FROM documents")),
 
     Q("q_simhash_pairs", // SimHash hamming-neighbor dedup candidates
-      // (Manku et al. WWW'07 banding; exact recall for hamming <= 3)
-      (s, d) => Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text"),
-      None),
+      // (Manku et al. WWW'07 banding; exact recall for hamming <= 3).
+      // Pair set isn't SQL-expressible; the gate pins the planted-copy
+      // property: every planted exact duplicate pair must surface with
+      // hamming 0 (identical text -> identical signature, co-bucketed
+      // in every band). Left join: a recall miss -> null hamming -> red.
+      (s, d) => {
+        val pairs = Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text")
+        val expected = t(s, d, "documents").filter(col("doc_id") < 10)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1000000).as("id_b"))
+        expected.join(pairs, Seq("id_a", "id_b"), "left_outer")
+          .select(col("id_a"), col("id_b"), col("hamming"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+             |  CAST(0 AS BIGINT) AS hamming
+             |FROM documents WHERE doc_id < 10""".stripMargin)),
 
     Q("q_cosine_knn", // brute-force cosine top-k against one query vector
       (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"),
@@ -780,10 +824,40 @@ object QueryCatalog {
              |ORDER BY round(c, 6) DESC, id LIMIT 20""".stripMargin),
       headline = true),
 
-    Q("q_srp_topk", // LSH-bucketed ANN variant (non-SQL hashes)
-      (s, d) => Similarity.srpTopK(t(s, d, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 20, nBits = 4),
-      None, headline = true),
+    Q("q_srp_topk", // LSH-bucketed ANN. Cell membership isn't
+      // SQL-expressible, so the gate pins properties over the planted
+      // corpus (an exact copy of query vector 0 lives at id 1000000):
+      // (a) rank-1 must be the planted duplicate at cos_sim 1.0 — the
+      // recall assertion (exact copies always co-bucket); (b) every
+      // returned similarity must equal the exact cosine recomputed from
+      // the source vectors (Spark-computed flag the oracle pins true) —
+      // the precision assertion; (c) the cell scan fills all k slots.
+      // The recheck join touches only the k result rows, so the ANN
+      // path's bench cost stays the bucketed scan, not a brute force.
+      (s, d) => {
+        val planted = plantedEmbeddings(s, d)
+        val topk = Similarity.srpTopK(planted, "vec_id", "embedding",
+          queryId = 0L, k = 20, nBits = 4)
+        val qv = broadcast(planted.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("__qv")))
+        val rechecked = topk
+          .join(planted.select(col("vec_id").as("id"),
+            col("embedding")), Seq("id"))
+          .join(qv)
+          .select(col("id"), col("cos_sim"),
+            round(Similarity.cosine(col("embedding"), col("__qv")), 6)
+              .as("exact_cos"))
+        val top1 = topk.orderBy(col("cos_sim").desc, col("id")).limit(1)
+          .select(col("id").as("top1_id"), col("cos_sim").as("top1_cos"))
+        top1.crossJoin(rechecked.agg(
+          bool_and(col("cos_sim") === col("exact_cos")).as("sims_exact"),
+          count(lit(1)).as("n_rows")))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  true AS sims_exact, CAST(20 AS BIGINT) AS n_rows"""
+        .stripMargin),
+      headline = true),
 
     Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:
       // O(n^2) all-pairs — the correctness spec for the SRP-blocked
@@ -814,20 +888,44 @@ object QueryCatalog {
              |  md5(text) AS content_md5
              |FROM documents""".stripMargin)),
 
-    Q("q_media_features", // multimodal stub feature extraction (non-SQL;
-      // feature vector serialized as integral 1e6-scaled CSV so the
-      // rows-only check can sort/hash)
+    Q("q_media_features", // multimodal feature extraction. Feature
+      // values aren't SQL-expressible, so the gate pins decode-path
+      // properties per row: text-kind blobs take the stub decoder, the
+      // vector has exactly dim=16 entries, every entry sits in the
+      // stub's provable [0, 2] output range, and — the value check —
+      // the un-normalized feature sum must reconstruct the blob's byte
+      // sum (the stub is stripe-summed bytes / 255 / n): compared
+      // against an INDEPENDENT byte sum from the source text within a
+      // 0.1% float-accumulation tolerance, Spark-computed, oracle-pinned
+      // true (the q_approx_distinct pattern).
       (s, d) => {
-        val media = Multimodal.asMediaTable(t(s, d, "documents"),
-          "doc_id", "text", "text")
-        Multimodal.extractFeatures(s, media).toDF()
+        val docs = t(s, d, "documents")
+        val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text")
+        val feats = Multimodal.extractFeatures(s, media).toDF()
+        // ASCII corpus: per-char code points ARE the utf-8 bytes (the
+        // q_media_meta strlen==n_bytes oracle is the standing proof)
+        val byteSums = docs.select(col("doc_id").as("media_id"),
+          aggregate(split(col("text"), ""), lit(0L),
+            (a, c) => a + when(c =!= "", ascii(c)).otherwise(lit(0)))
+            .as("byte_sum"))
+        val n = greatest(lit(1L), floor(col("n_bytes") / 16).cast("long"))
+        val featSum = aggregate(col("features"), lit(0.0d),
+          (a, f) => a + f.cast("double"))
+        feats.join(byteSums, Seq("media_id"))
           .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
-            col("content_md5"),
-            array_join(transform(col("features"),
-              f => round(f.cast("double") * 1000000).cast("long").cast("string")),
-              ",").as("features_sig"))
+            col("content_md5"), col("decoder"),
+            (size(col("features")) === 16).as("dim_ok"),
+            forall(col("features"), f => f >= 0 && f <= 2).as("range_ok"),
+            when(col("byte_sum") === 0, featSum === 0.0d)
+              .otherwise(abs(featSum * 255.0d * n - col("byte_sum")) <=
+                col("byte_sum").cast("double") * 0.001)
+              .as("checksum_ok"))
       },
-      None),
+      Some("""SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT)
+             |    AS n_bytes,
+             |  md5(text) AS content_md5, 'stub' AS decoder,
+             |  true AS dim_ok, true AS range_ok, true AS checksum_ok
+             |FROM documents""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Tier B, batch 2: statistical aggs, more windows/strings, subqueries
@@ -875,6 +973,27 @@ object QueryCatalog {
              |    AS p90
              |FROM customer GROUP BY c_mktsegment""".stripMargin),
       headline = true),
+
+    Q("q_approx_percentile", // sketch percentiles — the 100 TB path:
+      // exact percentile() buffers every group value; approx_percentile
+      // is a bounded-memory rank sketch with mergeable partials. The
+      // sketch value is engine-specific, so the gate pins rank-tolerance
+      // properties (the q_approx_distinct pattern): at accuracy 1000 the
+      // worst-case rank error is n/1000, so the returned value must land
+      // inside the exact p45..p55 (resp. p85..p95) band — a ~100x wider
+      // margin — and the oracle pins the flags true.
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(c_acctbal, 0.5, 1000)")
+            .between(expr("percentile(c_acctbal, 0.45)"),
+              expr("percentile(c_acctbal, 0.55)")).as("p50_in_band"),
+          expr("approx_percentile(c_acctbal, 0.9, 1000)")
+            .between(expr("percentile(c_acctbal, 0.85)"),
+              expr("percentile(c_acctbal, 0.95)")).as("p90_in_band")),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  true AS p50_in_band, true AS p90_in_band
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
     Q("q_string_funcs2",
       (s, d) => t(s, d, "part").select(
@@ -1925,10 +2044,14 @@ object QueryCatalog {
     Q("q_ivf_topk", // IVF-partitioned ANN: build the hive-partitioned
       // (by SRP cell) index in a temp dir, then a partition-pruned probe
       // of the query vector's cell — the 100 TB ANN path (1/2^nBits of
-      // the corpus scanned). Rows-only: SRP cells aren't SQL-expressible;
-      // DedupSimilaritySpec asserts the probe equals the in-memory
-      // bucketed scan and that the plan is partition-pruned. The 1-row
-      // collect stages the query vector (parameter, not dataflow).
+      // the corpus scanned). Cell membership isn't SQL-expressible, so
+      // the gate pins the planted-duplicate property (the planted
+      // corpus carries an exact copy of query vector 0 at id 1000000,
+      // which always lands in the query's cell): rank-1 of the probe
+      // must be that copy at cos_sim 1.0, with all k slots filled.
+      // DedupSimilaritySpec keeps the full-result check (probe equals
+      // the in-memory bucketed scan; plan is partition-pruned). The
+      // 1-row collect stages the query vector (parameter, not dataflow).
       (s, d) => {
         // deterministic per-(process, sf) path: repeated invocations in
         // one bench run (warm-up + n timed iterations) rebuild in place
@@ -1937,14 +2060,19 @@ object QueryCatalog {
           s"${java.lang.ProcessHandle.current().pid()}_" +
           s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
         TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
-        val emb = t(s, d, "embeddings")
+        val emb = plantedEmbeddings(s, d)
         Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nBits = 4)
         val qVec = emb.filter(col("vec_id") === 0L)
           .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-        Similarity.ivfTopK(s, dir, qVec, k = 21, nBits = 4)
+        val res = Similarity.ivfTopK(s, dir, qVec, k = 21, nBits = 4)
           .filter(col("id") =!= 0L)
+        val top1 = res.orderBy(col("cos_sim").desc, col("id")).limit(1)
+          .select(col("id").as("top1_id"), col("cos_sim").as("top1_cos"))
+        top1.crossJoin(res.agg(count(lit(1)).as("n_rows")))
       },
-      None),
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

@@ -171,9 +171,26 @@ object Dedup {
                              bands: Int = 8, shingleN: Int = 3): DataFrame = {
     val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
       .select(col("id_a"), col("id_b"))
-    exactJaccardForCandidates(candidates,
-      shingleRelation(df, idCol, textCol, shingleN), minJaccard)
+    val exploded = shingleRelation(df, idCol, textCol, shingleN)
+    materializeAndRelease(
+      exactJaccardForCandidates(candidates, exploded, minJaccard), exploded)
   }
+
+  /** Eagerly materializes the (small) pair result, then unpersists the
+    * corpus-sized shingle cache — the persist's lifecycle ends HERE, at
+    * the entry point, instead of waiting on GC: `Dataset.persist`
+    * registers the plan in the session CacheManager, which holds a
+    * strong reference until an explicit unpersist, so returning a lazy
+    * plan over the cache would leak one corpus×shingles MEMORY_AND_DISK
+    * entry per call in a long-lived session (e.g. a curation service).
+    * `localCheckpoint(eager)` stores only the result partitions (pair
+    * lists — tiny next to the corpus) under ContextCleaner-tracked
+    * RDD caching, so callers get a plain lazily-reusable DataFrame with
+    * no cache-entry strings attached. */
+  private def materializeAndRelease(result: DataFrame,
+                                    cached: DataFrame): DataFrame =
+    try result.localCheckpoint(true)
+    finally { cached.unpersist(); () }
 
   /** The narrow exploded (id, shingle) relation, persisted: every
     * Jaccard pipeline references it from several plan branches
@@ -181,8 +198,10 @@ object Dedup {
     * both sides of the intersection join), and without the persist each
     * branch re-runs [[graft.plans.TextExpressions.WordShingles]] over
     * the full corpus. MEMORY_AND_DISK so oversized corpora spill
-    * instead of OOM; the driver-side ContextCleaner unpersists the
-    * block once the query's DataFrame is garbage-collected. */
+    * instead of OOM. Lifecycle: every entry point that builds this
+    * relation ends with [[materializeAndRelease]], which unpersists it
+    * deterministically once the pair result is materialized — the cache
+    * never outlives the call. */
   private def shingleRelation(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int): DataFrame =
     df.filter(hasMinTokens(col(textCol), shingleN))
@@ -369,20 +388,26 @@ object Dedup {
     // array is bounded by maxDocFreq — collect_list over unfiltered
     // shingles would build million-element arrays for stopword-ish
     // shingles at corpus scale (executor OOM), for rows the rare filter
-    // then throws away
+    // then throws away. sort_array so in-array pair expansion below can
+    // emit id_a < id_b positionally.
     val rareIds = exploded
       .join(dfc.filter(col("df_count") <= maxDocFreq &&
         col("df_count") >= 2), Seq("s"))
-      .groupBy(col("s")).agg(collect_list(col("id")).as("ids"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
 
     // Candidate pairs share >= 1 rare shingle; each shared rare shingle
     // contributes one pair row, so the group count IS the shared-rare
     // count `r_inter` (exact, since shingle sets are deduped per doc).
+    // Pairs are generated i<j IN-ARRAY (the minhashPairs slice/transform
+    // shape): the double-explode this replaces materialized all n^2
+    // ordered combinations as rows and then filtered half away — twice
+    // the rows into the aggregation for no information.
+    val pairsExpr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, lit(maxDocFreq)), b =>
+        struct(a.as("id_a"), b.as("id_b")))))
     val candCounts = rareIds
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .select(explode(pairsExpr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("r_inter"))
 
     // LOSSLESS prune before the expensive intersection join (positional-
@@ -415,7 +440,8 @@ object Dedup {
     // shingles, so similarities are exact, not deflated) — see
     // [[exactJaccardForCandidates]] for why this shape, and not
     // array_intersect over full arrays.
-    exactJaccardForCandidates(survivors, exploded, minJaccard)
+    materializeAndRelease(
+      exactJaccardForCandidates(survivors, exploded, minJaccard), exploded)
   }
 
   /** End-to-end near-duplicate corpus dedup — the one-call form of the

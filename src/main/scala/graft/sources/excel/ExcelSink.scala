@@ -29,18 +29,32 @@ object ExcelSink {
 
   val DefaultMaxRows = 1000000 // xlsx hard sheet limit (2^20 rows)
 
+  // pre-1900-03-01 dates have no exact 1900-system serial (Lotus bug);
+  // degrade the CELL to a string instead of letting dateSerial throw
+  // mid-ZIP — an abort there leaves a truncated workbook at the output
+  // path, and one legacy placeholder date would fail a whole export
+  // (ADVICE r5)
+  private def dateCell(d: java.time.LocalDate): Xlsx.CellValue =
+    if (Xlsx.isSerialRepresentable(d)) Xlsx.SDate(Xlsx.dateSerial(d))
+    else Xlsx.SStr(d.toString)
+
+  private def dateTimeCell(dt: java.time.LocalDateTime): Xlsx.CellValue =
+    if (Xlsx.isSerialRepresentable(dt.toLocalDate))
+      Xlsx.SDateTime(Xlsx.dateTimeSerial(dt))
+    else Xlsx.SStr(dt.format(
+      DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+
   private def cellValue(v: Any): Xlsx.CellValue = v match {
     case null => Xlsx.SStr("") // reference: null -> '' (Download.py:186)
     case s: String => Xlsx.SStr(s)
     // typed date cells (serial + date number format), not strings —
     // reference parity: Download.py:188-191 writes real COM dates
-    case t: java.sql.Timestamp =>
-      Xlsx.SDateTime(Xlsx.dateTimeSerial(t.toLocalDateTime))
-    case d: java.sql.Date => Xlsx.SDate(Xlsx.dateSerial(d.toLocalDate))
-    case dt: java.time.LocalDateTime => Xlsx.SDateTime(Xlsx.dateTimeSerial(dt))
-    case d: java.time.LocalDate => Xlsx.SDate(Xlsx.dateSerial(d))
-    case i: java.time.Instant => Xlsx.SDateTime(Xlsx.dateTimeSerial(
-      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)))
+    case t: java.sql.Timestamp => dateTimeCell(t.toLocalDateTime)
+    case d: java.sql.Date => dateCell(d.toLocalDate)
+    case dt: java.time.LocalDateTime => dateTimeCell(dt)
+    case d: java.time.LocalDate => dateCell(d)
+    case i: java.time.Instant => dateTimeCell(
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
     case b: Boolean => Xlsx.SBool(b)
     case n: Number => Xlsx.SNum(n.doubleValue())
     case other => Xlsx.SStr(other.toString)
@@ -161,17 +175,6 @@ object ExcelSink {
           colIdx <- headerPos.get(c)
         } yield (row, colIdx) -> style
       }.toMap
-    // rich-text word runs for CHANGED cells that carry them (S10)
-    val runsAt: Map[(Int, Int), Seq[(String, Boolean)]] =
-      if (!hasRuns) Map.empty
-      else collected.flatMap { r =>
-        if (r.isNullAt(3)) None
-        else for {
-          row <- rowByKey.get(r.getString(0))
-          colIdx <- headerPos.get(r.getString(1))
-        } yield (row, colIdx) ->
-          r.getSeq[Row](3).map(x => (x.getString(0), x.getBoolean(1)))
-      }.toMap
     // NEW rows get the whole row highlighted (reference Compare.py:179-185);
     // the row-wide NEW fill takes precedence over any cell-level mark,
     // matching the previous rebuild semantics
@@ -180,6 +183,23 @@ object ExcelSink {
     }.toSet
     val allMarks: Map[(Int, Int), Int] = marks ++
       (for (r <- newRows; c <- 1 to math.max(sheet.maxCol, 1)) yield (r, c) -> 3)
+    // rich-text word runs for CHANGED cells that carry them (S10) —
+    // restricted to cells that actually produce a mark:
+    // Xlsx.patchSheet only applies runs for marked cells, so a
+    // runs-bearing row with a status outside {CHANGED, CLEARED, NEW}
+    // would silently lose its run rendering if left in the map
+    // (ADVICE r5: keep the two maps consistent)
+    val runsAt: Map[(Int, Int), Seq[(String, Boolean)]] =
+      if (!hasRuns) Map.empty
+      else collected.flatMap { r =>
+        if (r.isNullAt(3)) None
+        else for {
+          row <- rowByKey.get(r.getString(0))
+          colIdx <- headerPos.get(r.getString(1))
+          if allMarks.contains((row, colIdx))
+        } yield (row, colIdx) ->
+          r.getSeq[Row](3).map(x => (x.getString(0), x.getBoolean(1)))
+      }.toMap
 
     val outPath = q2Path.replaceAll("\\.xlsx$", "") + " (change highlighted).xlsx"
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath))

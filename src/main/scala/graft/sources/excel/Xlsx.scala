@@ -70,6 +70,12 @@ object Xlsx {
     * 1900-01-01..1900-02-28 are off by one under this convention). */
   private val MinExactDate = java.time.LocalDate.of(1900, 3, 1)
 
+  /** Whether the 1900 serial system represents `d` exactly — callers
+    * that stream cells should check this and degrade to a string cell
+    * instead of letting [[dateSerial]] throw mid-write. */
+  def isSerialRepresentable(d: java.time.LocalDate): Boolean =
+    !d.isBefore(MinExactDate)
+
   def dateSerial(d: java.time.LocalDate): Double = {
     // refuse rather than silently corrupt: the documented validity
     // window of the Lotus-compatible epoch starts at 1900-03-01
@@ -262,9 +268,19 @@ object Xlsx {
     }
     zin.close()
 
-    val names = parts.get("xl/workbook.xml").map(parseSheetNames).getOrElse(Seq.empty)
-    val idx = sheetName.map(n => names.indexOf(n)).filter(_ >= 0).getOrElse(0)
-    val sheetPart = s"xl/worksheets/sheet${idx + 1}.xml"
+    // resolve the sheet PART via workbook.xml r:id -> workbook.xml.rels
+    // Target — NOT positionally: Excel keeps part filenames stable when
+    // sheets are reordered/deleted, so workbook.xml order need not match
+    // sheetN.xml numbering on externally-produced workbooks (ADVICE r5).
+    val sheetPart = resolveSheetPart(parts, sheetName)
+      .getOrElse {
+        // fallback for rels-free packages (our own writer always emits
+        // rels, so this only fires on hand-rolled minimal inputs)
+        val names = parts.get("xl/workbook.xml").map(parseSheetNames)
+          .getOrElse(Seq.empty)
+        val idx = sheetName.map(n => names.indexOf(n)).filter(_ >= 0).getOrElse(0)
+        s"xl/worksheets/sheet${idx + 1}.xml"
+      }
     require(parts.contains(sheetPart), s"missing $sheetPart in $srcPath")
     require(parts.contains("xl/styles.xml"),
       s"$srcPath has no xl/styles.xml; highlightCopy patches existing styles")
@@ -472,21 +488,38 @@ object Xlsx {
       if (e.getName == "xl/sharedStrings.xml" ||
         e.getName == "xl/workbook.xml" ||
         e.getName == "xl/styles.xml" ||
+        e.getName == "xl/_rels/workbook.xml.rels" ||
         e.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
         parts(e.getName) = zin.readAllBytes()
       e = zin.getNextEntry
     }
     val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
-    val names: Seq[String] = parts.get("xl/workbook.xml")
-      .map(parseSheetNames).getOrElse(Seq.empty)
     val numFmts: IndexedSeq[Int] = parts.get("xl/styles.xml")
       .map(parseCellXfNumFmts).getOrElse(IndexedSeq.empty)
-    val sheetParts = parts.keys.filter(_.startsWith("xl/worksheets/"))
-      .toSeq.sortBy(p => p.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt)
-    sheetParts.zipWithIndex.map { case (p, i) =>
-      Sheet(names.lift(i).getOrElse(s"Sheet${i + 1}"),
-        parseSheet(parts(p), shared, numFmts))
+    // name -> part association via r:id + rels (workbook order, same
+    // resolution as highlightCopy); positional numbering only as the
+    // fallback for rels-free packages
+    val viaRels: Seq[(String, String)] = (for {
+      wb <- parts.get("xl/workbook.xml")
+      rels <- parts.get("xl/_rels/workbook.xml.rels").map(parseWorkbookRels)
+    } yield parseSheetEntries(wb).flatMap { case (name, rid) =>
+      rels.get(rid).filter(parts.contains).map(name -> _)
+    }).getOrElse(Seq.empty)
+    if (viaRels.nonEmpty)
+      viaRels.map { case (name, p) =>
+        Sheet(name, parseSheet(parts(p), shared, numFmts))
+      }
+    else {
+      val names: Seq[String] = parts.get("xl/workbook.xml")
+        .map(parseSheetNames).getOrElse(Seq.empty)
+      val sheetParts = parts.keys.filter(_.startsWith("xl/worksheets/"))
+        .toSeq.sortBy(p =>
+          p.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt)
+      sheetParts.zipWithIndex.map { case (p, i) =>
+        Sheet(names.lift(i).getOrElse(s"Sheet${i + 1}"),
+          parseSheet(parts(p), shared, numFmts))
+      }
     }
   }
 
@@ -524,15 +557,61 @@ object Xlsx {
     out.toIndexedSeq
   }
 
-  private def parseSheetNames(bytes: Array[Byte]): Seq[String] = {
+  private def parseSheetNames(bytes: Array[Byte]): Seq[String] =
+    parseSheetEntries(bytes).map(_._1)
+
+  /** workbook.xml sheet entries in workbook order: (name, r:id). */
+  private def parseSheetEntries(bytes: Array[Byte]): Seq[(String, String)] = {
     val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
-    val out = mutable.ArrayBuffer[String]()
+    val out = mutable.ArrayBuffer[(String, String)]()
     while (r.hasNext) {
-      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
-        out += Option(r.getAttributeValue(null, "name")).getOrElse("")
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+        val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+        // r:id lives in the relationships namespace; match by local name
+        // so prefix choice doesn't matter
+        val rid = (0 until r.getAttributeCount)
+          .find(i => r.getAttributeLocalName(i) == "id" &&
+            Option(r.getAttributeNamespace(i)).exists(_.contains("relationships")))
+          .map(r.getAttributeValue)
+          .getOrElse("")
+        out += name -> rid
+      }
     }
     out.toSeq
   }
+
+  /** workbook.xml.rels: relationship Id -> resolved part name (Target
+    * is workbook-relative, e.g. `worksheets/sheet3.xml`, or
+    * package-absolute with a leading `/`). */
+  private def parseWorkbookRels(bytes: Array[Byte]): Map[String, String] = {
+    val r = xif.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, String]()
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+        r.getLocalName == "Relationship") {
+        val id = Option(r.getAttributeValue(null, "Id")).getOrElse("")
+        val target = Option(r.getAttributeValue(null, "Target")).getOrElse("")
+        val part =
+          if (target.startsWith("/")) target.stripPrefix("/")
+          else "xl/" + target
+        if (id.nonEmpty && target.nonEmpty) out(id) = part
+      }
+    }
+    out.toMap
+  }
+
+  /** The sheet part for `sheetName` (first sheet when None), resolved
+    * through the OOXML relationship chain; None when the package lacks
+    * workbook.xml or usable rels. */
+  private def resolveSheetPart(parts: collection.Map[String, Array[Byte]],
+                               sheetName: Option[String]): Option[String] =
+    for {
+      wb <- parts.get("xl/workbook.xml")
+      rels <- parts.get("xl/_rels/workbook.xml.rels").map(parseWorkbookRels)
+      entries = parseSheetEntries(wb)
+      entry <- sheetName.fold(entries.headOption)(n => entries.find(_._1 == n))
+      part <- rels.get(entry._2)
+    } yield part
 
   /** cellXfs -> numFmtId per xf index (for date-cell detection). */
   private def parseCellXfNumFmts(bytes: Array[Byte]): IndexedSeq[Int] = {

@@ -120,6 +120,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("jaccard entry points release the shingle cache deterministically") {
+    // shingleRelation persists a corpus-sized cache; the entry points
+    // must unpersist it before returning (ADVICE r5: Dataset.persist
+    // registers in the session CacheManager, which pins the entry until
+    // an explicit unpersist — GC never releases it)
+    Dedup.ngramJaccardPairs(corpus, "id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = 10).count()
+    Dedup.exactJaccardLshBlocked(corpus, "id", "text").count()
+    Dedup.nearDedup(corpus, "id", "text", minJaccard = 0.8,
+      maxDocFreq = 10).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "shingleRelation cache must not outlive its entry point")
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),

@@ -256,6 +256,69 @@ class ExcelSpec extends SparkSpec {
     assert(Xlsx.dateSerial(LocalDate.of(1900, 3, 1)) == 61.0)
   }
 
+  test("pre-1900-03-01 dates degrade per-cell to strings; export survives") {
+    // the sink must not let dateSerial throw mid-ZIP (truncated workbook,
+    // whole export failed for one legacy placeholder date — ADVICE r5):
+    // the offending CELL becomes its ISO string, everything else typed
+    val dir = tmpDir
+    val df = Seq(
+      (java.sql.Date.valueOf("1900-01-01"), "legacy"),
+      (java.sql.Date.valueOf("2026-03-14"), "modern")).toDF("d", "s")
+    val path = s"$dir/legacy.xlsx"
+    assert(ExcelSink.writePositional(df, path, startRow = 1) == 2)
+    val sheetXml = zipPart(path, "xl/worksheets/sheet1.xml")
+    assert(sheetXml.contains("""t="inlineStr"><is><t xml:space="preserve">1900-01-01"""))
+    assert(sheetXml.contains("""<c r="A2" s="1"><v>46095</v></c>"""))
+    val sheet = ExcelScan.loadSheet(path, None)
+    assert(sheet(1, 1) == "1900-01-01") // string cell
+    assert(sheet(2, 1) == "2026-03-14") // typed date cell, formatted back
+  }
+
+  test("sheet parts resolve via r:id -> rels, not positional numbering") {
+    // externally-produced package where workbook order and part file
+    // numbering DISAGREE (Excel keeps part names stable across sheet
+    // reorder/delete — ADVICE r5): first sheet "Main" lives in
+    // sheet2.xml, second sheet "Other" in sheet1.xml
+    val dir = tmpDir
+    val path = s"$dir/perm.xlsx"
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def part(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Main" sheetId="1" r:id="rId9"/><sheet name="Other" sheetId="2" r:id="rId3"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/><Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><fills count="2"><fill><patternFill patternType="none"/></fill><fill><patternFill patternType="gray125"/></fill></fills><cellXfs count="1"><xf/></cellXfs></styleSheet>""")
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>other</t></is></c></row></sheetData></worksheet>""")
+    part("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>main</t></is></c></row></sheetData></worksheet>""")
+    zout.finish(); zout.close()
+
+    // reader: names associate through rels, not file numbering
+    val sheets = Xlsx.read(new java.io.FileInputStream(path))
+    assert(sheets.find(_.name == "Main").get(1, 1) == "main")
+    assert(sheets.find(_.name == "Other").get(1, 1) == "other")
+
+    // highlighter: patching "Main" must land on sheet2.xml
+    val hl = s"$dir/perm_hl.xlsx"
+    val os = new java.io.FileOutputStream(hl)
+    try Xlsx.highlightCopy(path, os, Some("Main"), Seq("FFFFFF00"),
+      Map((1, 1) -> 1))
+    finally os.close()
+    assert(cellXf(zipPart(hl, "xl/worksheets/sheet2.xml"), "A1").nonEmpty)
+    assert(cellXf(zipPart(hl, "xl/worksheets/sheet1.xml"), "A1").isEmpty)
+  }
+
   test("compare pipeline over two workbooks classifies changes (e2e)") {
     val dir = tmpDir
     val q1 = Seq(("k1", "alpha beta"), ("k2", "same")).toDF("id", "val")
