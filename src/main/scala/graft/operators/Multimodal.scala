@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `kind = "image"` blobs go through
   * `javax.imageio` (PNG/JPEG/BMP/GIF ship with the JDK) and the feature
-  * vector is grid-pooled mean luminance over the decoded pixels. Audio/
-  * video decode stays STUBBED (no codecs in this container):
-  * `stubDecodeFeatures` derives a deterministic fake vector from the
-  * bytes, and undecodable image blobs fall back to it too (the
-  * `decoder` output field says which path ran). Everything around the
-  * decode — schema, the binary+metadata column convention, the
-  * per-partition batch iteration, partition sizing — is shared.
+  * vector is grid-pooled mean luminance over the decoded pixels.
+  * AUDIO decode is REAL for JDK-supported containers (`kind = "audio"`,
+  * WAV/AIFF/AU PCM via `javax.sound.sampled`): features are per-window
+  * RMS energy over the mono-mixed signal. VIDEO decode stays STUBBED
+  * (no video codec ships with the JDK): `stubDecodeFeatures` derives a
+  * deterministic fake vector from the bytes, and undecodable image/
+  * audio blobs fall back to it too (the `decoder` output field says
+  * which path ran). Everything around the decode — schema, the
+  * binary+metadata column convention, the per-partition batch
+  * iteration, partition sizing — is shared.
   *
   * Scale notes: blobs never pass through a shuffle wider than their
   * partition (feature extraction is mapPartitions — narrow); metadata-only
@@ -98,12 +101,71 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode (the r5 image upgrade, mirrored for sound):
+    * JDK-native `javax.sound.sampled` parses WAV/AIFF/AU containers;
+    * the stream is converted to 16-bit signed PCM when it isn't
+    * already, channels are mixed to mono, and the feature vector is
+    * per-window RMS energy over `dim` equal time slices, normalized to
+    * [0, 1] — deterministic, partition-independent, and sensitive to
+    * actual signal content. None when the bytes aren't a parseable
+    * audio container (the caller falls back to the stub). */
+  private[operators] def decodeAudioFeatures(bytes: Array[Byte],
+                                             dim: Int): Option[Array[Float]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = raw.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+        src.getSampleRate, false)
+      val in =
+        if (src.matches(target)) raw
+        else AudioSystem.getAudioInputStream(target, raw)
+      val data =
+        try in.readAllBytes()
+        finally { in.close(); raw.close() }
+      val channels = target.getChannels
+      val nFrames = data.length / (2 * channels)
+      if (nFrames <= 0) None
+      else {
+        // mono mix, then RMS per contiguous time window
+        val sumSq = new Array[Double](dim)
+        val counts = new Array[Int](dim)
+        var f = 0
+        while (f < nFrames) {
+          var mix = 0.0
+          var c = 0
+          while (c < channels) {
+            val o = (f * channels + c) * 2
+            // little-endian signed 16-bit
+            mix += ((data(o) & 0xff) | (data(o + 1) << 8)).toShort.toDouble
+            c += 1
+          }
+          mix /= channels
+          val w = math.min(dim - 1, (f.toLong * dim / nFrames).toInt)
+          sumSq(w) += mix * mix
+          counts(w) += 1
+          f += 1
+        }
+        val out = new Array[Float](dim)
+        var d = 0
+        while (d < dim) {
+          if (counts(d) > 0)
+            out(d) = (math.sqrt(sumSq(d) / counts(d)) / 32768.0).toFloat
+          d += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
   /** Per-partition batch feature extraction over a media table produced
     * by [[asMediaTable]]. mapPartitions (not a per-row UDF) so the
     * decoder amortizes codec setup per batch — the Scala analog of
-    * `mapInPandas` batch shape. `kind = "image"` rows are REALLY
-    * decoded ([[decodeImageFeatures]]); other kinds, and image blobs
-    * ImageIO cannot parse, take the deterministic stub. */
+    * `mapInPandas` batch shape. `kind = "image"` and `kind = "audio"`
+    * rows are REALLY decoded ([[decodeImageFeatures]] /
+    * [[decodeAudioFeatures]]); other kinds, and blobs the JDK codecs
+    * cannot parse, take the deterministic stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 16): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -119,6 +181,11 @@ object Multimodal {
             if (kind == "image")
               decodeImageFeatures(bytes, dim) match {
                 case Some(f) => (f, "imageio")
+                case None => (stubDecodeFeatures(bytes, dim), "stub")
+              }
+            else if (kind == "audio")
+              decodeAudioFeatures(bytes, dim) match {
+                case Some(f) => (f, "sound")
                 case None => (stubDecodeFeatures(bytes, dim), "stub")
               }
             else (stubDecodeFeatures(bytes, dim), "stub")

@@ -57,6 +57,70 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f2(0) - 1.0) < 1e-3 && math.abs(f2(1)) < 1e-3)
   }
 
+  private def wavBytes(samples: Array[Short], sampleRate: Float = 8000f,
+                       channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, channels, 2 * channels, sampleRate, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      fmt, samples.length / channels)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("extractFeatures really decodes WAV audio via javax.sound.sampled") {
+    // 8000 samples: first half silence, second half a full-scale square
+    // wave -> with dim=4 the RMS windows must read [0, 0, ~1, ~1]
+    val samples = Array.tabulate[Short](8000) { i =>
+      if (i < 4000) 0
+      else if ((i / 20) % 2 == 0) 32767 else -32768
+    }
+    val wav = wavBytes(samples)
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(df, "id", "payload", "audio"), dim = 4)
+      .collect().head
+    assert(feats.decoder == "sound")
+    assert(feats.n_bytes == wav.length)
+    val f = feats.features
+    assert(f.length == 4)
+    assert(math.abs(f(0)) < 1e-4 && math.abs(f(1)) < 1e-4, f.toSeq)
+    assert(f(2) > 0.95f && f(3) > 0.95f, f.toSeq)
+    // content-sensitive, not byte-stripe: swapping halves flips windows
+    val swapped = wavBytes(samples.reverse)
+    val f2 = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(Seq((1L, swapped)).toDF("id", "payload"),
+        "id", "payload", "audio"), dim = 4).collect().head.features
+    assert(f2(0) > 0.95f && math.abs(f2(3)) < 1e-4, f2.toSeq)
+    // stereo mixes to mono: L = full-scale square, R = its negation
+    // cancel to silence everywhere
+    val stereo = Array.tabulate[Short](8000) { i =>
+      // +-32000 so the negation can't overflow Short.MinValue
+      val v: Short = if ((i / 40) % 2 == 0) 32000 else -32000
+      if (i % 2 == 0) v else (-v).toShort
+    }
+    val f3 = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(Seq((1L, wavBytes(stereo, channels = 2)))
+        .toDF("id", "payload"), "id", "payload", "audio"), dim = 4)
+      .collect().head
+    assert(f3.decoder == "sound")
+    assert(f3.features.forall(v => math.abs(v) < 1e-3), f3.features.toSeq)
+  }
+
+  test("audio kind falls back to the stub for non-audio bytes") {
+    val junk = Seq((9L, "definitely not a wav".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val r = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(junk, "id", "payload", "audio")).collect().head
+    assert(r.decoder == "stub")
+  }
+
   test("extractFeatures falls back to the stub for undecodable blobs") {
     // kind=image but not an image -> stub path, flagged as such
     val junk = Seq((7L, "not actually an image".getBytes("UTF-8")))
