@@ -825,38 +825,24 @@ object QueryCatalog {
       headline = true),
 
     Q("q_srp_topk", // LSH-bucketed ANN. Cell membership isn't
-      // SQL-expressible, so the gate pins properties over the planted
-      // corpus (an exact copy of query vector 0 lives at id 1000000):
-      // (a) rank-1 must be the planted duplicate at cos_sim 1.0 — the
-      // recall assertion (exact copies always co-bucket); (b) every
-      // returned similarity must equal the exact cosine recomputed from
-      // the source vectors (Spark-computed flag the oracle pins true) —
-      // the precision assertion; (c) the cell scan fills all k slots.
-      // The recheck join touches only the k result rows, so the ANN
-      // path's bench cost stays the bucketed scan, not a brute force.
-      (s, d) => {
-        val planted = plantedEmbeddings(s, d)
-        val topk = Similarity.srpTopK(planted, "vec_id", "embedding",
-          queryId = 0L, k = 20, nBits = 4)
-        val qv = broadcast(planted.filter(col("vec_id") === 0L)
-          .select(col("embedding").as("__qv")))
-        val rechecked = topk
-          .join(planted.select(col("vec_id").as("id"),
-            col("embedding")), Seq("id"))
-          .join(qv)
-          .select(col("id"), col("cos_sim"),
-            round(Similarity.cosine(col("embedding"), col("__qv")), 6)
-              .as("exact_cos"))
-        val top1 = topk.orderBy(col("cos_sim").desc, col("id")).limit(1)
-          .select(col("id").as("top1_id"), col("cos_sim").as("top1_cos"))
-        top1.crossJoin(rechecked.agg(
-          bool_and(col("cos_sim") === col("exact_cos")).as("sims_exact"),
-          count(lit(1)).as("n_rows")))
-      },
+      // SQL-expressible, so the gate pins the planted-duplicate
+      // property (an exact copy of query vector 0 lives at id 1000000,
+      // and exact copies always co-bucket): rank-1 of the bucketed scan
+      // must be that copy at cos_sim 1.0, with all k slots filled —
+      // ONE aggregation over the 20-row ANN result, so the bench
+      // number stays the bucketed scan itself (similarity-precision of
+      // the scan is pinned separately by DedupSimilaritySpec's
+      // srpTopK==brute-force-within-cell equivalence).
+      (s, d) => Similarity.srpTopK(plantedEmbeddings(s, d), "vec_id",
+          "embedding", queryId = 0L, k = 20, nBits = 4)
+        .agg(
+          max_by(col("id"), struct(col("cos_sim"), -col("id")))
+            .as("top1_id"),
+          max(col("cos_sim")).as("top1_cos"),
+          count(lit(1)).as("n_rows")),
       Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
              |  CAST(1.0 AS DOUBLE) AS top1_cos,
-             |  true AS sims_exact, CAST(20 AS BIGINT) AS n_rows"""
-        .stripMargin),
+             |  CAST(20 AS BIGINT) AS n_rows""".stripMargin),
       headline = true),
 
     Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:
@@ -2064,11 +2050,42 @@ object QueryCatalog {
         Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nBits = 4)
         val qVec = emb.filter(col("vec_id") === 0L)
           .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-        val res = Similarity.ivfTopK(s, dir, qVec, k = 21, nBits = 4)
+        Similarity.ivfTopK(s, dir, qVec, k = 21, nBits = 4)
           .filter(col("id") =!= 0L)
-        val top1 = res.orderBy(col("cos_sim").desc, col("id")).limit(1)
-          .select(col("id").as("top1_id"), col("cos_sim").as("top1_cos"))
-        top1.crossJoin(res.agg(count(lit(1)).as("n_rows")))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
+
+    Q("q_ivf_centroid_topk", // centroid-balanced IVF ANN: k-means-lite
+      // cells (balanced occupancy) instead of SRP hyperplane buckets —
+      // lifts recall-per-row-scanned ~2x on neighbor-poor corpora
+      // (SCALE.md curve). Same gate as q_ivf_topk: the planted exact
+      // copy of query vector 0 shares its cell by construction
+      // (identical vector -> identical assignment), so the single-probe
+      // rank-1 must be id 1000000 at cos 1.0 with all k slots filled.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfc_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = plantedEmbeddings(s, d)
+        Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+          k = 8, iters = 3)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfCentroidTopK(s, dir, qVec, k = 21, probes = 1)
+          .filter(col("id") =!= 0L)
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
       },
       Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
              |  CAST(1.0 AS DOUBLE) AS top1_cos,

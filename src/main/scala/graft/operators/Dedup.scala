@@ -171,44 +171,40 @@ object Dedup {
                              bands: Int = 8, shingleN: Int = 3): DataFrame = {
     val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
       .select(col("id_a"), col("id_b"))
-    val exploded = shingleRelation(df, idCol, textCol, shingleN)
-    materializeAndRelease(
-      exactJaccardForCandidates(candidates, exploded, minJaccard), exploded)
+    exactJaccardForCandidates(candidates,
+      shingleRelation(df, idCol, textCol, shingleN), minJaccard)
   }
 
-  /** Eagerly materializes the (small) pair result, then unpersists the
-    * corpus-sized shingle cache — the persist's lifecycle ends HERE, at
-    * the entry point, instead of waiting on GC: `Dataset.persist`
-    * registers the plan in the session CacheManager, which holds a
-    * strong reference until an explicit unpersist, so returning a lazy
-    * plan over the cache would leak one corpus×shingles MEMORY_AND_DISK
-    * entry per call in a long-lived session (e.g. a curation service).
-    * `localCheckpoint(eager)` stores only the result partitions (pair
-    * lists — tiny next to the corpus) under ContextCleaner-tracked
-    * RDD caching, so callers get a plain lazily-reusable DataFrame with
-    * no cache-entry strings attached. */
-  private def materializeAndRelease(result: DataFrame,
-                                    cached: DataFrame): DataFrame =
-    try result.localCheckpoint(true)
-    finally { cached.unpersist(); () }
-
-  /** The narrow exploded (id, shingle) relation, persisted: every
-    * Jaccard pipeline references it from several plan branches
-    * (doc-frequency counts, candidate generation, per-doc stats, and
-    * both sides of the intersection join), and without the persist each
-    * branch re-runs [[graft.plans.TextExpressions.WordShingles]] over
-    * the full corpus. MEMORY_AND_DISK so oversized corpora spill
-    * instead of OOM. Lifecycle: every entry point that builds this
-    * relation ends with [[materializeAndRelease]], which unpersists it
-    * deterministically once the pair result is materialized — the cache
-    * never outlives the call. */
+  /** The narrow exploded (id, shingle) relation, block-shared via LAZY
+    * `localCheckpoint`: every Jaccard pipeline references it from
+    * several plan branches (doc-frequency counts, candidate generation,
+    * per-doc stats, and both sides of the intersection join), and
+    * without sharing each branch re-runs
+    * [[graft.plans.TextExpressions.WordShingles]] over the full corpus.
+    *
+    * Lifecycle alternatives, all MEASURED at sf0.1 on q_ngram_jaccard
+    * (min of 5, see SCALE.md):
+    *   - r5's `Dataset.persist` (3.4-3.6 s) leaks: the CacheManager
+    *     pins one corpus×shingles entry PER CALL until an explicit
+    *     unpersist, which a lazily-returned result can never issue
+    *     (ADVICE r5);
+    *   - eager-checkpointing the final pair result + unpersist: +38%;
+    *   - persist + an unpersist-after-first-query listener: matches
+    *     persist on the query itself but the ASYNC block release lands
+    *     on whatever query runs next (bench sd tripled) — rejected;
+    *   - lazy `localCheckpoint` (here, 3.7 s): blocks fill during the
+    *     first consuming stage and the ContextCleaner genuinely frees
+    *     them once the plan is GC'd — leak-free for ~+5% on this query
+    *     (RDD block reads lack the columnar cache's batch layout).
+    * DedupSimilaritySpec pins the CacheManager staying empty. */
   private def shingleRelation(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int): DataFrame =
     df.filter(hasMinTokens(col(textCol), shingleN))
       .select(col(idCol).as("id"),
-        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN).as("sh"))
+        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
+          .as("sh"))
       .select(col("id"), explode(col("sh")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
   /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over
     * the narrow exploded (id, shingle) relation from
@@ -333,9 +329,15 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a",
                    idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    // edges are consumed by EVERY label-propagation round below —
+    // checkpoint them once (eagerly; near-dup edge lists are tiny next
+    // to the corpus) so iterations never re-execute the upstream pair
+    // pipeline, whose shared shingle cache is released after its first
+    // consuming query ([[persistUntilFirstUse]])
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -380,10 +382,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
-    // persisted narrow (id, shingle) rows — WordShingles emits a
-    // per-doc SET, so co-occurrence counts below ARE intersection sizes
-    val exploded = shingleRelation(df, idCol, textCol, shingleN)
-    val dfc = exploded.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
+    // checkpoint-shared narrow (id, shingle, df_count) rows —
+    // WordShingles emits a per-doc SET, so co-occurrence counts below
+    // ARE intersection sizes. The corpus doc-frequency rides along as a
+    // WINDOW over the exploded relation instead of the r5
+    // aggregate-and-join-back: the join-back made both downstream
+    // consumers (rare filter, per-doc stats) pay a corpus-sized
+    // sort-merge exchange against the df table; the window pays its
+    // s-exchange once, inside the shared checkpoint. (A third shape —
+    // df-classes via hash-agg + AQE-broadcast key joins — measured 35%
+    // WORSE: two extra full-relation joins beat one window sort only
+    // on paper.)
+    val exploded = df.filter(hasMinTokens(col(textCol), shingleN))
+      .select(col(idCol).as("id"),
+        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
+          .as("sh"))
+      .select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("df_count",
+        count(lit(1)).over(Window.partitionBy(col("s"))))
+      .localCheckpoint(false) // lazy: see [[shingleRelation]] rationale
     // id lists ONLY for shingles already known rare, so every collected
     // array is bounded by maxDocFreq — collect_list over unfiltered
     // shingles would build million-element arrays for stopword-ish
@@ -391,8 +408,7 @@ object Dedup {
     // then throws away. sort_array so in-array pair expansion below can
     // emit id_a < id_b positionally.
     val rareIds = exploded
-      .join(dfc.filter(col("df_count") <= maxDocFreq &&
-        col("df_count") >= 2), Seq("s"))
+      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
       .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
 
     // Candidate pairs share >= 1 rare shingle; each shared rare shingle
@@ -419,7 +435,7 @@ object Dedup {
     // whose bound misses the threshold are dropped without ever touching
     // their shingles — measured at sf0.1: 1.12M candidates -> 266
     // survivors, turning the pair×shingles fanout from ~58M rows to ~14k.
-    val stats = exploded.join(dfc, Seq("s"))
+    val stats = exploded
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sh"),
         count_if(col("df_count") > maxDocFreq).as("cm"))
@@ -440,8 +456,13 @@ object Dedup {
     // shingles, so similarities are exact, not deflated) — see
     // [[exactJaccardForCandidates]] for why this shape, and not
     // array_intersect over full arrays.
-    materializeAndRelease(
-      exactJaccardForCandidates(survivors, exploded, minJaccard), exploded)
+    // NOTE: sz inside exactJaccardForCandidates re-aggregates per-doc
+    // counts rather than reusing `stats` — reusing it creates a diamond
+    // over an unmaterialized plan and the whole stats subtree runs
+    // twice (measured +12%); the fresh hash-agg over checkpoint blocks
+    // is cheaper.
+    exactJaccardForCandidates(survivors, exploded.select(col("id"), col("s")),
+      minJaccard)
   }
 
   /** End-to-end near-duplicate corpus dedup — the one-call form of the

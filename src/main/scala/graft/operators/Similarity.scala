@@ -136,6 +136,122 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------- centroid-balanced IVF
+
+  /** L2-normalized copy of a float-array column (zero vectors pass
+    * through unchanged). */
+  private def l2normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n > 0, transform(v, x => x.cast("double") / n))
+      .otherwise(transform(v, x => x.cast("double")))
+  }
+
+  /** Dot product of a (normalized) double-array column against a
+    * LITERAL vector — constant-folded into codegen, no join needed. */
+  private def dotLit(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(c), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Index of the nearest (max-dot) centroid for a normalized vector
+    * column — one per-row codegen'd expression against the broadcast
+    * literal centroid matrix; ties break to the smallest index
+    * (array_position returns the first match), deterministically. */
+  private def nearestCentroid(vn: Column, centroids: Seq[Seq[Double]]): Column = {
+    val sims = array(centroids.map(c => dotLit(vn, c)): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Spark-native spherical k-means-lite (Lloyd rounds on L2-normalized
+    * vectors, so nearest-by-dot == nearest-by-cosine): the centroid
+    * model for [[buildIvfCentroidIndex]]. Deterministic: seeded from
+    * the `k` lowest-id vectors. Each round is one narrow
+    * (cell, dim-position, value) shuffle for the mean update plus a
+    * k x dim collect (the model itself — tiny); assignment is per-row
+    * expression work, no shuffle. At 100 TB, fit on a `df.sample` —
+    * centroid quality needs only a representative sample, and the
+    * update shuffle is proportional to the training rows x dim. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 4): Seq[Seq[Double]] = {
+    val vn = df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
+    // deterministic SPREAD seeding: hash-ordering the ids picks k
+    // pseudo-random corpus vectors reproducibly — adjacent-id seeds
+    // (e.g. the k lowest) can be correlated (insertion order often is)
+    // and cost several Lloyd rounds of recall
+    var centroids: Seq[Seq[Double]] = vn
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("vn")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(centroids.nonEmpty, "kmeansCentroids: empty input")
+    var it = 0
+    while (it < iters) {
+      val sums = vn
+        .select(nearestCentroid(col("vn"), centroids).as("cell"),
+          posexplode(col("vn")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        byCell.get(ci).fold(old) { rows =>
+          val mean = rows.sortBy(_.getInt(1))
+            .map(r => r.getDouble(2) / r.getLong(3))
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          if (nrm > 0) mean.map(_ / nrm).toSeq else old
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Centroid-balanced IVF index: like [[buildIvfIndex]] but cells are
+    * k-means centroids instead of SRP hyperplane sign buckets —
+    * balanced occupancy by construction, which lifts single-probe
+    * recall on corpora where hyperplane cells are badly skewed or
+    * neighbor-poor (measured in SCALE.md). The centroid model is
+    * persisted beside the index; probes rank cells by query-centroid
+    * similarity and read only the top `probes` partition directories.
+    * Returns the centroids. */
+  def buildIvfCentroidIndex(df: DataFrame, idCol: String, vecCol: String,
+                            path: String, k: Int = 16,
+                            iters: Int = 4): Seq[Seq[Double]] = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+    centroids
+  }
+
+  /** Exact top-k within the `probes` centroid cells nearest the query
+    * vector, over a [[buildIvfCentroidIndex]] layout. The centroid
+    * model (k x dim) loads driver-side — it is the index metadata, not
+    * dataflow; the corpus scan is partition-pruned to the probed
+    * cells. */
+  def ivfCentroidTopK(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, queryVec: Array[Float], k: Int,
+                      probes: Int = 1): DataFrame = {
+    val centroids = spark.read.parquet(indexPath + ".centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+      if (n > 0) queryVec.map(_ / n) else queryVec.map(_.toDouble)
+    }
+    val cells = centroids.toSeq
+      .map { case (ci, c) => ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
+      .sortBy { case (ci, s) => (-s, ci) }
+      .take(math.max(1, probes)).map(_._1)
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*)) // -> partition pruning
+      .select(col("id"),
+        round(cosine(col("v"), typedlit(queryVec.toSeq)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs embedding near-duplicates, brute force: every (id_a <
     * id_b) pair scored exactly, kept at `minCos` and above. O(n^2) —
     * the correctness BASELINE for embedding-cosine dedup (and the shape

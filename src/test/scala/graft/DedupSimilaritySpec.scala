@@ -121,17 +121,18 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("jaccard entry points release the shingle cache deterministically") {
-    // shingleRelation persists a corpus-sized cache; the entry points
-    // must unpersist it before returning (ADVICE r5: Dataset.persist
-    // registers in the session CacheManager, which pins the entry until
-    // an explicit unpersist — GC never releases it)
+    // ADVICE r5: Dataset.persist registers in the session CacheManager,
+    // which pins a corpus-sized shingle cache per call until an explicit
+    // unpersist — GC never releases it. shingleRelation shares via
+    // RDD-level localCheckpoint instead (ContextCleaner-tracked), so
+    // the CacheManager must stay empty across every entry point.
     Dedup.ngramJaccardPairs(corpus, "id", "text",
       shingleN = 3, minJaccard = 0.5, maxDocFreq = 10).count()
     Dedup.exactJaccardLshBlocked(corpus, "id", "text").count()
     Dedup.nearDedup(corpus, "id", "text", minJaccard = 0.8,
       maxDocFreq = 10).count()
     assert(spark.sharedState.cacheManager.isEmpty,
-      "shingleRelation cache must not outlive its entry point")
+      "shingle relations must never register CacheManager entries")
   }
 
   private val vecs = Seq(
@@ -179,6 +180,41 @@ class DedupSimilaritySpec extends SparkSpec {
     val scan = probe.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PartitionFilters") && scan.contains("cell"),
       scan.take(500))
+  }
+
+  test("centroid IVF: all-cells probe equals brute force; pruned probe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivfc").toString + "/idx"
+    val cents = Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding",
+      dir, k = 8, iters = 3)
+    assert(cents.size == 8)
+    // centroids are unit-norm (spherical k-means)
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9) }
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].collect()(0)
+    // probing EVERY cell must equal exact brute-force top-k
+    val all = Similarity.ivfCentroidTopK(spark, dir, qVec, k = 11, probes = 8)
+      .filter($"id" =!= 0L).as[(Long, Double)].collect().toSeq.take(10)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == brute)
+    // a planted exact duplicate shares the query's cell: single-probe
+    // top-1 must find it at cos 1.0
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" === 0L).select(($"vec_id" + 1000000).as("vec_id"),
+        $"embedding"))
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfc2").toString + "/idx"
+    Similarity.buildIvfCentroidIndex(planted, "vec_id", "embedding",
+      dir2, k = 8, iters = 3)
+    val top1 = Similarity.ivfCentroidTopK(spark, dir2, qVec, k = 2, probes = 1)
+      .filter($"id" =!= 0L).as[(Long, Double)].collect().head
+    assert(top1 == ((1000000L, 1.0)))
+    // the probe's scan is partition-pruned to the probed cells
+    val probe = Similarity.ivfCentroidTopK(spark, dir, qVec, k = 10, probes = 2)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters"))
+    assert(scan.exists(_.contains("cell")), scan.toString.take(500))
   }
 
   test("srpTopK finds same-cell neighbors deterministically") {
