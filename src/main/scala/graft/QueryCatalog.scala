@@ -742,6 +742,68 @@ object QueryCatalog {
              |    (a, b) -> (a * 31 + b) % 2147483648) AS fp
              |FROM documents""".stripMargin)),
 
+    Q("q_pii_scrub", // PII redaction (emails/phones/IPv4 -> typed
+      // placeholders + per-doc counts). The corpus carries no organic
+      // PII, so deterministic PII is planted on a doc_id-keyed subset
+      // identically on both sides; the same regexes run verbatim in
+      // Java (Spark) and RE2 (DuckDB) — conservative patterns chosen
+      // for identical semantics in both dialects.
+      (s, d) => {
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id"),
+                lit("@example.com asap"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" call 555-867-5309 or ping 10.0.0.1"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.piiScrub(planted, "doc_id", "text")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, text ||
+              |    CASE WHEN doc_id % 7 = 0
+              |      THEN ' contact user' || doc_id || '@example.com asap'
+              |      ELSE '' END ||
+              |    CASE WHEN doc_id % 11 = 0
+              |      THEN ' call 555-867-5309 or ping 10.0.0.1'
+              |      ELSE '' END AS text
+              |  FROM documents)
+              |SELECT doc_id AS id,
+              |  regexp_replace(regexp_replace(regexp_replace(text,
+              |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+              |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text,
+              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+              |    AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
+              |    AS BIGINT) AS n_phones,
+              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}'))
+              |    AS BIGINT) AS n_ips
+              |FROM p""".stripMargin)),
+
+    Q("q_repetition", // repetition-ratio quality signals (Gopher/C4
+      // style): duplicate-token fraction + top token share per doc
+      (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"),
+        "doc_id", "text"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN []
+             |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+             |  FROM documents)
+             |SELECT doc_id AS id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_tokens,
+             |  CASE WHEN len(toks) > 0
+             |    THEN round(1 - len(list_distinct(toks))
+             |           / CAST(len(toks) AS DOUBLE), 4) + 0
+             |    ELSE 0.0 END AS dup_ratio,
+             |  CASE WHEN len(toks) > 0
+             |    THEN round(list_max(list_transform(list_distinct(toks),
+             |           t -> len(list_filter(toks, x -> x = t))))
+             |           / CAST(len(toks) AS DOUBLE), 4) + 0
+             |    ELSE 0.0 END AS top_tok_share
+             |FROM tk""".stripMargin)),
+
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),

@@ -110,4 +110,54 @@ object TextAnalysis {
       tokenEstimate(col(textCol)).as("n_tokens_bpe"),
       qualityScore(col(textCol)).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  // conservative public patterns (same semantics in Java regex and
+  // DuckDB's RE2, deliberately — the oracle runs them verbatim)
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction for training-corpus curation: emails, NANP-style
+    * phone groups, and IPv4 literals replaced by typed placeholders,
+    * with per-doc match counts (counted on the ORIGINAL text). Pure
+    * regexp built-ins — one codegen'd scan, embarrassingly parallel at
+    * 100 TB. Email runs first so its host part can't be half-eaten by
+    * the IP rule; the three patterns are mutually non-overlapping
+    * after that ordering. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+      col(idCol).as("id"),
+      scrubbed.as("clean_text"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"))
+  }
+
+  /** Repetition-ratio quality signals (the Gopher/C4-style filters):
+    * duplicate-token fraction and the most-frequent token's share of
+    * the document. Per-row array expressions — the top-share term is
+    * O(distinct × tokens) per document, bounded by document length,
+    * zero shuffle. Empty/whitespace docs report 0 ratios. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val uniq = size(array_distinct(toks))
+    val topCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    docs.select(
+      col(idCol).as("id"),
+      n.cast("long").as("n_tokens"),
+      uniq.cast("long").as("uniq_tokens"),
+      when(n > 0, round(lit(1.0d) - uniq.cast("double") / n.cast("double"), 4))
+        .otherwise(lit(0.0d)).as("dup_ratio"),
+      when(n > 0, round(topCnt.cast("double") / n.cast("double"), 4))
+        .otherwise(lit(0.0d)).as("top_tok_share"))
+  }
 }

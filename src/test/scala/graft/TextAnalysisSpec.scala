@@ -42,4 +42,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s.columns.toSeq ==
       Seq("id", "n_chars", "n_tokens", "n_tokens_bpe", "quality", "fingerprint"))
   }
+
+  test("piiScrub redacts emails/phones/IPs with counts; clean text intact") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org or x@y.io, call 555-123-4567, " +
+        "host 10.0.0.255 ok"),
+      (2L, "no pii here, just v1.2 and 1234-5678"),
+      (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.piiScrub(docs, "id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> ok")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) == ((2L, 1L, 1L)))
+    assert(out(2L)._2 == "no pii here, just v1.2 and 1234-5678")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) == ((0L, 0L, 0L)))
+    assert((out(3L)._3, out(3L)._4, out(3L)._5) == ((0L, 0L, 0L)))
+  }
+
+  test("repetitionStats: dup fraction and top-token share") {
+    val docs = Seq(
+      (1L, "spam spam spam eggs"), // 4 tokens, 2 uniq, top 3/4
+      (2L, "all words differ here"),
+      (3L, "   ")).toDF("id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, 0.5, 0.75)))
+    assert(out(2L) == ((2L, 4L, 4L, 0.0, 0.25)))
+    assert(out(3L) == ((3L, 0L, 0L, 0.0, 0.0)))
+  }
 }
