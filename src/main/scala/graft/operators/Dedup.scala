@@ -169,8 +169,12 @@ object Dedup {
   def exactJaccardLshBlocked(df: DataFrame, idCol: String, textCol: String,
                              minJaccard: Double = 0.5, numHashes: Int = 32,
                              bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    // eager checkpoint: the candidate list is tiny but its LSH subtree
+    // is the whole banding pipeline, and exactJaccardForCandidates
+    // references candidates three times (see ngramJaccardPairs note)
     val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     exactJaccardForCandidates(candidates,
       shingleRelation(df, idCol, textCol, shingleN), minJaccard)
   }
@@ -226,8 +230,22 @@ object Dedup {
   private def exactJaccardForCandidates(candidates: DataFrame,
                                         exploded: DataFrame,
                                         minJaccard: Double): DataFrame = {
-    // shingles are a per-doc SET, so the per-id row count IS the set size
-    val sz = exploded.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // shingles are a per-doc SET, so the per-id row count IS the set
+    // size — counted only for docs that appear in some candidate pair
+    // (semi-join first): the candidate set is tiny next to the corpus,
+    // so this turns a corpus-wide aggregation into one over ~|pairs|
+    // docs, with AQE broadcasting the id list
+    // Joined twice below (n_a and n_b sides) and NOT checkpointed, on
+    // purpose: the duplicate semi-join+agg evaluations land in ONE job
+    // and overlap on idle cores, while an eager checkpoint is a serial
+    // job barrier — measured +15% on q_ngram_jaccard. (The candidate
+    // list itself IS checkpointed by callers: its references would
+    // otherwise re-run the whole upstream pipeline, which no amount of
+    // overlap hides.)
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val sz = exploded.join(candIds, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val candB = candidates.select(col("id_b").as("id")).distinct()
     val eB = exploded.join(candB, Seq("id"), "left_semi")
       .select(col("id").as("id_b"), col("s"))
@@ -435,6 +453,9 @@ object Dedup {
     // whose bound misses the threshold are dropped without ever touching
     // their shingles — measured at sf0.1: 1.12M candidates -> 266
     // survivors, turning the pair×shingles fanout from ~58M rows to ~14k.
+    // joined twice by survivors (a and b sides), not checkpointed: the
+    // twin aggregations overlap inside one job; a checkpoint barrier
+    // here measured slower (see the note in exactJaccardForCandidates)
     val stats = exploded
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sh"),
@@ -456,13 +477,16 @@ object Dedup {
     // shingles, so similarities are exact, not deflated) — see
     // [[exactJaccardForCandidates]] for why this shape, and not
     // array_intersect over full arrays.
-    // NOTE: sz inside exactJaccardForCandidates re-aggregates per-doc
-    // counts rather than reusing `stats` — reusing it creates a diamond
-    // over an unmaterialized plan and the whole stats subtree runs
-    // twice (measured +12%); the fresh hash-agg over checkpoint blocks
-    // is cheaper.
-    exactJaccardForCandidates(survivors, exploded.select(col("id"), col("s")),
-      minJaccard)
+    // Surviving pairs are TINY (hundreds at sf0.1) but their subtree is
+    // most of the pipeline, and exactJaccardForCandidates references its
+    // candidate input three times (id sets for both semi-joins + the
+    // pair fan-out) — an unmaterialized diamond that re-runs the
+    // subtree per reference (measured +17%). Eagerly checkpointing the
+    // pair list pays the subtree once; the three reads then cost
+    // nothing. (Same reasoning rejected reusing `stats` for the sizes:
+    // diamonds over unmaterialized plans re-evaluate.)
+    exactJaccardForCandidates(survivors.localCheckpoint(true),
+      exploded.select(col("id"), col("s")), minJaccard)
   }
 
   /** End-to-end near-duplicate corpus dedup — the one-call form of the
