@@ -72,4 +72,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 4L, 4L, 0.0, 0.25)))
     assert(out(3L) == ((3L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("repetitionStats: 100k-token high-entropy doc completes in bounded time") {
+    // 50k copies of one token + 50k distinct tokens: the r6
+    // O(distinct x tokens) shape did ~5*10^9 comparisons here; the
+    // sorted-run fold is O(n log n) and must finish promptly
+    val text = (Seq.fill(50000)("spam") ++
+      (0 until 50000).map(i => s"t$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val t0 = System.nanoTime()
+    val out = TextAnalysis.repetitionStats(docs, "id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out == ((1L, 100000L, 50001L, 0.5, 0.5)))
+    assert(secs < 30.0, f"repetitionStats took $secs%.1f s on a 100k-token doc")
+  }
 }
