@@ -161,6 +161,14 @@ object Dedup {
     * exploded (id, shingle) relation ([[exactJaccardForCandidates]]), so
     * the output carries exact similarities, not estimates.
     *
+    * NOT lazy: calling this runs the candidate-generation pipeline
+    * immediately (an eager [[Materialize]] — the candidate list is
+    * referenced from three plan branches downstream), so the full LSH
+    * cost is paid even if the returned DataFrame is never executed, and
+    * caller-side predicates cannot push below the materialized
+    * candidates. See [[Materialize]] for the cluster fault-tolerance
+    * mode.
+    *
     * Candidate pairs with an EMPTY shingle intersection are excluded
     * from the output (the co-occurrence count is an inner join): with
     * `minJaccard = 0` such pairs would otherwise appear with jaccard
@@ -169,12 +177,13 @@ object Dedup {
   def exactJaccardLshBlocked(df: DataFrame, idCol: String, textCol: String,
                              minJaccard: Double = 0.5, numHashes: Int = 32,
                              bands: Int = 8, shingleN: Int = 3): DataFrame = {
-    // eager checkpoint: the candidate list is tiny but its LSH subtree
-    // is the whole banding pipeline, and exactJaccardForCandidates
-    // references candidates three times (see ngramJaccardPairs note)
-    val candidates = minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+    // eager: the candidate list is tiny but its LSH subtree is the
+    // whole banding pipeline, and exactJaccardForCandidates references
+    // candidates three times (see ngramJaccardPairs note)
+    val candidates = Materialize(
+      minhashPairs(df, idCol, textCol, numHashes, bands, shingleN)
+        .select(col("id_a"), col("id_b")),
+      eager = true)
     exactJaccardForCandidates(candidates,
       shingleRelation(df, idCol, textCol, shingleN), minJaccard)
   }
@@ -200,15 +209,18 @@ object Dedup {
     *     first consuming stage and the ContextCleaner genuinely frees
     *     them once the plan is GC'd — leak-free for ~+5% on this query
     *     (RDD block reads lack the columnar cache's batch layout).
-    * DedupSimilaritySpec pins the CacheManager staying empty. */
+    * DedupSimilaritySpec pins the CacheManager staying empty. Lineage
+    * truncation / cluster fault-tolerance tradeoff: see [[Materialize]]
+    * (the `spark.graft.reliableCheckpoint` switch). */
   private def shingleRelation(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int): DataFrame =
-    df.filter(hasMinTokens(col(textCol), shingleN))
-      .select(col(idCol).as("id"),
-        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
-          .as("sh"))
-      .select(col("id"), explode(col("sh")).as("s"))
-      .localCheckpoint(false)
+    Materialize(
+      df.filter(hasMinTokens(col(textCol), shingleN))
+        .select(col(idCol).as("id"),
+          graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
+            .as("sh"))
+        .select(col("id"), explode(col("sh")).as("s")),
+      eager = false)
 
   /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over
     * the narrow exploded (id, shingle) relation from
@@ -344,18 +356,25 @@ object Dedup {
     * across edges); converges in O(log(max component diameter)) rounds —
     * near-dup clusters are small, so `maxIter` 10 is generous. The
     * classic scalable formulation (no driver-side union-find).
+    *
+    * NOT lazy: calling this runs the whole upstream pair pipeline AND
+    * every propagation round immediately (each round materializes
+    * eagerly so the convergence probe and the next round read blocks
+    * instead of re-running joins) — the returned DataFrame is the
+    * already-computed label relation, not a deferred plan. See
+    * [[Materialize]] for the cluster fault-tolerance mode.
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a",
                    idB: String = "id_b", maxIter: Int = 10): DataFrame = {
     // edges are consumed by EVERY label-propagation round below —
-    // checkpoint them once (eagerly; near-dup edge lists are tiny next
+    // materialize them once (eagerly; near-dup edge lists are tiny next
     // to the corpus) so iterations never re-execute the upstream pair
-    // pipeline, whose shared shingle cache is released after its first
-    // consuming query ([[persistUntilFirstUse]])
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct()
-      .localCheckpoint(true)
+    // pipeline
+    val edges = Materialize(
+      pairs.select(col(idA).as("a"), col(idB).as("b"))
+        .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+        .distinct(),
+      eager = true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var iter = 0
@@ -366,14 +385,15 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "b", "label" -> "nl")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("min_neighbor"))
-      // checkpoint BEFORE the convergence probe: isEmpty then reads the
-      // materialized result instead of re-running the iteration's joins,
+      // materialize BEFORE the convergence probe: isEmpty then reads
+      // the result blocks instead of re-running the iteration's joins,
       // and the iterative lineage is truncated either way
-      val next = labels.join(neighborLabels, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("min_neighbor"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      val next = Materialize(
+        labels.join(neighborLabels, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("min_neighbor"), col("label")))
+              .as("label")),
+        eager = true)
       converged = next
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).isEmpty
@@ -396,7 +416,15 @@ object Dedup {
     * every shingle exceeds `maxDocFreq` and recall collapses — measured:
     * 0 pairs at 50k docs over a 40-word vocabulary where
     * [[minhashPairs]] finds 250k. Prefer MinHash LSH when shingle
-    * frequencies are unknown. */
+    * frequencies are unknown.
+    *
+    * NOT lazy: calling this runs candidate generation and the survivor
+    * prune immediately (an eager [[Materialize]] of the survivor list —
+    * it is referenced from three plan branches downstream), so most of
+    * the pipeline cost is paid even if the returned DataFrame is never
+    * executed, and caller-side predicates cannot push below the
+    * materialized survivors. See [[Materialize]] for the cluster
+    * fault-tolerance mode. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
                         maxDocFreq: Int = 20): DataFrame = {
@@ -411,14 +439,15 @@ object Dedup {
     // df-classes via hash-agg + AQE-broadcast key joins — measured 35%
     // WORSE: two extra full-relation joins beat one window sort only
     // on paper.)
-    val exploded = df.filter(hasMinTokens(col(textCol), shingleN))
-      .select(col(idCol).as("id"),
-        graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
-          .as("sh"))
-      .select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("df_count",
-        count(lit(1)).over(Window.partitionBy(col("s"))))
-      .localCheckpoint(false) // lazy: see [[shingleRelation]] rationale
+    val exploded = Materialize(
+      df.filter(hasMinTokens(col(textCol), shingleN))
+        .select(col(idCol).as("id"),
+          graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
+            .as("sh"))
+        .select(col("id"), explode(col("sh")).as("s"))
+        .withColumn("df_count",
+          count(lit(1)).over(Window.partitionBy(col("s")))),
+      eager = false) // lazy: see [[shingleRelation]] rationale
     // id lists ONLY for shingles already known rare, so every collected
     // array is bounded by maxDocFreq — collect_list over unfiltered
     // shingles would build million-element arrays for stopword-ish
@@ -481,11 +510,11 @@ object Dedup {
     // most of the pipeline, and exactJaccardForCandidates references its
     // candidate input three times (id sets for both semi-joins + the
     // pair fan-out) — an unmaterialized diamond that re-runs the
-    // subtree per reference (measured +17%). Eagerly checkpointing the
+    // subtree per reference (measured +17%). Eagerly materializing the
     // pair list pays the subtree once; the three reads then cost
     // nothing. (Same reasoning rejected reusing `stats` for the sizes:
     // diamonds over unmaterialized plans re-evaluate.)
-    exactJaccardForCandidates(survivors.localCheckpoint(true),
+    exactJaccardForCandidates(Materialize(survivors, eager = true),
       exploded.select(col("id"), col("s")), minJaccard)
   }
 

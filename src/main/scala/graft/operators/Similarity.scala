@@ -164,15 +164,37 @@ object Similarity {
   /** Spark-native spherical k-means-lite (Lloyd rounds on L2-normalized
     * vectors, so nearest-by-dot == nearest-by-cosine): the centroid
     * model for [[buildIvfCentroidIndex]]. Deterministic: seeded from
-    * the `k` lowest-id vectors. Each round is one narrow
+    * the `k` lowest-hash vectors. Each round is one narrow
     * (cell, dim-position, value) shuffle for the mean update plus a
     * k x dim collect (the model itself — tiny); assignment is per-row
-    * expression work, no shuffle. At 100 TB, fit on a `df.sample` —
-    * centroid quality needs only a representative sample, and the
-    * update shuffle is proportional to the training rows x dim. */
+    * expression work, no shuffle.
+    *
+    * The fit runs on a BOUNDED deterministic sample: the `maxFitRows`
+    * lowest xxhash64(id) vectors (a reproducible pseudo-random subset;
+    * distributed top-K, no full sort), materialized once so Lloyd
+    * rounds never rescan the corpus. Centroid quality needs only a
+    * representative sample — without the cap each round posexploded
+    * EVERY vector into (cell, pos, value) rows, a corpus x dim shuffle
+    * per iteration, the one real scale-killer at 100 TB (VERDICT r6).
+    * Corpora at or under the cap fit on everything, and the seeds are
+    * unchanged by sampling (the k lowest-hash ids are in every sample
+    * by construction). `maxFitRows <= 0` disables the cap. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 4): Seq[Seq[Double]] = {
-    val vn = df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
+                      k: Int, iters: Int = 4,
+                      maxFitRows: Int = 100000): Seq[Seq[Double]] = {
+    require(maxFitRows <= 0 || maxFitRows >= k,
+      s"kmeansCentroids: maxFitRows ($maxFitRows) must cover k ($k) seeds")
+    val all = df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
+    // hash-ordered limit = per-partition top-K + single merge (no full
+    // sort); repartition spreads the single-partition limit result back
+    // out so Lloyd-round assignment parallelizes; eager materialization
+    // so each round reads sample blocks, not the corpus scan
+    val vn =
+      if (maxFitRows <= 0) all
+      else Materialize(
+        all.orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+          .repartition(col("id")),
+        eager = true)
     // deterministic SPREAD seeding: hash-ordering the ids picks k
     // pseudo-random corpus vectors reproducibly — adjacent-id seeds
     // (e.g. the k lowest) can be correlated (insertion order often is)
@@ -210,11 +232,13 @@ object Similarity {
     * neighbor-poor (measured in SCALE.md). The centroid model is
     * persisted beside the index; probes rank cells by query-centroid
     * similarity and read only the top `probes` partition directories.
-    * Returns the centroids. */
+    * The centroid fit runs on a `maxFitRows`-bounded deterministic
+    * sample (see [[kmeansCentroids]]); the assignment pass still labels
+    * every vector. Returns the centroids. */
   def buildIvfCentroidIndex(df: DataFrame, idCol: String, vecCol: String,
-                            path: String, k: Int = 16,
-                            iters: Int = 4): Seq[Seq[Double]] = {
-    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters)
+                            path: String, k: Int = 16, iters: Int = 4,
+                            maxFitRows: Int = 100000): Seq[Seq[Double]] = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters, maxFitRows)
     df.select(col(idCol).as("id"), col(vecCol).as("v"),
         nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)

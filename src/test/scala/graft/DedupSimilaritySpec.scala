@@ -217,6 +217,68 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(scan.exists(_.contains("cell")), scan.toString.take(500))
   }
 
+  test("kmeansCentroids: bounded fit sample — unit-norm model, seeds invariant") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val quarter = math.max(8, (emb.count() / 4).toInt)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3, maxFitRows = quarter)
+    assert(cents.size == 8)
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9) }
+    // the k lowest-hash ids are in every sample by construction, so the
+    // SEEDS (iters = 0 model) are identical with and without the cap
+    val seedsFull = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 0, maxFitRows = 0)
+    val seedsSampled = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 0, maxFitRows = quarter)
+    assert(seedsFull == seedsSampled)
+  }
+
+  test("centroid IVF with sampled fit: planted duplicate still rank-1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" === 0L).select(($"vec_id" + 1000000).as("vec_id"),
+        $"embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfcs").toString + "/idx"
+    // fit on ~a quarter of the corpus; assignment still labels everything
+    Similarity.buildIvfCentroidIndex(planted, "vec_id", "embedding", dir,
+      k = 8, iters = 3, maxFitRows = math.max(8, (planted.count() / 4).toInt))
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].collect()(0)
+    // identical vectors land in the same centroid cell regardless of
+    // which rows trained the model, so single-probe top-1 is exact
+    val top1 = Similarity.ivfCentroidTopK(spark, dir, qVec, k = 2, probes = 1)
+      .filter($"id" =!= 0L).as[(Long, Double)].collect().head
+    assert(top1 == ((1000000L, 1.0)))
+  }
+
+  test("reliable-checkpoint mode: identical results through df.checkpoint") {
+    val baseline = Dedup.ngramJaccardPairs(corpus, "id", "text",
+      shingleN = 3, minJaccard = 0.5, maxDocFreq = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    val ckptDir = java.nio.file.Files.createTempDirectory("reliable-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val viaReliable = Dedup.ngramJaccardPairs(corpus, "id", "text",
+        shingleN = 3, minJaccard = 0.5, maxDocFreq = 10)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaReliable == baseline)
+      val clusters = Dedup.clusterPairs(
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // the mode really routed through reliable checkpoints (recomputable
+      // lineage on block loss): checkpoint files exist under the dir
+      def anyFile(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.exists(k => k.isFile || anyFile(k))
+      }
+      assert(anyFile(ckptDir.toFile),
+        "reliable mode must write RDD checkpoint files")
+    } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
+
   test("srpTopK finds same-cell neighbors deterministically") {
     val a = Similarity.srpTopK(vecs, "vec_id", "embedding", 0L, 3, nBits = 2)
       .as[(Long, Double)].collect().toSeq
