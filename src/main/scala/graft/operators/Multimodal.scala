@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * vector is grid-pooled mean luminance over the decoded pixels.
   * AUDIO decode is REAL for JDK-supported containers (`kind = "audio"`,
   * WAV/AIFF/AU PCM via `javax.sound.sampled`): features are per-window
-  * RMS energy over the mono-mixed signal. VIDEO decode stays STUBBED
-  * (no video codec ships with the JDK): `stubDecodeFeatures` derives a
-  * deterministic fake vector from the bytes, and undecodable image/
-  * audio blobs fall back to it too (the `decoder` output field says
-  * which path ran). Everything around the decode — schema, the
+  * RMS energy over the mono-mixed signal. IMAGE RESIZE is REAL
+  * (`ImageIO` decode → `Graphics2D` bilinear scale → PNG re-encode).
+  * VIDEO decode / frame sampling stays STUBBED (no video codec ships
+  * with the JDK): `stubDecodeFeatures` derives a deterministic fake
+  * vector from the bytes, and undecodable image/audio blobs fall back
+  * to stub paths too (the `decoder`/`codec` output fields say which
+  * path ran). Everything around the decode — schema, the
   * binary+metadata column convention, the per-partition batch
   * iteration, partition sizing — is shared.
   *
@@ -194,15 +196,46 @@ object Multimodal {
       }
   }
 
-  /** One resized image row: the blob after the (stubbed) resize plus its
-    * new pixel dimensions. */
+  /** One resized image row: the re-encoded blob plus its new pixel
+    * dimensions; `codec` is "imageio" when the blob was really decoded,
+    * scaled, and re-encoded, "stub" for undecodable bytes. */
   case class ResizedMedia(media_id: Long, width: Int, height: Int,
-                          blob: Array[Byte])
+                          blob: Array[Byte], codec: String)
 
-  /** STUB resize: a real implementation decodes, scales with an image
-    * library, re-encodes. The fake deterministically downsamples the
-    * byte stream to `width*height` bytes (stride sampling) so output
-    * size, schema, and per-partition batching behave like the real op. */
+  /** Real single-image resize: decode via `javax.imageio`, scale with
+    * `Graphics2D.drawImage` under a bilinear interpolation hint, and
+    * re-encode as PNG. None when the bytes aren't a decodable image. */
+  private[operators] def resizeImage(bytes: Array[Byte], width: Int,
+                                     height: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      import java.awt.RenderingHints
+      val scaled = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.setRenderingHint(RenderingHints.KEY_RENDERING,
+          RenderingHints.VALUE_RENDER_QUALITY)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(scaled, "png", baos))
+        Some(baos.toByteArray)
+      else None
+    }
+  }
+
+  /** Image resize over a media table: REAL decode → bilinear scale →
+    * PNG re-encode per blob ([[resizeImage]]) inside the same
+    * mapPartitions batch shape as [[extractFeatures]] (codec setup
+    * amortized per partition; blobs never shuffle). Undecodable blobs
+    * fall back to a deterministic byte-stride downsample to
+    * `width*height` bytes — `codec` says which path ran. */
   def resize(spark: SparkSession, media: DataFrame,
              width: Int, height: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -210,17 +243,24 @@ object Multimodal {
     media.select(col("media_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
-          val out = new Array[Byte](math.min(target, math.max(bytes.length, 1)))
-          if (bytes.nonEmpty) {
-            val stride = math.max(1, bytes.length / out.length)
-            var i = 0
-            while (i < out.length) {
-              out(i) = bytes(math.min(i.toLong * stride, bytes.length - 1).toInt)
-              i += 1
-            }
+          resizeImage(bytes, width, height) match {
+            case Some(png) => ResizedMedia(id, width, height, png, "imageio")
+            case None =>
+              val out =
+                new Array[Byte](math.min(target, math.max(bytes.length, 1)))
+              if (bytes.nonEmpty) {
+                val stride = math.max(1, bytes.length / out.length)
+                var i = 0
+                while (i < out.length) {
+                  out(i) =
+                    bytes(math.min(i.toLong * stride, bytes.length - 1).toInt)
+                  i += 1
+                }
+              }
+              ResizedMedia(id, width, height, out, "stub")
           }
-          ResizedMedia(id, width, height, out)
         }
       }
   }

@@ -133,8 +133,34 @@ class MultimodalSpec extends SparkSpec {
     assert(txt.forall(_.decoder == "stub"))
   }
 
-  test("resize: bounded output size, deterministic") {
+  test("resize really rescales images: decoded dims + content preserved") {
+    // 16x16 PNG, left half black / right half white, resized to 8x6:
+    // output must decode as a real 8x6 PNG with the same halves
+    val png = pngBytes(16, 16, (x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
+    val imgMedia = Multimodal.asMediaTable(
+      Seq((1L, png)).toDF("id", "payload"), "id", "payload", "image")
+    val r = Multimodal.resize(spark, imgMedia, 8, 6).collect().head
+    assert(r.codec == "imageio")
+    assert((r.width, r.height) == ((8, 6)))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.blob))
+    assert((back.getWidth, back.getHeight) == ((8, 6)))
+    def lum(rgb: Int): Double =
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3 * 255.0)
+    // sample away from the seam so bilinear blending doesn't bleed
+    assert(lum(back.getRGB(0, 3)) < 0.1 && lum(back.getRGB(1, 0)) < 0.1)
+    assert(lum(back.getRGB(7, 3)) > 0.9 && lum(back.getRGB(6, 5)) > 0.9)
+    // upscale works too (bilinear interpolation, not byte tricks)
+    val up = Multimodal.resize(spark, imgMedia, 32, 32).collect().head
+    val backUp = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up.blob))
+    assert(up.codec == "imageio" &&
+      (backUp.getWidth, backUp.getHeight) == ((32, 32)))
+  }
+
+  test("resize: undecodable blobs take the stub path, bounded output") {
     val out = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(out.forall(_.codec == "stub")) // text blobs aren't images
     assert(out.forall(r => r.blob.length <= 64 && r.blob.nonEmpty))
     assert(out.forall(r => r.width == 8 && r.height == 8))
   }
