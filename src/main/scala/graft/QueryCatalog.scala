@@ -654,6 +654,22 @@ object QueryCatalog {
              |  count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    Q("q_event_stream_exec", // STREAMING EXECUTION gate: the tumbling
+      // aggregation above, but executed through the real incremental
+      // engine — readStream file source over the same events parquet,
+      // Trigger.AvailableNow drain, complete-mode memory sink — and
+      // hash-compared against the identical batch oracle. Closes the
+      // "streaming twins compile and are spec-tested but no catalog
+      // query RUNS one" gap (§2.9): a divergence between incremental
+      // state and the batch plan goes red here.
+      (s, d) => graft.streaming.EventStreams.tumblingAvailableNow(
+          s, s"$d/events.parquet", scratchDir("graft-stream-ckpt"))
+        .select(col("w_start"), col("event_type"), col("n"),
+          col("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     Q("q_event_sessions", // gap-based sessionization (30 min)
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -837,6 +853,25 @@ object QueryCatalog {
              |FROM documents
              |WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
              |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
+        .stripMargin)),
+
+    Q("q_minhash_bench", // headline bench twin of q_minhash_pairs: times
+      // the RAW operator. The r6 gate shape timed an extra documents
+      // scan plus an expected-pairs left join along with the operator,
+      // so the official BENCH artifact couldn't adjudicate the raw-
+      // operator target (VERDICT r6 task 1). Here the only post-operator
+      // work is ONE aggregation over the operator's own output (pairs →
+      // 1 row), so the bench line IS the operator. Recall correctness
+      // stays with the non-headline q_minhash_pairs property gate; this
+      // twin's oracle re-derives the planted-pair count from the
+      // documents table (copies co-bucket in every band at est 1.0).
+      (s, d) => Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text")
+        .agg(sum(when(col("id_b") === col("id_a") + 1000000 &&
+            col("id_a") < 10 && col("est_jaccard") === 1.0, 1L)
+          .otherwise(0L)).as("planted_found")),
+      Some("""SELECT count(*) AS planted_found FROM documents
+             |WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
+             |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
         .stripMargin),
       headline = true),
 
@@ -904,7 +939,31 @@ object QueryCatalog {
           count(lit(1)).as("n_rows")),
       Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
              |  CAST(1.0 AS DOUBLE) AS top1_cos,
-             |  CAST(20 AS BIGINT) AS n_rows""".stripMargin),
+             |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
+
+    Q("q_srp_bench", // headline bench twin of q_srp_topk: times the RAW
+      // bucketed-ANN scan on the raw embeddings table — no planted
+      // union, no gate scaffolding (VERDICT r6 task 1; the r5→r6
+      // 0.38→0.52 s "regression" was the added planted union + gate,
+      // not the operator). The only post-operator work is one
+      // aggregation over the operator's own 20-row output. Result
+      // quality is pinned elsewhere: q_srp_topk (non-headline) gates
+      // planted-copy rank-1 recall, and DedupSimilaritySpec pins
+      // srpTopK == brute-force-within-cell equivalence; the oracle here
+      // pins the SQL-expressible invariants (k rows, cosine in
+      // [-1, 1], ids distinct and query-excluded).
+      (s, d) => Similarity.srpTopK(t(s, d, "embeddings"), "vec_id",
+          "embedding", queryId = 0L, k = 20, nBits = 4)
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("id")).as("n_ids"),
+          (min(col("cos_sim")) >= -1.0000001 &&
+            max(col("cos_sim")) <= 1.0000001).as("cos_bounded"),
+          (sum(when(col("id") === 0L, 1).otherwise(0)) === 0)
+            .as("query_excluded")),
+      Some("""SELECT CAST(20 AS BIGINT) AS n_rows,
+             |  CAST(20 AS BIGINT) AS n_ids,
+             |  true AS cos_bounded, true AS query_excluded"""
+        .stripMargin),
       headline = true),
 
     Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:

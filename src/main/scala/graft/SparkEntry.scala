@@ -18,8 +18,12 @@ object SparkEntry {
     QueryCatalog.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (hash-based sketches) — driver records a weaker rows-only check. */
+    * the same parquet tables. Every catalog entry declares one (enforced
+    * by CatalogSmokeSpec): ops whose exact output isn't SQL-expressible
+    * (hash-based sketches) pin a property oracle — planted-duplicate
+    * recall, implementation==specification equality, or tolerance
+    * bounds — instead of falling back to the driver's weaker rows-only
+    * check. */
   def oracleSql: Map[String, String] =
     QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

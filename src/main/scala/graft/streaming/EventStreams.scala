@@ -140,4 +140,65 @@ object EventStreams {
     q.awaitTermination()
     outDir
   }
+
+  /** Raw file schema of the driver's events parquet: `ts` is parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader only accepts as
+    * INT64 under `spark.sql.legacy.parquet.nanosAsLong` (the same
+    * workaround [[graft.Tables.events]] uses on the batch side). */
+  val rawNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Runs [[eventTimeWindow]] as a REAL Structured Streaming query over
+    * the raw events parquet: `readStream` file source →
+    * `Trigger.AvailableNow` (drain everything currently in the source,
+    * then stop) → complete-mode in-memory sink, blocking until the drain
+    * finishes, and returns the sink's contents — the execution gate that
+    * proves the streaming twin doesn't just compile but produces the
+    * batch answer through the incremental engine.
+    *
+    * Complete mode (not append): with `AvailableNow` the watermark at
+    * drain time still trails max event time, so append mode would hold
+    * back the final window(s); complete mode emits the full aggregation
+    * state, which is exactly the batch-equivalence property the gate
+    * pins. The memory sink holds one row per (window, event_type) group
+    * on the driver — bounded by the window count, not the event count —
+    * but it IS a driver-side sink: the production path for unbounded
+    * output is [[etlAvailableNow]]'s foreachBatch → parquet. */
+  def tumblingAvailableNow(spark: SparkSession, eventsPath: String,
+                           checkpointDir: String,
+                           sinkName: String = "graft_stream_tumbling"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source lists a DIRECTORY ('basePath' must be a
+    // directory); the driver's table is a single parquet file. Stage it
+    // behind a hardlink (zero-copy; copy as the cross-device fallback)
+    // in a scratch dir registered for JVM-exit deletion.
+    val f = new java.io.File(eventsPath)
+    val srcPath = if (f.isFile) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      graft.TempDirs.deleteOnExit(dir.toFile)
+      val staged = dir.resolve(f.getName)
+      try java.nio.file.Files.createLink(staged, f.toPath)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(f.toPath, staged); ()
+      }
+      dir.toString
+    } else eventsPath
+    val src = spark.readStream.schema(rawNanosSchema).parquet(srcPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = eventTimeWindow(src)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
 }

@@ -1,7 +1,11 @@
 package graft
 
-/** Smoke: every catalog query runs at sf0.001; queries without a DuckDB
-  * oracle (the driver's weaker rows-only check) must return rows. */
+/** Smoke: every catalog query runs at sf0.001, and every query carries a
+  * DuckDB oracle — the full-strength correctness gate. (Queries whose
+  * exact output isn't SQL-expressible — hash-based sketches — pin a
+  * property oracle instead; the weaker rows-only fallback regressed to
+  * zero users in r6 and is now FORBIDDEN so the gate can't silently
+  * thin out.) */
 class CatalogSmokeSpec extends SparkSpec {
 
   test("flagship entry returns rows (driver smoke contract)") {
@@ -13,11 +17,21 @@ class CatalogSmokeSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("EVERY catalog query declares an oracle (no rows-only fallbacks)") {
+    val missing = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty,
+      s"queries without an oracle (add a value or property oracle): $missing")
+  }
+
+  test("catalog names are unique") {
+    val dups = QueryCatalog.all.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog names: $dups")
+  }
+
   QueryCatalog.all.foreach { q =>
-    test(s"${q.name} executes at sf0.001" +
-        (if (q.oracle.isEmpty) " and returns rows" else "")) {
-      val n = q.run(spark, sfDir).count()
-      if (q.oracle.isEmpty) assert(n > 0, s"${q.name}: rows-only check needs >0 rows")
+    test(s"${q.name} executes at sf0.001") {
+      q.run(spark, sfDir).count()
+      ()
     }
   }
 }

@@ -170,6 +170,24 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("AvailableNow tumbling drain over the raw parquet matches batch") {
+    // the execution gate's exact path: nanos-typed readStream schema
+    // over the driver's events.parquet, AvailableNow trigger, complete-
+    // mode memory sink (q_event_stream_exec runs this in Verify)
+    val ckpt = java.nio.file.Files.createTempDirectory("an_ckpt").toString
+    val streamed = EventStreams.tumblingAvailableNow(
+        spark, s"$sfDir/events.parquet", ckpt, sinkName = "an_tumbling")
+      .select("w_start", "event_type", "n", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     // duplicate the stream directory content to force dups
     val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
