@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all 32 executor threads in THIS one JVM:
+  // at 8g the old gen fills over a multi-iteration bench and GC debt
+  // lands in whichever query runs next (the r5/r6 bench noise).
+  // Fixed Xms=Xmx avoids grow/shrink re-commit between queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // fault the whole heap in at JVM start: without this the first heavy
+  // allocation pass page-faults ~20 GB mid-query (measured: a 17 s
+  // first-pass q_ngram_jaccard that is 4 s every pass after)
+  "-XX:+AlwaysPreTouch",
 )
