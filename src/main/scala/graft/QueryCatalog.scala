@@ -836,9 +836,14 @@ object QueryCatalog {
       // exactly 1.0 — identical text gives identical signatures, which
       // co-bucket in every band. The full operator still runs (the
       // projection left-joins its output), so a recall miss shows as a
-      // null est_jaccard and flips the hash red.
+      // null est_jaccard and flips the hash red. maxBucketSize is
+      // raised so the planted property is UNCONDITIONAL: the default
+      // cap ranks bucket members by id ascending, which would evict
+      // the high-id planted copies first on boilerplate-heavy buckets
+      // and conflate cap loss with a real recall bug (ADVICE r6).
       (s, d) => {
-        val pairs = Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text")
+        val pairs = Dedup.minhashPairs(plantedDocs(s, d), "doc_id", "text",
+          maxBucketSize = 1 << 20)
         val expected = t(s, d, "documents")
           .filter(col("doc_id") < 10 && col("text").isNotNull &&
             trim(col("text")) =!= "" &&
@@ -893,8 +898,12 @@ object QueryCatalog {
       // property: every planted exact duplicate pair must surface with
       // hamming 0 (identical text -> identical signature, co-bucketed
       // in every band). Left join: a recall miss -> null hamming -> red.
+      // maxBucketSize raised for the same reason as q_minhash_pairs:
+      // the id-ascending cap would evict planted copies first, making
+      // the gate conditional on corpus boilerplate (ADVICE r6).
       (s, d) => {
-        val pairs = Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text")
+        val pairs = Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text",
+          maxBucketSize = 1 << 20)
         val expected = t(s, d, "documents").filter(col("doc_id") < 10)
           .select(col("doc_id").as("id_a"),
             (col("doc_id") + 1000000).as("id_b"))

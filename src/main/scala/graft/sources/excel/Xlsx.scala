@@ -485,11 +485,13 @@ object Xlsx {
     val parts = mutable.Map[String, Array[Byte]]()
     var e = zin.getNextEntry
     while (e != null) {
+      // collect ANY sheet part (worksheets AND chartsheets, any part
+      // name) so rels Targets with nonstandard filenames still resolve
       if (e.getName == "xl/sharedStrings.xml" ||
         e.getName == "xl/workbook.xml" ||
         e.getName == "xl/styles.xml" ||
         e.getName == "xl/_rels/workbook.xml.rels" ||
-        e.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
+        e.getName.matches("xl/(work|chart)sheets/[^/]+\\.xml"))
         parts(e.getName) = zin.readAllBytes()
       e = zin.getNextEntry
     }
@@ -497,30 +499,32 @@ object Xlsx {
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
     val numFmts: IndexedSeq[Int] = parts.get("xl/styles.xml")
       .map(parseCellXfNumFmts).getOrElse(IndexedSeq.empty)
+    // positional candidates: numbered worksheet parts in numeric order,
+    // then any other worksheet parts in name order
+    def partNum(p: String): Option[Int] =
+      p.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toIntOption
+    val positional: Seq[String] = parts.keys
+      .filter(_.startsWith("xl/worksheets/")).toSeq
+      .sortBy(p => (partNum(p).isEmpty, partNum(p).getOrElse(0), p))
     // name -> part association via r:id + rels (workbook order, same
-    // resolution as highlightCopy); positional numbering only as the
-    // fallback for rels-free packages
-    val viaRels: Seq[(String, String)] = (for {
-      wb <- parts.get("xl/workbook.xml")
-      rels <- parts.get("xl/_rels/workbook.xml.rels").map(parseWorkbookRels)
-    } yield parseSheetEntries(wb).flatMap { case (name, rid) =>
-      rels.get(rid).filter(parts.contains).map(name -> _)
-    }).getOrElse(Seq.empty)
-    if (viaRels.nonEmpty)
-      viaRels.map { case (name, p) =>
-        Sheet(name, parseSheet(parts(p), shared, numFmts))
+    // resolution as highlightCopy). When a declared sheet's rel is
+    // missing or its Target wasn't collected, fall back to the
+    // positional part at that sheet's workbook index rather than
+    // silently dropping the sheet (a partially-resolvable rels part
+    // must not shrink the result below what positional numbering gives)
+    val declared: Seq[(String, String)] = parts.get("xl/workbook.xml")
+      .map(parseSheetEntries).getOrElse(Seq.empty)
+    val rels: Map[String, String] = parts.get("xl/_rels/workbook.xml.rels")
+      .map(parseWorkbookRels).getOrElse(Map.empty)
+    if (declared.nonEmpty)
+      declared.zipWithIndex.flatMap { case ((name, rid), i) =>
+        rels.get(rid).filter(parts.contains).orElse(positional.lift(i))
+          .map(p => Sheet(name, parseSheet(parts(p), shared, numFmts)))
       }
-    else {
-      val names: Seq[String] = parts.get("xl/workbook.xml")
-        .map(parseSheetNames).getOrElse(Seq.empty)
-      val sheetParts = parts.keys.filter(_.startsWith("xl/worksheets/"))
-        .toSeq.sortBy(p =>
-          p.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt)
-      sheetParts.zipWithIndex.map { case (p, i) =>
-        Sheet(names.lift(i).getOrElse(s"Sheet${i + 1}"),
-          parseSheet(parts(p), shared, numFmts))
+    else
+      positional.zipWithIndex.map { case (p, i) =>
+        Sheet(s"Sheet${i + 1}", parseSheet(parts(p), shared, numFmts))
       }
-    }
   }
 
   private val xif: XMLInputFactory = {

@@ -387,4 +387,66 @@ class ExcelSpec extends SparkSpec {
     assert(sheet(1, 2) == "2026-03-14 15:09:26")
     assert(sheet(1, 3) == "note")
   }
+
+  // --- partial rels resolution (ADVICE r6): nonstandard part names and
+  // --- unresolvable targets must not silently drop sheets ---
+
+  private def rawZip(path: String, entries: Seq[(String, String)]): Unit = {
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    entries.foreach { case (name, xml) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(xml.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+  }
+
+  private def wbXml(names: String*): String = {
+    val sheets = names.zipWithIndex.map { case (n, i) =>
+      s"""<sheet name="$n" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheets</sheets></workbook>"""
+  }
+
+  private def relsXml(targets: String*): String = {
+    val rels = targets.zipWithIndex.map { case (t, i) =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="$t"/>"""
+    }.mkString
+    s"""<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>"""
+  }
+
+  private def sheetXmlWith(text: String): String =
+    s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>$text</t></is></c></row></sheetData></worksheet>"""
+
+  test("read resolves rels targets with nonstandard part names") {
+    val path = s"$tmpDir/nonstd.xlsx"
+    rawZip(path, Seq(
+      "xl/workbook.xml" -> wbXml("Alpha", "Beta"),
+      "xl/_rels/workbook.xml.rels" ->
+        relsXml("worksheets/sheet1.xml", "worksheets/data1.xml"),
+      "xl/worksheets/sheet1.xml" -> sheetXmlWith("alpha"),
+      "xl/worksheets/data1.xml" -> sheetXmlWith("beta")))
+    val sheets = { val in = new java.io.FileInputStream(path)
+      try Xlsx.read(in) finally in.close() }
+    assert(sheets.map(_.name) == Seq("Alpha", "Beta"))
+    assert(sheets(1)(1, 1) == "beta")
+  }
+
+  test("read falls back positionally for sheets whose rel is unresolvable") {
+    val path = s"$tmpDir/partial.xlsx"
+    // Beta's rel points at a part that isn't in the package; the sheet
+    // must resolve to the positional part at its workbook index, not
+    // vanish from the result
+    rawZip(path, Seq(
+      "xl/workbook.xml" -> wbXml("Alpha", "Beta"),
+      "xl/_rels/workbook.xml.rels" ->
+        relsXml("worksheets/sheet1.xml", "worksheets/ghost.xml"),
+      "xl/worksheets/sheet1.xml" -> sheetXmlWith("alpha"),
+      "xl/worksheets/sheet2.xml" -> sheetXmlWith("beta")))
+    val sheets = { val in = new java.io.FileInputStream(path)
+      try Xlsx.read(in) finally in.close() }
+    assert(sheets.map(_.name) == Seq("Alpha", "Beta"))
+    assert(sheets(1)(1, 1) == "beta")
+  }
 }
