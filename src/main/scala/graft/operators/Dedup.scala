@@ -219,7 +219,17 @@ object Dedup {
         .select(col(idCol).as("id"),
           graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
             .as("sh"))
-        .select(col("id"), explode(col("sh")).as("s")),
+        .select(col("id"), explode(col("sh")).as("s_raw"))
+        // 64-bit shingle identity, not the string: every downstream
+        // consumer (window sort, groupBy, co-occurrence equi-join) only
+        // needs set identity, and fixed-width longs sort/compare/shuffle
+        // several times cheaper than ~30-byte UTF8 shingles (measured on
+        // q_ngram_jaccard's single-task window stage: the string sort
+        // dominated). Collisions merge two shingles corpus-wide at
+        // ~n^2/2^65 probability — immaterial next to MinHash/LSH's own
+        // approximation, and the exact-Jaccard path counts set overlap
+        // where a collision shifts one count by 1.
+        .select(col("id"), xxhash64(col("s_raw")).as("s")),
       eager = false)
 
   /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over
@@ -444,7 +454,12 @@ object Dedup {
         .select(col(idCol).as("id"),
           graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
             .as("sh"))
-        .select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), explode(col("sh")).as("s_raw"))
+        // hash to a 64-bit shingle id before the shuffle — see
+        // [[shingleRelation]]: the window sort, both groupBys and the
+        // co-occurrence join below only need set identity, and longs
+        // cost a fraction of UTF8 shingle strings there
+        .select(col("id"), xxhash64(col("s_raw")).as("s"))
         .withColumn("df_count",
           count(lit(1)).over(Window.partitionBy(col("s")))),
       eager = false) // lazy: see [[shingleRelation]] rationale
@@ -454,8 +469,18 @@ object Dedup {
     // shingles at corpus scale (executor OOM), for rows the rare filter
     // then throws away. sort_array so in-array pair expansion below can
     // emit id_a < id_b positionally.
+    // explicit partition count so AQE does NOT coalesce this exchange:
+    // the rare rows compress to ~2 MB per 100k at sf0.1, so byte-based
+    // coalescing lands the final agg AND the in-array pair expansion
+    // below (which multiplies rows ~6x and is the pipeline's most
+    // CPU-dense stage) on ONE task while every other core idles —
+    // measured 1.5 s single-task vs spread at sf0.1. The repartition
+    // satisfies the groupBy's required distribution, so it replaces
+    // (not adds to) the aggregation exchange.
     val rareIds = exploded
       .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("s"))
       .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
 
     // Candidate pairs share >= 1 rare shingle; each shared rare shingle
