@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, DiffEngine, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, DiffEngine, Multimodal, Similarity, TextAnalysis}
 
 /** The operator inventory (SURVEY.md §2 Tier A + §7.1 Tier B), one entry
   * per operator: a Spark implementation and, where ANSI-SQL-expressible,
@@ -819,6 +819,80 @@ object QueryCatalog {
              |           / CAST(len(toks) AS DOUBLE), 4) + 0
              |    ELSE 0.0 END AS top_tok_share
              |FROM tk""".stripMargin)),
+
+    Q("q_decontaminate", // benchmark decontamination: flag docs sharing
+      // any word 3-gram with an "eval set" (docs 0..19) — the standard
+      // guard against test-set leakage into training data. 3-grams (not
+      // the production 8+) so the synthetic vocabulary actually overlaps
+      // and both branches of the flag are exercised.
+      (s, d) => CorpusOps.contaminationFlags(
+        t(s, d, "documents"), "doc_id", "text",
+        t(s, d, "documents").filter(col("doc_id") < 20), "text", n = 3),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
+             |g AS (SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      list_transform(toks, (x, i) ->
+             |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             |      v -> v IS NOT NULL)) AS sh
+             |    FROM t) u),
+             |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id < 20),
+             |hits AS (SELECT g.doc_id, count(*) AS n
+             |         FROM g JOIN ev USING (sh) GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated,
+             |  coalesce(hits.n, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"""
+        .stripMargin)),
+
+    Q("q_stratified_sample", // deterministic stratified sample: k docs
+      // per source by md5-hash order — reproducible across runs/engines
+      // (no rand()), so the oracle draws the identical sample
+      (s, d) => CorpusOps.stratifiedSampleK(
+        t(s, d, "documents"), "source", "doc_id", k = 50)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |      PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 50""".stripMargin)),
+
+    Q("q_token_budget", // data-mixing quota: per source, keep docs in
+      // id order until the cumulative token count exceeds the budget
+      (s, d) => CorpusOps.tokenBudgetSelect(
+        t(s, d, "documents"), "source", "doc_id", "text",
+        budgetTokens = 2000L)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("cum_toks")),
+      Some("""SELECT doc_id, source, n_toks, cum_toks FROM (
+             |  SELECT doc_id, source,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END
+             |      AS BIGINT) AS n_toks,
+             |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+             |      OVER (PARTITION BY source ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+             |  FROM documents) WHERE cum_toks <= 2000""".stripMargin)),
+
+    Q("q_unigram_logprob", // corpus unigram LM score per doc (CCNet-
+      // style LM-quality proxy): mean ln p(token) under corpus unigram
+      // frequencies
+      (s, d) => CorpusOps.unigramLogProb(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM c)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |  round(avg(ln(c / total)), 4) + 0 AS avg_logprob
+             |FROM t JOIN c USING (tok) CROSS JOIN tot
+             |GROUP BY doc_id""".stripMargin)),
 
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and training: benchmark decontamination,
+  * deterministic sampling, per-source token budgeting, and cheap
+  * language-model scoring. All are single-scan or few-shuffle shapes —
+  * no all-pairs work, no driver-side corpus loops.
+  */
+object CorpusOps {
+
+  /** Cheap "has >= n whitespace tokens" pre-filter (same rationale as
+    * the dedup family: filter on the cheap predicate BEFORE the shingle
+    * projection so Catalyst cannot duplicate the expensive expression
+    * into a pushed-down filter). */
+  private def hasMinTokens(textCol: Column, n: Int): Column =
+    textCol.isNotNull && trim(textCol) =!= "" &&
+      size(split(trim(textCol), "\\s+")) >= n
+
+  /** Benchmark decontamination: flag every document sharing at least
+    * one word `n`-gram with an evaluation set (the standard guard
+    * against test-set leakage into training data; n = 8..13 word
+    * n-grams in published pipelines).
+    *
+    * Returns one row per input document: (`idCol`, `n_contaminated` =
+    * number of distinct shared n-grams, `contaminated`).
+    *
+    * Scale shape: the EVAL side is small by definition (an eval suite,
+    * not a corpus), so its distinct n-gram hashes are collected into a
+    * broadcast hash relation; the corpus side explodes to (id, gram
+    * hash) rows and the broadcast join prunes non-matching grams
+    * map-side — the only shuffle proportional to matches, not to the
+    * corpus x grams relation. Gram identity is `xxhash64` (64-bit),
+    * same collision argument as the dedup family.
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         evalSet: DataFrame, evalTextCol: String,
+                         n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, text: String, out: Seq[Column]): DataFrame =
+      df.filter(hasMinTokens(col(text), n))
+        .select(col("*"),
+          graft.plans.TextExpressions.word_shingles(col(text), n).as("__sh"))
+        .select(out :+ explode(col("__sh")).as("__g"): _*)
+        .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
+    val evalGrams = grams(evalSet, evalTextCol, Seq.empty)
+      .select(col("__gh")).distinct()
+    // word_shingles emits a per-doc SET, so post-join count(1) per id is
+    // already the distinct shared-gram count — no countDistinct shuffle
+    val hits = grams(docs, textCol, Seq(col(idCol)))
+      .join(broadcast(evalGrams), Seq("__gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic stratified sample: exactly `k` rows per stratum
+    * (fewer when the stratum is smaller), chosen by md5-hash order of
+    * the id — a pseudo-random draw that is reproducible across runs and
+    * engines (no `rand()`, so retried tasks and differential oracles
+    * see the same sample).
+    *
+    * Scale shape: one shuffle on the stratum key; the rank filter
+    * compiles to WindowGroupLimit (Spark 3.5+), which keeps a per-map-
+    * partition top-k heap BEFORE the exchange, so shuffle volume is
+    * O(partitions x k) per stratum, not the stratum size. */
+  def stratifiedSampleK(df: DataFrame, strataCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Token-budget selection — the data-mixing primitive: per `groupCol`
+    * (source, language, domain ...), keep documents in `priority` order
+    * until the group's cumulative whitespace-token count exceeds
+    * `budgetTokens`, so each group contributes at most its quota to the
+    * training mix. Pass quality-score descending as `priority` to spend
+    * the budget on the best documents.
+    *
+    * Returns the selected rows plus `n_toks` / `cum_toks` accounting
+    * columns.
+    *
+    * Scale shape: one shuffle on the group key; the running sum is a
+    * sequential frame INSIDE each group partition. A single pathological
+    * group serializes onto one task (WindowExec semantics) — acceptable
+    * because groups are curation units (sources/languages), bounded in
+    * count and roughly balanced; budget selection across a skewed key
+    * space should bucket the key first. */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, budgetTokens: Long,
+                        priority: Seq[Column] = Seq.empty): DataFrame = {
+    val ord = if (priority.nonEmpty) priority :+ col(idCol)
+              else Seq(col(idCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budgetTokens)
+  }
+
+  /** Corpus unigram log-probability per document — the cheap LM-quality
+    * proxy (CCNet-style filtering ranks documents by LM score; a
+    * unigram model over the corpus itself is its deterministic,
+    * dependency-free cousin). Returns (`idCol`, `n_toks`,
+    * `avg_logprob` = mean ln p(token) under corpus unigram frequencies,
+    * rounded to 4 places). Higher = more typical text; extreme values
+    * catch gibberish and boilerplate.
+    *
+    * Scale shape: token counts are one hash aggregation; the join back
+    * re-uses the aggregation's partitioning (both sides hash on the
+    * token), and the per-doc reduce is a second aggregation. The
+    * exploded relation is deliberately NOT materialized even though two
+    * branches consume it: storing corpus x tokens blocks costs more
+    * than the second scan it saves (the opposite call from the dedup
+    * family, where the shared subtree carries an expensive window).
+    * The 1-row corpus total rides a broadcast, not a driver collect. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("c").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminationFlags: planted eval overlap is flagged, clean is not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "one two three four five"),
+      (4L, "x y"), // too short for a 3-gram: never contaminated
+      (5L, "beta gamma delta something else") // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta"), // grams: a b g, b g d
+      (101L, "totally disjoint words here")).toDF("doc_id", "text")
+    val out = CorpusOps.contaminationFlags(docs, "doc_id", "text",
+      eval, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == ((2L, true)))  // alpha beta gamma + beta gamma delta
+    assert(out(5L) == ((1L, true)))  // beta gamma delta
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+    assert(out.size == 5) // every input doc gets a row, even short ones
+  }
+
+  test("contaminationFlags: eval side rides a broadcast join") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = CorpusOps.contaminationFlags(docs, "doc_id", "text",
+      docs.filter($"doc_id" < 5), "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("stratifiedSampleK: at most k per stratum, deterministic draw") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
+    val counts = s1.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.forall(_ <= 7))
+    val ids1 = s1.select($"doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2) // same draw on re-run: no rand() anywhere
+    // small stratum: returns all of it rather than padding
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    assert(CorpusOps.stratifiedSampleK(tiny, "source", "doc_id", 7)
+      .count() == 3)
+  }
+
+  test("stratifiedSampleK compiles to WindowGroupLimit (pre-shuffle top-k)") {
+    val plan = CorpusOps.stratifiedSampleK(
+      Tables.documents(spark, sfDir), "source", "doc_id", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("tokenBudgetSelect: budget never exceeded, prefix in priority order") {
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),        // 5 toks, cum 5
+      (2L, "s1", "a b c"),            // 3 toks, cum 8
+      (3L, "s1", "a b c d e f g h"),  // 8 toks, cum 16 > 10: dropped
+      (4L, "s2", "a b")               // separate group, cum 2
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOps.tokenBudgetSelect(docs, "source", "doc_id", "text",
+      budgetTokens = 10L)
+      .select($"doc_id", $"cum_toks").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 5L, 2L -> 8L, 4L -> 2L))
+    // priority: quality-first ordering spends the budget differently
+    val pr = CorpusOps.tokenBudgetSelect(docs, "source", "doc_id", "text",
+      budgetTokens = 10L, priority = Seq($"doc_id".desc))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(pr == Set(3L, 4L)) // doc 3 (8 toks) first, doc 2 would overflow
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/vocab) everywhere") {
+    // every token appears exactly once per doc, 4 docs x 2 tokens ->
+    // each token count 1, total 8, every doc avg ln(1/8)
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff"), (4L, "gg hh"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 4)
+    val expect = BigDecimal(math.log(1.0 / 8))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.forall { case (_, n, lp) => n == 2L && lp == expect })
+    // a doc made of the corpus's most common token scores higher
+    val skew = Seq((1L, "the the the"), (2L, "the rare")).toDF("doc_id", "text")
+    val byId = CorpusOps.unigramLogProb(skew, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(2L))
+  }
+}
