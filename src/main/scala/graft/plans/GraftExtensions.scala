@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Option(e).map(_.eval().asInstanceOf[Int]).getOrElse(default)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: pushed-down / inferred null-emptiness predicates
+    // over the sketch expressions become cheap token-count predicates
+    // (see [[SketchFilterSimplify]] for the double-evaluation story)
+    ext.injectOptimizerRule(_ => SketchFilterSimplify)
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_signature"),
