@@ -846,7 +846,8 @@ object QueryCatalog {
              |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated,
              |  coalesce(hits.n, 0) > 0 AS contaminated
              |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"""
-        .stripMargin)),
+        .stripMargin),
+      headline = true),
 
     Q("q_stratified_sample", // deterministic stratified sample: k docs
       // per source by md5-hash order — reproducible across runs/engines
@@ -892,7 +893,8 @@ object QueryCatalog {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
              |  round(avg(ln(c / total)), 4) + 0 AS avg_logprob
              |FROM t JOIN c USING (tok) CROSS JOIN tot
-             |GROUP BY doc_id""".stripMargin)),
+             |GROUP BY doc_id""".stripMargin),
+      headline = true),
 
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
