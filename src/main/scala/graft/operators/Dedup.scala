@@ -486,13 +486,16 @@ object Dedup {
     // Candidate pairs share >= 1 rare shingle; each shared rare shingle
     // contributes one pair row, so the group count IS the shared-rare
     // count `r_inter` (exact, since shingle sets are deduped per doc).
-    // Pairs are generated i<j IN-ARRAY (the minhashPairs slice/transform
-    // shape): the double-explode this replaces materialized all n^2
-    // ordered combinations as rows and then filtered half away — twice
-    // the rows into the aggregation for no information.
-    val pairsExpr = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, lit(maxDocFreq)), b =>
-        struct(a.as("id_a"), b.as("id_b")))))
+    // Pairs are generated i<j IN-ARRAY by the native [[graft.plans
+    // .IdPairs]] (ids are sorted ascending above, so id_a < id_b
+    // positionally). Measured vs the interpreted flatten/transform/
+    // slice nest it replaces: 2x faster isolated (0.24 -> 0.13 s per
+    // 2.8M pairs, 32 threads) but invisible in this query at sf0.1 —
+    // the stage's CPU is the two aggregation hash maps, not the
+    // expansion; the win is CPU density at real candidate volumes.
+    // (The still-earlier double-explode shape materialized all n^2
+    // ordered combinations as rows — see git history.)
+    val pairsExpr = graft.plans.TextExpressions.id_pairs(col("ids"))
     val candCounts = rareIds
       .select(explode(pairsExpr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))

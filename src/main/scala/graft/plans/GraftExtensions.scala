@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
       (exprs: Seq[Expression]) => SrpSignature(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8))))
+    ext.injectFunction((
+      FunctionIdentifier("id_pairs"),
+      new ExpressionInfo(classOf[IdPairs].getName, "id_pairs"),
+      (exprs: Seq[Expression]) => IdPairs(exprs.head)))
   }
 }

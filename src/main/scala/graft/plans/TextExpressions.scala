@@ -56,6 +56,9 @@ object TextExpressions {
   def srp_signature(c: Column, nBits: Int): Column =
     GraftBridge.column(SrpSignature(GraftBridge.expression(c), nBits))
 
+  def id_pairs(c: Column): Column =
+    GraftBridge.column(IdPairs(GraftBridge.expression(c)))
+
   /** SQL registration: `SELECT minhash_signature(text, 32, 3), simhash64(text)`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
@@ -78,6 +81,8 @@ object TextExpressions {
       exprs => SrpSignature(exprs.head,
         exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(8)),
       "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "id_pairs", exprs => IdPairs(exprs.head), "scala_udf")
   }
 
   private[plans] def tokenize(text: String): Array[String] = {
@@ -392,5 +397,61 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** All i < j element pairs of a (pre-sorted) long array, as one JIT'd
+  * double loop emitting `array<struct<id_a, id_b>>`.
+  *
+  * Replaces the declarative
+  * `flatten(transform(ids, (a, i) => transform(slice(ids, i + 2, cap),
+  * b => struct(a, b))))` nest in the dedup pair generators: higher-order
+  * functions stay interpreted (no whole-stage codegen) and that shape
+  * allocates a lambda frame plus a sliced array copy PER ELEMENT and a
+  * struct per pair through three interpreter layers — the dominant CPU
+  * of the candidate-expansion stage at sf0.1. Here the quadratic loop
+  * runs inside generated code with one flat output buffer. Input order
+  * is preserved (callers pre-sort ascending so id_a < id_b
+  * positionally); null input -> null, 0/1-element input -> empty. */
+case class IdPairs(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "id_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public: called from generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, arr.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("idPairs", this, classOf[IdPairs].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IdPairs =
     copy(child = c)
 }

@@ -38,6 +38,24 @@ class DedupSimilaritySpec extends SparkSpec {
       $"native_bg" =!= $"decl_bg").isEmpty)
   }
 
+  test("native id_pairs matches the declarative flatten/transform nest") {
+    // arrays of every small size incl. null, empty, singleton
+    val arrays = Seq(
+      Seq.empty[Long], Seq(7L), Seq(1L, 2L), Seq(3L, 5L, 9L),
+      (1L to 10L).toSeq).map(Option(_)) :+ Option.empty[Seq[Long]]
+    val df = arrays.toDF("ids")
+    val decl = flatten(transform($"ids", (a, i) =>
+      transform(slice($"ids", i + 2, lit(1000)), b =>
+        struct(a.as("id_a"), b.as("id_b")))))
+    val cmp = df.select(
+      graft.plans.TextExpressions.id_pairs($"ids").as("native"),
+      decl.as("decl"))
+    // null-safe compare: null input -> both null; sizes + elements equal
+    assert(cmp.filter(!($"native" <=> $"decl")).isEmpty)
+    val ten = cmp.filter(size($"native") === 45).count()
+    assert(ten == 1) // 10 choose 2
+  }
+
   test("native srp_signature matches the declarative spec") {
     val emb = Tables.embeddings(spark, sfDir).limit(100)
     val cmp = emb.select(
