@@ -896,6 +896,41 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_boilerplate", // corpus-frequency boilerplate line removal (the
+      // C4 recipe: drop lines occurring verbatim in >= minDocs distinct
+      // docs, rebuild the doc from surviving lines in order). The
+      // synthetic corpus has no newlines, so the query derives a
+      // multi-line corpus the oracle derives identically: ' the '
+      // becomes a line break — short repeated lines then exist
+      // naturally (30-word vocabulary), exercising both branches.
+      (s, d) => CorpusOps.removeBoilerplateLines(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " the ", "\n").as("text")),
+        "doc_id", "text", minDocs = 5),
+      Some("""WITH d AS (SELECT doc_id,
+             |    replace(text, ' the ', chr(10)) AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |l AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS line,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
+             |      AS pos
+             |  FROM d),
+             |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l
+             |      WHERE trim(line) <> '' GROUP BY 1),
+             |bp AS (SELECT line FROM f WHERE df >= 5),
+             |m AS (SELECT l.doc_id, l.pos, l.line,
+             |        bp.line IS NOT NULL AS is_bp
+             |      FROM l LEFT JOIN bp ON l.line = bp.line)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+             |    chr(10) ORDER BY pos), '') AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed
+             |FROM m GROUP BY doc_id""".stripMargin),
+      headline = true),
+
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),
@@ -955,6 +990,45 @@ object QueryCatalog {
              |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
         .stripMargin),
       headline = true),
+
+    Q("q_incremental_dedup", // delta-vs-corpus dedup without a corpus
+      // rescan: persist the MinHash LSH index once (hive-partitioned by
+      // (band, bucket-mod)), then probe each incoming batch against it —
+      // the index read prunes to the delta's own partition leaves and
+      // the bucket join broadcasts the delta. Here the "delta" is docs
+      // 0..9 recopied with shifted ids, so the gate pins the planted
+      // property: every copy with enough tokens for a signature must
+      // match its source at est_jaccard exactly 1.0 (identical text ->
+      // identical signature -> co-bucketed in every band). Left join:
+      // a recall miss -> null est_jaccard -> red hash.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+        val delta = docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        val pairs = Dedup.incrementalMinhashPairs(s, dir, delta,
+          "doc_id", "text")
+        val expected = docs
+          .filter(col("doc_id") < 10 && col("text").isNotNull &&
+            trim(col("text")) =!= "" &&
+            size(split(trim(col("text")), "\\s+")) >= 3)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1000000).as("id_b"))
+        expected.join(
+            pairs.filter(col("est_jaccard") === 1.0),
+            Seq("id_a", "id_b"), "left_outer")
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+             |  CAST(1.0 AS DOUBLE) AS est_jaccard
+             |FROM documents
+             |WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
+             |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
+        .stripMargin)),
 
     Q("q_simhash", // 64-bit SimHash per doc. Signature bits aren't
       // SQL-expressible (xxhash64), so the gate pins the PROPERTY that
@@ -1045,6 +1119,78 @@ object QueryCatalog {
             max(col("cos_sim")) <= 1.0000001).as("cos_bounded"),
           (sum(when(col("id") === 0L, 1).otherwise(0)) === 0)
             .as("query_excluded")),
+      Some("""SELECT CAST(20 AS BIGINT) AS n_rows,
+             |  CAST(20 AS BIGINT) AS n_ids,
+             |  true AS cos_bounded, true AS query_excluded"""
+        .stripMargin),
+      headline = true),
+
+    Q("q_int8_cosine", // symmetric int8 quantization error bound: over
+      // every pair of the first 50 embeddings, the quantized cosine
+      // (4x smaller vectors, integer dots, scales cancel) must sit
+      // within 0.02 of the exact float cosine — ~3x the sqrt(3)/254
+      // analytic RMS bound for dense vectors, so the gate is tight
+      // enough to catch a scaling/rounding bug and loose enough to
+      // never flip on corpus draw. Any violation -> ok=false -> red.
+      (s, d) => {
+        val emb = t(s, d, "embeddings").filter(col("vec_id") < 50)
+        val qz = Similarity.withInt8Quantized(emb, "embedding")
+          .select(col("vec_id"), col("embedding"), col("q_vec"))
+        val a = qz.select(col("vec_id").as("id_a"),
+          col("embedding").as("v_a"), col("q_vec").as("q_a"))
+        val b = qz.select(col("vec_id").as("id_b"),
+          col("embedding").as("v_b"), col("q_vec").as("q_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (abs(Similarity.quantizedCosine(col("q_a"), col("q_b")) -
+              Similarity.cosine(col("v_a"), col("v_b"))) <= 0.02).as("ok"))
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b, true AS ok
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 50 AND b.vec_id < 50""".stripMargin)),
+
+    Q("q_int8_topk", // ANN retrieval over the QUANTIZED corpus: same
+      // planted-copy gate as q_srp_topk (identical input -> identical
+      // quantized vector -> quantized cosine exactly 1.0), proving the
+      // quarter-IO scan still ranks the true duplicate first.
+      (s, d) => Similarity.int8TopK(plantedEmbeddings(s, d), "vec_id",
+          "embedding", queryId = 0L, k = 20)
+        .agg(
+          max_by(col("id"), struct(col("q_cos"), -col("id")))
+            .as("top1_id"),
+          max(col("q_cos")).as("top1_cos"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
+
+    Q("q_int8_bench", // headline: the at-rest-quantized ANN scan. The
+      // quantized corpus is materialized ONCE per (process, sf) — the
+      // deployment shape: quantize at ingest, then every scan reads
+      // quarter the bytes — so the bench warm-up pass pays the build
+      // and the timed passes measure the pure int8 scan, sitting
+      // beside q_cosine_knn's float scan as the direct comparison.
+      // No planted union or gate scaffolding (bench-governance shape —
+      // one aggregation over the operator's own 20-row output); result
+      // quality is pinned by q_int8_cosine (error bound) and
+      // q_int8_topk (planted rank-1); the oracle here pins the
+      // SQL-expressible invariants.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_int8_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/corpus"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        if (!new java.io.File(dir).exists())
+          Similarity.writeInt8Corpus(t(s, d, "embeddings"), "vec_id",
+            "embedding", dir)
+        Similarity.int8TopKPrequantized(s, dir, queryId = 0L, k = 20)
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("id")).as("n_ids"),
+            (min(col("q_cos")) >= -1.0000001 &&
+              max(col("q_cos")) <= 1.0000001).as("cos_bounded"),
+            (sum(when(col("id") === 0L, 1).otherwise(0)) === 0)
+              .as("query_excluded"))
+      },
       Some("""SELECT CAST(20 AS BIGINT) AS n_rows,
              |  CAST(20 AS BIGINT) AS n_ids,
              |  true AS cos_bounded, true AS query_excluded"""

@@ -107,6 +107,55 @@ object CorpusOps {
       .filter(col("cum_toks") <= budgetTokens)
   }
 
+  /** Corpus-frequency boilerplate line removal (the C4-recipe cousin:
+    * drop every line that occurs verbatim in at least `minDocs` distinct
+    * documents — navigation chrome, cookie banners, license footers —
+    * and rebuild each document from its surviving lines in order).
+    *
+    * Returns one row per input document (null-text documents excluded):
+    * (`idCol`, `clean_text`, `n_lines`, `n_removed`). Documents whose
+    * every line was boilerplate come back with an empty `clean_text`
+    * (curation pipelines typically drop those next with a length
+    * filter). Blank lines are never counted as boilerplate (they carry
+    * layout, not content) and survive in place.
+    *
+    * Scale shape: lines explode to a narrow (id, pos, line-hash)
+    * relation; the document-frequency aggregation shuffles on the
+    * 64-bit line hash; the boilerplate set (df >= minDocs) is tiny by
+    * construction — repeated-content lines — so the membership join
+    * broadcasts under AQE; the rebuild is one shuffle on the doc id.
+    * The exploded relation feeds two branches (df-count and rebuild)
+    * and is deliberately NOT materialized: it is a cheap projection of
+    * the scan, so recomputing costs less than storing corpus x lines
+    * blocks (same call as [[unigramLogProb]], opposite of the dedup
+    * family's expensive-window subtrees). */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int, delim: String = "\n"): DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__line")))
+    val boiler = lines
+      .filter(trim(col("__line")) =!= "")
+      .select(col(idCol), xxhash64(col("__line")).as("__lh")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__lh"), lit(1).as("__bp"))
+    lines
+      .join(boiler, xxhash64(col("__line")) === col("__lh"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        // when(__bp null) -> null structs, which collect_list skips:
+        // only surviving lines enter the rebuild array
+        array_join(transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), delim).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col(idCol), col("clean_text"), col("n_lines"), col("n_removed"))
+  }
+
   /** Corpus unigram log-probability per document — the cheap LM-quality
     * proxy (CCNet-style filtering ranks documents by LM score; a
     * unigram model over the corpus itself is its deterministic,

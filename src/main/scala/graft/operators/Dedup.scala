@@ -111,22 +111,12 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    maxBucketSize: Int = 64,
                    capObservation: Option[Observation] = None): DataFrame = {
-    val rows = numHashes / bands
     // token-count guard BEFORE the signature projection (not
-    // `.filter(sig.isNotNull)` after it — see [[hasMinTokens]]); the
-    // guard is exactly the signature's null condition, so `sig` below
-    // is never null
-    val sigd = df
-      .filter(hasMinTokens(col(textCol), shingleN))
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
-
-    val banded = sigd.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>"))
-            .as("bucket")))).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    // `.filter(sig.isNotNull)` after it — see [[hasMinTokens]]) lives
+    // inside bandedSignatures; the guard is exactly the signature's
+    // null condition, so `sig` is never null
+    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
+      shingleN)
 
     // One shuffle: group members per (band, bucket) and generate the
     // i<j pairs inside the array — a self-join here would recompute the
@@ -149,6 +139,84 @@ object Dedup {
       .select(explode(pairsExpr).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         (size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Banded MinHash signature relation: one row per (doc, band) with the
+    * band's bucket hash — the join key of every LSH variant. Shared by
+    * [[minhashPairs]]-style self-joins and the persisted-index path
+    * ([[buildMinhashIndex]] / [[incrementalMinhashPairs]]). */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int, bands: Int,
+                               shingleN: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.filter(hasMinTokens(col(textCol), shingleN))
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            hash(slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>"))
+              .as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Number of `bucket`-modulus partition values per band in a persisted
+    * MinHash index — with the default 8 bands, 8 x 256 = 2048 leaf
+    * directories, each holding ~1/2048 of the corpus rows. */
+  val IndexBucketMods = 256
+
+  /** Persist a MinHash LSH index for INCREMENTAL dedup: the banded
+    * signature relation laid out hive-partitioned by `(band, bmod)`
+    * where `bmod = bucket mod `[[IndexBucketMods]]. Build cost is one
+    * corpus scan (the signature projection) plus the partitioned write
+    * — done ONCE; after that, deduplicating each incoming delta batch
+    * against the corpus is [[incrementalMinhashPairs]], whose index
+    * read is pruned to the delta's own `(band, bmod)` leaves. At 100 TB
+    * that is the difference between rescanning the corpus per batch and
+    * reading ~`|delta| x bands` small directories. */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, numHashes: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3): Unit =
+    bandedSignatures(df, idCol, textCol, numHashes, bands, shingleN)
+      .withColumn("bmod", pmod(col("bucket"), lit(IndexBucketMods)))
+      .write.mode("overwrite").partitionBy("band", "bmod").parquet(path)
+
+  /** Near-duplicate candidates of a NEW batch against a persisted
+    * [[buildMinhashIndex]] corpus index, without rescanning the corpus:
+    * the delta's banded signatures are computed in-memory, their
+    * distinct `(band, bmod)` keys prune the index read to matching
+    * partition directories (driver-side collect of at most
+    * `bands x `[[IndexBucketMods]] keys — bounded by the layout, not
+    * the data), and the bucket equi-join broadcasts the delta side.
+    * Emits `(id_a = corpus id, id_b = new id, est_jaccard)`, the
+    * matching-position fraction of the two signatures, maxed over
+    * co-occurring bands. Same `numHashes`/`bands`/`shingleN` as the
+    * index build, or buckets will not align. */
+  def incrementalMinhashPairs(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 32, bands: Int = 8,
+                              shingleN: Int = 3): DataFrame = {
+    val fresh = bandedSignatures(newDocs, idCol, textCol, numHashes, bands,
+      shingleN).withColumn("bmod", pmod(col("bucket"), lit(IndexBucketMods)))
+    // distinct partition keys of the delta: <= bands x IndexBucketMods
+    // values by construction, so the collect is bounded by the LAYOUT
+    val keys = fresh.select(
+        (col("band") * IndexBucketMods + col("bmod")).as("k"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(indexPath)
+      // deterministic predicate over partition columns only -> pruned
+      // to the delta's (band, bmod) leaf directories at planning time
+      .filter((col("band") * IndexBucketMods + col("bmod")).isin(keys: _*))
+    index.join(
+        broadcast(fresh.select(col("band"), col("bmod"), col("bucket"),
+          col("id").as("id_b"), col("sig").as("sig_b"))),
+        Seq("band", "bmod", "bucket"))
+      .select(col("id").as("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig"), col("sig_b"), (x, y) => x === y),
           m => m)).cast("double") / numHashes).as("est_jaccard"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))

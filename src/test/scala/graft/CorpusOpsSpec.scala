@@ -79,6 +79,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pr == Set(3L, 4L)) // doc 3 (8 toks) first, doc 2 would overflow
   }
 
+  test("removeBoilerplateLines: frequent lines drop, order survives") {
+    val docs = Seq(
+      (1L, "unique opening\ncookie banner\nreal content one"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "cookie banner\nmore text\ncookie banner"), // repeats in-doc
+      (4L, "no chrome here"),
+      (5L, "cookie banner")) // nothing but boilerplate
+      .toDF("doc_id", "text")
+    val out = CorpusOps.removeBoilerplateLines(docs, "doc_id", "text",
+      minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "cookie banner" occurs in 4 distinct docs >= 3 -> boilerplate
+    assert(out(1L) == (("unique opening\nreal content one", 3L, 1L)))
+    assert(out(2L) == (("real content two", 2L, 1L)))
+    assert(out(3L) == (("more text", 3L, 2L))) // both in-doc copies removed
+    assert(out(4L) == (("no chrome here", 1L, 0L)))
+    assert(out(5L) == (("", 1L, 1L))) // fully-boilerplate doc -> empty
+  }
+
+  test("removeBoilerplateLines: blank lines are layout, never boilerplate") {
+    val docs = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"), (4L, "g\n\nh"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.removeBoilerplateLines(docs, "doc_id", "text",
+      minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3)))
+      .toMap
+    // the empty middle line occurs in all 4 docs but survives everywhere
+    assert(out(1L) == (("a\n\nb", 0L)))
+    assert(out(4L) == (("g\n\nh", 0L)))
+  }
+
   test("unigramLogProb: uniform corpus scores ln(1/vocab) everywhere") {
     // every token appears exactly once per doc, 4 docs x 2 tokens ->
     // each token count 1, total 8, every doc avg ln(1/8)

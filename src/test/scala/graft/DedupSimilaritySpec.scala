@@ -87,6 +87,86 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
   }
 
+  test("incremental minhash: delta probes the persisted index, pruned read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-spec")
+      .toString
+    try {
+      Dedup.buildMinhashIndex(corpus, "id", "text", dir)
+      val delta = Seq(
+        (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1/2
+        (102L, "entirely novel sentences about streaming watermarks and stateful joins"))
+        .toDF("id", "text")
+      val pairs = Dedup.incrementalMinhashPairs(spark, dir, delta, "id", "text")
+      val got = pairs.as[(Long, Long, Double)].collect()
+      // the duplicate matches BOTH existing copies at est 1.0 ...
+      assert(got.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+        .intersect(Set((1L, 101L), (2L, 101L))) == Set((1L, 101L), (2L, 101L)))
+      // ... and the novel doc matches nothing
+      assert(!got.exists(_._2 == 102L))
+      // the index read is pruned to the delta's (band, bmod) leaves and
+      // the delta side rides a broadcast — corpus side never shuffles
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+      // same result as running the self-join operator over old ∪ new,
+      // restricted to (corpus, delta) pairs
+      val full = Dedup.minhashPairs(corpus.unionByName(delta), "id", "text")
+        .filter($"id_a" < 100L && $"id_b" >= 100L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.toSet == full)
+    } finally {
+      val del: java.io.File => Unit = { f =>
+        def go(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(go)); x.delete(); ()
+        }
+        go(f)
+      }
+      del(new java.io.File(dir))
+    }
+  }
+
+  test("int8 quantization: error bounded, identical vectors exact 1.0") {
+    val emb = Tables.embeddings(spark, sfDir).limit(80)
+    val qz = Similarity.withInt8Quantized(emb, "embedding")
+    // quantized values occupy the full int8 range (scale is right)
+    val rng = qz.select(
+      max(array_max(transform($"q_vec", x => abs(x.cast("int"))))).as("mx"))
+      .as[Int].collect().head
+    assert(rng == 127)
+    val a = qz.select($"vec_id".as("id_a"), $"embedding".as("v_a"),
+      $"q_vec".as("q_a"))
+    val b = qz.select($"vec_id".as("id_b"), $"embedding".as("v_b"),
+      $"q_vec".as("q_b"))
+    val errs = a.join(b, $"id_a" < $"id_b")
+      .select(abs(Similarity.quantizedCosine($"q_a", $"q_b") -
+        Similarity.cosine($"v_a", $"v_b")).as("err"))
+      .agg(max($"err")).as[Double].collect().head
+    assert(errs <= 0.02, s"max quantized-cosine error $errs")
+    // identical input -> identical quantized vector -> cosine exactly 1
+    val self = qz.limit(1).select($"q_vec".as("q_a"), $"q_vec".as("q_b"))
+      .select(Similarity.quantizedCosine($"q_a", $"q_b"))
+      .as[Double].collect().head
+    assert(self == 1.0d)
+  }
+
+  test("int8 at-rest corpus: prequantized scan equals on-the-fly topK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8-spec")
+      .toString + "/corpus"
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.writeInt8Corpus(emb, "vec_id", "embedding", dir)
+      val atRest = Similarity.int8TopKPrequantized(spark, dir, 3L, 15)
+        .as[(Long, Double)].collect().toSeq
+      val onTheFly = Similarity.int8TopK(emb, "vec_id", "embedding", 3L, 15)
+        .as[(Long, Double)].collect().toSeq
+      assert(atRest == onTheFly)
+    } finally {
+      def go(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(go)); x.delete(); ()
+      }
+      go(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("clusterPairs: chains collapse to one cluster with min-id label") {
     // 1-2, 2-3 chain plus isolated pair 7-8: two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
