@@ -1030,6 +1030,54 @@ object QueryCatalog {
              |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
         .stripMargin)),
 
+    Q("q_incr_bench", // headline twin of q_incremental_dedup: the
+      // persisted index is staged ONCE per (process, sf) — its
+      // deployment shape (built at ingest, probed per delta batch) —
+      // so the warm-up pass pays the build and the timed passes
+      // measure the pure delta probe: pruned index read + broadcast
+      // bucket join. This is the line that shows probe cost scaling
+      // with the delta, not the corpus. Recall correctness stays with
+      // the non-headline q_incremental_dedup gate; the only
+      // post-operator work here is one aggregation over the
+      // operator's own output.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mhib_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        if (!new java.io.File(dir).exists())
+          Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+        val delta = docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        Dedup.incrementalMinhashPairs(s, dir, delta, "doc_id", "text")
+          .agg(sum(when(col("id_b") === col("id_a") + 1000000 &&
+              col("id_a") < 10 && col("est_jaccard") === 1.0, 1L)
+            .otherwise(0L)).as("planted_found"))
+      },
+      Some("""SELECT count(*) AS planted_found FROM documents
+             |WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
+             |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
+        .stripMargin),
+      headline = true),
+
+    Q("q_semantic_dedup", // SemDeDup (cluster -> within-cell cosine ->
+      // keep min id): over the planted corpus the exact copies are the
+      // only pairs at or above 0.99 (organic max cosine 0.61 measured
+      // at every SF), and identical vectors always share a cell, so
+      // the survivors must be EXACTLY the original vec_ids — every
+      // planted copy removed, nothing else touched. A recall miss
+      // leaves a planted id in the output; an over-removal drops an
+      // original: either flips the hash red. maxBucketSize raised so
+      // the gate is UNCONDITIONAL (the id-ascending cell cap would
+      // evict high-id planted copies first — the ADVICE-r6 trap),
+      // though balanced cells sit ~250 members at every SF regardless.
+      (s, d) => Similarity.semanticDedup(plantedEmbeddings(s, d),
+          "vec_id", "embedding", k = 8, iters = 3, minCos = 0.99,
+          maxBucketSize = 1 << 20)
+        .select(col("vec_id")),
+      Some("SELECT vec_id FROM embeddings")),
+
     Q("q_simhash", // 64-bit SimHash per doc. Signature bits aren't
       // SQL-expressible (xxhash64), so the gate pins the PROPERTY that
       // the native codegen'd expression equals the built-ins-only

@@ -353,6 +353,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space (sample-fit spherical
+    * k-means, [[kmeansCentroids]]), compare vectors only WITHIN their
+    * cluster, and drop every vector that has a smaller-id neighbor at
+    * cosine >= `minCos` — one survivor per near-duplicate group,
+    * deterministically the smallest id (for exact duplicates the rule
+    * is exact; for near-dup chains it is the standard greedy
+    * approximation, no iterative connected components needed).
+    * Returns the SURVIVING rows of `df`.
+    *
+    * Scale shape: the centroid fit is sample-bounded; cell assignment
+    * is one per-row codegen'd expression against the broadcast literal
+    * centroid matrix; the within-cell self-join shuffles on the cell
+    * id only (k cells, sized ~n/k by centroid balance); the removal is
+    * one aggregation of the pair list plus a broadcast-able anti-join.
+    * `maxBucketSize` caps pathological cells the same way the LSH
+    * buckets are capped ([[graft.operators.Dedup.capBuckets]]). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 16, iters: Int = 3, minCos: Double = 0.99,
+                    maxFitRows: Int = 100000,
+                    maxBucketSize: Int = 4096): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters, maxFitRows)
+    val cells = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
+    val capped = Dedup.capBuckets(cells, Seq("cell"), maxBucketSize, None)
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("v_a"), col("v_b")), 6) >= minCos)
+      .select(col("id_b").as("__rm")).distinct()
+    df.join(removed, col(idCol) === col("__rm"), "left_anti")
+  }
+
   /** All-pairs embedding near-duplicates, brute force: every (id_a <
     * id_b) pair scored exactly, kept at `minCos` and above. O(n^2) —
     * the correctness BASELINE for embedding-cosine dedup (and the shape

@@ -107,6 +107,14 @@ class DedupSimilaritySpec extends SparkSpec {
       // the delta side rides a broadcast — corpus side never shuffles
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+      // direct-path probe: the scan's file index holds ONLY the
+      // delta's leaf directories (<= 2 sig-bearing docs x 8 bands),
+      // never the full partition tree — probe listing cost is
+      // independent of the corpus layout
+      val nPaths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(nPaths.exists(_ <= 16), s"paths=$nPaths\n" + plan.take(1200))
+      assert(plan.contains("band="), plan.take(1200))
       // same result as running the self-join operator over old ∪ new,
       // restricted to (corpus, delta) pairs
       val full = Dedup.minhashPairs(corpus.unionByName(delta), "id", "text")
@@ -146,6 +154,18 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(Similarity.quantizedCosine($"q_a", $"q_b"))
       .as[Double].collect().head
     assert(self == 1.0d)
+  }
+
+  test("semanticDedup: exact copies collapse to min id, rest untouched") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val out = Similarity.semanticDedup(planted, "vec_id", "embedding",
+      k = 4, iters = 2, minCos = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    val originals = emb.select($"vec_id").as[Long].collect().toSet
+    assert(out == originals) // copies removed, every original kept
   }
 
   test("int8 at-rest corpus: prequantized scan equals on-the-fly topK") {
