@@ -200,7 +200,13 @@ object Dedup {
     * Emits `(id_a = corpus id, id_b = new id, est_jaccard)`, the
     * matching-position fraction of the two signatures, maxed over
     * co-occurring bands. Same `numHashes`/`bands`/`shingleN` as the
-    * index build, or buckets will not align. */
+    * index build, or buckets will not align.
+    *
+    * NOT lazy: calling this runs the delta's signature pipeline (the
+    * partition-key collect) and the per-leaf existence probes
+    * immediately — the returned DataFrame's scan set is fixed at call
+    * time, so index leaves written AFTER the call are not seen (same
+    * eager-construction semantics as [[exactJaccardLshBlocked]]). */
   def incrementalMinhashPairs(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, newDocs: DataFrame,
                               idCol: String, textCol: String,
