@@ -92,12 +92,19 @@ object Bench {
     }
     val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
+    // Full min/mean/sd stats go to STDERR as a sidecar: the driver
+    // captures only the tail of stdout, and r7's line — which carried
+    // both this map and the min-map — outgrew that window, truncating
+    // the front of the JSON and leaving BENCH_r07.parsed null. The
+    // stdout line of record stays minimal: per-query min (the
+    // least-noise estimate), total, iters, sf.
     val stats = results.map { case (k, mn, mean, sd) =>
       "\"" + k + "\":" + f"""{"min":$mn%.3f,"mean":$mean%.3f,"sd":$sd%.3f}"""
     }.mkString("{", ",", "}")
+    System.err.println(s"""[bench-stats] {"iters":$iters,"stats":$stats}""")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"stats":$stats,"iters":$iters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,13 +117,21 @@ object Dedup {
     // null condition, so `sig` is never null
     val banded = bandedSignatures(df, idCol, textCol, numHashes, bands,
       shingleN)
+    pairsFromBanded(banded, numHashes, maxBucketSize, capObservation)
+  }
 
-    // One shuffle: group members per (band, bucket) and generate the
-    // i<j pairs inside the array — a self-join here would recompute the
-    // signature expression for both sides and shuffle twice. The window
-    // cap bounds bucket size first (skew guard: boilerplate buckets),
-    // and its (band, bucket) partitioning is reused by the groupBy, so
-    // the cap costs no extra exchange.
+  /** The bucket-grouped pair expansion shared by [[minhashPairs]] and
+    * the intra-delta leg of [[incrementalMinhashPairs]].
+    *
+    * One shuffle: group members per (band, bucket) and generate the
+    * i<j pairs inside the array — a self-join here would recompute the
+    * signature expression for both sides and shuffle twice. The window
+    * cap bounds bucket size first (skew guard: boilerplate buckets),
+    * and its (band, bucket) partitioning is reused by the groupBy, so
+    * the cap costs no extra exchange. */
+  private def pairsFromBanded(banded: DataFrame, numHashes: Int,
+                              maxBucketSize: Int,
+                              capObservation: Option[Observation]): DataFrame = {
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize,
       capObservation)
 
@@ -176,11 +184,24 @@ object Dedup {
     * against the corpus is [[incrementalMinhashPairs]], whose index
     * read is pruned to the delta's own `(band, bmod)` leaves. At 100 TB
     * that is the difference between rescanning the corpus per batch and
-    * reading ~`|delta| x bands` small directories. */
+    * reading ~`|delta| x bands` small directories.
+    *
+    * Bucket membership is CAPPED at build time (`maxBucketSize`, same
+    * id-ascending rule as [[capBuckets]]): a skewed (band, bucket) in
+    * the index — boilerplate-heavy corpora, exactly what the cap
+    * exists for — would otherwise join its ENTIRE membership against
+    * every co-bucketed delta row on EVERY probe, making probe cost
+    * scale with the corpus bucket instead of the delta. Capping once
+    * at build bounds every future probe; pass `capObservation` to
+    * count what the cap drops (docs past the cap are exempt from
+    * incremental matching). */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, numHashes: Int = 32, bands: Int = 8,
-                        shingleN: Int = 3): Unit =
-    bandedSignatures(df, idCol, textCol, numHashes, bands, shingleN)
+                        shingleN: Int = 3, maxBucketSize: Int = 64,
+                        capObservation: Option[Observation] = None): Unit =
+    capBuckets(
+      bandedSignatures(df, idCol, textCol, numHashes, bands, shingleN),
+      Seq("band", "bucket"), maxBucketSize, capObservation)
       .withColumn("bmod", pmod(col("bucket"), lit(IndexBucketMods)))
       // co-locate each (band, bmod) leaf on one task before the
       // partitioned write: without this every shuffle partition writes

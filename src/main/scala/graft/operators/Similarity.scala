@@ -303,8 +303,11 @@ object Similarity {
 
   /** Cosine similarity computed on int8-quantized vectors (the
     * per-vector scales cancel): within ~sqrt(3)/254 = 0.7% of the exact
-    * float cosine for random dense vectors, and EXACTLY 1.0 for
-    * identical inputs (identical quantization). */
+    * float cosine for random dense vectors. For identical inputs the
+    * quantization is identical so the value rounds to 1.0 at 6
+    * decimals — but it is NOT guaranteed to be bit-exactly 1.0
+    * (`dot/(sqrt(s)*sqrt(s))` need not equal `dot/s` in IEEE double);
+    * compare with a rounding/epsilon, never `== 1.0`. */
   def quantizedCosine(qa: Column, qb: Column): Column = cosine(qa, qb)
 
   /** Brute-force top-k over the int8-quantized corpus: same shape as
@@ -369,15 +372,38 @@ object Similarity {
     * id only (k cells, sized ~n/k by centroid balance); the removal is
     * one aggregation of the pair list plus a broadcast-able anti-join.
     * `maxBucketSize` caps pathological cells the same way the LSH
-    * buckets are capped ([[graft.operators.Dedup.capBuckets]]). */
+    * buckets are capped ([[graft.operators.Dedup.capBuckets]]) — pass
+    * `capObservation` to count the loss (vectors evicted from
+    * oversized cells are EXEMPTED from dedup; the family's
+    * no-silent-caps rule applies here too).
+    *
+    * Cluster count scales with the corpus (SemDeDup fixes cluster
+    * COUNT proportional to corpus size, Abbas et al. §3): `k <= 0`
+    * (the default) derives `k = ceil(n / targetCellSize)` from one
+    * corpus count, so cells stay ~`targetCellSize` members and the
+    * per-cell all-pairs work stays bounded as n grows — a fixed k
+    * would push every cell toward n/k and the cap would silently
+    * exempt most of a 100 TB corpus. Explicit `k > 0` bypasses the
+    * count (callers that know their corpus). k is clamped to
+    * `maxFitRows` (the fit sample must cover the seeds). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 16, iters: Int = 3, minCos: Double = 0.99,
+                    k: Int = 0, iters: Int = 3, minCos: Double = 0.99,
                     maxFitRows: Int = 100000,
-                    maxBucketSize: Int = 4096): DataFrame = {
-    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters, maxFitRows)
+                    maxBucketSize: Int = 4096,
+                    targetCellSize: Int = 1024,
+                    capObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val kEff = {
+      val requested =
+        if (k > 0) k.toLong
+        else math.max(1L, (df.count() + targetCellSize - 1) / targetCellSize)
+      val fitCap = if (maxFitRows > 0) maxFitRows.toLong else Long.MaxValue
+      math.min(requested, fitCap).toInt
+    }
+    val centroids = kmeansCentroids(df, idCol, vecCol, kEff, iters, maxFitRows)
     val cells = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
-    val capped = Dedup.capBuckets(cells, Seq("cell"), maxBucketSize, None)
+    val capped = Dedup.capBuckets(cells, Seq("cell"), maxBucketSize,
+      capObservation)
     val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val removed = a.join(b, Seq("cell"))
