@@ -879,6 +879,28 @@ object QueryCatalog {
              |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
              |  FROM documents) WHERE cum_toks <= 2000""".stripMargin)),
 
+    Q("q_token_budget_bucketed", // the skew-safe twin of
+      // q_token_budget: distributed two-phase prefix sum (range-sliced
+      // per group, per-slice offsets reconciled by a tiny window) must
+      // reproduce the single-window running sum EXACTLY — same oracle
+      // SQL, so any slice-boundary error in the offset arithmetic
+      // flips the hash red
+      (s, d) => CorpusOps.tokenBudgetSelectBucketed(
+        t(s, d, "documents"), "source", "doc_id", "text",
+        budgetTokens = 2000L, buckets = 8)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("cum_toks")),
+      Some("""SELECT doc_id, source, n_toks, cum_toks FROM (
+             |  SELECT doc_id, source,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END
+             |      AS BIGINT) AS n_toks,
+             |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+             |      OVER (PARTITION BY source ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+             |  FROM documents) WHERE cum_toks <= 2000""".stripMargin)),
+
     Q("q_unigram_logprob", // corpus unigram LM score per doc (CCNet-
       // style LM-quality proxy): mean ln p(token) under corpus unigram
       // frequencies
@@ -995,12 +1017,16 @@ object QueryCatalog {
       // rescan: persist the MinHash LSH index once (hive-partitioned by
       // (band, bucket-mod)), then probe each incoming batch against it —
       // the index read prunes to the delta's own partition leaves and
-      // the bucket join broadcasts the delta. Here the "delta" is docs
-      // 0..9 recopied with shifted ids, so the gate pins the planted
-      // property: every copy with enough tokens for a signature must
-      // match its source at est_jaccard exactly 1.0 (identical text ->
-      // identical signature -> co-bucketed in every band). Left join:
-      // a recall miss -> null est_jaccard -> red hash.
+      // the bucket join broadcasts the delta (hint gated on delta
+      // size). Here the "delta" is docs 0..9 recopied TWICE with
+      // shifted ids (+1M and +2M), so the gate pins BOTH legs of the
+      // operator: every copy with enough tokens for a signature must
+      // match its corpus source (probe leg, pairs (i, i+1M) and
+      // (i, i+2M)) AND its twin inside the same batch (intra-delta leg,
+      // pair (i+1M, i+2M)) at est_jaccard exactly 1.0 (identical text
+      // -> identical signature -> co-bucketed in every band). Left
+      // join: a recall miss on either leg -> null est_jaccard -> red
+      // hash.
       (s, d) => {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_" +
           s"${java.lang.ProcessHandle.current().pid()}_" +
@@ -1010,25 +1036,40 @@ object QueryCatalog {
         Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
         val delta = docs.filter(col("doc_id") < 10)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
         val pairs = Dedup.incrementalMinhashPairs(s, dir, delta,
           "doc_id", "text")
-        val expected = docs
+        val eligible = docs
           .filter(col("doc_id") < 10 && col("text").isNotNull &&
             trim(col("text")) =!= "" &&
             size(split(trim(col("text")), "\\s+")) >= 3)
+          .select(col("doc_id"))
+        val expected = eligible
           .select(col("doc_id").as("id_a"),
             (col("doc_id") + 1000000).as("id_b"))
+          .unionByName(eligible.select(col("doc_id").as("id_a"),
+            (col("doc_id") + 2000000).as("id_b")))
+          .unionByName(eligible.select(
+            (col("doc_id") + 1000000).as("id_a"),
+            (col("doc_id") + 2000000).as("id_b")))
         expected.join(
             pairs.filter(col("est_jaccard") === 1.0),
             Seq("id_a", "id_b"), "left_outer")
           .select(col("id_a"), col("id_b"), col("est_jaccard"))
       },
-      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
-             |  CAST(1.0 AS DOUBLE) AS est_jaccard
-             |FROM documents
-             |WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
-             |  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
-        .stripMargin)),
+      Some("""WITH eligible AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE doc_id < 10 AND text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 3)
+             |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+             |  CAST(1.0 AS DOUBLE) AS est_jaccard FROM eligible
+             |UNION ALL
+             |SELECT doc_id, doc_id + 2000000, CAST(1.0 AS DOUBLE)
+             |FROM eligible
+             |UNION ALL
+             |SELECT doc_id + 1000000, doc_id + 2000000, CAST(1.0 AS DOUBLE)
+             |FROM eligible""".stripMargin)),
 
     Q("q_incr_bench", // headline twin of q_incremental_dedup: the
       // persisted index is staged ONCE per (process, sf) — its
@@ -1046,7 +1087,11 @@ object QueryCatalog {
           s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
         TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
         val docs = t(s, d, "documents")
-        if (!new java.io.File(dir).exists())
+        // gate the skip on the committer's _SUCCESS marker, not bare
+        // directory existence: a mid-write failure leaves a partial
+        // tree that every later pass would silently read; the
+        // overwrite-mode rebuild clears it
+        if (!new java.io.File(dir, "_SUCCESS").exists())
           Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
         val delta = docs.filter(col("doc_id") < 10)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -1228,7 +1273,8 @@ object QueryCatalog {
           s"${java.lang.ProcessHandle.current().pid()}_" +
           s"${d.replaceAll("[^A-Za-z0-9]", "_")}/corpus"
         TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
-        if (!new java.io.File(dir).exists())
+        // _SUCCESS-gated like q_incr_bench: partial writes rebuild
+        if (!new java.io.File(dir, "_SUCCESS").exists())
           Similarity.writeInt8Corpus(t(s, d, "embeddings"), "vec_id",
             "embedding", dir)
         Similarity.int8TopKPrequantized(s, dir, queryId = 0L, k = 20)
@@ -1312,6 +1358,50 @@ object QueryCatalog {
              |  md5(text) AS content_md5, 'stub' AS decoder,
              |  true AS dim_ok, true AS range_ok, true AS checksum_ok
              |FROM documents""".stripMargin)),
+
+    Q("q_media_frames", // REAL video-frame sampling (MJPEG): a 3-video
+      // fixture of concatenated tiny JPEGs, synthesized in-process
+      // (bounded: 3 x 6 8x8 frames — the binaryfile-fixture pattern).
+      // Frame payloads aren't SQL-expressible, so the gate pins the
+      // sampler's structural contract per video: everyNth=2 over 6
+      // frames yields exactly indices {0,2,4}, every emitted frame is
+      // a complete SOI..EOI JPEG (marker-checked in Spark, oracle-
+      // pinned true), and the real path ran (decoder 'mjpeg', never
+      // the byte-window stub).
+      (s, d) => {
+        val vids = (0L until 3L).map { v =>
+          val baos = new java.io.ByteArrayOutputStream()
+          (0 until 6).foreach { f =>
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gray = (v * 80 + f * 40).toInt & 0xff
+            val rgb = (gray << 16) | (gray << 8) | gray
+            for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+          }
+          (v, baos.toByteArray)
+        }
+        import s.implicits._
+        val media = Multimodal.asMediaTable(
+          vids.toDF("media_id", "payload"), "media_id", "payload", "video")
+        Multimodal.sampleFrames(s, media, everyNth = 2).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sort_array(collect_list(col("frame_idx"))).cast("string")
+              .as("frame_idxs"),
+            (count_distinct(col("decoder")) === 1 &&
+              max(col("decoder")) === "mjpeg").as("all_mjpeg"),
+            forall(collect_list(
+              // complete JPEG: starts FFD8FF, ends FFD9
+              substring(hex(col("frame")), 1, 6) === "FFD8FF" &&
+                substring(hex(col("frame")), -4, 4) === "FFD9"),
+              x => x).as("frames_complete"))
+      },
+      Some("""SELECT CAST(v AS BIGINT) AS media_id,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  '[0, 2, 4]' AS frame_idxs, true AS all_mjpeg,
+             |  true AS frames_complete
+             |FROM (VALUES (0), (1), (2)) AS t(v)""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Tier B, batch 2: statistical aggs, more windows/strings, subqueries

@@ -93,11 +93,28 @@ object CorpusOps {
     * sequential frame INSIDE each group partition. A single pathological
     * group serializes onto one task (WindowExec semantics) — acceptable
     * because groups are curation units (sources/languages), bounded in
-    * count and roughly balanced; budget selection across a skewed key
-    * space should bucket the key first. */
+    * count and roughly balanced. `maxGroupRows` is the loud-failure
+    * guard for that assumption: when any group exceeds it the call
+    * FAILS with the offending group named instead of silently
+    * serializing a giant group onto one task (set `<= 0` to disable
+    * the pre-count). For a genuinely skewed key space use
+    * [[tokenBudgetSelectBucketed]], which parallelizes the running sum
+    * inside each group. */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String, budgetTokens: Long,
-                        priority: Seq[Column] = Seq.empty): DataFrame = {
+                        priority: Seq[Column] = Seq.empty,
+                        maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+    if (maxGroupRows > 0) {
+      val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGroupRows)
+        .orderBy(col("__n").desc).limit(1)
+        .collect()
+      require(over.isEmpty,
+        s"tokenBudgetSelect: group '${over.head.get(0)}' has " +
+          s"${over.head.getLong(1)} rows (> maxGroupRows=$maxGroupRows); " +
+          "its running sum would serialize onto ONE task — use " +
+          "tokenBudgetSelectBucketed, or raise/disable maxGroupRows")
+    }
     val ord = if (priority.nonEmpty) priority :+ col(idCol)
               else Seq(col(idCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
@@ -105,6 +122,51 @@ object CorpusOps {
     df.withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
       .withColumn("cum_toks", sum(col("n_toks")).over(w))
       .filter(col("cum_toks") <= budgetTokens)
+  }
+
+  /** [[tokenBudgetSelect]] for SKEWED group keys: same semantics (id
+    * order, no priority columns), but the per-group running sum is
+    * computed as a distributed two-phase prefix sum, so a group's work
+    * spreads over up to `buckets` tasks instead of serializing onto
+    * one.
+    *
+    * Phase shape: range-repartition on `(group, id)` splits every
+    * group into contiguous id-ordered slices (`spark_partition_id` is
+    * the slice label; the relation is materialized once so all
+    * branches see the same slicing — [[Materialize]]); per-slice token
+    * totals (a `groups x buckets`-row aggregate) get a tiny window
+    * pass to become slice OFFSETS; the offsets broadcast-join back and
+    * each slice computes its own running sum in parallel, shifted by
+    * its offset. Equality with the single-window form is pinned in
+    * CorpusOpsSpec on a deliberately skewed group.
+    *
+    * Priority ordering is intentionally not offered here: range
+    * bucketing must follow the SAME order as the running sum, and only
+    * the id is guaranteed unique/orderable; a priority-ordered budget
+    * over a skewed group should pre-compute a sortable rank id. */
+  def tokenBudgetSelectBucketed(df: DataFrame, groupCol: String,
+                                idCol: String, textCol: String,
+                                budgetTokens: Long,
+                                buckets: Int = 64): DataFrame = {
+    val sliced = Materialize(
+      df.withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
+        .repartitionByRange(buckets, col(groupCol), col(idCol))
+        .withColumn("__slice", spark_partition_id()),
+      eager = false)
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // groups x buckets rows — tiny; the window over it is trivial
+    val offsets = sliced.groupBy(col(groupCol), col("__slice"))
+      .agg(sum(col("n_toks")).as("__stoks"))
+      .withColumn("__off", coalesce(sum(col("__stoks")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("__slice"), col("__off"))
+    val wIn = Window.partitionBy(col(groupCol), col("__slice"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliced.join(broadcast(offsets), Seq(groupCol, "__slice"))
+      .withColumn("cum_toks", col("__off") + sum(col("n_toks")).over(wIn))
+      .filter(col("cum_toks") <= budgetTokens)
+      .drop("__slice", "__off")
   }
 
   /** Corpus-frequency boilerplate line removal (the C4-recipe cousin:
@@ -135,14 +197,24 @@ object CorpusOps {
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("__pos", "__line")))
+    // df is counted per (hash, line) — i.e. per line STRING, the hash
+    // only partitions the shuffle — and membership joins on BOTH, so a
+    // 64-bit hash collision can never flag a unique line as boilerplate
+    // (exactly the oracle's line-equality semantics). Cost of carrying
+    // the text through the df-count shuffle: one short line string per
+    // distinct (doc, line), a constant factor on an already-narrow
+    // relation; the boiler set itself (df >= minDocs) stays tiny.
     val boiler = lines
       .filter(trim(col("__line")) =!= "")
-      .select(col(idCol), xxhash64(col("__line")).as("__lh")).distinct()
-      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+      .select(col(idCol), xxhash64(col("__line")).as("__lh"), col("__line"))
+      .distinct()
+      .groupBy(col("__lh"), col("__line"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__lh"), lit(1).as("__bp"))
+      .select(col("__lh"), col("__line").as("__bline"), lit(1).as("__bp"))
     lines
-      .join(boiler, xxhash64(col("__line")) === col("__lh"), "left_outer")
+      .join(boiler, xxhash64(col("__line")) === col("__lh") &&
+        col("__line") === col("__bline"), "left_outer")
       .groupBy(col(idCol))
       .agg(
         // when(__bp null) -> null structs, which collect_list skips:

@@ -120,8 +120,9 @@ object Dedup {
     pairsFromBanded(banded, numHashes, maxBucketSize, capObservation)
   }
 
-  /** The bucket-grouped pair expansion shared by [[minhashPairs]] and
-    * the intra-delta leg of [[incrementalMinhashPairs]].
+  /** The bucket-grouped pair expansion shared by [[minhashPairs]] (the
+    * whole-corpus self-join) and the intra-delta leg of
+    * [[incrementalMinhashPairs]] (duplicates WITHIN an incoming batch).
     *
     * One shuffle: group members per (band, bucket) and generate the
     * i<j pairs inside the array — a self-join here would recompute the
@@ -217,11 +218,32 @@ object Dedup {
     * distinct `(band, bmod)` keys prune the index read to matching
     * partition directories (driver-side collect of at most
     * `bands x `[[IndexBucketMods]] keys — bounded by the layout, not
-    * the data), and the bucket equi-join broadcasts the delta side.
-    * Emits `(id_a = corpus id, id_b = new id, est_jaccard)`, the
-    * matching-position fraction of the two signatures, maxed over
-    * co-occurring bands. Same `numHashes`/`bands`/`shingleN` as the
-    * index build, or buckets will not align.
+    * the data), and the bucket equi-join probes the index with the
+    * delta. Emits BOTH legs a steady-state ingest needs in one call:
+    * corpus-vs-delta pairs `(id_a = corpus id, id_b = new id)` from the
+    * index probe, AND intra-delta pairs `(id_a < id_b, both new ids)`
+    * from [[pairsFromBanded]] over the delta's own banded signatures —
+    * a batch that contains its own duplicates reports them without a
+    * second pass. `est_jaccard` is the matching-position fraction of
+    * the two signatures, maxed over co-occurring bands. Same
+    * `numHashes`/`bands`/`shingleN` as the index build, or buckets will
+    * not align. Assumes delta ids are disjoint from corpus ids (new
+    * docs), so the two legs cannot emit the same (id_a, id_b) key.
+    *
+    * The delta side of the probe join is hint-broadcast only while its
+    * banded row count (`|delta| x bands`) is at most
+    * `maxBroadcastDeltaRows`; above that the hint is omitted and the
+    * join strategy is left to AQE/statistics — an unconditional
+    * broadcast of a production delta (millions of docs) would collect
+    * docs x bands signature rows onto the driver and OOM it. The count
+    * rides the same job as the partition-key collect (one aggregation),
+    * and the delta's banded relation is materialized once
+    * ([[Materialize]]) so the key scan, the probe join, and the
+    * intra-delta leg share one computation of the signatures.
+    *
+    * `maxBucketSize`/`capObservation` govern the intra-delta leg's
+    * bucket cap exactly as in [[minhashPairs]] (the corpus side was
+    * already capped at index build time).
     *
     * NOT lazy: calling this runs the delta's signature pipeline (the
     * partition-key collect) and the per-leaf existence probes
@@ -232,14 +254,23 @@ object Dedup {
                               indexPath: String, newDocs: DataFrame,
                               idCol: String, textCol: String,
                               numHashes: Int = 32, bands: Int = 8,
-                              shingleN: Int = 3): DataFrame = {
-    val fresh = bandedSignatures(newDocs, idCol, textCol, numHashes, bands,
-      shingleN).withColumn("bmod", pmod(col("bucket"), lit(IndexBucketMods)))
-    // distinct partition keys of the delta: <= bands x IndexBucketMods
-    // values by construction, so the collect is bounded by the LAYOUT
-    val keys = fresh.select(
-        (col("band") * IndexBucketMods + col("bmod")).as("k"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+                              shingleN: Int = 3, maxBucketSize: Int = 64,
+                              capObservation: Option[Observation] = None,
+                              maxBroadcastDeltaRows: Long = 4L * 1000 * 1000): DataFrame = {
+    val fresh = Materialize(
+      bandedSignatures(newDocs, idCol, textCol, numHashes, bands, shingleN)
+        .withColumn("bmod", pmod(col("bucket"), lit(IndexBucketMods))),
+      eager = false)
+    // one job: distinct partition keys of the delta (<= bands x
+    // IndexBucketMods values by construction, so the collect is bounded
+    // by the LAYOUT) plus the banded row count that gates the broadcast
+    val head = fresh.agg(
+        collect_set(col("band") * IndexBucketMods + col("bmod")).as("ks"),
+        count(lit(1)).as("n")).head()
+    val keys = head.getSeq[Int](0)
+    val bandedRows = head.getLong(1)
+    val intraPairs = pairsFromBanded(fresh.drop("bmod"), numHashes,
+      maxBucketSize, capObservation)
     // read the probed leaves by DIRECT PATH (basePath keeps the
     // partition columns) instead of filtering a scan of the root:
     // root-scan partition pruning still LISTS the whole tree up front
@@ -253,21 +284,21 @@ object Dedup {
     val leaves = keys.map { k =>
       s"$indexPath/band=${k / IndexBucketMods}/bmod=${k % IndexBucketMods}"
     }.filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (leaves.isEmpty)
-      return newDocs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"),
-          lit(0.0d).as("est_jaccard")).limit(0)
+    if (leaves.isEmpty) return intraPairs
     val index = spark.read.option("basePath", indexPath)
       .parquet(leaves: _*)
-    index.join(
-        broadcast(fresh.select(col("band"), col("bmod"), col("bucket"),
-          col("id").as("id_b"), col("sig").as("sig_b"))),
-        Seq("band", "bmod", "bucket"))
+    val deltaSide = fresh.select(col("band"), col("bmod"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val probeSide =
+      if (bandedRows <= maxBroadcastDeltaRows) broadcast(deltaSide)
+      else deltaSide
+    index.join(probeSide, Seq("band", "bmod", "bucket"))
       .select(col("id").as("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig"), col("sig_b"), (x, y) => x === y),
           m => m)).cast("double") / numHashes).as("est_jaccard"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .unionByName(intraPairs)
   }
 
   /** Exact Jaccard over MinHash-LSH candidates: the robust hybrid —

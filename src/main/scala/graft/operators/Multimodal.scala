@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * WAV/AIFF/AU PCM via `javax.sound.sampled`): features are per-window
   * RMS energy over the mono-mixed signal. IMAGE RESIZE is REAL
   * (`ImageIO` decode → `Graphics2D` bilinear scale → PNG re-encode).
-  * VIDEO decode / frame sampling stays STUBBED (no video codec ships
-  * with the JDK): `stubDecodeFeatures` derives a deterministic fake
-  * vector from the bytes, and undecodable image/audio blobs fall back
-  * to stub paths too (the `decoder`/`codec` output fields say which
-  * path ran). Everything around the decode — schema, the
-  * binary+metadata column convention, the per-partition batch
-  * iteration, partition sizing — is shared.
+  * VIDEO frame sampling is REAL for MJPEG (concatenated-JPEG — the one
+  * container whose frames the JDK can decode): [[sampleFrames]] cuts on
+  * the JPEG SOI/EOI markers and each emitted frame is a standalone
+  * ImageIO-decodable image. General video codecs (H.264 etc.) stay
+  * STUBBED — no such codec ships with the JDK: `stubDecodeFeatures`
+  * derives a deterministic fake vector from the bytes, and undecodable
+  * image/audio/video blobs fall back to stub paths too (the
+  * `decoder`/`codec` output fields say which path ran). Everything
+  * around the decode — schema, the binary+metadata column convention,
+  * the per-partition batch iteration, partition sizing — is shared.
   *
   * Scale notes: blobs never pass through a shuffle wider than their
   * partition (feature extraction is mapPartitions — narrow); metadata-only
@@ -265,14 +268,55 @@ object Multimodal {
       }
   }
 
-  /** One sampled frame: parent media, frame index, and the frame blob. */
-  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  /** One sampled frame: parent media, frame index, the frame blob, and
+    * which path produced it (`"mjpeg"` = a real standalone JPEG cut
+    * from the container; `"stub"` = byte-window slice). */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte],
+                        decoder: String)
 
-  /** STUB frame sampling: a real implementation seeks keyframes in the
-    * container. The fake slices the byte stream into `everyNth`-spaced
-    * fixed-size windows. Emits 0..k rows per input row (flatMap shape —
+  /** Frame boundaries of an MJPEG (concatenated-JPEG) byte stream:
+    * `(start, end)` offsets of each complete SOI..EOI image, in order.
+    * MJPEG is the one video container the JDK can genuinely decode —
+    * every frame is an independent baseline JPEG, so cutting on the
+    * `FFD8 FF` start-of-image and `FFD9` end-of-image markers yields
+    * blobs `javax.imageio` reads directly. (Entropy-coded data cannot
+    * contain a bare `FFD9`: JPEG byte-stuffs `FF` as `FF00`, and
+    * restart markers stop at `FFD7`. Frames carrying EXIF thumbnails
+    * with their own EOI would split early — MJPEG frames are JFIF
+    * baseline without thumbnails, so out of scope and documented.) */
+  private[graft] def splitMjpegFrames(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val n = bytes.length
+    var i = 0
+    while (i + 3 < n) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8 &&
+          (bytes(i + 2) & 0xff) == 0xff) {
+        var j = i + 2
+        var end = -1
+        while (j + 1 < n && end < 0) {
+          if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9)
+            end = j + 2
+          j += 1
+        }
+        if (end > 0) { out += ((i, end)); i = end } else i = n
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Frame sampling over a media table. REAL for MJPEG payloads: the
+    * container is cut into its standalone JPEG frames
+    * ([[splitMjpegFrames]]) and every `everyNth`-th frame is emitted
+    * whole (`frame_idx` = true frame index, `frameBytes` does not
+    * apply, `decoder = "mjpeg"` — each emitted blob is ImageIO-decodable
+    * and feeds [[extractFeatures]] / [[resize]] as `kind = "image"`).
+    * Non-MJPEG payloads (no SOI marker found) take the deterministic
+    * byte-window stub: `everyNth`-spaced `frameBytes`-sized slices,
+    * `decoder = "stub"`. Emits 0..k rows per input row (flatMap shape —
     * exactly how a real sampler fans out), so downstream ops see the
-    * (media_id, frame_idx) long-form layout. */
+    * (media_id, frame_idx) long-form layout either way. Per-partition
+    * batch shape as the other extractors; blobs never shuffle wider
+    * than their partition. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    frameBytes: Int = 256, everyNth: Int = 4)
       : Dataset[MediaFrame] = {
@@ -280,11 +324,20 @@ object Multimodal {
     media.select(col("media_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val nFrames = math.max(bytes.length / frameBytes, 0)
-        (0 until nFrames by everyNth).map { f =>
-          MediaFrame(id, f,
-            java.util.Arrays.copyOfRange(bytes, f * frameBytes,
-              math.min((f + 1) * frameBytes, bytes.length)))
+        val jpegs = splitMjpegFrames(bytes)
+        if (jpegs.nonEmpty)
+          jpegs.indices.by(everyNth).map { f =>
+            val (s, e) = jpegs(f)
+            MediaFrame(id, f,
+              java.util.Arrays.copyOfRange(bytes, s, e), "mjpeg")
+          }
+        else {
+          val nFrames = math.max(bytes.length / frameBytes, 0)
+          (0 until nFrames by everyNth).map { f =>
+            MediaFrame(id, f,
+              java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+                math.min((f + 1) * frameBytes, bytes.length)), "stub")
+          }
         }
       }
   }

@@ -385,25 +385,47 @@ object Similarity {
     * would push every cell toward n/k and the cap would silently
     * exempt most of a 100 TB corpus. Explicit `k > 0` bypasses the
     * count (callers that know their corpus). k is clamped to
-    * `maxFitRows` (the fit sample must cover the seeds). */
+    * `maxFitRows` (the fit sample must cover the seeds) AND to `maxK`:
+    * cell assignment is a k-wide LITERAL dot-product expression
+    * ([[nearestCentroid]]) and each Lloyd round collects k x dim
+    * centroid sums to the driver, so k in the tens of thousands means
+    * codegen blowup / interpreter fallback and a fat driver collect —
+    * past `maxK` (default 4096, well inside both limits) cells grow
+    * past `targetCellSize` proportionally instead, which the
+    * `capObservation` makes visible. A corpus needing k >> thousands
+    * should shard on a coarse partition first (e.g. by language or
+    * SRP super-cell) and run semanticDedup per shard. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 0, iters: Int = 3, minCos: Double = 0.99,
                     maxFitRows: Int = 100000,
                     maxBucketSize: Int = 4096,
                     targetCellSize: Int = 1024,
+                    maxK: Int = 4096,
                     capObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxK > 0, s"maxK must be positive, got $maxK")
     val kEff = {
       val requested =
         if (k > 0) k.toLong
         else math.max(1L, (df.count() + targetCellSize - 1) / targetCellSize)
       val fitCap = if (maxFitRows > 0) maxFitRows.toLong else Long.MaxValue
-      math.min(requested, fitCap).toInt
+      // maxK (an Int) also guards the Long->Int narrowing: without it a
+      // disabled fitCap (maxFitRows <= 0) and a giant derived k would
+      // wrap negative at toInt and fail much later with limit(negative)
+      math.min(math.min(requested, fitCap), maxK.toLong).toInt
     }
     val centroids = kmeansCentroids(df, idCol, vecCol, kEff, iters, maxFitRows)
     val cells = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
-    val capped = Dedup.capBuckets(cells, Seq("cell"), maxBucketSize,
-      capObservation)
+    // eager Materialize, two reasons: (1) the capped relation feeds BOTH
+    // sides of the within-cell self-join — without it the window cap and
+    // the k-wide centroid assignment run twice; (2) the cap observation
+    // must complete even when the removal set is EMPTY — AQE's
+    // empty-relation propagation would eliminate the anti-join's right
+    // subtree INCLUDING the CollectMetrics node, so the metrics have to
+    // be collected by the checkpoint's own action, not the final query.
+    // (The function is already eager: kmeansCentroids collects the fit.)
+    val capped = Materialize(Dedup.capBuckets(cells, Seq("cell"),
+      maxBucketSize, capObservation), eager = true)
     val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val removed = a.join(b, Seq("cell"))

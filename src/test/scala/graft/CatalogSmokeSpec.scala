@@ -34,4 +34,37 @@ class CatalogSmokeSpec extends SparkSpec {
       ()
     }
   }
+
+  test("bench staging rebuilds over a partial (no-_SUCCESS) directory") {
+    // simulate a mid-write failure: the staged dir EXISTS but carries
+    // no committer _SUCCESS marker — the _SUCCESS-gated staging must
+    // rebuild instead of silently reading the corrupt partial tree
+    val staged = Seq(("graft_mhib_", "idx"), ("graft_int8_", "corpus"))
+    def stagedDir(stem: String, leaf: String) = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/$stem" +
+        s"${java.lang.ProcessHandle.current().pid()}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"), leaf)
+    for ((stem, leaf) <- staged) {
+      val dir = stagedDir(stem, leaf)
+      def purge(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(purge)); x.delete(); ()
+      }
+      purge(dir)
+      dir.mkdirs()
+      val junk = new java.io.File(dir, "part-junk.parquet")
+      java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+      assert(dir.exists() && !new java.io.File(dir, "_SUCCESS").exists())
+    }
+    // both staged queries must rebuild (overwrite clears the junk) and
+    // then run green against the rebuilt artifact
+    Seq("q_incr_bench", "q_int8_bench").foreach { name =>
+      val q = QueryCatalog.all.find(_.name == name).get
+      assert(q.run(spark, sfDir).count() > 0, name)
+    }
+    // and the rebuild left a committed marker behind
+    for ((stem, leaf) <- staged) {
+      val dir = stagedDir(stem, leaf)
+      assert(new java.io.File(dir, "_SUCCESS").exists(), dir.toString)
+    }
+  }
 }

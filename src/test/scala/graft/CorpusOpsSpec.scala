@@ -79,6 +79,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pr == Set(3L, 4L)) // doc 3 (8 toks) first, doc 2 would overflow
   }
 
+  test("tokenBudgetSelect: maxGroupRows guard fails loudly on a skewed group") {
+    val skew = (1L to 500L).map(i => (i, "hot", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusOps.tokenBudgetSelect(skew, "source", "doc_id", "text",
+        budgetTokens = 100L, maxGroupRows = 100L)
+    }
+    assert(ex.getMessage.contains("hot"))
+    assert(ex.getMessage.contains("tokenBudgetSelectBucketed"))
+    // disabled guard still runs
+    assert(CorpusOps.tokenBudgetSelect(skew, "source", "doc_id", "text",
+      budgetTokens = 100L, maxGroupRows = 0L).count() > 0)
+  }
+
+  test("tokenBudgetSelectBucketed equals single-window form on skew") {
+    // one pathological group (10k rows) beside two small ones; the
+    // bucketed two-phase prefix sum must reproduce the single-window
+    // running sum EXACTLY, including at slice boundaries
+    val skew = ((1L to 10000L).map(i => (i, "hot", s"tok a b ${i % 7}")) ++
+      (1L to 40L).map(i => (10000L + i, "cold", "x y z")) ++
+      (1L to 3L).map(i => (20000L + i, "tiny", "q"))).toDF(
+      "doc_id", "source", "text")
+    val plain = CorpusOps.tokenBudgetSelect(skew, "source", "doc_id",
+      "text", budgetTokens = 5000L, maxGroupRows = 0L)
+      .select($"doc_id", $"cum_toks").as[(Long, Long)].collect().toMap
+    val bucketed = CorpusOps.tokenBudgetSelectBucketed(skew, "source",
+      "doc_id", "text", budgetTokens = 5000L, buckets = 16)
+      .select($"doc_id", $"cum_toks").as[(Long, Long)].collect().toMap
+    assert(bucketed == plain)
+    // full-corpus equality too (no budget filter hiding a boundary
+    // error in the never-selected tail)
+    val plainAll = CorpusOps.tokenBudgetSelect(skew, "source", "doc_id",
+      "text", budgetTokens = Long.MaxValue, maxGroupRows = 0L)
+      .select($"doc_id", $"cum_toks").as[(Long, Long)].collect().toMap
+    val bucketedAll = CorpusOps.tokenBudgetSelectBucketed(skew, "source",
+      "doc_id", "text", budgetTokens = Long.MaxValue, buckets = 16)
+      .select($"doc_id", $"cum_toks").as[(Long, Long)].collect().toMap
+    assert(bucketedAll == plainAll)
+  }
+
   test("removeBoilerplateLines: frequent lines drop, order survives") {
     val docs = Seq(
       (1L, "unique opening\ncookie banner\nreal content one"),

@@ -132,6 +132,50 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: intra-delta dups caught, broadcast gated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-intra")
+      .toString
+    try {
+      Dedup.buildMinhashIndex(corpus, "id", "text", dir)
+      val dupText =
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+      val delta = Seq(
+        (101L, dupText), // dup of corpus 1/2 AND of delta 102
+        (102L, dupText),
+        (103L, "entirely novel sentences about streaming watermarks and stateful joins"))
+        .toDF("id", "text")
+      val pairs = Dedup.incrementalMinhashPairs(spark, dir, delta, "id", "text")
+      val got = pairs.as[(Long, Long, Double)].collect()
+      val exact = got.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+      // probe leg: both delta copies match both corpus copies ...
+      assert(Set((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L))
+        .subsetOf(exact), exact.toString)
+      // ... and the intra-delta leg reports the duplicate INSIDE the
+      // batch in the same call
+      assert(exact.contains((101L, 102L)), exact.toString)
+      assert(!got.exists(p => p._1 == 103L || p._2 == 103L))
+      // a small delta rides the broadcast hint on the probe join
+      assert(pairs.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // above the size gate the hint is OMITTED (strategy left to
+      // AQE/statistics): no join in the logical plan carries one
+      val unhinted = Dedup.incrementalMinhashPairs(spark, dir, delta,
+        "id", "text", maxBroadcastDeltaRows = 0L)
+      val hints = unhinted.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+      }
+      assert(hints.nonEmpty &&
+        hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty))
+      // and the result is identical either way
+      assert(unhinted.as[(Long, Long, Double)].collect().toSet == got.toSet)
+    } finally {
+      def go(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(go)); x.delete(); ()
+      }
+      go(new java.io.File(dir))
+    }
+  }
+
   test("int8 quantization: error bounded, identical vectors exact 1.0") {
     val emb = Tables.embeddings(spark, sfDir).limit(80)
     val qz = Similarity.withInt8Quantized(emb, "embedding")
@@ -149,11 +193,13 @@ class DedupSimilaritySpec extends SparkSpec {
         Similarity.cosine($"v_a", $"v_b")).as("err"))
       .agg(max($"err")).as[Double].collect().head
     assert(errs <= 0.02, s"max quantized-cosine error $errs")
-    // identical input -> identical quantized vector -> cosine exactly 1
+    // identical input -> identical quantized vector -> cosine 1 up to
+    // float rounding (dot/(sqrt(s)*sqrt(s)) is NOT guaranteed bit-exact
+    // — compare rounded, per the quantizedCosine contract)
     val self = qz.limit(1).select($"q_vec".as("q_a"), $"q_vec".as("q_b"))
       .select(Similarity.quantizedCosine($"q_a", $"q_b"))
       .as[Double].collect().head
-    assert(self == 1.0d)
+    assert(math.abs(self - 1.0d) < 1e-6, s"self-cosine $self")
   }
 
   test("semanticDedup: exact copies collapse to min id, rest untouched") {
@@ -166,6 +212,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     val originals = emb.select($"vec_id").as[Long].collect().toSet
     assert(out == originals) // copies removed, every original kept
+  }
+
+  test("semanticDedup derived k: copies collapse with corpus-scaled cells") {
+    // k = 0 exercises the SemDeDup corpus-proportional path:
+    // kEff = ceil(n / targetCellSize), derived from one corpus count
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val out = Similarity.semanticDedup(planted, "vec_id", "embedding",
+      k = 0, iters = 2, minCos = 0.99, targetCellSize = 64)
+      .select($"vec_id").as[Long].collect().toSet
+    val originals = emb.select($"vec_id").as[Long].collect().toSet
+    assert(out == originals) // identical vectors co-cluster at any k
+  }
+
+  test("semanticDedup cell-cap observation counts planted overflow") {
+    import org.apache.spark.sql.Observation
+    // k = 1 puts all rows in ONE cell; 30 originals + 10 planted
+    // copies of vec 0 (ids 1M+) against maxBucketSize = 30: the
+    // id-ascending cap keeps exactly the originals and evicts exactly
+    // the 10 planted copies — which are then EXEMPT from dedup and
+    // must SURVIVE in the output (the documented cap-loss semantics),
+    // with the observation reporting the overflow loudly.
+    val emb = Tables.embeddings(spark, sfDir)
+    val originals = emb.filter($"vec_id" < 30)
+      .select($"vec_id", $"embedding")
+    val planted = originals.unionByName(
+      emb.filter($"vec_id" === 0)
+        .crossJoin(spark.range(10).select(($"id" + 1000000).as("nid")))
+        .select($"nid".as("vec_id"), $"embedding"))
+    val obs = Observation("semdedup_cap")
+    val out = Similarity.semanticDedup(planted, "vec_id", "embedding",
+      k = 1, iters = 1, minCos = 0.99, maxBucketSize = 30,
+      capObservation = Some(obs))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(obs.get("dropped_candidates") == 10L)
+    assert(obs.get("largest_bucket") == 40L)
+    val allIds = planted.select($"vec_id").as[Long].collect().toSet
+    assert(out == allIds) // evicted copies exempt -> nothing removed
   }
 
   test("int8 at-rest corpus: prequantized scan equals on-the-fly topK") {

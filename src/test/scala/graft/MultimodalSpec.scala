@@ -169,6 +169,7 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(spark, media,
       frameBytes = 64, everyNth = 2).collect()
     assert(frames.nonEmpty)
+    assert(frames.forall(_.decoder == "stub")) // text blobs aren't MJPEG
     assert(frames.forall(_.frame.length <= 64))
     assert(frames.forall(_.frame_idx % 2 == 0))
     // frame count per doc matches the stride arithmetic
@@ -177,5 +178,46 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
       .view.mapValues(len => (0 until len / 64 by 2).size)
     perDoc.foreach { case (id, n) => assert(n == expected(id)) }
+  }
+
+  private def jpegBytes(gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    baos.toByteArray
+  }
+
+  test("sampleFrames: real MJPEG cut on SOI/EOI, frames decode") {
+    // MJPEG = concatenated JPEGs; 6 frames of increasing brightness
+    val grays = Seq(0, 50, 100, 150, 200, 250)
+    val mjpeg = grays.flatMap(jpegBytes).toArray
+    val vid = Multimodal.asMediaTable(
+      Seq((7L, mjpeg)).toDF("id", "payload"), "id", "payload", "video")
+    val frames = Multimodal.sampleFrames(spark, vid, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.decoder == "mjpeg"))
+    // every sampled frame is a standalone decodable JPEG whose mean
+    // luminance tracks the planted brightness ramp
+    val lums = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      (for (y <- 0 until 8; x <- 0 until 8)
+        yield (img.getRGB(x, y) & 0xff).toDouble).sum / 64.0
+    }
+    assert(lums(0) < lums(1) && lums(1) < lums(2), lums.toSeq.toString)
+    // boundary discipline: frame count and offsets cover all 6 JPEGs
+    assert(Multimodal.splitMjpegFrames(mjpeg).size == 6)
+    // and the sampled-frame output feeds the image pipeline for real
+    val refeed = Multimodal.extractFeatures(spark,
+      Multimodal.asMediaTable(
+        frames.map(f => (f.frame_idx.toLong, f.frame)).toSeq
+          .toDF("id", "payload"), "id", "payload", "image"), dim = 4)
+      .collect()
+    assert(refeed.forall(_.decoder == "imageio"))
   }
 }
