@@ -61,4 +61,29 @@ object JdbcSource {
             mode: String = "overwrite", batchSize: Int = 10000): Unit =
     df.write.format("jdbc").options(options)
       .option("batchsize", batchSize.toString).mode(mode).save()
+
+  /** Register a DSv2 JDBC catalog — the AGGREGATE-pushdown path. The
+    * v1 `read` pushes filters and prunes columns; reads routed through
+    * a catalog (`spark.table("<name>.<SCHEMA>.<TABLE>")` or SQL over
+    * the same identifier) additionally push whole aggregates
+    * (MIN/MAX/COUNT/SUM/AVG with GROUP BY, as partial aggregates that
+    * Spark still finalizes — safe under Spark-side retries) plus LIMIT
+    * and top-N into the database, so a `SELECT grp, sum(x) ... GROUP
+    * BY grp` ships back one row per GROUP instead of one row per
+    * table row — at a 10^9-row table that is the difference between a
+    * metadata-sized result and re-downloading the database. Pushdown
+    * applies only where the dialect can translate the expression;
+    * untranslatable aggregates fall back to a plain scan, so results
+    * never change, only where the work runs. */
+  def registerCatalog(spark: SparkSession, name: String, url: String,
+                      extraOptions: Map[String, String] = Map.empty): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    extraOptions.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+    }
+  }
 }
