@@ -1071,6 +1071,61 @@ object QueryCatalog {
              |SELECT doc_id + 1000000, doc_id + 2000000, CAST(1.0 AS DOUBLE)
              |FROM eligible""".stripMargin)),
 
+    Q("q_incremental_exact", // the EXACT twin of incremental dedup:
+      // persist the md5 index once (hive-partitioned by hash prefix),
+      // then annotate each incoming batch with dup_of — min corpus id
+      // with the same content hash (corpus wins), else min earlier id
+      // within the batch itself, else null (the append set). The delta
+      // plants all three outcomes: docs 0..5 recopied at +1M and +2M
+      // (corpus-dup leg — both copies must point at the ORIGINAL id,
+      // not each other), plus an upper-cased doc-0 text twice at 3M+1
+      // and 3M+2 (novel text: 3M+1 must be null = genuinely new, and
+      // 3M+2 must point at 3M+1 = intra-batch dup). Oracle re-derives
+      // dup_of by text-equality joins — md5 vs text equality agree
+      // unless md5 collides, which is itself part of the contract
+      // being pinned.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xidx_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        Dedup.buildExactIndex(docs, "doc_id", "text", dir)
+        val base = docs.filter(col("doc_id") < 6)
+        val delta = base
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
+            col("text")))
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select(lit(3000001L).as("doc_id"), upper(col("text")).as("text")))
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select(lit(3000002L).as("doc_id"), upper(col("text")).as("text")))
+        Dedup.incrementalExactDedup(s, dir, delta, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("dup_of"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 6),
+             |delta AS (
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM base
+             |  UNION ALL SELECT doc_id + 2000000, text FROM base
+             |  UNION ALL SELECT CAST(3000001 AS BIGINT), upper(text)
+             |    FROM documents WHERE doc_id = 0
+             |  UNION ALL SELECT CAST(3000002 AS BIGINT), upper(text)
+             |    FROM documents WHERE doc_id = 0),
+             |corpus_min AS (
+             |  SELECT text, min(doc_id) AS m FROM documents
+             |  WHERE text IS NOT NULL GROUP BY text),
+             |delta_min AS (
+             |  SELECT text, min(doc_id) AS m FROM delta
+             |  WHERE text IS NOT NULL GROUP BY text)
+             |SELECT d.doc_id,
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |       ELSE coalesce(c.m,
+             |         CASE WHEN d.doc_id <> dm.m THEN dm.m END) END AS dup_of
+             |FROM delta d
+             |LEFT JOIN corpus_min c ON d.text = c.text
+             |LEFT JOIN delta_min dm ON d.text = dm.text""".stripMargin)),
+
     Q("q_incr_bench", // headline twin of q_incremental_dedup: the
       // persisted index is staged ONCE per (process, sf) — its
       // deployment shape (built at ingest, probed per delta batch) —
@@ -1636,6 +1691,33 @@ object QueryCatalog {
       Some("""SELECT doc_id,
              |  translate(lang || '/' || source || ':' || CAST(doc_id AS VARCHAR),
              |            '\/:*?"<>|', '_________') AS fname
+             |FROM documents""".stripMargin)),
+
+    Q("q_unicode_norm", // unicode canonicalization before hashing: NFC
+      // composition and accent stripping (graft.plans native
+      // expressions vs DuckDB's utf8proc-backed builtins). The corpus
+      // is all-ASCII, so each row APPENDS a decomposed suffix
+      // ("cafe"+U+0301 combining acute, "nai"+U+0308 combining
+      // diaeresis) for the NFC leg and a composed accented suffix
+      // (é ï Å ö) for the strip leg — otherwise both functions would
+      // be identity on every row and the gate would pin nothing. Both
+      // sides build the suffix from explicit codepoints so source-file
+      // encoding can't change the test.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.plans.TextExpressions.nfc_normalize(
+            concat(col("text"), lit(" cafe\u0301 nai\u0308ve")))
+            .as("nfc_text"),
+          graft.plans.TextExpressions.strip_accents(
+            concat(col("text"),
+              lit(" caf\u00e9 na\u00efve \u00c5ngstr\u00f6m")))
+            .as("plain_text")),
+      Some("""SELECT doc_id,
+             |  nfc_normalize(text || ' cafe' || chr(769) || ' nai' ||
+             |    chr(776) || 've') AS nfc_text,
+             |  strip_accents(text || ' caf' || chr(233) || ' na' ||
+             |    chr(239) || 've ' || chr(197) || 'ngstr' || chr(246) ||
+             |    'm') AS plain_text
              |FROM documents""".stripMargin)),
 
     Q("q_date_funcs2", // date arithmetic menu

@@ -301,6 +301,108 @@ object Dedup {
       .unionByName(intraPairs)
   }
 
+  /** Number of hash-prefix partition values in a persisted exact-dedup
+    * index: the first md5 hex byte, 256 leaf directories. */
+  val ExactIndexMods = 256
+
+  private def hashPrefixMod(hashCol: Column): Column =
+    conv(substring(hashCol, 1, 2), 16, 10).cast("int")
+
+  /** Persist an EXACT-dedup index: `(id, content_hash)` for every
+    * non-null text, hive-partitioned by the hash's first hex byte
+    * ([[ExactIndexMods]] leaves). The exact twin of
+    * [[buildMinhashIndex]]: built once at ingest, then every incoming
+    * batch is checked against the corpus by [[incrementalExactDedup]]
+    * with a read pruned to the delta's own prefix leaves — no corpus
+    * rescan per batch. The index rows are two narrow columns, so even a
+    * 100 TB text corpus indexes to ~(16 B + id) x rows, and md5 spreads
+    * uniformly so no leaf can skew. */
+  def buildExactIndex(df: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("content_hash"))
+      .withColumn("hmod", hashPrefixMod(col("content_hash")))
+      // one task per leaf before the partitioned write, same
+      // small-files reasoning as buildMinhashIndex
+      .repartition(col("hmod"))
+      .write.mode("overwrite").partitionBy("hmod").parquet(path)
+
+  /** Exact-duplicate annotation of a NEW batch against a persisted
+    * [[buildExactIndex]] corpus index: returns one row per delta doc as
+    * `(id, content_hash, dup_of)` where `dup_of` is the id of the doc
+    * this one duplicates — the min corpus id with the same content hash
+    * if any (corpus wins), else the min EARLIER id within the delta
+    * itself (intra-batch duplicates are caught in the same call), else
+    * null (genuinely new; `filter($"dup_of".isNull)` is the append
+    * set). Null-text docs never match anything: `dup_of` is null and
+    * they are excluded from grouping (a window over the shared null key
+    * would funnel every null-text row into one task).
+    *
+    * Probe cost scales with the delta, not the corpus: the delta's
+    * distinct hash-prefix keys (<= [[ExactIndexMods]], bounded by the
+    * layout) prune the index read to matching leaves read by direct
+    * path, the corpus side is reduced to min-id per matched hash before
+    * joining, and that reduced relation is at most one row per distinct
+    * delta hash — broadcast while the delta is small
+    * (`maxBroadcastDeltaRows`), left to AQE above that. Assumes delta
+    * ids are disjoint from corpus ids (new docs).
+    *
+    * NOT lazy: the partition-key collect and leaf-existence probes run
+    * at call time, so index leaves written after the call are not seen
+    * (same eager-construction semantics as [[incrementalMinhashPairs]]). */
+  def incrementalExactDedup(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            maxBroadcastDeltaRows: Long = 8L * 1000 * 1000): DataFrame = {
+    val idType = newDocs.schema(newDocs.schema.fieldIndex(idCol)).dataType
+    val hashed = Materialize(
+      newDocs.select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("content_hash")),
+      eager = false)
+    val nn = hashed.filter(col("content_hash").isNotNull)
+    // one job: the delta's prefix keys (<= ExactIndexMods values — the
+    // collect is bounded by the layout) plus the row count gating the
+    // broadcast hints
+    val head = nn.agg(
+      collect_set(hashPrefixMod(col("content_hash"))).as("ks"),
+      count(lit(1)).as("n")).head()
+    val keys = head.getSeq[Int](0)
+    val deltaRows = head.getLong(1)
+    val hint: DataFrame => DataFrame =
+      if (deltaRows <= maxBroadcastDeltaRows) broadcast(_) else identity
+    val wH = Window.partitionBy(col("content_hash"))
+    val withDeltaMin = nn.withColumn("delta_min", min(col("id")).over(wH))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val leaves = keys.map(k => s"$indexPath/hmod=$k")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val joined = if (leaves.isEmpty) {
+      withDeltaMin.withColumn("corpus_min", lit(null).cast(idType))
+    } else {
+      // reduce the pruned corpus leaves to min-id per hash THAT THE
+      // DELTA ACTUALLY CARRIES (semi-join on the broadcast delta hash
+      // set) before the outer join: the reduced side is bounded by the
+      // delta's distinct hashes, never by the corpus leaf population
+      val index = spark.read.option("basePath", indexPath)
+        .parquet(leaves: _*)
+      val corpusMin = index
+        .join(hint(nn.select(col("content_hash")).distinct()),
+          Seq("content_hash"), "left_semi")
+        .groupBy(col("content_hash"))
+        .agg(min(col("id")).as("corpus_min"))
+      withDeltaMin.join(hint(corpusMin), Seq("content_hash"), "left_outer")
+    }
+    joined
+      .select(col("id"), col("content_hash"),
+        coalesce(col("corpus_min"),
+          when(col("id") =!= col("delta_min"), col("delta_min"))).as("dup_of"))
+      .unionByName(hashed.filter(col("content_hash").isNull)
+        .select(col("id"), col("content_hash"),
+          lit(null).cast(idType).as("dup_of")))
+  }
+
   /** Exact Jaccard over MinHash-LSH candidates: the robust hybrid —
     * candidate pairs come from signature band buckets (immune to the
     * rare-shingle blocking failure, see [[ngramJaccardPairs]]), then the

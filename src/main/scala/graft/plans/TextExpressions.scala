@@ -59,6 +59,12 @@ object TextExpressions {
   def id_pairs(c: Column): Column =
     GraftBridge.column(IdPairs(GraftBridge.expression(c)))
 
+  def nfc_normalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+
+  def strip_accents(c: Column): Column =
+    GraftBridge.column(StripAccents(GraftBridge.expression(c)))
+
   /** SQL registration: `SELECT minhash_signature(text, 32, 3), simhash64(text)`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
@@ -83,6 +89,10 @@ object TextExpressions {
       "scala_udf")
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "id_pairs", exprs => IdPairs(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "strip_accents", exprs => StripAccents(exprs.head), "scala_udf")
   }
 
   private[plans] def tokenize(text: String): Array[String] = {
@@ -453,5 +463,95 @@ case class IdPairs(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): IdPairs =
+    copy(child = c)
+}
+
+/** Unicode NFC normalization (canonical composition): `e` + combining
+  * acute becomes the single codepoint `é`. The canonicalization step
+  * every dedup/fingerprint pipeline needs BEFORE hashing — the same
+  * visible text in composed vs decomposed form hashes to different
+  * MinHash/SimHash/md5 values and silently defeats exact and near dedup.
+  *
+  * Fast path: `Normalizer.isNormalized` is a scan without allocation,
+  * and already-NFC input (the overwhelming case — most real corpora are
+  * composed) returns the input buffer unchanged. Cost is therefore
+  * ~one codepoint scan per row unless normalization actually rewrites. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public: called from generated code. */
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this, classOf[NfcNormalize].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+/** Accent stripping: decompose to NFD, drop combining marks (Unicode
+  * category Mn), recompose to NFC — `café` → `cafe`, `Ångström` →
+  * `Angstrom`. Letters that are not base+mark compositions (ø, ł, æ)
+  * are left alone; this removes DIACRITICS, it does not transliterate.
+  * Used for fuzzy-matching keys (header reconciliation, language-ID
+  * n-grams, dedup shingles) where accent variance is noise.
+  *
+  * Fast path: pure-ASCII input (checked bytewise on the UTF8String,
+  * no decode) returns the input buffer unchanged, so on mostly-English
+  * corpora the cost is one byte scan per row. */
+case class StripAccents(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public: called from generated code. */
+  def compute(input: UTF8String): UTF8String = {
+    var i = 0
+    val n = input.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if ((input.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return input
+    val d = java.text.Normalizer.normalize(input.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var j = 0
+    while (j < d.length) {
+      val ch = d.charAt(j)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      j += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(sb.toString,
+      java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stripAccents", this, classOf[StripAccents].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): StripAccents =
     copy(child = c)
 }

@@ -176,6 +176,61 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental exact dedup: corpus wins, intra-batch chains, nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xidx-spec")
+      .toString
+    try {
+      Dedup.buildExactIndex(corpus, "id", "text", dir)
+      val dupText =
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+      val delta = Seq(
+        (101L, Some(dupText)),      // corpus dup -> min corpus id 1
+        (102L, Some(dupText)),      // also -> 1 (corpus wins over 101)
+        (103L, Some("novel sentences about watermark state and joins")),
+        (104L, Some("novel sentences about watermark state and joins")),
+        (105L, Option.empty[String])) // null text: never a duplicate
+        .toDF("id", "text")
+      val out = Dedup.incrementalExactDedup(spark, dir, delta, "id", "text")
+      val m = out.select($"id", $"dup_of")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(m(101L).contains(1L), m.toString)
+      assert(m(102L).contains(1L), m.toString) // NOT 101: corpus wins
+      assert(m(103L).isEmpty, m.toString)      // genuinely new
+      assert(m(104L).contains(103L), m.toString) // intra-batch dup
+      assert(m(105L).isEmpty, m.toString)
+      // plan shape: index read pruned to hmod= leaves, small delta
+      // rides the broadcast hint
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("hmod="), plan.take(1200))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+      // above the size gate no join carries a hint (left to AQE) and
+      // the answer is unchanged
+      val unhinted = Dedup.incrementalExactDedup(spark, dir, delta,
+        "id", "text", maxBroadcastDeltaRows = 0L)
+      val hints = unhinted.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+      }
+      assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty))
+      assert(unhinted.select($"id", $"dup_of")
+        .as[(Long, Option[Long])].collect().toMap == m)
+      // all-novel delta whose prefix leaves don't exist in the index:
+      // the no-leaf branch annotates everything null without reading
+      val novel = Seq((201L, Some("completely fresh words only")),
+        (202L, Option.empty[String])).toDF("id", "text")
+      // (hash prefixes of 5 corpus texts cover <= 5 of 256 leaves; if
+      // this novel text happens to collide on a prefix the branch
+      // still returns null dup_of via the semi-join miss)
+      val nm = Dedup.incrementalExactDedup(spark, dir, novel, "id", "text")
+        .select($"id", $"dup_of").as[(Long, Option[Long])].collect().toMap
+      assert(nm == Map(201L -> None, 202L -> None), nm.toString)
+    } finally {
+      def go(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(go)); x.delete(); ()
+      }
+      go(new java.io.File(dir))
+    }
+  }
+
   test("int8 quantization: error bounded, identical vectors exact 1.0") {
     val emb = Tables.embeddings(spark, sfDir).limit(80)
     val qz = Similarity.withInt8Quantized(emb, "embedding")

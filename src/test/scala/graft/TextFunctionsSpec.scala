@@ -81,4 +81,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(eval1(shingles(lit("x y x y x y"), 2)) ==
       Seq("x y", "y x"))
   }
+
+  test("nfc_normalize composes; identity on composed and null input") {
+    import graft.plans.TextExpressions.nfc_normalize
+    // decomposed e + U+0301 composes to single-codepoint \u00e9
+    assert(eval1(nfc_normalize(lit("cafe\u0301"))) == "caf\u00e9")
+    // already-NFC input unchanged (the fast path)
+    assert(eval1(nfc_normalize(lit("caf\u00e9 plain ascii"))) ==
+      "caf\u00e9 plain ascii")
+    assert(eval1(nfc_normalize(lit(null).cast("string"))) == null)
+  }
+
+  test("strip_accents drops combining marks, keeps non-mark letters") {
+    import graft.plans.TextExpressions.strip_accents
+    // composed AND decomposed inputs both strip to plain ascii
+    assert(eval1(strip_accents(
+      lit("caf\u00e9 na\u00efve \u00c5ngstr\u00f6m"))) ==
+      "cafe naive Angstrom")
+    assert(eval1(strip_accents(lit("cafe\u0301"))) == "cafe")
+    // \u00f8 is a letter, not a base+mark composition: untouched
+    assert(eval1(strip_accents(lit("s\u00f8ster"))) == "s\u00f8ster")
+    // pure-ascii fast path is identity
+    assert(eval1(strip_accents(lit("plain text"))) == "plain text")
+    assert(eval1(strip_accents(lit(null).cast("string"))) == null)
+  }
 }
