@@ -153,10 +153,23 @@ object Similarity {
       lit(0.0d), (acc, x) => acc + x)
 
   /** Index of the nearest (max-dot) centroid for a normalized vector
-    * column — one per-row codegen'd expression against the broadcast
-    * literal centroid matrix; ties break to the smallest index
-    * (array_position returns the first match), deterministically. */
-  private def nearestCentroid(vn: Column, centroids: Seq[Seq[Double]]): Column = {
+    * column; ties break to the smallest index, deterministically.
+    * Delegates to the native [[graft.plans.NearestCentroid]] expression
+    * (matrix as a codegen reference object, one JIT'd argmax loop per
+    * row) so cost stays O(k x dim) multiply-adds at ANY k —
+    * [[nearestCentroidDeclarative]] is the built-ins-only semantic spec
+    * whose k x dim LITERAL tree stops codegen-compiling past a few
+    * hundred centroids (equality asserted in `DedupSimilaritySpec`). */
+  private def nearestCentroid(vn: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.plans.TextExpressions.nearest_centroid(vn, centroids)
+
+  /** Built-ins-only argmax-dot — the semantic spec for
+    * [[graft.plans.NearestCentroid]]: a k-wide array of literal
+    * dot-products, first-max position. Do not use on a hot path or at
+    * large k (the literal matrix is re-emitted into every generated
+    * stage). */
+  private[graft] def nearestCentroidDeclarative(vn: Column,
+      centroids: Seq[Seq[Double]]): Column = {
     val sims = array(centroids.map(c => dotLit(vn, c)): _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
@@ -386,15 +399,17 @@ object Similarity {
     * exempt most of a 100 TB corpus. Explicit `k > 0` bypasses the
     * count (callers that know their corpus). k is clamped to
     * `maxFitRows` (the fit sample must cover the seeds) AND to `maxK`:
-    * cell assignment is a k-wide LITERAL dot-product expression
-    * ([[nearestCentroid]]) and each Lloyd round collects k x dim
-    * centroid sums to the driver, so k in the tens of thousands means
-    * codegen blowup / interpreter fallback and a fat driver collect —
-    * past `maxK` (default 4096, well inside both limits) cells grow
-    * past `targetCellSize` proportionally instead, which the
-    * `capObservation` makes visible. A corpus needing k >> thousands
-    * should shard on a coarse partition first (e.g. by language or
-    * SRP super-cell) and run semanticDedup per shard. */
+    * cell assignment is a native argmax loop against the k x dim
+    * matrix ([[nearestCentroid]] — a codegen reference object, so no
+    * literal-tree blowup at any k), but each Lloyd round still collects
+    * k x dim centroid sums to the driver and ships the matrix with
+    * every task, so k in the tens of thousands means a fat driver
+    * collect and a multi-MB model per task — past `maxK` (default
+    * 4096, well inside both limits) cells grow past `targetCellSize`
+    * proportionally instead, which the `capObservation` makes visible.
+    * A corpus needing k >> thousands should shard on a coarse
+    * partition first (e.g. by language or SRP super-cell) and run
+    * semanticDedup per shard. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 0, iters: Int = 3, minCos: Double = 0.99,
                     maxFitRows: Int = 100000,
@@ -418,7 +433,7 @@ object Similarity {
       nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
     // eager Materialize, two reasons: (1) the capped relation feeds BOTH
     // sides of the within-cell self-join — without it the window cap and
-    // the k-wide centroid assignment run twice; (2) the cap observation
+    // the O(k x dim) centroid assignment run twice; (2) the cap observation
     // must complete even when the removal set is EMPTY — AQE's
     // empty-relation propagation would eliminate the anti-join's right
     // subtree INCLUDING the CollectMetrics node, so the metrics have to

@@ -62,6 +62,9 @@ object TextExpressions {
   def nfc_normalize(c: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
+  def nearest_centroid(c: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(c), centroids))
+
   def strip_accents(c: Column): Column =
     GraftBridge.column(StripAccents(GraftBridge.expression(c)))
 
@@ -463,6 +466,73 @@ case class IdPairs(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): IdPairs =
+    copy(child = c)
+}
+
+/** Argmax-dot cell assignment against a FIXED centroid matrix: the
+  * index of the centroid with the largest dot product against the input
+  * `array<double>` vector; ties break to the smallest index. The IVF /
+  * SemDeDup assignment primitive ([[graft.operators.Similarity]]).
+  *
+  * The matrix rides along as a codegen REFERENCE OBJECT (serialized
+  * once per task with the expression), NOT as a literal expression
+  * tree: the declarative form materializes k x dim literal doubles
+  * into the generated source, which past a few hundred centroids blows
+  * the JVM method-size limit and drops the whole stage to interpreted
+  * rows — exactly when derived k grows with the corpus. Here codegen
+  * emits one `compute` call regardless of k; per-row cost is the
+  * irreducible O(k x dim) multiply-adds in a single JIT'd loop.
+  *
+  * Accumulation order matches the declarative
+  * `aggregate(zip_with(...))` left fold (element order, IEEE double),
+  * so assignments are bit-identical to the literal form — asserted in
+  * `DedupSimilaritySpec`. Dimensions beyond the shorter of
+  * (vector, centroid) are ignored; input vectors are expected
+  * normalized and null-element-free (both guaranteed by
+  * `l2normalize`). */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid: empty centroid matrix")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nearest_centroid"
+
+  // Seq fields keep case-class structural equality (semanticEquals /
+  // subexpression elimination work); the hot loop reads the unboxed
+  // mirror, built once per task.
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public: called from generated code. */
+  def compute(v: ArrayData): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cen = matrix(c)
+      val m = if (n < cen.length) n else cen.length
+      var s = 0.0d
+      var i = 0
+      while (i < m) { s += v.getDouble(i) * cen(i); i += 1 }
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
     copy(child = c)
 }
 

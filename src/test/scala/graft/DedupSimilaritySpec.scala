@@ -402,6 +402,39 @@ class DedupSimilaritySpec extends SparkSpec {
     (4L, Array(0.8f, 0.0f, 0.2f)))
     .toDF("vec_id", "embedding")
 
+  test("native nearest_centroid matches the declarative literal argmax") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val vd = $"embedding".cast("array<double>")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 7, iters = 2)
+    val cmp = emb.select(
+      graft.plans.TextExpressions.nearest_centroid(vd, cents).as("native"),
+      Similarity.nearestCentroidDeclarative(vd, cents).as("decl"))
+    assert(cmp.filter($"native" =!= $"decl").isEmpty)
+    // tie-break pins to the FIRST max: duplicate the winning centroid
+    // and both forms must still agree (first occurrence wins)
+    val tied = cents.head +: cents
+    val cmpT = emb.select(
+      graft.plans.TextExpressions.nearest_centroid(vd, tied).as("native"),
+      Similarity.nearestCentroidDeclarative(vd, tied).as("decl"))
+    assert(cmpT.filter($"native" =!= $"decl").isEmpty)
+    // large k — where the declarative k x dim literal tree stops
+    // codegen-compiling — the native form stays inside whole-stage
+    // codegen and still agrees with the interpreted spec
+    val rnd = new scala.util.Random(7)
+    val dim = cents.head.length
+    val big = Seq.fill(600)(Seq.fill(dim)(rnd.nextGaussian()))
+    val nat = emb.select($"vec_id",
+      graft.plans.TextExpressions.nearest_centroid(vd, big).as("cell"))
+    // codegen'd nodes print starred ("*(n) Project"); the declarative
+    // literal tree at this k would not compile into a stage at all
+    val natPlan = nat.queryExecution.executedPlan.toString
+    assert(natPlan.contains("*("), natPlan.take(400))
+    val decl = emb.select($"vec_id",
+      Similarity.nearestCentroidDeclarative(vd, big).as("cell"))
+    assert(nat.exceptAll(decl).isEmpty && decl.exceptAll(nat).isEmpty)
+  }
+
   test("cosine: identity 1, orthogonal 0, opposite -1") {
     val c = vecs.filter($"vec_id" === 0L)
       .select(
