@@ -67,11 +67,18 @@ object Bench {
       if (pass > 0) { System.gc(); Thread.sleep(2000) }
       targets.map { q =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        // A query that THROWS must never be scored: the exception fires
+        // in milliseconds, and recording that as its time turned broken
+        // queries into apparent 80-90% "speedups" (BENCH_r09's four
+        // events lines). NaN marks the iteration failed; the query is
+        // reported under "failed" and excluded from the total.
+        val dt = try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          Double.NaN
         }
-        val dt = (System.nanoTime() - t0) / 1e9
         // outside the timed window: isolate neighbors. NOTE measured, do
         // not "improve": adding a System.gc() here as well makes EVERY
         // query ~0.3 s slower at near-zero sd (full G1 collection
@@ -87,7 +94,14 @@ object Bench {
         System.err.println(s"[bench-debug] pass $i: " + pass.map {
           case (n, t) => f"$n=$t%.2f" }.mkString(" "))
       }
-    val results = targets.map { q =>
+    // A query with ANY failed iteration is excluded from the query map
+    // and the total, and listed under "failed" — a broken query must
+    // produce a visibly smaller result, never a better number.
+    val (failed, scored) = targets.partition { q =>
+      samples.exists(p => p.find(_._1 == q.name).get._2.isNaN)
+    }
+    failed.foreach(q => System.err.println(s"[bench] EXCLUDED (failed): ${q.name}"))
+    val results = scored.map { q =>
       val ts = samples.map(_.find(_._1 == q.name).get._2)
       val mean = ts.sum / ts.size
       val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
@@ -106,8 +120,9 @@ object Bench {
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench-stats] {"iters":$iters,"stats":$stats}""")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _.name + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,17 +30,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read nanos as long (legacy conf) and truncate to microseconds — the
-    * same truncation DuckDB applies when casting ns to its micro
-    * timestamps, so oracle comparisons agree. */
+  /** The driver has generated `events.ts` under two different parquet
+    * encodings across rounds — TIMESTAMP(NANOS) (which Spark's reader
+    * only accepts as INT64 under the legacy nanosAsLong conf) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    * TIMESTAMP_NTZ). Branch on the type the reader actually produced so
+    * either encoding — and a future UTC-adjusted one — loads to the same
+    * session-zone TIMESTAMP column:
+    *  - LongType: nanos file under the legacy conf → truncate to micros
+    *    (the same truncation DuckDB applies casting ns to its micro
+    *    timestamps, so oracle comparisons agree);
+    *  - TimestampNTZType: micros wall-clock → reinterpret in the session
+    *    zone (UTC everywhere in this repo), micros preserved bit-for-bit;
+    *  - TimestampType: already what downstream expects → pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Normalize an events `ts` column of the given observed type to
+    * session-zone TIMESTAMP (see [[events]]); shared with the streaming
+    * reader so batch and incremental paths can never diverge. */
+  def normalizedTs(observed: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    observed match {
+      case LongType           => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType   => col("ts").cast("timestamp")
+      case _                  => col("ts")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -82,6 +82,19 @@ object JdbcSource {
     spark.conf.set(s"spark.sql.catalog.$name.url", url)
     spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
     spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    // JOIN pushdown (Spark 4.1 DSv2): an equi-join between two tables of
+    // the SAME catalog compiles to one SQL join executed by the database
+    // — one scan node, join-sized result over the wire instead of two
+    // table-sized ones. Three gates must all open: this option, the
+    // optimizer flag below, and `JdbcDialect.supportsJoin` for the
+    // database (true for databases whose dialect can render Spark's
+    // subquery-join SQL; Spark 4.1 ships it enabled for H2, and the
+    // SQL-Server dialect of the reference's production target can opt in
+    // the same way — see JdbcSourceSpec's Derby opt-in for the pattern).
+    // With any gate closed the plan falls back to two scans + a
+    // Spark-side join: results never change, only where the work runs.
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownJoin", "true")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     extraOptions.foreach { case (k, v) =>
       spark.conf.set(s"spark.sql.catalog.$name.$k", v)
     }

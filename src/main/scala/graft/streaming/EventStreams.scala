@@ -141,44 +141,28 @@ object EventStreams {
     outDir
   }
 
-  /** Raw file schema of the driver's events parquet: `ts` is parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader only accepts as
-    * INT64 under `spark.sql.legacy.parquet.nanosAsLong` (the same
-    * workaround [[graft.Tables.events]] uses on the batch side). */
-  val rawNanosSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Runs [[eventTimeWindow]] as a REAL Structured Streaming query over
-    * the raw events parquet: `readStream` file source →
-    * `Trigger.AvailableNow` (drain everything currently in the source,
-    * then stop) → complete-mode in-memory sink, blocking until the drain
-    * finishes, and returns the sink's contents — the execution gate that
-    * proves the streaming twin doesn't just compile but produces the
-    * batch answer through the incremental engine.
+  /** Streaming source over the driver's raw events parquet, robust to
+    * the file's `ts` encoding. The driver has shipped the table as both
+    * TIMESTAMP(NANOS) (readable only as INT64 under the legacy
+    * nanosAsLong conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ) across rounds; a hard-coded stream schema
+    * silently MISREADS the other encoding (declaring `ts: LongType`
+    * against a micros file makes the file source hand back the micros
+    * physical values as longs — no error, output lands in January 1970).
+    * So: probe the schema with a one-off BATCH read of the same files —
+    * the single source of truth for what's physically there — declare
+    * exactly that to `readStream`, and normalize `ts` with the same
+    * branch the batch loader uses ([[graft.Tables.normalizedTs]]), which
+    * keeps the two paths incapable of diverging.
     *
-    * Complete mode (not append): with `AvailableNow` the watermark at
-    * drain time still trails max event time, so append mode would hold
-    * back the final window(s); complete mode emits the full aggregation
-    * state, which is exactly the batch-equivalence property the gate
-    * pins. The memory sink holds one row per (window, event_type) group
-    * on the driver — bounded by the window count, not the event count —
-    * but it IS a driver-side sink: the production path for unbounded
-    * output is [[etlAvailableNow]]'s foreachBatch → parquet. */
-  def tumblingAvailableNow(spark: SparkSession, eventsPath: String,
-                           checkpointDir: String,
-                           sinkName: String = "graft_stream_tumbling"): DataFrame = {
+    * The file-stream source lists a DIRECTORY; the driver's table is a
+    * single parquet file, so stage it behind a hardlink (zero-copy; copy
+    * as the cross-device fallback) in a scratch dir registered for
+    * JVM-exit deletion. */
+  def rawEventSource(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file-stream source lists a DIRECTORY ('basePath' must be a
-    // directory); the driver's table is a single parquet file. Stage it
-    // behind a hardlink (zero-copy; copy as the cross-device fallback)
-    // in a scratch dir registered for JVM-exit deletion.
     val f = new java.io.File(eventsPath)
-    val srcPath = if (f.isFile) {
+    val srcDir = if (f.isFile) {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
       graft.TempDirs.deleteOnExit(dir.toFile)
       val staged = dir.resolve(f.getName)
@@ -188,9 +172,50 @@ object EventStreams {
       }
       dir.toString
     } else eventsPath
-    val src = spark.readStream.schema(rawNanosSchema).parquet(srcPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = eventTimeWindow(src)
+    val probed = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(probed).parquet(srcDir)
+      .withColumn("ts", graft.Tables.normalizedTs(probed("ts").dataType))
+  }
+
+  /** Runs [[eventTimeWindow]] as a REAL Structured Streaming query over
+    * the raw events parquet: `readStream` file source →
+    * `Trigger.AvailableNow` (drain everything currently in the source,
+    * then stop) → complete-mode in-memory sink, blocking until the drain
+    * finishes, and returns the sink's contents — the execution gate that
+    * proves the streaming twin doesn't just compile but produces the
+    * batch answer through the incremental engine (mode rationale on
+    * [[drainToMemory]]). */
+  def tumblingAvailableNow(spark: SparkSession, eventsPath: String,
+                           checkpointDir: String,
+                           sinkName: String = "graft_stream_tumbling"): DataFrame =
+    drainToMemory(spark, eventTimeWindow(rawEventSource(spark, eventsPath)),
+      checkpointDir, sinkName)
+
+  /** Runs [[sessionWindow]] (built-in gap-based `session_window` state)
+    * through the real incremental engine the same way
+    * [[tumblingAvailableNow]] does: `readStream` over the raw events
+    * parquet → AvailableNow drain → complete-mode memory sink. Returns
+    * the per-(session, user) rows; the catalog gate rolls them up to the
+    * per-user (n_sessions, n_events) shape of the q_event_sessions
+    * oracle — a plain batch aggregation over the sink table, so the
+    * stateful part under test is exactly the session-merge logic. */
+  def sessionsAvailableNow(spark: SparkSession, eventsPath: String,
+                           checkpointDir: String,
+                           sinkName: String = "graft_stream_sessions"): DataFrame =
+    drainToMemory(spark, sessionWindow(rawEventSource(spark, eventsPath)),
+      checkpointDir, sinkName)
+
+  /** Shared drain: complete-mode memory sink + AvailableNow trigger,
+    * blocking until the source is exhausted. Complete mode (not append):
+    * at drain time the watermark still trails max event time, so append
+    * would hold back the final window(s); complete emits the full state,
+    * which is exactly the batch-equivalence property the gates pin. The
+    * memory sink is bounded by the group count, not the event count; the
+    * production path for unbounded output is [[etlAvailableNow]]'s
+    * foreachBatch → parquet. */
+  private def drainToMemory(spark: SparkSession, transformed: DataFrame,
+                            checkpointDir: String, sinkName: String): DataFrame = {
+    val q = transformed
       .writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")

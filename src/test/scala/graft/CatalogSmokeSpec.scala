@@ -39,7 +39,8 @@ class CatalogSmokeSpec extends SparkSpec {
     // simulate a mid-write failure: the staged dir EXISTS but carries
     // no committer _SUCCESS marker — the _SUCCESS-gated staging must
     // rebuild instead of silently reading the corrupt partial tree
-    val staged = Seq(("graft_mhib_", "idx"), ("graft_int8_", "corpus"))
+    val staged = Seq(("graft_mhib_", "idx"), ("graft_int8_", "corpus"),
+      ("graft_xidx_", "idx"))
     def stagedDir(stem: String, leaf: String) = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/$stem" +
         s"${java.lang.ProcessHandle.current().pid()}_" +
@@ -57,7 +58,7 @@ class CatalogSmokeSpec extends SparkSpec {
     }
     // both staged queries must rebuild (overwrite clears the junk) and
     // then run green against the rebuilt artifact
-    Seq("q_incr_bench", "q_int8_bench").foreach { name =>
+    Seq("q_incr_bench", "q_int8_bench", "q_incremental_exact").foreach { name =>
       val q = QueryCatalog.all.find(_.name == name).get
       assert(q.run(spark, sfDir).count() > 0, name)
     }

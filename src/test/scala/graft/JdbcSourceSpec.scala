@@ -93,4 +93,62 @@ class JdbcSourceSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == exp)
   }
+
+  test("DSv2 catalog: same-source equi-join pushes into the database") {
+    // Three gates open join pushdown: the catalog's pushDownJoin option
+    // and the optimizer flag (both set by registerCatalog), plus the
+    // DIALECT declaring it can render Spark's join SQL. Stock Derby
+    // doesn't declare it (Spark 4.1 ships it for H2 only), so swap in a
+    // dialect that opts in — the production SQL-Server opt-in is this
+    // exact pattern. The stock Derby dialect must be UNREGISTERED for
+    // the window (not merely shadowed): with two dialects matching one
+    // url Spark silently wraps them in an AggregatedDialect, which does
+    // NOT override supportsJoin — the opt-in would never engage. Suites
+    // run sequentially in the forked test JVM, and the stock dialect is
+    // restored in the finally, so the other Derby tests are unaffected.
+    val joinUrl = "jdbc:derby:memory:graftjoin;create=true"
+    val stockDerby = org.apache.spark.sql.GraftTestBridge.dialectFor(joinUrl)
+    object DerbyJoinDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+      override def canHandle(url: String): Boolean =
+        url.startsWith("jdbc:derby")
+      override def supportsJoin: Boolean = true
+      override def getJDBCType(dt: org.apache.spark.sql.types.DataType) =
+        stockDerby.getJDBCType(dt)
+    }
+    org.apache.spark.sql.jdbc.JdbcDialects.unregisterDialect(stockDerby)
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyJoinDialect)
+    try {
+      val a = (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v")
+      val b = (1L to 50L).map(i => (i, i * 10L)).toDF("id", "w")
+      JdbcSource.write(a,
+        Map("url" -> joinUrl, "dbtable" -> "graft_j1", "driver" -> driver))
+      JdbcSource.write(b,
+        Map("url" -> joinUrl, "dbtable" -> "graft_j2", "driver" -> driver))
+      JdbcSource.registerCatalog(spark, "graftjoindb", joinUrl,
+        Map("driver" -> driver))
+      val j = spark.sql(
+        """SELECT a.id AS id, a.v AS v, b.w AS w
+          |FROM graftjoindb.APP.GRAFT_J1 a
+          |JOIN graftjoindb.APP.GRAFT_J2 b ON a.id = b.id
+          |WHERE a.id <= 20""".stripMargin)
+      // pushed = ONE scan node and NO Spark-side join: the database
+      // executes the join and ships 20 joined rows, not 2x50 table rows
+      val plan = j.queryExecution.optimizedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => s
+      }
+      val joins = plan.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }
+      assert(joins.isEmpty && scans.size == 1,
+        s"join not pushed:\n${plan.treeString}")
+      // and the joined values are exactly the Spark-side join's
+      val got = j.as[(Long, Double, Long)].collect().toSet
+      assert(got == (1L to 20L).map(i => (i, i * 2.0, i * 10L)).toSet)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+      org.apache.spark.sql.jdbc.JdbcDialects.unregisterDialect(DerbyJoinDialect)
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(stockDerby)
+    }
+  }
 }
