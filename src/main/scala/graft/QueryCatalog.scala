@@ -1639,6 +1639,45 @@ object QueryCatalog {
              |GROUP BY 1, 2""".stripMargin),
       headline = true),
 
+    Q("q_sliding_stream_exec", // STREAMING EXECUTION gate #3: the
+      // sliding windows above through the real incremental engine.
+      // Overlapping windows (4 per event at 1h/15min) multiply the
+      // engine's state rows — the state-growth shape the other two
+      // gates don't exercise; divergence between the incremental
+      // multi-window state and the batch plan goes red here.
+      (s, d) => graft.streaming.EventStreams.slidingAvailableNow(
+          s, s"$d/events.parquet", scratchDir("graft-stream-slide-ckpt"))
+        .select(col("w_start"), col("event_type"), col("n")),
+      Some("""SELECT time_bucket(INTERVAL 15 minute, ts)
+             |         - (k * INTERVAL 15 minute) AS w_start,
+             |       event_type, count(*) AS n
+             |FROM events, (VALUES (0), (1), (2), (3)) t(k)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_dedup_stream_exec", // STREAMING EXECUTION gate #4: watermark-
+      // bounded dropDuplicates state through the incremental engine,
+      // keyed on (user_id, event_type). Only the key columns are
+      // emitted (which physical row survives a key is a partition race;
+      // exactly-one-per-key is the contract) — so the drained output is
+      // exactly SELECT DISTINCT. Append mode: dedup rows emit on
+      // admission, nothing is watermark-held; single-file source → one
+      // micro-batch → no mid-drain state eviction (see
+      // EventStreams.dedupAvailableNow).
+      (s, d) => graft.streaming.EventStreams.dedupAvailableNow(
+          s, s"$d/events.parquet", scratchDir("graft-stream-dedup-ckpt"),
+          Seq("user_id", "event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    Q("q_state_stream_exec", // STREAMING EXECUTION gate #5: ARBITRARY
+      // state (mapGroupsWithState) through the incremental engine —
+      // per-user running totals drained in update mode; the per-user
+      // event count from custom GroupState must equal the batch GROUP
+      // BY (float total excluded by design: rounding flavor, not state
+      // correctness — see EventStreams.totalsAvailableNow).
+      (s, d) => graft.streaming.EventStreams.totalsAvailableNow(
+          s, s"$d/events.parquet", scratchDir("graft-stream-state-ckpt")),
+      Some("SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id")),
+
     Q("q_scalar_subquery", // filter against a global aggregate
       (s, d) => {
         val o = t(s, d, "orders")

@@ -90,9 +90,10 @@ object EventStreams {
   /** Streaming exact dedup on event_id within the watermark horizon
     * (`dropDuplicates` keyed on id + event time — Spark keeps id state
     * only as long as the watermark requires). */
-  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+  def dedupStream(events: DataFrame, watermark: String = "2 hours",
+                  keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-stream interval join: signups joined to the purchases that
     * follow within `horizon` for the same user. Both sides carry
@@ -205,19 +206,73 @@ object EventStreams {
     drainToMemory(spark, sessionWindow(rawEventSource(spark, eventsPath)),
       checkpointDir, sinkName)
 
-  /** Shared drain: complete-mode memory sink + AvailableNow trigger,
-    * blocking until the source is exhausted. Complete mode (not append):
-    * at drain time the watermark still trails max event time, so append
-    * would hold back the final window(s); complete emits the full state,
-    * which is exactly the batch-equivalence property the gates pin. The
-    * memory sink is bounded by the group count, not the event count; the
+  /** Runs [[slidingWindow]] through the incremental engine the same way
+    * — overlapping windows multiply state rows (4 windows per event at
+    * 1h/15min), which is exactly the state-growth shape worth pinning
+    * against the batch oracle. */
+  def slidingAvailableNow(spark: SparkSession, eventsPath: String,
+                          checkpointDir: String,
+                          sinkName: String = "graft_stream_sliding"): DataFrame =
+    drainToMemory(spark, slidingWindow(rawEventSource(spark, eventsPath)),
+      checkpointDir, sinkName)
+
+  /** Runs [[dedupStream]] (watermark-bounded `dropDuplicates` state)
+    * through the incremental engine, keyed on `keys`, returning only the
+    * key columns: WHICH physical row survives for a key is a race
+    * between partitions inside a micro-batch, but that exactly one row
+    * per key survives is the state contract under test — key columns
+    * are the deterministic projection of it. Append mode: dedup emits
+    * rows the moment they are admitted (no window to finalize), so
+    * unlike the aggregation gates nothing is held back by the trailing
+    * watermark. The driver's table is a single file → a single
+    * micro-batch, so no key's state can be watermark-evicted mid-drain
+    * and the output is one row per distinct key, i.e. SELECT DISTINCT. */
+  def dedupAvailableNow(spark: SparkSession, eventsPath: String,
+                        checkpointDir: String, keys: Seq[String],
+                        sinkName: String = "graft_stream_dedup"): DataFrame =
+    drainToMemory(spark,
+      dedupStream(rawEventSource(spark, eventsPath), keys = keys)
+        .select(keys.map(col): _*),
+      checkpointDir, sinkName, OutputMode.Append())
+
+  /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
+    * state API) through the incremental engine. Update mode: custom
+    * state emits the function's return per touched group per batch
+    * (complete mode is not supported for mapGroupsWithState); the
+    * single-file source drains in one batch, so the sink holds exactly
+    * one final row per user. The gate projects (user_id, n_events)
+    * — the float total is deliberately excluded: the stateful count is
+    * the machinery under test, and a JVM-rounded running double vs the
+    * oracle's round(sum(value),2) differ in rounding flavor, which
+    * would gate rounding trivia, not state correctness (total_value
+    * equality with batch is spec-pinned in EventStreamsSpec). */
+  def totalsAvailableNow(spark: SparkSession, eventsPath: String,
+                         checkpointDir: String,
+                         sinkName: String = "graft_stream_totals"): DataFrame = {
+    import spark.implicits._
+    val src = rawEventSource(spark, eventsPath).as[Event]
+    drainToMemory(spark,
+      userRunningTotals(spark, src).toDF()
+        .select(col("user_id"), col("n_events")),
+      checkpointDir, sinkName, OutputMode.Update())
+  }
+
+  /** Shared drain: memory sink + AvailableNow trigger, blocking until
+    * the source is exhausted. The aggregation gates use Complete mode
+    * (not append): at drain time the watermark still trails max event
+    * time, so append would hold back the final window(s); complete
+    * emits the full state, which is exactly the batch-equivalence
+    * property the gates pin. The dedup gate uses Append (its rows emit
+    * immediately; dropDuplicates does not support Complete). The memory
+    * sink is bounded by the group/key count, not the event count; the
     * production path for unbounded output is [[etlAvailableNow]]'s
     * foreachBatch → parquet. */
   private def drainToMemory(spark: SparkSession, transformed: DataFrame,
-                            checkpointDir: String, sinkName: String): DataFrame = {
+                            checkpointDir: String, sinkName: String,
+                            mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = transformed
       .writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory")
       .queryName(sinkName)
       .option("checkpointLocation", checkpointDir)
