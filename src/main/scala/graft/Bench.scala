@@ -94,19 +94,8 @@ object Bench {
         System.err.println(s"[bench-debug] pass $i: " + pass.map {
           case (n, t) => f"$n=$t%.2f" }.mkString(" "))
       }
-    // A query with ANY failed iteration is excluded from the query map
-    // and the total, and listed under "failed" — a broken query must
-    // produce a visibly smaller result, never a better number.
-    val (failed, scored) = targets.partition { q =>
-      samples.exists(p => p.find(_._1 == q.name).get._2.isNaN)
-    }
-    failed.foreach(q => System.err.println(s"[bench] EXCLUDED (failed): ${q.name}"))
-    val results = scored.map { q =>
-      val ts = samples.map(_.find(_._1 == q.name).get._2)
-      val mean = ts.sum / ts.size
-      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
-      (q.name, ts.min, mean, sd)
-    }
+    val (failed, results) = score(targets.map(_.name), samples)
+    failed.foreach(n => System.err.println(s"[bench] EXCLUDED (failed): $n"))
     val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + f"$mn%.3f" }
       .mkString("{", ",", "}")
     // Full min/mean/sd stats go to STDERR as a sidecar: the driver
@@ -120,9 +109,30 @@ object Bench {
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench-stats] {"iters":$iters,"stats":$stats}""")
     val total = results.map(_._2).sum
-    val failedJson = failed.map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Pure scoring step, factored out so the failure contract is
+    * spec-testable: a query with ANY failed (NaN) iteration is excluded
+    * from the scored stats and the total, and listed under `failed` — a
+    * broken query must produce a visibly smaller result, never a better
+    * number (BENCH_r09 recorded instant exceptions as 80-90%
+    * "speedups"). Returns (failed names, per-query (name, min, mean,
+    * sd)) preserving `names` order. */
+  def score(names: Seq[String], samples: Seq[Seq[(String, Double)]])
+      : (Seq[String], Seq[(String, Double, Double, Double)]) = {
+    val (failed, scored) = names.partition { n =>
+      samples.exists(p => p.find(_._1 == n).get._2.isNaN)
+    }
+    val results = scored.map { n =>
+      val ts = samples.map(_.find(_._1 == n).get._2)
+      val mean = ts.sum / ts.size
+      val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+      (n, ts.min, mean, sd)
+    }
+    (failed, results)
   }
 }

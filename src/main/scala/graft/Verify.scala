@@ -35,7 +35,15 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg.linesIterator.take(3).mkString(" | ")
+        // purge any partial write first: a mid-write failure must not
+        // leave readable part-files next to the marker, or a driver
+        // that only globs *.parquet would score the fragment as the
+        // query's output
         val qDir = new java.io.File(s"$outDir/$name")
+        def purge(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(purge)); x.delete(); ()
+        }
+        purge(qDir)
         qDir.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg)
       }
