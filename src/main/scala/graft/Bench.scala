@@ -57,6 +57,11 @@ object Bench {
     // landing on one iteration of one query; per-query we report
     // best-of-N (min: least-noise estimate of the true cost), mean, and
     // stddev so regressions can be told apart from run-to-run variance
+    // a query that failed once is condemned (any NaN excludes it from
+    // scoring) — don't re-run it in later passes: a query that does 30s
+    // of work before throwing would otherwise burn iters×30s of bench
+    // wall-clock and churn GC into its interleaved neighbors
+    val condemned = scala.collection.mutable.Set.empty[String]
     val samples = (0 until iters).map { pass =>
       // between passes (never inside a timed window): one GC so the
       // ContextCleaner — which only fires when weak refs are processed —
@@ -72,11 +77,12 @@ object Bench {
         // queries into apparent 80-90% "speedups" (BENCH_r09's four
         // events lines). NaN marks the iteration failed; the query is
         // reported under "failed" and excluded from the total.
-        val dt = try {
+        val dt = if (condemned(q.name)) Double.NaN else try {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          condemned += q.name
           Double.NaN
         }
         // outside the timed window: isolate neighbors. NOTE measured, do

@@ -1646,8 +1646,7 @@ object QueryCatalog {
       // gates don't exercise; divergence between the incremental
       // multi-window state and the batch plan goes red here.
       (s, d) => graft.streaming.EventStreams.slidingAvailableNow(
-          s, s"$d/events.parquet", scratchDir("graft-stream-slide-ckpt"))
-        .select(col("w_start"), col("event_type"), col("n")),
+          s, s"$d/events.parquet", scratchDir("graft-stream-slide-ckpt")),
       Some("""SELECT time_bucket(INTERVAL 15 minute, ts)
              |         - (k * INTERVAL 15 minute) AS w_start,
              |       event_type, count(*) AS n

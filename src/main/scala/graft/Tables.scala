@@ -53,13 +53,27 @@ object Tables {
 
   /** Normalize an events `ts` column of the given observed type to
     * session-zone TIMESTAMP (see [[events]]); shared with the streaming
-    * reader so batch and incremental paths can never diverge. */
+    * reader so batch and incremental paths can never diverge.
+    *
+    * The LongType branch cannot tell a nanos file from a plain-INT64
+    * micros file by type alone — and assuming nanos would divide a
+    * micros value by 1000 and land in January 1970 with no error (the
+    * r9 failure class). So it discriminates by magnitude per value:
+    * epoch-nanos for any date after mid-1973 exceed 1e17, while
+    * epoch-micros stay below 1e17 until year 5138 — interpret above the
+    * threshold as nanos (truncate to micros), below as micros. The
+    * codegen'd conditional is per-row but the data is homogeneous per
+    * file; the two misread windows (micros dates before 1973, nanos
+    * dates after 5138) are outside any plausible event log. */
   def normalizedTs(observed: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{abs, col, expr, timestamp_micros, when}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     observed match {
-      case LongType           => timestamp_micros(expr("ts div 1000"))
+      case LongType =>
+        timestamp_micros(
+          when(abs(col("ts")) > 100000000000000000L, expr("ts div 1000"))
+            .otherwise(col("ts")))
       case TimestampNTZType   => col("ts").cast("timestamp")
       case _                  => col("ts")
     }

@@ -44,6 +44,19 @@ object Verify {
           Option(x.listFiles()).foreach(_.foreach(purge)); x.delete(); ()
         }
         purge(qDir)
+        // if anything survived the purge (open handle, permission), the
+        // fragments must not stay under outDir at all — a driver that
+        // iterates output dirs would score or trip over them; quarantine
+        // them in the system tmpdir instead
+        if (qDir.exists && Option(qDir.listFiles()).exists(_.nonEmpty)) {
+          val aside = new java.io.File(
+            s"${System.getProperty("java.io.tmpdir")}/graft_partial_" +
+              s"${java.lang.ProcessHandle.current().pid()}_$name")
+          if (!qDir.renameTo(aside))
+            System.err.println(
+              s"[verify] WARNING: partial output for $name could not be " +
+                "purged or moved; driver may score a fragment")
+        }
         qDir.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_FAILED"), msg)
       }

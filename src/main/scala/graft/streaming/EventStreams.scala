@@ -42,7 +42,11 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Sliding window variant (5 min slide over 1 h windows). */
+  /** Sliding window variant: 1 h windows sliding by 15 min, so each
+    * event lands in exactly 4 overlapping windows — a ratio the
+    * q_sliding_window / q_sliding_stream_exec oracles hard-code (their
+    * k IN (0..3) window spine); change either duration only together
+    * with those oracles. */
   def slidingWindow(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")

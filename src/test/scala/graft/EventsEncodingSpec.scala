@@ -59,8 +59,26 @@ class EventsEncodingSpec extends SparkSpec {
         schema.copy(fields = schema.fields.updated(1,
           StructField("ts", TimestampNTZType))))
       .withColumn("ts", col("ts").cast(tsType))
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // force micros output for the TimestampType variant, restoring the
+    // session default afterwards (the session is shared across suites)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    dir
+  }
+
+  /** Plain-INT64 micros variant (no timestamp annotation): reads back as
+    * LongType just like the nanos file under the legacy conf — the case
+    * the loader's magnitude discrimination exists for (epoch-micros
+    * ≈ 1.7e15 < 1e17 threshold < epoch-nanos ≈ 1.7e18). */
+  private def writeLongMicrosVariant(): String = {
+    val dir = scratch("graft-events-i64us")
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -108,22 +126,26 @@ class EventsEncodingSpec extends SparkSpec {
         r.getString(3), r.getDouble(4), r.getString(5)))
       .sortBy(_._1).toSeq
 
-  test("Tables.events loads all three ts encodings to identical rows") {
+  test("Tables.events loads all four ts encodings to identical rows") {
     val expected = rows.sortBy(_._1)
     val ntzDir = writeSparkVariant(TimestampNTZType)      // round-9+ driver
     val utcDir = writeSparkVariant(TimestampType)          // future-proof
     val nanosDir = writeNanosVariant()                     // round-≤8 driver
+    val i64usDir = writeLongMicrosVariant()                // magnitude guard
     // pin the physical encodings really are what each variant claims
     assert(spark.read.parquet(s"$ntzDir/events.parquet")
       .schema("ts").dataType == TimestampNTZType)
     assert(spark.read.parquet(s"$utcDir/events.parquet")
       .schema("ts").dataType == TimestampType)
+    assert(spark.read.parquet(s"$i64usDir/events.parquet")
+      .schema("ts").dataType == LongType)
     assert(loadCanon(ntzDir) == expected, "timestamp[us] NTZ variant")
     assert(loadCanon(utcDir) == expected, "timestamp[us] UTC variant")
     assert(loadCanon(nanosDir) == expected, "TIMESTAMP(NANOS) variant")
+    assert(loadCanon(i64usDir) == expected, "plain INT64 micros variant")
     // loaded type is session-zone TIMESTAMP in every case — downstream
     // window/session/as-of logic sees one type regardless of encoding
-    Seq(ntzDir, utcDir, nanosDir).foreach { d =>
+    Seq(ntzDir, utcDir, nanosDir, i64usDir).foreach { d =>
       assert(Tables.events(spark, d).schema("ts").dataType == TimestampType)
     }
   }

@@ -52,6 +52,15 @@ def main():
         path = os.path.join(OUT_DIR, name)
         if not os.path.isdir(path):
             continue
+        # Verify writes a _FAILED marker (and no parquet) for a query
+        # that threw — surface it as a failed row instead of crashing on
+        # the empty glob (the r9 comparator silently dropped these)
+        marker = os.path.join(path, "_FAILED")
+        if os.path.exists(marker):
+            with open(marker) as mf:
+                results[name] = {"check": "failed", "ok": False,
+                                 "err": mf.read().strip()[:200]}
+            continue
         got = con.execute(
             f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchall()
         got_cols = [d[0] for d in con.description]
