@@ -1677,6 +1677,24 @@ object QueryCatalog {
           s, s"$d/events.parquet", scratchDir("graft-stream-state-ckpt")),
       Some("SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id")),
 
+    Q("q_join_stream_exec", // STREAMING EXECUTION gate #6: stream-stream
+      // interval join (signup -> purchase within 1h) through the
+      // incremental engine. Inner-join matches emit eagerly in append
+      // mode (no watermark holdback — that applies to outer joins and
+      // aggregations), so the AvailableNow drain is the complete join
+      // and hash-compares exactly against the batch self-join oracle.
+      // `value` passes through untouched from the same parquet both
+      // engines read, so no float-arithmetic hazard.
+      (s, d) => graft.streaming.EventStreams.joinAvailableNow(
+          s, s"$d/events.parquet", scratchDir("graft-stream-join-ckpt")),
+      Some("""SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+             |       p.value
+             |FROM events s JOIN events p
+             |  ON p.user_id = s.user_id
+             | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+             | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"""
+        .stripMargin)),
+
     Q("q_scalar_subquery", // filter against a global aggregate
       (s, d) => {
         val o = t(s, d, "orders")

@@ -261,6 +261,21 @@ object EventStreams {
       checkpointDir, sinkName, OutputMode.Update())
   }
 
+  /** Runs [[signupPurchaseJoin]] (stream-stream interval join) through
+    * the incremental engine. INNER join rows emit as soon as both sides
+    * match — append mode holds nothing back (watermark holdback applies
+    * to outer joins and aggregations, which must wait to declare
+    * no-match/finality) — so an AvailableNow drain yields the complete
+    * batch join result and can be oracle-gated exactly. The watermarks
+    * still matter: they are what lets the engine EVICT each side's
+    * state once the other side's watermark passes the horizon. */
+  def joinAvailableNow(spark: SparkSession, eventsPath: String,
+                       checkpointDir: String,
+                       sinkName: String = "graft_stream_join"): DataFrame =
+    drainToMemory(spark,
+      signupPurchaseJoin(rawEventSource(spark, eventsPath)),
+      checkpointDir, sinkName, OutputMode.Append())
+
   /** Shared drain: memory sink + AvailableNow trigger, blocking until
     * the source is exhausted. The aggregation gates use Complete mode
     * (not append): at drain time the watermark still trails max event
