@@ -985,6 +985,148 @@ object QueryCatalog {
              |FROM m GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_html_extract", // HTML -> text extraction (the WET step of web
+      // ingestion): script/style blocks dropped wholesale, tags
+      // stripped, common entities decoded, whitespace collapsed. The
+      // corpus is plain text, so a deterministic HTML shell is planted
+      // on a doc_id-keyed subset identically on both sides; the
+      // RE2-safe patterns run VERBATIM in Java (Spark) and RE2
+      // (DuckDB).
+      (s, d) => {
+        val htmlPre = "<html><head><title>Graft</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head><body><h1>"
+        val htmlPost = "</h1><p>Q&amp;A &lt;tag&gt;" +
+          " &nbsp;&#39;q&#39; &quot;qq&quot;</p></body></html>"
+        val planted = when(col("doc_id") % 4 === 0,
+          concat(lit(htmlPre), col("text"), lit(htmlPost)))
+          .otherwise(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.htmlToText(planted).as("clean_text"),
+          (col("doc_id") % 4 === 0).as("had_html"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0 THEN
+             |      '<html><head><title>Graft</title>' ||
+             |      '<script type="text/javascript">var x = 1 < 2;</script>' ||
+             |      '<style>p { color: red; }</style></head><body><h1>' ||
+             |      text ||
+             |      '</h1><p>Q&amp;A &lt;tag&gt; &nbsp;&#39;q&#39; ' ||
+             |      '&quot;qq&quot;</p></body></html>'
+             |    ELSE text END AS t
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(t,
+             |    '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>',
+             |    ' ', 'g') AS t FROM p),
+             |s2 AS (SELECT doc_id,
+             |    regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+             |s3 AS (SELECT doc_id,
+             |    replace(replace(replace(replace(replace(replace(t,
+             |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+             |  FROM s2)
+             |SELECT doc_id,
+             |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+             |  doc_id % 4 = 0 AS had_html
+             |FROM s3""".stripMargin),
+      headline = true),
+
+    Q("q_gopher_rules", // Gopher-style quality gates (Rae et al. 2021
+      // §A1.1): signal columns + one boolean per rule + the
+      // conjunction. The corpus is single-line prose, so a bullet/
+      // ellipsis line suffix is planted on a doc_id-keyed subset
+      // identically on both sides to exercise the line-shape rules.
+      (s, d) => {
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\n- bullet point one" +
+              "\n- bullet point two\nto be continued...")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.gopherRules(planted, "doc_id", "text", minTokens = 30)
+      },
+      Some("""WITH p AS (SELECT doc_id AS id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+             |      '- bullet point one' || chr(10) ||
+             |      '- bullet point two' || chr(10) ||
+             |      'to be continued...'
+             |    ELSE text END AS t
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |b AS (SELECT id, t,
+             |    string_split_regex(trim(t), '\s+') AS toks,
+             |    string_split(t, chr(10)) AS lines FROM p),
+             |m AS (SELECT id, len(toks) AS n,
+             |    CAST(list_aggregate(list_transform(toks,
+             |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+             |      AS raw_wlen,
+             |    CAST(len(regexp_extract_all(t, '#')) +
+             |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+             |      / len(toks) AS raw_sym,
+             |    CAST(len(list_filter(lines,
+             |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+             |      / len(lines) AS raw_bullet,
+             |    CAST(len(list_filter(lines,
+             |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+             |      AS DOUBLE) / len(lines) AS raw_ellipsis,
+             |    CAST(len(list_filter(toks,
+             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             |      / len(toks) AS raw_alpha,
+             |    CAST(len(list_filter(toks, x -> lower(x) IN
+             |        ('the','be','to','of','and','that','have','with')))
+             |      AS BIGINT) AS stop_hits
+             |  FROM b)
+             |SELECT id, CAST(n AS BIGINT) AS n_tokens,
+             |  round(raw_wlen, 4) AS mean_wlen,
+             |  round(raw_sym, 4) AS symbol_ratio,
+             |  round(raw_bullet, 4) AS bullet_ratio,
+             |  round(raw_ellipsis, 4) AS ellipsis_ratio,
+             |  round(raw_alpha, 4) AS alpha_ratio,
+             |  stop_hits,
+             |  n >= 30 AND n <= 100000 AS ok_tokens,
+             |  raw_wlen >= 3.0 AND raw_wlen <= 10.0 AS ok_wlen,
+             |  raw_sym < 0.1 AS ok_symbols,
+             |  raw_bullet < 0.9 AS ok_bullets,
+             |  raw_ellipsis < 0.3 AS ok_ellipsis,
+             |  raw_alpha > 0.8 AS ok_alpha,
+             |  stop_hits >= 2 AS ok_stops,
+             |  (n >= 30 AND n <= 100000
+             |    AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
+             |    AND raw_sym < 0.1 AND raw_bullet < 0.9
+             |    AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
+             |    AND stop_hits >= 2) AS passes
+             |FROM m""".stripMargin),
+      headline = true),
+
+    Q("q_chunk_docs", // fixed-window training-sequence chunking:
+      // maxTokens=32-token windows advancing by stride=24 (8-token
+      // overlap); docs <= 32 tokens yield one chunk, the last window
+      // is short rather than padded
+      (s, d) => CorpusOps.chunkDocs(
+        t(s, d, "documents"), "doc_id", "text",
+        maxTokens = 32, stride = 24),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |c AS (SELECT doc_id, toks,
+             |    CASE WHEN n <= 32 THEN 1
+             |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1
+             |    END AS n_chunks FROM n),
+             |u AS (SELECT doc_id, toks,
+             |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+             |  FROM c)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  array_to_string(list_slice(toks,
+             |    chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+             |    AS chunk_text,
+             |  CAST(len(list_slice(toks,
+             |    chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+             |    AS n_chunk_tokens
+             |FROM u""".stripMargin),
+      headline = true),
+
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),
@@ -2614,6 +2756,32 @@ object QueryCatalog {
              |  c_mktsegment AS "C_MKTSEGMENT"
              |FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100)"""
         .stripMargin)),
+
+    Q("q_zorder", // Z-value (Morton) computation behind the z-ordered
+      // layout (Layout.writeZOrdered, ZOrderSpec): 16-bit mask-and-
+      // shift interleave of two key columns — five integer ops per
+      // value, so the oracle runs the identical chain. The layout
+      // itself (range-partition + sort + parquet footer pruning) is
+      // ZOrderSpec's file-stats property; this gates the curve math.
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        graft.sources.Layout.zValue2(
+          pmod(col("l_orderkey"), lit(65536)),
+          pmod(col("l_partkey"), lit(65536))).as("z")),
+      Some("""WITH g AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             |    l_orderkey % 65536 AS a, l_partkey % 65536 AS b
+             |  FROM lineitem),
+             |sa AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
+             |               (b | (b << 8)) & 16711935 AS b1 FROM g),
+             |sb AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+             |               (b1 | (b1 << 4)) & 252645135 AS b2 FROM sa),
+             |sc AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+             |               (b2 | (b2 << 2)) & 858993459 AS b3 FROM sb),
+             |sd AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+             |               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM sc)
+             |SELECT l_orderkey, l_linenumber, l_partkey,
+             |  a4 | (b4 << 1) AS z
+             |FROM sd""".stripMargin)),
 
     Q("q_csv_roundtrip", // csv source/sink coverage. Oracle = the source
       // table itself: write->read identity IS the property under test

@@ -169,6 +169,47 @@ object CorpusOps {
       .drop("__slice", "__off")
   }
 
+  /** Fixed-window document chunking — the step between curation and
+    * training that cuts each document into `maxTokens`-token windows
+    * advancing by `stride` tokens (overlap = `maxTokens - stride`), so
+    * long documents become multiple training sequences and context
+    * straddling a cut survives in the overlap.
+    *
+    * Returns one row per chunk: (`idCol`, `chunk_id` 0-based,
+    * `chunk_text`, `n_chunk_tokens`). Documents with `<= maxTokens`
+    * tokens yield exactly one chunk; the last window is short rather
+    * than padded (packing/padding is the trainer's concern).
+    * Null/whitespace-only documents are excluded.
+    *
+    * Scale shape: per-row array expressions feeding one `posexplode` —
+    * zero shuffle, output rows ≈ input tokens / stride. The token
+    * array is computed once per document and sliced per window, so
+    * cost is O(tokens × windows-per-doc) bytes copied, not
+    * re-tokenized. Chunk count is `floor((n - maxTokens + stride - 1)
+    * / stride) + 1` — both operands are exactly representable doubles
+    * and IEEE division rounds correctly, so the floor is exact for any
+    * document below 2^52 tokens. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      s"chunkDocs: need 0 < stride <= maxTokens, got stride=$stride " +
+        s"maxTokens=$maxTokens")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= maxTokens, lit(1L)).otherwise(
+      floor((n - maxTokens + stride - 1).cast("double") / stride)
+        .cast("long") + 1L)
+    docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1L),
+          i => slice(toks, (i * stride).cast("int") + 1, lit(maxTokens))))
+          .as(Seq("chunk_id", "__ctoks")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("__ctoks"), " ").as("chunk_text"),
+        size(col("__ctoks")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Corpus-frequency boilerplate line removal (the C4-recipe cousin:
     * drop every line that occurs verbatim in at least `minDocs` distinct
     * documents — navigation chrome, cookie banners, license footers —

@@ -139,6 +139,98 @@ object TextAnalysis {
       regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"))
   }
 
+  /** HTML → text extraction for web-crawl ingestion (the WET-style
+    * step every web corpus runs before any quality/dedup work): drop
+    * `<script>`/`<style>` blocks wholesale (their CONTENT is code, not
+    * prose — tag-stripping alone would leak it into the text), strip
+    * the remaining tags, decode the six entities that actually occur
+    * in crawl text at volume, and collapse the whitespace the removed
+    * markup leaves behind.
+    *
+    * Pure regexp/replace built-ins — one codegen'd scan, zero shuffle,
+    * embarrassingly parallel at 100 TB. The patterns use RE2-safe
+    * syntax (inline `(?s)`, non-greedy `.*?`, no backreferences) so
+    * the DuckDB oracle runs them VERBATIM. `&amp;` decodes last, so
+    * double-escaped entities (`&amp;lt;`) resolve one level per pass
+    * exactly like a single-pass decoder — same order on both sides. */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // the Gopher paper's stop-word presence list (Rae et al. 2021, §A1.1:
+  // a document must contain >= 2 of these to pass the rule)
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality gates (Rae et al. 2021 §A1.1, the rule set
+    * most published curation pipelines start from): per-document signal
+    * columns plus one boolean per rule and the conjunction `passes`.
+    * Signals: whitespace token count, mean word length,
+    * symbol-to-token ratio (`#` and `...`), fraction of lines starting
+    * with a bullet, fraction ending with an ellipsis, fraction of
+    * tokens containing a letter, and stop-word hits.
+    *
+    * Gates evaluate on the RAW ratios (the rounded columns are for
+    * reading); thresholds are the paper's, except the token floor
+    * which is a parameter (the paper's 50 assumes web pages).
+    *
+    * Per-row array/string expressions only — zero shuffle, linear
+    * scan at 100 TB, whole-stage codegen'd. Null/whitespace-only
+    * documents are excluded (they fail every curation gate anyway, and
+    * excluding them keeps the ratio denominators nonzero). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 50): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nD = n.cast("double")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val meanWlen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nD
+    val symbolRatio =
+      (regexp_count(col(textCol), lit("#")) +
+        regexp_count(col(textCol), lit("\\.\\.\\."))).cast("double") / nD
+    val bulletRatio = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double") / nLines.cast("double")
+    val ellipsisRatio = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      nLines.cast("double")
+    val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nD
+    val stopHits = size(filter(toks,
+      t => lower(t).isin(GopherStops: _*))).cast("long")
+    val gates = Seq(
+      "ok_tokens" -> (n >= minTokens && n <= 100000),
+      "ok_wlen" -> (meanWlen >= 3.0 && meanWlen <= 10.0),
+      "ok_symbols" -> (symbolRatio < 0.1),
+      "ok_bullets" -> (bulletRatio < 0.9),
+      "ok_ellipsis" -> (ellipsisRatio < 0.3),
+      "ok_alpha" -> (alphaRatio > 0.8),
+      "ok_stops" -> (stopHits >= 2L))
+    docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(Seq(
+      col(idCol).as("id"),
+      n.cast("long").as("n_tokens"),
+      round(meanWlen, 4).as("mean_wlen"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletRatio, 4).as("bullet_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_ratio"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      stopHits.as("stop_hits")) ++
+      gates.map { case (nm, g) => g.as(nm) } :+
+      gates.map(_._2).reduce(_ && _).as("passes"): _*)
+  }
+
   /** Repetition-ratio quality signals (the Gopher/C4-style filters):
     * duplicate-token fraction and the most-frequent token's share of
     * the document. Per-row array expressions, zero shuffle. The

@@ -1,16 +1,21 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Physical-layout utilities: the two levers that remove work at 100 TB
-  * before any query runs (SCALE.md):
+/** Physical-layout utilities: the three levers that remove work at
+  * 100 TB before any query runs (SCALE.md):
   *
   *   - **partitioned layout**: directory partitioning on low-cardinality
   *     columns -> partition PRUNING (a filtered scan lists only matching
   *     directories, touching 1/k of the data);
   *   - **bucketed layout**: `bucketBy` on join/agg keys -> co-located
   *     joins and aggregations with NO exchange at query time (the
-  *     shuffle is paid once, at write).
+  *     shuffle is paid once, at write);
+  *   - **Z-ordered layout**: files clustered on a space-filling curve
+  *     over TWO range-queried columns -> parquet min/max stats prune
+  *     files/row-groups for predicates on EITHER column (a linear sort
+  *     only serves its leading column).
   */
 object Layout {
 
@@ -33,5 +38,62 @@ object Layout {
                    mode: SaveMode = SaveMode.Overwrite): Unit = {
     val w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** 16-bit Morton spread: map the low 16 bits of `c` onto the even bit
+    * positions of a 32-bit value (the classic mask-and-shift chain — 5
+    * integer ops, no loop, so the same expression runs verbatim in any
+    * SQL dialect with `<<`/`&`/`|`). */
+  private[graft] def spread16(c: Column): Column = {
+    val a = c.bitwiseAND(lit(65535L))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(858993459L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** 32-bit Z-value (Morton code) of two 16-bit inputs: bits of `a` on
+    * even positions, bits of `b` on odd — points close in BOTH
+    * dimensions are close on the curve. */
+  def zValue2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Scale a numeric column to the 16-bit grid using the given bounds
+    * (values at `max` land on 65535; a degenerate min==max domain lands
+    * everything on 0). */
+  private def grid16(c: Column, lo: Double, hi: Double): Column =
+    if (hi <= lo) lit(0L)
+    else least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lo) / (hi - lo) * 65536.0).cast("long")))
+
+  /** Write `df` clustered on the Z-order curve over `(colA, colB)`:
+    * scale both columns to a 16-bit grid (bounds from one tiny min/max
+    * aggregate — a 1-row driver collect, same class as the IVF centroid
+    * metadata), range-partition on the interleaved Z-value into
+    * `numFiles` files, and sort within each file by Z. Parquet then
+    * stores per-file/per-row-group min/max of BOTH columns spanning
+    * only a curve segment — a range predicate on EITHER column prunes
+    * most files, where a linear sort serves only its leading column
+    * (the property ZOrderSpec pins with footer stats).
+    *
+    * Scale shape: one range exchange (sampled partitioner) + local
+    * sort — the same cost as any sorted write; the Z computation is
+    * five codegen'd integer ops per row. At 100 TB pick `numFiles` so
+    * files land near the 128 MB row-group sweet spot. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, colB: String, numFiles: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val mm = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect()(0)
+    val z = zValue2(
+      grid16(col(colA), mm.getDouble(0), mm.getDouble(1)),
+      grid16(col(colB), mm.getDouble(2), mm.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
   }
 }

@@ -170,4 +170,64 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(byId(1L) > byId(2L))
   }
+
+  test("chunkDocs: window/stride arithmetic, clamped tail, short docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks
+      (2L, "a b c"),                                  // <= max: 1 chunk
+      (3L, (1 to 4).map(i => s"u$i").mkString(" ")),  // exactly max: 1 chunk
+      (4L, "   "),                                    // blank: excluded
+      (5L, (1 to 5).map(i => s"v$i").mkString(" ")))  // max+1: 2 chunks
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocs(docs, "doc_id", "text",
+      maxTokens = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!out.contains(4L))
+    // 10 tokens, windows at offsets 0/3/6: ceil((10-4)/3)+1 = 3 chunks
+    assert(out(1L).map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out(1L).map(_._4).toSeq == Seq(4L, 4L, 4L))
+    assert(out(2L).map(_._3).toSeq == Seq("a b c"))
+    assert(out(3L).map(_._3).toSeq == Seq("u1 u2 u3 u4"))
+    // 5 tokens: second window starts at token 4, tail is SHORT, not padded
+    assert(out(5L).map(_._3).toSeq == Seq("v1 v2 v3 v4", "v4 v5"))
+  }
+
+  test("chunkDocs: every token position is covered; overlap is stride-sized") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = CorpusOps.chunkDocs(docs, "doc_id", "text",
+      maxTokens = 32, stride = 24)
+      .as[(Long, Long, String, Long)].collect()
+    val orig = docs.select($"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // stride-advanced windows: token coverage = stride per chunk plus
+      // the final window's remainder -> last chunk ends exactly at n
+      assert(sorted.map(_._4).forall(_ <= 32))
+      val lastEnd = (sorted.length - 1) * 24 + sorted.last._4
+      assert(lastEnd == orig(id),
+        s"doc $id: chunks cover $lastEnd of ${orig(id)} tokens")
+      // every non-final chunk is a FULL window (else it would have been
+      // the final chunk)
+      assert(sorted.dropRight(1).forall(_._4 == 32L))
+    }
+  }
+
+  test("chunkDocs is shuffle-free (explode only, no Exchange)") {
+    val plan = CorpusOps.chunkDocs(Tables.documents(spark, sfDir),
+      "doc_id", "text", maxTokens = 32, stride = 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+    assert(plan.contains("Generate"), plan.take(500))
+  }
+
+  test("chunkDocs rejects a stride wider than the window") {
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkDocs(Tables.documents(spark, sfDir),
+        "doc_id", "text", maxTokens = 8, stride = 9)
+    }
+  }
 }

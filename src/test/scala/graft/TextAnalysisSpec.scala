@@ -87,4 +87,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == ((1L, 100000L, 50001L, 0.5, 0.5)))
     assert(secs < 30.0, f"repetitionStats took $secs%.1f s on a 100k-token doc")
   }
+
+  test("htmlToText: blocks dropped wholesale, tags stripped, entities decoded") {
+    val html = "<html><head><script>var hidden = 1;</script>" +
+      "<style>p{color:red}</style></head><body>" +
+      "<h1>Title</h1><p>a &amp; b &lt;c&gt; &nbsp;&#39;d&#39; &quot;e&quot;</p>" +
+      "</body></html>"
+    val out = Seq((1L, html), (2L, "plain  text   here")).toDF("id", "text")
+      .select($"id", TextAnalysis.htmlToText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    // script/style CONTENT is gone (not just the tags), entities decoded,
+    // whitespace collapsed to single spaces
+    assert(out(1L) == "Title a & b <c> 'd' \"e\"")
+    assert(!out(1L).contains("hidden") && !out(1L).contains("color"))
+    // non-HTML text passes through modulo whitespace collapsing
+    assert(out(2L) == "plain text here")
+  }
+
+  test("htmlToText: multiline script bodies and double-escaped entities") {
+    val html = "pre <script type=\"a\">\nline1\nline2\n</script> mid " +
+      "&amp;lt; post"
+    val out = Seq((1L, html)).toDF("id", "text")
+      .select(TextAnalysis.htmlToText($"text")).as[String].collect()(0)
+    // (?s) lets the block pattern span newlines; &amp;lt; decodes ONE
+    // level per pass (&lt; after &amp;->&), like a single-pass decoder
+    assert(out == "pre mid &lt; post")
+  }
+
+  test("gopherRules: clean prose passes, each rule fails its planted doc") {
+    val good = ("the quick brown fox jumps over and over to be sure of " +
+      "that fine day with plenty more words to have beyond the floor " +
+      "and a tail that wags quite happily every single morning") // 36 toks
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to pass the bar"), // fails ok_tokens
+      (3L, Seq.fill(18)("# the to ##").mkString(" ")), // symbol-heavy
+      (4L, (1 to 35).map(i => s"- item $i the to").mkString("\n")), // bullets
+      (5L, good.split(" ").map(_ => "zz...").mkString(" ")), // no stops + symbols
+      (6L, "   ") // whitespace-only: excluded entirely
+    ).toDF("id", "text")
+    val out = TextAnalysis.gopherRules(docs, "id", "text", minTokens = 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5) // blank doc excluded
+    def b(id: Long, col: String) =
+      out(id).getBoolean(out(id).fieldIndex(col))
+    assert(b(1L, "passes"), out(1L).toString)
+    assert(!b(2L, "ok_tokens") && !b(2L, "passes"))
+    assert(!b(3L, "ok_symbols") && !b(3L, "passes"))
+    assert(!b(4L, "ok_bullets") && !b(4L, "passes"))
+    assert(!b(5L, "ok_stops") && !b(5L, "passes"))
+  }
+
+  test("gopherRules: line-shape ratios count trimmed bullet/ellipsis lines") {
+    val text = "the be to of and that have with more words here now\n" +
+      "  - indented bullet\n* star bullet\nplain line\nends this way...\n…"
+    val out = TextAnalysis.gopherRules(Seq((1L, text)).toDF("id", "text"),
+      "id", "text", minTokens = 1).collect()(0)
+    def d(col: String) = out.getDouble(out.fieldIndex(col))
+    assert(d("bullet_ratio") == 0.3333) // 2 of 6 lines
+    assert(d("ellipsis_ratio") == 0.3333) // "..." line and the bare "…" line
+    assert(out.getLong(out.fieldIndex("stop_hits")) == 8L)
+  }
+
+  test("gopherRules is shuffle-free (no Exchange in the plan)") {
+    val plan = TextAnalysis.gopherRules(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
 }
