@@ -1127,6 +1127,45 @@ object QueryCatalog {
              |FROM u""".stripMargin),
       headline = true),
 
+    Q("q_pack_sequences", // sequence packing over the chunked corpus:
+      // chunkDocs windows bin-pack into 96-token training sequences.
+      // Pack ASSIGNMENT is engine-specific (best-fit-decreasing per
+      // partition), so the gate pins the packing CONTRACT instead:
+      // every chunk appears exactly once (hash compare) and its pack's
+      // token total fits the capacity (fits=true for every row; a
+      // single overfull pack flips its members false and reds the
+      // hash). Pack DENSITY is CorpusOpsSpec's property.
+      (s, d) => {
+        val chunks = CorpusOps.chunkDocs(
+          t(s, d, "documents"), "doc_id", "text",
+          maxTokens = 32, stride = 24)
+          .select((col("doc_id") * 1000000L + col("chunk_id")).as("cid"),
+            col("n_chunk_tokens"))
+        val packed = CorpusOps.packSequences(
+          chunks, "cid", "n_chunk_tokens", seqLen = 96L, partitions = 8)
+        val w = Window.partitionBy(col("pack_id"))
+        packed.select(col("cid"), col("n_chunk_tokens"),
+          (sum(col("n_chunk_tokens")).over(w) <= 96L).as("fits"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |c AS (SELECT doc_id, toks,
+             |    CASE WHEN n <= 32 THEN 1
+             |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1
+             |    END AS n_chunks FROM n),
+             |u AS (SELECT doc_id, toks,
+             |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+             |  FROM c)
+             |SELECT doc_id * 1000000 + chunk_id AS cid,
+             |  CAST(len(list_slice(toks,
+             |    chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+             |    AS n_chunk_tokens,
+             |  true AS fits
+             |FROM u""".stripMargin)),
+
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),

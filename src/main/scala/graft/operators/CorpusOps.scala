@@ -210,6 +210,73 @@ object CorpusOps {
         size(col("__ctoks")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Distributed sequence packing — assign token-counted items (chunks,
+    * documents) to fixed-capacity training sequences ("packs") of
+    * `seqLen` tokens, wasting as little capacity as padding would.
+    * Returns the input plus a `pack_id` column; all members of a pack
+    * sum to <= `seqLen` tokens (an item LARGER than `seqLen` gets a
+    * pack of its own — upstream chunking should prevent that).
+    *
+    * Bin packing is inherently sequential, so this is the repo's one
+    * deliberate `mapPartitions` operator (the documented last resort):
+    * items hash-partition by id, each partition runs best-fit-
+    * decreasing independently (sorted by tokens desc in-partition, a
+    * TreeMap of bins keyed by remaining capacity -> O(n log n), the
+    * classic 11/9·OPT+1 guarantee per partition), and pack ids
+    * namespace by partition so no coordination is needed. Determinism:
+    * hash partitioning and the (tokens desc, id) sort are both
+    * deterministic, so reruns produce identical packs.
+    *
+    * Scale shape: one exchange + local sort; packer state is one long
+    * per open bin. Partition count bounds packer memory AND the
+    * per-partition waste (the +1 bin tail), so at 100 TB size
+    * `partitions` to ~100k-1M items each — big enough that waste is
+    * noise, small enough that a partition's (id, tok) pairs fit in a
+    * task comfortably. */
+  def packSequences(items: DataFrame, idCol: String, tokCol: String,
+                    seqLen: Long, partitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val prepared = items
+      .select(col(idCol).cast("long").as("_1"),
+        col(tokCol).cast("long").as("_2"))
+      .repartition(partitions, col("_1"))
+      .sortWithinPartitions(col("_2").desc, col("_1"))
+      .as[(Long, Long)]
+    prepared.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // remaining capacity -> bin ids with exactly that much room;
+      // ceilingEntry(tok) = the TIGHTEST bin that still fits (best fit)
+      val byRemaining =
+        new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      var nextBin = 0L
+      def newBin(): Long = { val b = nextBin; nextBin += 1; b }
+      def stash(rem: Long, bin: Long): Unit =
+        if (rem > 0) {
+          byRemaining.computeIfAbsent(rem, _ =>
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += bin
+          ()
+        }
+      it.map { case (id, tok) =>
+        val bin =
+          if (tok >= seqLen) newBin() // full (or oversize): never reopened
+          else {
+            val slot = byRemaining.ceilingEntry(tok)
+            if (slot == null) { val b = newBin(); stash(seqLen - tok, b); b }
+            else {
+              val bins = slot.getValue
+              val b = bins.remove(bins.length - 1)
+              if (bins.isEmpty) byRemaining.remove(slot.getKey)
+              stash(slot.getKey - tok, b)
+              b
+            }
+          }
+        (id, tok, (pid << 40) | bin)
+      }
+    }.toDF(idCol, tokCol, "pack_id")
+  }
+
   /** Corpus-frequency boilerplate line removal (the C4-recipe cousin:
     * drop every line that occurs verbatim in at least `minDocs` distinct
     * documents — navigation chrome, cookie banners, license footers —

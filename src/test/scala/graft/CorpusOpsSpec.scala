@@ -224,6 +224,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan.take(500))
   }
 
+  test("packSequences: best-fit-decreasing reaches the optimal pack count") {
+    // sorted desc: 60->A, 50->B, 40->A(=100), 30->B(=80), 20->B(=100):
+    // two packs, both exactly full — the optimum
+    val items = Seq((1L, 60L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 20L))
+      .toDF("id", "toks")
+    val out = CorpusOps.packSequences(items, "id", "toks",
+      seqLen = 100L, partitions = 1)
+      .as[(Long, Long, Long)].collect()
+    val packs = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(packs.size == 2 && packs.values.forall(_ == 100L), packs.toString)
+  }
+
+  test("packSequences: oversize items get a pack of their own") {
+    val items = Seq((1L, 150L), (2L, 40L), (3L, 40L)).toDF("id", "toks")
+    val out = CorpusOps.packSequences(items, "id", "toks",
+      seqLen = 100L, partitions = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) != out(2L) && out(1L) != out(3L))
+    assert(out(2L) == out(3L)) // the two 40s share a pack
+  }
+
+  test("packSequences: corpus chunks pack densely, nothing overflows or drops") {
+    val chunks = CorpusOps.chunkDocs(Tables.documents(spark, sfDir),
+      "doc_id", "text", maxTokens = 32, stride = 24)
+      .select(($"doc_id" * 1000000L + $"chunk_id").as("cid"),
+        $"n_chunk_tokens")
+    val seqLen = 96L
+    val out = CorpusOps.packSequences(chunks, "cid", "n_chunk_tokens",
+      seqLen, partitions = 4).as[(Long, Long, Long)].collect()
+    // nothing dropped or duplicated
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.length == chunks.count())
+    val packTotals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(packTotals.values.forall(_ <= seqLen))
+    // density: BFD with 4 partitions should stay close to the lower
+    // bound ceil(total/seqLen); allow the per-partition +1 tail bins
+    val total = out.map(_._2).sum
+    val lower = (total + seqLen - 1) / seqLen
+    assert(packTotals.size <= lower * 13 / 10 + 4,
+      s"${packTotals.size} packs for a lower bound of $lower")
+    // determinism: a rerun assigns identical packs
+    val again = CorpusOps.packSequences(chunks, "cid", "n_chunk_tokens",
+      seqLen, partitions = 4).as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("chunkDocs rejects a stride wider than the window") {
     intercept[IllegalArgumentException] {
       CorpusOps.chunkDocs(Tables.documents(spark, sfDir),
