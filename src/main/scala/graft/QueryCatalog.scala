@@ -2408,6 +2408,59 @@ object QueryCatalog {
              |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey"""
         .stripMargin)),
 
+    Q("q_scd2", // SCD Type-2 dimension history: one update batch
+      // applied over a history table synthesized from customer —
+      // pre-closed rows (pass through), changed segments (close +
+      // reopen), no-op updates (must NOT churn history), untouched
+      // keys. The oracle mirrors the same construction and case split.
+      (s, d) => {
+        val cur = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val closedHist = cur.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+            to_date(lit("2019-01-01")).as("valid_from"),
+            to_date(lit("2020-01-01")).as("valid_to"))
+        val open = cur.select(col("c_custkey"), col("c_mktsegment"),
+          to_date(lit("2020-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val updates = cur
+          .filter(col("c_custkey") % 3 === 0 || col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 3 === 0, lit("WEB"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+            to_date(lit("2024-06-01")).as("ts"))
+        graft.operators.Merge.scd2Apply(
+          closedHist.unionByName(open), updates,
+          "c_custkey", Seq("c_mktsegment"), "ts")
+      },
+      Some("""WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+             |closedh AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment,
+             |    DATE '2019-01-01' AS valid_from,
+             |    DATE '2020-01-01' AS valid_to
+             |  FROM cur WHERE c_custkey % 10 = 0),
+             |open_rows AS (SELECT c_custkey, c_mktsegment,
+             |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+             |  FROM cur),
+             |upd AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 3 = 0 THEN 'WEB'
+             |         ELSE c_mktsegment END AS c_mktsegment,
+             |    DATE '2024-06-01' AS ts
+             |  FROM cur WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0),
+             |closed_now AS (SELECT o.c_custkey, o.c_mktsegment,
+             |    o.valid_from, u.ts AS valid_to
+             |  FROM open_rows o JOIN upd u USING (c_custkey)
+             |  WHERE u.c_mktsegment <> o.c_mktsegment),
+             |new_open AS (SELECT u.c_custkey, u.c_mktsegment,
+             |    u.ts AS valid_from, CAST(NULL AS DATE) AS valid_to
+             |  FROM open_rows o JOIN upd u USING (c_custkey)
+             |  WHERE u.c_mktsegment <> o.c_mktsegment),
+             |carried AS (SELECT o.* FROM open_rows o
+             |  LEFT JOIN upd u USING (c_custkey)
+             |  WHERE u.c_custkey IS NULL OR u.c_mktsegment = o.c_mktsegment)
+             |SELECT * FROM closedh UNION ALL SELECT * FROM closed_now
+             |UNION ALL SELECT * FROM new_open
+             |UNION ALL SELECT * FROM carried""".stripMargin)),
+
     Q("q_profile", // one-pass column profiler (exact mode for the oracle)
       (s, d) => graft.operators.Profiler.profile(
         t(s, d, "customer"), exact = true),

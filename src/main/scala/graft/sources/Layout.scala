@@ -40,6 +40,39 @@ object Layout {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Compact a small-file parquet dataset into ~`targetBytes` files —
+    * the table-maintenance pass every incremental pipeline needs:
+    * streaming sinks and per-batch appends leave thousands of KB-sized
+    * files whose open/footer overhead dominates scans and whose
+    * per-file metadata bloats planning. File count is derived from the
+    * dataset's ACTUAL on-disk bytes (a filesystem listing, no data
+    * read); rows optionally re-sort on `sortCol` so the rewrite also
+    * restores min/max-stats locality (compaction is the natural moment
+    * to pay for clustering).
+    *
+    * Writes to a NEW path: atomically swapping it over the old one is
+    * the table format's job (Delta/Iceberg commit protocols); a plain
+    * parquet directory can't swap in place safely while readers hold
+    * file lists. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              sortCol: Option[String] = None): Long = {
+    require(targetBytes > 0, "compact: targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath))
+      .getLength
+    val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val arranged = sortCol match {
+      case Some(c) => df.repartitionByRange(numFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => df.repartition(numFiles)
+    }
+    arranged.write.mode(SaveMode.Overwrite).parquet(outPath)
+    numFiles.toLong
+  }
+
   /** 16-bit Morton spread: map the low 16 bits of `c` onto the even bit
     * positions of a 32-bit value (the classic mask-and-shift chain — 5
     * integer ops, no loop, so the same expression runs verbatim in any

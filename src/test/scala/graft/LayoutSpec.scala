@@ -57,4 +57,38 @@ class LayoutSpec extends SparkSpec {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact: small files coalesce to size-derived count, data intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(40).write.mode("overwrite").parquet(s"$base/frag")
+    def dataFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$base/frag") == 40)
+    // target sized so the whole dataset fits one file
+    val n = Layout.compact(spark, s"$base/frag", s"$base/one",
+      targetBytes = 1L << 30)
+    assert(n == 1 && dataFiles(s"$base/one") == 1)
+    // target sized from actual bytes: forces a multi-file layout
+    val bytes = new java.io.File(s"$base/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n2 = Layout.compact(spark, s"$base/frag", s"$base/multi",
+      targetBytes = bytes / 4, sortCol = Some("doc_id"))
+    assert(n2 >= 4 && dataFiles(s"$base/multi") == n2)
+    // content identical in all layouts
+    val orig = docs.orderBy("doc_id").collect()
+    assert(spark.read.parquet(s"$base/one").orderBy("doc_id").collect()
+      .sameElements(orig))
+    assert(spark.read.parquet(s"$base/multi").orderBy("doc_id").collect()
+      .sameElements(orig))
+    // the sorted compaction restores disjoint doc_id ranges per file
+    val ranges = spark.read.parquet(s"$base/multi")
+      .groupBy(input_file_name()).agg(min($"doc_id"), max($"doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
 }

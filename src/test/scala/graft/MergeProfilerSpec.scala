@@ -80,4 +80,63 @@ class MergeProfilerSpec extends SparkSpec {
       == Seq(2L))
     assert(Profiler.checkAccepted(df, "v", Seq("ok", "dup")).count() == 1)
   }
+
+  test("scd2Apply: close+reopen on change, no-op passes through, new key opens") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      // key 1: one closed row + an open row (history passes through)
+      (1L, "A", d("2019-01-01"), Option(d("2020-01-01"))),
+      (1L, "B", d("2020-01-01"), None),
+      (2L, "C", d("2020-01-01"), None), // will receive a no-op update
+      (3L, "D", d("2020-01-01"), None)) // untouched
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "B2", d("2024-06-01")), // change: close + reopen
+      (2L, "C", d("2024-06-01")),  // identical: must NOT churn
+      (9L, "NEW", d("2024-06-01"))) // unseen key: first open row
+      .toDF("k", "attr", "ts")
+    val out = Merge.scd2Apply(dim, updates, "k", Seq("attr"), "ts")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "A", d("2019-01-01"), Option(d("2020-01-01"))),
+      (1L, "B", d("2020-01-01"), Option(d("2024-06-01"))),
+      (1L, "B2", d("2024-06-01"), None),
+      (2L, "C", d("2020-01-01"), None),
+      (3L, "D", d("2020-01-01"), None),
+      (9L, "NEW", d("2024-06-01"), None)))
+  }
+
+  test("scd2Apply: null attributes compare null-safely") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq((1L, Option.empty[String], d("2020-01-01"),
+      Option.empty[java.sql.Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    // null -> null is a NO-OP; null -> value is a change
+    val noop = Seq((1L, Option.empty[String], d("2024-06-01")))
+      .toDF("k", "attr", "ts")
+    assert(Merge.scd2Apply(dim, noop, "k", Seq("attr"), "ts").count() == 1)
+    val change = Seq((1L, Option("X"), d("2024-06-01")))
+      .toDF("k", "attr", "ts")
+    val out = Merge.scd2Apply(dim, change, "k", Seq("attr"), "ts")
+    assert(out.count() == 2)
+    assert(out.filter($"valid_to".isNull).select($"attr")
+      .as[String].collect().toSeq == Seq("X"))
+  }
+
+  test("scd2Apply: closed history stays out of the join") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, "A", d("2019-01-01"), Option(d("2020-01-01"))),
+      (1L, "B", d("2020-01-01"), None))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq((1L, "C", d("2024-06-01"))).toDF("k", "attr", "ts")
+    val plan = Merge.scd2Apply(dim, updates, "k", Seq("attr"), "ts")
+      .queryExecution.optimizedPlan.toString
+    // the isNotNull(valid_to) branch unions in ABOVE the join, so cold
+    // history rows never enter the exchange
+    val joinIdx = plan.indexOf("Join FullOuter")
+    assert(joinIdx >= 0, plan.take(800))
+    assert(plan.take(joinIdx).contains("Union"), plan.take(800))
+  }
 }
