@@ -1166,6 +1166,37 @@ object QueryCatalog {
              |  true AS fits
              |FROM u""".stripMargin)),
 
+    Q("q_fuzzy_join", // blocked fuzzy-match self-join (entity
+      // resolution): Levenshtein <= 2 pairs of part names, candidates
+      // blocked on the lowercased 2-char prefix + length gap <= 2.
+      // Typos are planted (chars 4-5 -> 'zz' on a partkey-keyed
+      // subset) identically on both sides; blocking is part of the
+      // contract and the oracle applies the same predicate, so the
+      // gate is exact, not recall-fuzzy.
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+        val planted = p.unionByName(
+          p.filter(col("p_partkey") % 50 === 0)
+            .select((col("p_partkey") + 10000000L).as("p_partkey"),
+              concat(substring(col("p_name"), 1, 3), lit("zz"),
+                expr("substring(p_name, 6)")).as("p_name")))
+        Dedup.fuzzyPairsBlocked(planted, "p_partkey", "p_name",
+          maxDist = 2, prefixLen = 2)
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name FROM part
+             |  UNION ALL
+             |  SELECT p_partkey + 10000000,
+             |    substr(p_name, 1, 3) || 'zz' || substr(p_name, 6)
+             |  FROM part WHERE p_partkey % 50 = 0),
+             |s AS (SELECT p_partkey AS id, p_name AS nm,
+             |    lower(substr(p_name, 1, 2)) AS blk,
+             |    length(p_name) AS len FROM p)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+             |WHERE abs(a.len - b.len) <= 2
+             |  AND levenshtein(a.nm, b.nm) <= 2""".stripMargin)),
+
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),

@@ -829,4 +829,43 @@ object Dedup {
       .join(canon, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_members"), lit(1L)).as("n_members"))
   }
+
+  /** Blocked fuzzy-match join — the entity-resolution primitive: find
+    * pairs of rows whose `nameCol` values are within `maxDist`
+    * Levenshtein edits, generating candidates by BLOCKING (equal
+    * lowercased `prefixLen`-char prefix, a length gap of at most
+    * `maxDist`) so no all-pairs comparison ever runs. Returns
+    * (`id_a`, `id_b`, `dist`) with `id_a < id_b`.
+    *
+    * Blocking is part of the CONTRACT, not an approximation being
+    * hidden: a pair differing inside its first `prefixLen` characters
+    * is out of scope by definition (the standard recall/cost dial of
+    * entity resolution — at 100 TB the alternative is a quadratic
+    * join). The same declarative predicate runs verbatim in the
+    * DuckDB oracle, so the gate is exact.
+    *
+    * Scale shape: one self-join shuffle keyed on the prefix; per-block
+    * cost is block-size², so `prefixLen` is the skew dial (raise it
+    * for name-shaped data with few distinct prefixes). The length-gap
+    * predicate prunes inside the block before the O(len·len)
+    * Levenshtein evaluates; both run inside the join's codegen stage.
+    */
+  def fuzzyPairsBlocked(df: DataFrame, idCol: String, nameCol: String,
+                        maxDist: Int = 2, prefixLen: Int = 2): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0,
+      s"fuzzyPairsBlocked: need maxDist >= 0 and prefixLen > 0")
+    val side = df.select(col(idCol), col(nameCol),
+      lower(substring(col(nameCol), 1, prefixLen)).as("__blk"),
+      length(col(nameCol)).as("__len"))
+    val a = side.select(col(idCol).as("id_a"), col(nameCol).as("__na"),
+      col("__blk"), col("__len").as("__la"))
+    val b = side.select(col(idCol).as("id_b"), col(nameCol).as("__nb"),
+      col("__blk"), col("__len").as("__lb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__na"), col("__nb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -761,4 +761,26 @@ class DedupSimilaritySpec extends SparkSpec {
       restore("spark.sql.codegen.fallback", prevFallback)
     }
   }
+
+  test("fuzzyPairsBlocked: finds in-block typos, honors the blocking contract") {
+    val rows = Seq(
+      (1L, "goldenrod lace"),
+      (2L, "goldenrod lacy"),  // dist 1, same prefix -> found
+      (3L, "Xoldenrod lace"),  // dist 1 from id 1, DIFFERENT prefix -> out of scope
+      (4L, "goldenrod antique"), // same block, dist > 2 -> rejected
+      (5L, "golden lace"))     // same block, len gap 3 -> pruned before levenshtein
+      .toDF("id", "name")
+    val out = graft.operators.Dedup
+      .fuzzyPairsBlocked(rows.toDF(), "id", "name", maxDist = 2, prefixLen = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L)))
+  }
+
+  test("fuzzyPairsBlocked: no all-pairs plan — equi-join on the block key") {
+    val plan = graft.operators.Dedup
+      .fuzzyPairsBlocked(Tables.part(spark, sfDir), "p_partkey", "p_name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
 }
