@@ -847,8 +847,13 @@ object Dedup {
     * Scale shape: one self-join shuffle keyed on the prefix; per-block
     * cost is block-size², so `prefixLen` is the skew dial (raise it
     * for name-shaped data with few distinct prefixes). The length-gap
-    * predicate prunes inside the block before the O(len·len)
-    * Levenshtein evaluates; both run inside the join's codegen stage.
+    * predicate prunes inside the block before the edit distance
+    * evaluates, and the distance uses the THRESHOLDED Levenshtein
+    * (banded O(maxDist·len) with early exit, returns -1 over the
+    * bound) rather than the full O(len²) matrix — on a block of
+    * near-misses that is the difference between comparing prefixes
+    * and comparing whole strings. All of it runs inside the join's
+    * codegen stage.
     */
   def fuzzyPairsBlocked(df: DataFrame, idCol: String, nameCol: String,
                         maxDist: Int = 2, prefixLen: Int = 2): DataFrame = {
@@ -864,8 +869,9 @@ object Dedup {
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("__la") - col("__lb")) <= maxDist)
-      .withColumn("dist", levenshtein(col("__na"), col("__nb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__na"), col("__nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // thresholded variant returns -1 over bound
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -201,4 +201,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() == n) // no duplicate ids in the output
     assert(n == ev.count())
   }
+
+  test("scd2AvailableNow: incremental history equals sequential batch SCD2") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("scd2_stream").toString
+    val (dimPath, upd, ckpt) = (s"$base/dim", s"$base/upd", s"$base/ckpt")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((1L, "A", d("2020-01-01"), Option.empty[java.sql.Date]),
+      (3L, "K", d("2020-01-01"), Option.empty[java.sql.Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+      .write.parquet(s"$dimPath/v=0")
+    val schema = new StructType()
+      .add("k", LongType).add("attr", StringType).add("ts", DateType)
+
+    // first drain: two updates for k=1 in ONE batch (collapse to the
+    // latest), plus a brand-new key
+    Seq((1L, "B", d("2024-01-01")), (1L, "C", d("2024-02-01")),
+      (2L, "N", d("2024-01-15")))
+      .toDF("k", "attr", "ts").write.mode("append").parquet(upd)
+    val v1 = EventStreams.scd2AvailableNow(spark, upd, schema, dimPath,
+      ckpt, "k", Seq("attr"), "ts")
+    assert(v1 == 1L)
+
+    // second drain: a no-op re-send for k=2 and a change for k=3
+    Seq((2L, "N", d("2024-03-01")), (3L, "K2", d("2024-03-02")))
+      .toDF("k", "attr", "ts").write.mode("append").parquet(upd)
+    val v2 = EventStreams.scd2AvailableNow(spark, upd, schema, dimPath,
+      ckpt, "k", Seq("attr"), "ts")
+    assert(v2 == 2L)
+
+    val hist = spark.read.parquet(s"$dimPath/v=$v2")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date])]
+      .collect().toSet
+    assert(hist == Set(
+      (1L, "A", d("2020-01-01"), Option(d("2024-02-01"))),
+      (1L, "C", d("2024-02-01"), None), // sub-batch "B" version collapsed
+      (2L, "N", d("2024-01-15"), None), // no-op re-send did not churn
+      (3L, "K", d("2020-01-01"), Option(d("2024-03-02"))),
+      (3L, "K2", d("2024-03-02"), None)))
+
+    // a third drain with no new files writes no new version
+    val v3 = EventStreams.scd2AvailableNow(spark, upd, schema, dimPath,
+      ckpt, "k", Seq("attr"), "ts")
+    assert(v3 == 2L)
+  }
 }
