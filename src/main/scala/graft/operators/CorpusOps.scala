@@ -246,35 +246,47 @@ object CorpusOps {
       .as[(Long, Long)]
     prepared.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      // remaining capacity -> bin ids with exactly that much room;
-      // ceilingEntry(tok) = the TIGHTEST bin that still fits (best fit)
-      val byRemaining =
-        new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      var nextBin = 0L
-      def newBin(): Long = { val b = nextBin; nextBin += 1; b }
-      def stash(rem: Long, bin: Long): Unit =
-        if (rem > 0) {
-          byRemaining.computeIfAbsent(rem, _ =>
-            scala.collection.mutable.ArrayBuffer.empty[Long]) += bin
-          ()
-        }
-      it.map { case (id, tok) =>
-        val bin =
-          if (tok >= seqLen) newBin() // full (or oversize): never reopened
-          else {
-            val slot = byRemaining.ceilingEntry(tok)
-            if (slot == null) { val b = newBin(); stash(seqLen - tok, b); b }
-            else {
-              val bins = slot.getValue
-              val b = bins.remove(bins.length - 1)
-              if (bins.isEmpty) byRemaining.remove(slot.getKey)
-              stash(slot.getKey - tok, b)
-              b
-            }
-          }
-        (id, tok, (pid << 40) | bin)
-      }
+      packPartition(it, seqLen, pid << 40)
     }.toDF(idCol, tokCol, "pack_id")
+  }
+
+  /** Best-fit packer for ONE partition's (id, tokens) stream, which must
+    * arrive sorted by tokens DESCENDING (best-fit-DECREASING needs the
+    * order; [[packSequences]] guarantees it via the in-partition sort).
+    * Pure and single-threaded — extracted so the bin-packing invariants
+    * are property-testable without an engine (PropertySpec). Emits
+    * (id, tokens, packBase | binIndex). */
+  private[graft] def packPartition(sorted: Iterator[(Long, Long)],
+                                   seqLen: Long,
+                                   packBase: Long): Iterator[(Long, Long, Long)] = {
+    // remaining capacity -> bin ids with exactly that much room;
+    // ceilingEntry(tok) = the TIGHTEST bin that still fits (best fit)
+    val byRemaining =
+      new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    var nextBin = 0L
+    def newBin(): Long = { val b = nextBin; nextBin += 1; b }
+    def stash(rem: Long, bin: Long): Unit =
+      if (rem > 0) {
+        byRemaining.computeIfAbsent(rem, _ =>
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += bin
+        ()
+      }
+    sorted.map { case (id, tok) =>
+      val bin =
+        if (tok >= seqLen) newBin() // full (or oversize): never reopened
+        else {
+          val slot = byRemaining.ceilingEntry(tok)
+          if (slot == null) { val b = newBin(); stash(seqLen - tok, b); b }
+          else {
+            val bins = slot.getValue
+            val b = bins.remove(bins.length - 1)
+            if (bins.isEmpty) byRemaining.remove(slot.getKey)
+            stash(slot.getKey - tok, b)
+            b
+          }
+        }
+      (id, tok, packBase | bin)
+    }
   }
 
   /** Corpus-frequency boilerplate line removal (the C4-recipe cousin:

@@ -66,4 +66,39 @@ class PropertySpec extends AnyFunSuite {
       assert(pos == pos.sorted)
     }
   }
+
+  test("packPartition invariants hold on random workloads") {
+    import graft.operators.CorpusOps.packPartition
+    val seqLen = 512L
+    val itemsGen = Gen.listOf(Gen.choose(1L, seqLen))
+    samples(itemsGen, 200).foreach { toks =>
+      // contract: best-fit-DECREASING — the caller presents tokens desc
+      val items = toks.sorted(Ordering[Long].reverse)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = packPartition(items.iterator, seqLen, 0L).toList
+      // every item assigned exactly once, tokens carried through intact
+      assert(out.map(_._1).sorted == items.map(_._1).sorted)
+      assert(out.map(r => r._1 -> r._2).toMap == items.toMap)
+      val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).values
+      // no pack overflows
+      assert(totals.forall(_ <= seqLen), s"toks=$toks")
+      // density law of any-fit packers: at most ONE pack can be at most
+      // half full (a second one's opening item would have fit the first)
+      assert(totals.count(_ * 2 <= seqLen) <= 1, s"toks=$toks")
+    }
+  }
+
+  test("packPartition isolates oversize items without disturbing the rest") {
+    import graft.operators.CorpusOps.packPartition
+    val seqLen = 100L
+    val items = List((1L, 250L), (2L, 100L), (3L, 60L), (4L, 40L))
+    val out = packPartition(items.iterator, seqLen, 1L << 40).toList
+    val byBin = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    // the oversize and the exactly-full item each sit alone
+    assert(byBin.values.count(_ == Set(1L)) == 1)
+    assert(byBin.values.count(_ == Set(2L)) == 1)
+    // the 60+40 pair shares a pack, and pack ids carry the namespace base
+    assert(byBin.values.count(_ == Set(3L, 4L)) == 1)
+    assert(out.forall(_._3 >= (1L << 40)))
+  }
 }
