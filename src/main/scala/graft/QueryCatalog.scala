@@ -1166,6 +1166,29 @@ object QueryCatalog {
              |  true AS fits
              |FROM u""".stripMargin)),
 
+    Q("q_hll_mergeable", // mergeable-sketch distinct counting: build
+      // per-source HLL sketches (the persistable binary form), merge
+      // the SKETCHES into a global estimate, and gate the estimate
+      // against the exact distinct within the sketch's error envelope
+      // (the q_approx_distinct pattern: exact values pinned, sketch
+      // checked by tolerance flag — sketch bytes are engine-specific).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sk = graft.operators.Sketches.hllByGroup(docs, "source", "doc_id")
+        val merged = graft.operators.Sketches.hllMergedEstimate(sk)
+        val exact = docs.agg(
+          countDistinct(col("doc_id")).as("n_exact"),
+          countDistinct(col("source")).as("n_sources"))
+        exact.crossJoin(broadcast(merged))
+          .select(col("n_exact"), col("n_sources"),
+            (abs(col("n_est") - col("n_exact")) <=
+              col("n_exact") * 0.05).as("within_5pct"))
+      },
+      Some("""SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  true AS within_5pct
+             |FROM documents""".stripMargin)),
+
     Q("q_fuzzy_join", // blocked fuzzy-match self-join (entity
       // resolution): Levenshtein <= 2 pairs of part names, candidates
       // blocked on the lowercased 2-char prefix + length gap <= 2.
