@@ -1051,11 +1051,11 @@ object QueryCatalog {
              |      '- bullet point two' || chr(10) ||
              |      'to be continued...'
              |    ELSE text END AS t
-             |  FROM documents
-             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |  FROM documents),
              |b AS (SELECT id, t,
              |    string_split_regex(trim(t), '\s+') AS toks,
-             |    string_split(t, chr(10)) AS lines FROM p),
+             |    string_split(t, chr(10)) AS lines FROM p
+             |  WHERE t IS NOT NULL AND trim(t) <> ''),
              |m AS (SELECT id, len(toks) AS n,
              |    CAST(list_aggregate(list_transform(toks,
              |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)

@@ -236,6 +236,18 @@ object CorpusOps {
   def packSequences(items: DataFrame, idCol: String, tokCol: String,
                     seqLen: Long, partitions: Int = 32): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    // fail at PLAN time on the common misuse (string ids, double token
+    // counts): a silent cast("long") would null such values row-by-row
+    // and die mid-job in the tuple encoder — or quietly drop items
+    Seq(idCol, tokCol).foreach { c =>
+      val dt = items.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(dt),
+        s"packSequences: column '$c' must be integral, got $dt " +
+          "(derive a unique long id / exact token count first)")
+    }
     val spark = items.sparkSession
     import spark.implicits._
     val prepared = items

@@ -76,15 +76,22 @@ object Merge {
     require(dim.columns.toSeq.sorted == outCols.sorted,
       s"scd2Apply: dim must carry exactly $outCols")
     val closed = dim.filter(col(validTo).isNotNull).select(outCols.map(col): _*)
+    // explicit presence markers: a side's KEY being null cannot stand in
+    // for the side being absent — a null-keyed open row never joins, and
+    // testing __b_<key>.isNull would misread it as "no open row" and
+    // replace its attributes with the (absent) update side's nulls
     val open = dim.filter(col(validTo).isNull)
-      .select((Seq(key) ++ attrs :+ validFrom).map(c => col(c).as(s"__b_$c")): _*)
+      .select((Seq(key) ++ attrs :+ validFrom).map(c => col(c).as(s"__b_$c"))
+        :+ lit(true).as("__b_present"): _*)
     val u = updates
-      .select((Seq(key) ++ attrs :+ tsCol).map(c => col(c).as(s"__u_$c")): _*)
+      .select((Seq(key) ++ attrs :+ tsCol).map(c => col(c).as(s"__u_$c"))
+        :+ lit(true).as("__u_present"): _*)
     val j = open.join(u, col(s"__b_$key") === col(s"__u_$key"), "full_outer")
+    val bPresent = col("__b_present") <=> lit(true)
+    val uPresent = col("__u_present") <=> lit(true)
     val same = attrs.map(a => col(s"__b_$a") <=> col(s"__u_$a"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val changed = col(s"__b_$key").isNotNull &&
-      col(s"__u_$key").isNotNull && !same
+    val changed = bPresent && uPresent && !same
     val nullTo = lit(null).cast(dim.schema(validTo).dataType)
     def rec(k: Column, as: Seq[Column], vf: Column, vt: Column): Column =
       struct((Seq(k.as(key)) ++ attrs.zip(as).map { case (n, c) => c.as(n) } ++
@@ -98,8 +105,8 @@ object Merge {
     val openRec = // fresh open row from the update
       rec(col(s"__u_$key"), uAttrs, col(s"__u_$tsCol"), nullTo)
     val outcome = when(changed, array(closeRec, openRec))
-      .when(col(s"__b_$key").isNull, array(openRec))
-      .otherwise(array(carryRec))
+      .when(!bPresent, array(openRec)) // update for an unseen key
+      .otherwise(array(carryRec))      // no update, or a no-op update
     val applied = j.select(explode(outcome).as("__r"))
       .select(outCols.map(c => col(s"__r.$c").as(c)): _*)
     closed.unionByName(applied)

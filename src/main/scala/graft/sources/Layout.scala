@@ -120,6 +120,10 @@ object Layout {
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double"))
       .collect()(0)
+    require((0 to 3).forall(!mm.isNullAt(_)),
+      s"writeZOrdered: no usable numeric bounds for ($colA, $colB) — " +
+        "the input is empty, or a cluster column casts to null doubles " +
+        "(non-numeric type?); nothing to cluster")
     val z = zValue2(
       grid16(col(colA), mm.getDouble(0), mm.getDouble(1)),
       grid16(col(colB), mm.getDouble(2), mm.getDouble(3)))

@@ -170,22 +170,31 @@ object EventStreams {
                        updateSchema: StructType, dimPath: String,
                        checkpointDir: String, key: String,
                        attrs: Seq[String], tsCol: String): Long = {
-    def versionOf(p: org.apache.hadoop.fs.Path): Option[Long] = {
-      val n = p.getName
-      if (n.startsWith("v=")) n.drop(2).toLongOption else None
+    // newest COMPLETE version (a v= dir counts only once its _SUCCESS
+    // marker exists — a crashed writer's partial directory must never
+    // be folded onto, or history silently truncates), optionally capped
+    // at `upTo` for base selection
+    def newestVersion(upTo: Option[Long]): Option[Long] = {
+      val root = new org.apache.hadoop.fs.Path(dimPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).iterator
+        .flatMap { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("v=")) n.drop(2).toLongOption else None
+        }
+        .filter(v => upTo.forall(v <= _))
+        .filter(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dimPath/v=$v/_SUCCESS")))
+        .maxOption
     }
     val q = spark.readStream.schema(updateSchema).parquet(updatesDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val fs = new org.apache.hadoop.fs.Path(dimPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val base = fs.listStatus(new org.apache.hadoop.fs.Path(dimPath))
-          .flatMap(s => versionOf(s.getPath)).filter(_ <= batchId)
-          .maxOption.getOrElse(sys.error(
-            s"scd2AvailableNow: no base version <= $batchId under " +
-              s"$dimPath — seed v=0 with the initial snapshot"))
+        val base = newestVersion(upTo = Some(batchId)).getOrElse(sys.error(
+          s"scd2AvailableNow: no complete base version <= $batchId under " +
+            s"$dimPath — seed v=0 with the initial snapshot"))
         val dim = spark.read.parquet(s"$dimPath/v=$base")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
@@ -198,10 +207,7 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
-    val fs = new org.apache.hadoop.fs.Path(dimPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dimPath))
-      .flatMap(s => versionOf(s.getPath)).maxOption.getOrElse(0L)
+    newestVersion(upTo = None).getOrElse(0L)
   }
 
   /** Streaming source over the driver's raw events parquet, robust to

@@ -244,5 +244,16 @@ class EventStreamsSpec extends SparkSpec {
     val v3 = EventStreams.scd2AvailableNow(spark, upd, schema, dimPath,
       ckpt, "k", Seq("attr"), "ts")
     assert(v3 == 2L)
+
+    // a crashed writer's PARTIAL version (data file, no _SUCCESS) is
+    // never selected — as base nor as the reported newest version
+    val partial = new java.io.File(s"$dimPath/v=9")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dimPath/v=9/part-00000.parquet"), "junk")
+    val v4 = EventStreams.scd2AvailableNow(spark, upd, schema, dimPath,
+      ckpt, "k", Seq("attr"), "ts")
+    assert(v4 == 2L)
+    assert(spark.read.parquet(s"$dimPath/v=$v4").count() == hist.size)
   }
 }

@@ -124,6 +124,27 @@ class MergeProfilerSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("X"))
   }
 
+  test("scd2Apply: a null-KEYED open row is carried, not nulled out") {
+    // a null key never joins, so presence must come from markers, not
+    // from key nullability — the key.isNull formulation replaced this
+    // row's attributes with the absent update side's nulls
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (Option(1L), "A", d("2020-01-01"), Option.empty[java.sql.Date]),
+      (Option.empty[Long], "ORPHAN", d("2020-01-01"),
+        Option.empty[java.sql.Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq((Option(1L), "B", d("2024-06-01")))
+      .toDF("k", "attr", "ts")
+    val out = Merge.scd2Apply(dim, updates, "k", Seq("attr"), "ts")
+      .as[(Option[Long], String, java.sql.Date, Option[java.sql.Date])]
+      .collect().toSet
+    assert(out == Set(
+      (Option(1L), "A", d("2020-01-01"), Option(d("2024-06-01"))),
+      (Option(1L), "B", d("2024-06-01"), None),
+      (None, "ORPHAN", d("2020-01-01"), None)))
+  }
+
   test("scd2Apply: closed history stays out of the join") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val dim = Seq(
