@@ -1164,7 +1164,8 @@ object QueryCatalog {
              |    chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
              |    AS n_chunk_tokens,
              |  true AS fits
-             |FROM u""".stripMargin)),
+             |FROM u""".stripMargin),
+      headline = true),
 
     Q("q_hll_mergeable", // mergeable-sketch distinct counting: build
       // per-source HLL sketches (the persistable binary form), merge
@@ -1189,13 +1190,16 @@ object QueryCatalog {
              |  true AS within_5pct
              |FROM documents""".stripMargin)),
 
-    Q("q_fuzzy_join", // blocked fuzzy-match self-join (entity
-      // resolution): Levenshtein <= 2 pairs of part names, candidates
-      // blocked on the lowercased 2-char prefix + length gap <= 2.
-      // Typos are planted (chars 4-5 -> 'zz' on a partkey-keyed
-      // subset) identically on both sides; blocking is part of the
-      // contract and the oracle applies the same predicate, so the
-      // gate is exact, not recall-fuzzy.
+    Q("q_fuzzy_join", // blocked fuzzy-match over DISTINCT names
+      // (entity resolution): Levenshtein <= 2 pairs of part names,
+      // candidates blocked on the lowercased 2-char prefix + length
+      // gap <= 2, occurrence counts carried. Matching works on
+      // distinct values, not rows — part repeats each name ~300x and
+      // row-level pairing squares that (measured 3.2M pairs vs a few
+      // hundred name pairs). Typos are planted (chars 4-5 -> 'zz' on
+      // a partkey-keyed subset) identically on both sides; blocking
+      // is part of the contract and the oracle applies the same
+      // predicate, so the gate is exact, not recall-fuzzy.
       (s, d) => {
         val p = t(s, d, "part").select(col("p_partkey"), col("p_name"))
         val planted = p.unionByName(
@@ -1203,22 +1207,23 @@ object QueryCatalog {
             .select((col("p_partkey") + 10000000L).as("p_partkey"),
               concat(substring(col("p_name"), 1, 3), lit("zz"),
                 expr("substring(p_name, 6)")).as("p_name")))
-        Dedup.fuzzyPairsBlocked(planted, "p_partkey", "p_name",
-          maxDist = 2, prefixLen = 2)
+        Dedup.fuzzyNamePairs(planted, "p_name", maxDist = 2, prefixLen = 2)
       },
-      Some("""WITH p AS (SELECT p_partkey, p_name FROM part
+      Some("""WITH p AS (SELECT p_name FROM part
              |  UNION ALL
-             |  SELECT p_partkey + 10000000,
-             |    substr(p_name, 1, 3) || 'zz' || substr(p_name, 6)
+             |  SELECT substr(p_name, 1, 3) || 'zz' || substr(p_name, 6)
              |  FROM part WHERE p_partkey % 50 = 0),
-             |s AS (SELECT p_partkey AS id, p_name AS nm,
+             |s AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS n,
              |    lower(substr(p_name, 1, 2)) AS blk,
-             |    length(p_name) AS len FROM p)
-             |SELECT a.id AS id_a, b.id AS id_b,
-             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-             |FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+             |    length(p_name) AS len
+             |  FROM p GROUP BY p_name)
+             |SELECT a.nm AS name_a, b.nm AS name_b,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+             |  a.n AS n_a, b.n AS n_b
+             |FROM s a JOIN s b ON a.blk = b.blk AND a.nm < b.nm
              |WHERE abs(a.len - b.len) <= 2
-             |  AND levenshtein(a.nm, b.nm) <= 2""".stripMargin)),
+             |  AND levenshtein(a.nm, b.nm) <= 2""".stripMargin),
+      headline = true),
 
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
@@ -2513,7 +2518,8 @@ object QueryCatalog {
              |  WHERE u.c_custkey IS NULL OR u.c_mktsegment = o.c_mktsegment)
              |SELECT * FROM closedh UNION ALL SELECT * FROM closed_now
              |UNION ALL SELECT * FROM new_open
-             |UNION ALL SELECT * FROM carried""".stripMargin)),
+             |UNION ALL SELECT * FROM carried""".stripMargin),
+      headline = true),
 
     Q("q_profile", // one-pass column profiler (exact mode for the oracle)
       (s, d) => graft.operators.Profiler.profile(

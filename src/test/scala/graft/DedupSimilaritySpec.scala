@@ -762,24 +762,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("fuzzyPairsBlocked: finds in-block typos, honors the blocking contract") {
+  test("fuzzyNamePairs: finds in-block typos, honors the blocking contract") {
     val rows = Seq(
       (1L, "goldenrod lace"),
       (2L, "goldenrod lacy"),  // dist 1, same prefix -> found
-      (3L, "Xoldenrod lace"),  // dist 1 from id 1, DIFFERENT prefix -> out of scope
-      (4L, "goldenrod antique"), // same block, dist > 2 -> rejected
-      (5L, "golden lace"))     // same block, len gap 3 -> pruned before levenshtein
+      (3L, "goldenrod lace"),  // duplicate VALUE: collapses into id 1's name
+      (4L, "Xoldenrod lace"),  // dist 1, DIFFERENT prefix -> out of scope
+      (5L, "goldenrod antique"), // same block, dist > 2 -> rejected
+      (6L, "golden lace"))     // same block, len gap 3 -> pruned
       .toDF("id", "name")
     val out = graft.operators.Dedup
-      .fuzzyPairsBlocked(rows.toDF(), "id", "name", maxDist = 2, prefixLen = 2)
-      .as[(Long, Long, Long)].collect().toSet
-    assert(out == Set((1L, 2L, 1L)))
+      .fuzzyNamePairs(rows.toDF(), "name", maxDist = 2, prefixLen = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // one NAME pair; the duplicated spelling shows up as n_a = 2
+    assert(out == Set(("goldenrod lace", "goldenrod lacy", 1L, 2L, 1L)))
   }
 
-  test("fuzzyPairsBlocked: no all-pairs plan — equi-join on the block key") {
-    val plan = graft.operators.Dedup
-      .fuzzyPairsBlocked(Tables.part(spark, sfDir), "p_partkey", "p_name")
-      .queryExecution.executedPlan.toString
+  test("fuzzyNamePairs: distinct-name matching stays small under duplication") {
+    // part at test scale: thousands of rows, few distinct names — the
+    // pathological ER input; output must be name-pairs, not row-pairs
+    val part = Tables.part(spark, sfDir)
+    val out = graft.operators.Dedup.fuzzyNamePairs(part, "p_name")
+    val distinctNames = part.select("p_name").distinct().count()
+    assert(out.count() <= distinctNames * (distinctNames - 1) / 2)
+    val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
