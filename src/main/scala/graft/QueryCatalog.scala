@@ -2935,6 +2935,32 @@ object QueryCatalog {
              |  a4 | (b4 << 1) AS z
              |FROM sd""".stripMargin)),
 
+    Q("q_zorder_roundtrip", // z-ordered layout write->read identity:
+      // clustering must rearrange FILES, never rows' values (the
+      // pruning property itself is ZOrderSpec's footer-stats check)
+      (s, d) => {
+        val dir = scratchDir("graft_zw")
+        graft.sources.Layout.writeZOrdered(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+            col("l_linenumber"), col("l_extendedprice")),
+          s"$dir/z", "l_orderkey", "l_partkey", numFiles = 8)
+        s.read.parquet(s"$dir/z")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice
+             |FROM lineitem""".stripMargin)),
+
+    Q("q_compact_roundtrip", // small-file compaction write->read
+      // identity: a 24-file fragmented copy compacts to few files with
+      // values intact (file-count/range assertions live in LayoutSpec)
+      (s, d) => {
+        val dir = scratchDir("graft_cp")
+        t(s, d, "orders").repartition(24).write.parquet(s"$dir/frag")
+        graft.sources.Layout.compact(s, s"$dir/frag", s"$dir/out",
+          targetBytes = 1L << 30, sortCol = Some("o_orderkey"))
+        s.read.parquet(s"$dir/out")
+      },
+      Some("SELECT * FROM orders")),
+
     Q("q_csv_roundtrip", // csv source/sink coverage. Oracle = the source
       // table itself: write->read identity IS the property under test
       // (hash-checked, not rows-only).
