@@ -55,6 +55,24 @@ object QueryCatalog {
     dir.toString
   }
 
+  /** DuckDB CTE chain replicating [[CorpusOps.chunkDocs]] over
+    * `documents` at maxTokens=32 / stride=24 — ends in
+    * `u(doc_id, toks, chunk_id)`; shared by q_chunk_docs and
+    * q_pack_sequences (same precedent as [[ngramPairsCtes]]). */
+  private val chunkDocsCtes =
+    """t AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND trim(text) <> ''),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |c AS (SELECT doc_id, toks,
+      |    CASE WHEN n <= 32 THEN 1
+      |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1
+      |    END AS n_chunks FROM n),
+      |u AS (SELECT doc_id, toks,
+      |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      |  FROM c)""".stripMargin
+
   private val segments =
     Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
 
@@ -1105,19 +1123,8 @@ object QueryCatalog {
       (s, d) => CorpusOps.chunkDocs(
         t(s, d, "documents"), "doc_id", "text",
         maxTokens = 32, stride = 24),
-      Some("""WITH t AS (SELECT doc_id,
-             |    string_split_regex(trim(text), '\s+') AS toks
-             |  FROM documents
-             |  WHERE text IS NOT NULL AND trim(text) <> ''),
-             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-             |c AS (SELECT doc_id, toks,
-             |    CASE WHEN n <= 32 THEN 1
-             |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1
-             |    END AS n_chunks FROM n),
-             |u AS (SELECT doc_id, toks,
-             |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
-             |  FROM c)
-             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      Some(s"""WITH $chunkDocsCtes
+              |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
              |  array_to_string(list_slice(toks,
              |    chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
              |    AS chunk_text,
@@ -1147,19 +1154,8 @@ object QueryCatalog {
         packed.select(col("cid"), col("n_chunk_tokens"),
           (sum(col("n_chunk_tokens")).over(w) <= 96L).as("fits"))
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |    string_split_regex(trim(text), '\s+') AS toks
-             |  FROM documents
-             |  WHERE text IS NOT NULL AND trim(text) <> ''),
-             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-             |c AS (SELECT doc_id, toks,
-             |    CASE WHEN n <= 32 THEN 1
-             |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1
-             |    END AS n_chunks FROM n),
-             |u AS (SELECT doc_id, toks,
-             |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
-             |  FROM c)
-             |SELECT doc_id * 1000000 + chunk_id AS cid,
+      Some(s"""WITH $chunkDocsCtes
+              |SELECT doc_id * 1000000 + chunk_id AS cid,
              |  CAST(len(list_slice(toks,
              |    chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
              |    AS n_chunk_tokens,

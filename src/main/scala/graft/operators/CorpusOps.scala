@@ -183,24 +183,27 @@ object CorpusOps {
     *
     * Scale shape: per-row array expressions feeding one `posexplode` —
     * zero shuffle, output rows ≈ input tokens / stride. The token
-    * array is computed once per document and sliced per window, so
-    * cost is O(tokens × windows-per-doc) bytes copied, not
-    * re-tokenized. Chunk count is `floor((n - maxTokens + stride - 1)
-    * / stride) + 1` — both operands are exactly representable doubles
-    * and IEEE division rounds correctly, so the floor is exact for any
-    * document below 2^52 tokens. */
+    * array is BOUND to a column before the window lambda references it
+    * — an inline `split` subexpression would be re-evaluated once per
+    * window by Catalyst's lambda inlining (the nested-lambda pitfall
+    * README documents for MinHash), turning O(tokens) per document
+    * into O(windows × tokens). Chunk count is `floor((n - maxTokens +
+    * stride - 1) / stride) + 1` — both operands are exactly
+    * representable doubles and IEEE division rounds correctly, so the
+    * floor is exact for any document below 2^52 tokens. */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
                 maxTokens: Int, stride: Int): DataFrame = {
     require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
       s"chunkDocs: need 0 < stride <= maxTokens, got stride=$stride " +
         s"maxTokens=$maxTokens")
-    val toks = tokens(col(textCol))
+    val toks = col("__toks")
     val n = size(toks)
     val nChunks = when(n <= maxTokens, lit(1L)).otherwise(
       floor((n - maxTokens + stride - 1).cast("double") / stride)
         .cast("long") + 1L)
     docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0L), nChunks - 1L),
           i => slice(toks, (i * stride).cast("int") + 1, lit(maxTokens))))

@@ -219,16 +219,16 @@ object TextAnalysis {
     docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(Seq(
-      col(idCol).as("id"),
-      n.cast("long").as("n_tokens"),
-      round(meanWlen, 4).as("mean_wlen"),
-      round(symbolRatio, 4).as("symbol_ratio"),
-      round(bulletRatio, 4).as("bullet_ratio"),
-      round(ellipsisRatio, 4).as("ellipsis_ratio"),
-      round(alphaRatio, 4).as("alpha_ratio"),
-      stopHits.as("stop_hits")) ++
-      gates.map { case (nm, g) => g.as(nm) } :+
-      gates.map(_._2).reduce(_ && _).as("passes"): _*)
+        col(idCol).as("id"),
+        n.cast("long").as("n_tokens"),
+        round(meanWlen, 4).as("mean_wlen"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(bulletRatio, 4).as("bullet_ratio"),
+        round(ellipsisRatio, 4).as("ellipsis_ratio"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        stopHits.as("stop_hits")) ++
+        gates.map { case (nm, g) => g.as(nm) } :+
+        gates.map(_._2).reduce(_ && _).as("passes"): _*)
   }
 
   /** Repetition-ratio quality signals (the Gopher/C4-style filters):

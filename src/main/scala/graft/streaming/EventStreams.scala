@@ -177,15 +177,17 @@ object EventStreams {
     def newestVersion(upTo: Option[Long]): Option[Long] = {
       val root = new org.apache.hadoop.fs.Path(dimPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(root).iterator
+      fs.listStatus(root)
         .flatMap { s =>
           val n = s.getPath.getName
           if (n.startsWith("v=")) n.drop(2).toLongOption else None
         }
         .filter(v => upTo.forall(v <= _))
-        .filter(v => fs.exists(
+        .sorted(Ordering[Long].reverse)
+        // newest first, probe until complete: one _SUCCESS check in the
+        // normal case instead of one per historical version
+        .find(v => fs.exists(
           new org.apache.hadoop.fs.Path(s"$dimPath/v=$v/_SUCCESS")))
-        .maxOption
     }
     val q = spark.readStream.schema(updateSchema).parquet(updatesDir)
       .writeStream

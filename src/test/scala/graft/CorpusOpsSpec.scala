@@ -216,6 +216,21 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: 100k-token doc chunks in bounded time (no re-tokenize per window)") {
+    // ~4.2k windows over 100k tokens: if the split re-ran inside the
+    // window lambda (Catalyst inlines outer subexpressions into lambda
+    // bodies — the README's nested-lambda pitfall), this would do
+    // windows x tokens work; the bound column form is linear
+    val text = (0 until 100000).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val n = CorpusOps.chunkDocs(docs, "doc_id", "text",
+      maxTokens = 32, stride = 24).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == (100000 - 32 + 23) / 24 + 1)
+    assert(secs < 30.0, f"chunkDocs took $secs%.1f s on a 100k-token doc")
+  }
+
   test("chunkDocs is shuffle-free (explode only, no Exchange)") {
     val plan = CorpusOps.chunkDocs(Tables.documents(spark, sfDir),
       "doc_id", "text", maxTokens = 32, stride = 24)
