@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CorpusOps
+
+/** Measurement tool (not part of the library surface): throughput of
+  * the training-prep path — chunkDocs (fixed windows) feeding
+  * packSequences (best-fit packing) — on a corpus scaled well past the
+  * test tiers by replicating `documents` with shifted ids. Numbers go
+  * to SCALE.md's text-analysis section; run at local[32] like Bench.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *        SPARK_GRAFT_SCALE=100 sbt "runMain graft.tools.CorpusScale"
+  */
+object CorpusScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // mult copies, ids disjoint; localCheckpoint so the timed stages
+    // measure the operators, not the union re-scan
+    val docs = (0 until mult).map(i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val nTokens = docs.select(sum(size(split(trim(col("text")), "\\s+"))))
+      .collect()(0).getLong(0)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (chunks, tChunk) = time {
+      val c = CorpusOps.chunkDocs(docs, "doc_id", "text",
+        maxTokens = 512, stride = 384)
+        .select((col("doc_id") * 100L + col("chunk_id")).as("cid"),
+          col("n_chunk_tokens"))
+        .localCheckpoint()
+      (c, c.count())
+    }
+    val (nPacked, tPack) = time {
+      val packed = CorpusOps.packSequences(chunks._1, "cid", "n_chunk_tokens",
+        seqLen = 512L, partitions = cpus.toInt * 2)
+      packed.select(countDistinct(col("pack_id"))).collect()(0).getLong(0)
+    }
+    println(f"docs=$nDocs%d tokens=$nTokens%d " +
+      f"chunk_s=$tChunk%.2f chunks=${chunks._2}%d " +
+      f"pack_s=$tPack%.2f packs=$nPacked%d " +
+      f"chunk_Mtok_per_s=${nTokens / 1e6 / tChunk}%.1f " +
+      f"pack_Mtok_per_s=${nTokens / 1e6 / tPack}%.1f")
+    spark.stop()
+  }
+}
