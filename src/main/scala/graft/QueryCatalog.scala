@@ -1221,6 +1221,37 @@ object QueryCatalog {
              |  AND levenshtein(a.nm, b.nm) <= 2""".stripMargin),
       headline = true),
 
+    Q("q_dedup_lines", // within-document duplicate-line removal (the
+      // in-doc half of the C4 line recipe; cross-doc is
+      // q_boilerplate). Same derived multi-line corpus as
+      // q_boilerplate: ' the ' becomes a line break, so a 30-word
+      // vocabulary yields natural in-doc repeats.
+      (s, d) => CorpusOps.dedupLinesWithinDoc(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " the ", "\n").as("text")),
+        "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    replace(text, ' the ', chr(10)) AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |l AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS line,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
+             |      AS pos
+             |  FROM d),
+             |k AS (SELECT doc_id, pos, line,
+             |    row_number() OVER (PARTITION BY doc_id, line
+             |                       ORDER BY pos) = 1
+             |      OR trim(line) = '' AS keep
+             |  FROM l)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN keep THEN line END,
+             |    chr(10) ORDER BY pos), '') AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_removed
+             |FROM k GROUP BY doc_id""".stripMargin)),
+
     Q("q_ngram_jaccard", // exact n-gram Jaccard over blocked candidates
       (s, d) => Dedup.ngramJaccardPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxDocFreq = 20),

@@ -304,6 +304,43 @@ object CorpusOps {
     }
   }
 
+  /** Within-document duplicate-line removal — the in-document half of
+    * the C4 line-level recipe (the cross-document half is
+    * [[removeBoilerplateLines]]): keep each non-blank line's FIRST
+    * occurrence, drop its repeats, rebuild the document in order.
+    * Blank lines always survive (they carry layout, not content).
+    * Returns (`idCol`, `clean_text`, `n_lines`, `n_removed`);
+    * null-text documents are excluded.
+    *
+    * Scale shape: lines explode to a narrow (id, pos, line) relation;
+    * first-occurrence ranking is a window over (id, line) ordered by
+    * position — `WindowGroupLimit` caps the per-key carry before the
+    * exchange — and the rebuild is one aggregation on the id. Not a
+    * per-row `array_position` fold on purpose: that form is O(lines²)
+    * per document, the exact quadratic-on-long-docs trap
+    * [[TextAnalysis.repetitionStats]] documents. */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                          delim: String = "\n"): DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__line")))
+    val w = Window.partitionBy(col(idCol), col("__line"))
+      .orderBy(col("__pos"))
+    lines
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__keep", col("__rn") === 1 || trim(col("__line")) === "")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), delim).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col(idCol), col("clean_text"), col("n_lines"), col("n_removed"))
+  }
+
   /** Corpus-frequency boilerplate line removal (the C4-recipe cousin:
     * drop every line that occurs verbatim in at least `minDocs` distinct
     * documents — navigation chrome, cookie banners, license footers —

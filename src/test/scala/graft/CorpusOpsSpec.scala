@@ -239,6 +239,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan.take(500))
   }
 
+  test("dedupLinesWithinDoc: first occurrence stays, blanks survive, order kept") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\n\nbeta\ngamma"), // two repeats, one blank
+      (2L, "one\ntwo"),                          // nothing to remove
+      (3L, "\n\n"))                              // only blanks: all survive
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "alpha\nbeta\n\ngamma", 6L, 2L)))
+    assert(out(2L) == ((2L, "one\ntwo", 2L, 0L)))
+    assert(out(3L) == ((3L, "\n\n", 3L, 0L)))
+    // idempotence: a deduped document has nothing left to remove
+    val again = CorpusOps.dedupLinesWithinDoc(
+      CorpusOps.dedupLinesWithinDoc(docs, "doc_id", "text")
+        .select($"doc_id", $"clean_text".as("text")),
+      "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.forall(_._4 == 0L))
+  }
+
   test("packSequences: best-fit-decreasing reaches the optimal pack count") {
     // sorted desc: 60->A, 50->B, 40->A(=100), 30->B(=80), 20->B(=100):
     // two packs, both exactly full — the optimum
