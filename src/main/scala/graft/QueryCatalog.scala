@@ -1186,6 +1186,106 @@ object QueryCatalog {
              |  true AS within_5pct
              |FROM documents""".stripMargin)),
 
+    Q("q_theta_overlap", // theta sketch SET ALGEBRA — the question HLL
+      // cannot answer: per-event-type sketches of the user_id set, then
+      // |A ∩ B| and |A \ B| for every type pair WITHOUT joining raw
+      // data (one row per group after the build scan). Exact pair
+      // overlaps are pinned via SQL; the sketch estimates are gated
+      // within 2% (theta is exact below ~2^lgK distincts, so at test
+      // SFs the flags are deterministically true; the band keeps the
+      // gate honest at estimation-mode scale).
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("user_id"))
+        val sk = graft.operators.Sketches.thetaByGroup(
+          ev, "event_type", "user_id", lgK = 12)
+        val est = graft.operators.Sketches.thetaOverlap(sk, "event_type")
+          .withColumnRenamed("group_a", "type_a")
+          .withColumnRenamed("group_b", "type_b")
+        val du = ev.distinct()
+        val exact = du.as("a")
+          .join(du.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_common_exact"))
+        val perType = du.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_type"))
+        exact
+          .join(perType.select(col("event_type").as("type_a"),
+            col("n_type").as("n_a_exact")), "type_a")
+          .join(est, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("n_common_exact"),
+            (abs(col("n_common") - col("n_common_exact")) <=
+              col("n_common_exact") * 0.02).as("common_within_2pct"),
+            (abs(col("n_only_a") -
+              (col("n_a_exact") - col("n_common_exact"))) <=
+              greatest(col("n_a_exact") * 0.02, lit(1.0)))
+              .as("diff_within_2pct"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  CAST(count(*) AS BIGINT) AS n_common_exact,
+             |  true AS common_within_2pct, true AS diff_within_2pct
+             |FROM du a JOIN du b
+             |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_kll_mergeable", // mergeable rank sketches: per-(returnflag,
+      // linenumber) KLL sketches of l_extendedprice — the per-batch
+      // persistable form — MERGED up to per-returnflag quantiles
+      // without rescanning rows. Gate: the merged sketch's p50/p90
+      // land inside the exact p45..p55 / p85..p95 bands (k=200 ≈ 0.7%
+      // rank error; the 5%-rank band is ~7x the 99%-confidence bound,
+      // the q_approx_percentile pattern).
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perBatch = li
+          .groupBy(col("l_returnflag"), col("l_linenumber"))
+          .agg(graft.plans.SketchAggregates.kll_sketch_agg(
+            col("l_extendedprice").cast("double"), 200).as("kll"))
+        val merged = graft.operators.Sketches.kllMergeBy(
+          perBatch, "l_returnflag")
+        val bands = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+            expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+            expr("percentile(l_extendedprice, 0.85)").as("lo90"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+        merged.join(bands, "l_returnflag")
+          .select(col("l_returnflag"), col("n"),
+            graft.plans.SketchAggregates.kll_quantile(col("kll"), 0.5)
+              .between(col("lo50"), col("hi50")).as("p50_in_band"),
+            graft.plans.SketchAggregates.kll_quantile(col("kll"), 0.9)
+              .between(col("lo90"), col("hi90")).as("p90_in_band"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  true AS p50_in_band, true AS p90_in_band
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Q("q_freq_items", // heavy hitters via mergeable frequent-items
+      // sketches: per-source token sketches merged into the global
+      // top-10. maxMapSize=1024 >> the corpus vocabulary, so the
+      // sketch is in EXACT mode (no purges) and the estimates ARE the
+      // true counts — the oracle is the full exact top-10, not a
+      // tolerance flag. At real-corpus vocabularies the same pipeline
+      // degrades gracefully to Misra-Gries bounds (getMaximumError).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val perSrc = docs
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("token"))
+          .groupBy(col("source"))
+          .agg(graft.plans.SketchAggregates.freq_items_agg(
+            col("token"), 1024).as("fi"))
+        graft.operators.Sketches.freqTop(perSrc, k = 10)
+          .select(col("item").as("token"), col("est").as("n"))
+      },
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin)),
+
     Q("q_fuzzy_join", // blocked fuzzy-match over DISTINCT names
       // (entity resolution): Levenshtein <= 2 pairs of part names,
       // candidates blocked on the lowercased 2-char prefix + length

@@ -45,4 +45,88 @@ object Sketches {
 
   /** Estimate column for a sketch. */
   def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  // ---- Theta: distinct counting WITH set algebra (HLL can only union;
+  // theta sketches intersect and difference too, which is what
+  // cross-source overlap / contamination questions need at 100 TB:
+  // "how many of source A's users/docs also appear in B" without ever
+  // joining the raw data — one sketch-build scan per source, then
+  // set-algebra over KB-sized sketch rows) ----
+
+  import graft.plans.SketchAggregates._
+
+  /** Per-group theta distinct sketches of `valueCol` (binary column
+    * `theta`, DataSketches compact format). Exact while per-group
+    * distincts stay under ~2^lgK; ~1.6% RSE beyond. */
+  def thetaByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("theta"))
+
+  /** Re-aggregate persisted theta sketch rows to a coarser grouping. */
+  def thetaUnionBy(sketches: DataFrame, groupCol: String,
+                   sketchCol: String = "theta", lgK: Int = 12): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(theta_union_agg(col(sketchCol), lgK).as(sketchCol))
+
+  /** Pairwise overlap between every two groups' sketches: for each
+    * unordered pair (a < b by group key), the estimated |A|, |B|,
+    * |A ∩ B| and |A \ B|. The self-join runs over ONE ROW PER GROUP
+    * (sketch rows, not data), broadcast — at any corpus scale this is
+    * metadata-sized work after the single build scan. */
+  def thetaOverlap(sketches: DataFrame, groupCol: String,
+                   sketchCol: String = "theta"): DataFrame = {
+    val a = sketches.select(col(groupCol).as("group_a"),
+      col(sketchCol).as("sk_a"))
+    val b = sketches.select(col(groupCol).as("group_b"),
+      col(sketchCol).as("sk_b"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        theta_estimate(col("sk_a")).as("n_a"),
+        theta_estimate(col("sk_b")).as("n_b"),
+        theta_estimate(theta_intersect(col("sk_a"), col("sk_b")))
+          .as("n_common"),
+        theta_estimate(theta_a_not_b(col("sk_a"), col("sk_b")))
+          .as("n_only_a"))
+  }
+
+  // ---- KLL: mergeable rank/quantile sketches. Exact percentile()
+  // buffers every group value; a KLL sketch is a few KB with a
+  // guaranteed normalized rank error, and per-batch sketches merge
+  // into global quantiles without rescanning ----
+
+  /** Per-group KLL sketches of `valueCol` (binary column `kll`). */
+  def kllByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int = 200): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(kll_sketch_agg(col(valueCol).cast("double"), k).as("kll"))
+
+  /** Merge sketch rows to a coarser grouping. */
+  def kllMergeBy(sketches: DataFrame, groupCol: String,
+                 sketchCol: String = "kll", k: Int = 200): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(kll_merge_agg(col(sketchCol), k).as(sketchCol))
+
+  /** Quantile columns at the given ranks for a sketch column. */
+  def kllQuantiles(sketch: Column, qs: Seq[Double]): Seq[Column] =
+    qs.map(q => kll_quantile(sketch, q).as(s"p${(q * 100).round}"))
+
+  // ---- Frequent items: heavy hitters with Misra-Gries error bounds.
+  // Exact top-k by frequency shuffles every distinct item; the sketch
+  // caps state at maxMapSize entries per (group x task) and merges ----
+
+  /** Per-group frequent-items sketches of `itemCol` (binary column
+    * `fi`). Exact while distincts stay under 0.75 x maxMapSize. */
+  def freqByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                  maxMapSize: Int = 1024): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(freq_items_agg(col(itemCol), maxMapSize).as("fi"))
+
+  /** Merge all sketch rows and return the global top-k as
+    * (item, est) rows, est desc then item asc. */
+  def freqTop(sketches: DataFrame, k: Int, sketchCol: String = "fi",
+              maxMapSize: Int = 1024): DataFrame =
+    sketches.agg(freq_merge_agg(col(sketchCol), maxMapSize).as(sketchCol))
+      .select(explode(freq_top_items(col(sketchCol), k)).as("t"))
+      .select(col("t.item").as("item"), col("t.est").as("est"))
 }
