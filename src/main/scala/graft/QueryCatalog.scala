@@ -95,6 +95,19 @@ object QueryCatalog {
     * exact duplicate vectors (cosine 1.0) so embedding near-dup
     * operators have guaranteed positives — the corpus itself has no
     * organic pair above cosine 0.61 at any SF (measured). */
+  /** Process-level PQ model memo: training is deterministic per
+    * (variant, sfDir), so fit once and let repeated catalog/bench runs
+    * (the bench runs each headline 5x) reuse the model — timed passes
+    * measure the ADC scan, not refits. By-name `fit` so a hit skips
+    * the training entirely. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqModel]()
+  private def pqModelFor(key: String,
+                         fit: => Similarity.PqModel): Similarity.PqModel =
+    Option(pqModels.get(key)).getOrElse {
+      val m = fit; pqModels.put(key, m); m
+    }
+
   private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     e.select(col("vec_id"), col("embedding")).unionByName(
@@ -1744,6 +1757,66 @@ object QueryCatalog {
             count_distinct(col("id")).as("n_ids"),
             (min(col("q_cos")) >= -1.0000001 &&
               max(col("q_cos")) <= 1.0000001).as("cos_bounded"),
+            (sum(when(col("id") === 0L, 1).otherwise(0)) === 0)
+              .as("query_excluded"))
+      },
+      Some("""SELECT CAST(20 AS BIGINT) AS n_rows,
+             |  CAST(20 AS BIGINT) AS n_ids,
+             |  true AS cos_bounded, true AS query_excluded"""
+        .stripMargin),
+      headline = true),
+
+    Q("q_pq_topk", // product-quantization ANN (Jégou et al. 2011): the
+      // 32x-compression rung below int8's 4x — 8-byte codes, ADC
+      // table-lookup scoring, no per-row float math. Same planted-copy
+      // gate as q_int8_topk: the planted duplicate encodes to the
+      // query's own codes, so its ADC distance is the per-subspace
+      // minimum — rank 1 deterministically (training is deterministic:
+      // hash-ordered sample, first-k-distinct seeds, first-wins
+      // argmin; verified top-1 at all three SFs).
+      (s, d) => {
+        val planted = plantedEmbeddings(s, d)
+        val model = pqModelFor(s"topk:$d",
+          Similarity.trainPq(planted, "vec_id", "embedding",
+            m = 8, nbits = 8, iters = 10))
+        Similarity.pqTopK(planted, "vec_id", "embedding",
+            queryId = 0L, model, k = 20)
+          .agg(
+            max_by(col("id"), struct(col("pq_cos"), -col("id")))
+              .as("top1_id"),
+            count(lit(1)).as("n_rows"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(20 AS BIGINT) AS n_rows,
+             |  true AS cos_bounded""".stripMargin)),
+
+    Q("q_pq_bench", // headline: the ADC scan over the at-rest PQ index
+      // (codes + model staged once per (process, sf), _SUCCESS-gated
+      // like q_int8_bench; model reload memoized so timed passes
+      // measure the pure 8-bytes-per-vector scan). Result quality is
+      // pinned by q_pq_topk (planted rank-1); the oracle pins the
+      // SQL-expressible invariants.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/index"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
+          val emb = t(s, d, "embeddings")
+          Similarity.writePqIndex(emb, "vec_id", "embedding",
+            Similarity.trainPq(emb, "vec_id", "embedding",
+              m = 8, nbits = 8, iters = 10), dir)
+        }
+        val model = pqModelFor(s"bench:$d", Similarity.loadPqModel(s, dir))
+        Similarity.pqTopKPrequantized(s, s"$dir/codes",
+            t(s, d, "embeddings"), "vec_id", "embedding",
+            queryId = 0L, model, k = 20)
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("id")).as("n_ids"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"),
             (sum(when(col("id") === 0L, 1).otherwise(0)) === 0)
               .as("query_excluded"))
       },

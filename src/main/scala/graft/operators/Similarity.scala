@@ -491,4 +491,205 @@ object Similarity {
         round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  // ---- Product quantization (Jégou et al., TPAMI 2011) — the memory
+  // scale path past int8: int8 shrinks the corpus 4x; PQ at m=8 over
+  // d=64 shrinks it 32x (8 BYTES per vector at rest), and ADC queries
+  // score codes with m table lookups per row, no float math. At 100 TB
+  // of embeddings that is the difference between an ANN scan that fits
+  // in cluster page cache and one that doesn't. Lossier than int8 —
+  // production recipes scan PQ codes for candidates, then re-rank the
+  // short list against the float (or int8) table by id. ----
+
+  /** Per-subspace codebooks: `codebooks(s)(c)` is centroid `c` of
+    * subspace `s` (width `dsub`); vectors are L2-normalized before
+    * split, so ADC squared-L2 ranks like cosine (d² = 2 - 2·cos). */
+  final case class PqModel(m: Int, dsub: Int,
+                           codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Fit PQ codebooks: per subspace, Lloyd k-means with `ksub = 2^nbits`
+    * centroids. The fit runs DRIVER-SIDE on a bounded deterministic
+    * sample (the `maxFitRows` lowest-xxhash64 ids, the
+    * [[kmeansCentroids]] sampling contract): m independent small
+    * k-means fits over `maxFitRows x dsub` doubles are millisecond
+    * work locally, while m distributed fits would pay m x iters job
+    * rounds for the same model. Encoding (the corpus-sized pass)
+    * stays fully distributed via the native [[graft.plans.PqEncode]].
+    * Deterministic: hash-ordered sample, first-k-distinct seeding,
+    * first-wins argmin. */
+  def trainPq(df: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, nbits: Int = 8, iters: Int = 10,
+              maxFitRows: Int = 65536): PqModel = {
+    require(nbits >= 1 && nbits <= 8, s"nbits out of 1..8: $nbits")
+    val sample = df
+      .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+      .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainPq: empty input")
+    val d = sample.head.length
+    require(d % m == 0, s"trainPq: dim $d not divisible by m=$m")
+    val dsub = d / m
+    val ksub = 1 << nbits
+    val books = (0 until m).map { s =>
+      val subs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydLocal(subs, ksub, iters).map(_.toSeq).toSeq
+    }
+    PqModel(m, dsub, books)
+  }
+
+  /** Plain Lloyd on local subvectors; seeds are the first `k` DISTINCT
+    * inputs in sample order (the sample itself is hash-ordered, so the
+    * seeds are a reproducible pseudo-random spread); an empty cell
+    * keeps its previous centroid. */
+  private def lloydLocal(xs: Array[Array[Double]], k: Int,
+                         iters: Int): Array[Array[Double]] = {
+    val dsub = xs.head.length
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var i = 0
+    while (i < xs.length && seeds.length < k) {
+      if (!seeds.exists(java.util.Arrays.equals(_, xs(i))))
+        seeds += xs(i).clone()
+      i += 1
+    }
+    var cents = seeds.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dsub))
+      val counts = new Array[Long](cents.length)
+      var j = 0
+      while (j < xs.length) {
+        val x = xs(j)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cen = cents(c)
+          var d2 = 0.0d
+          var p = 0
+          while (p < dsub) { val t = x(p) - cen(p); d2 += t * t; p += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        val acc = sums(best)
+        var p = 0
+        while (p < dsub) { acc(p) += x(p); p += 1 }
+        counts(best) += 1
+        j += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Add the `m`-byte PQ code column (vector L2-normalized first, per
+    * the [[PqModel]] contract). */
+  def withPqCodes(df: DataFrame, vecCol: String, model: PqModel,
+                  outCol: String = "pq_code"): DataFrame =
+    df.withColumn(outCol,
+      graft.plans.PqExpressions.pq_encode(
+        l2normalize(col(vecCol)), model.codebooks))
+
+  /** Materialize the PQ-coded corpus: `(id, pq_code)` parquet — the
+    * at-rest shape (encode once at ingest; every ANN scan after reads
+    * `m` bytes per vector instead of `4d`). */
+  def writePqCorpus(df: DataFrame, idCol: String, vecCol: String,
+                    model: PqModel, path: String): Unit =
+    withPqCodes(df, vecCol, model)
+      .select(col(idCol).as("id"), col("pq_code"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Persist codes AND model under one root (`path/codes`,
+    * `path/model`) — the deployment shape, mirroring
+    * [[buildIvfCentroidIndex]]'s centroids-beside-index convention:
+    * a later session (or another engine reading the parquet) can score
+    * queries without retraining. */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   model: PqModel, path: String): Unit = {
+    writePqCorpus(df, idCol, vecCol, model, s"$path/codes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex
+      .flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (cen, c) => (s, c, cen) } }
+      .toDF("s", "c", "cen")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load the [[writePqIndex]] model (tiny: m x ksub rows). */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/model")
+      .select(col("s"), col("c"), col("cen")).collect()
+    require(rows.nonEmpty, s"loadPqModel: empty model at $path")
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2)).toSeq }
+    PqModel(books.size, books.head.head.size, books)
+  }
+
+  /** Per-query ADC lookup table: `lut(s)(c) = ||q_s - cen_s_c||²` for
+    * the L2-normalized query. m x ksub doubles, built driver-side. */
+  def pqLut(query: Seq[Double], model: PqModel): Seq[Seq[Double]] = {
+    val nrm = math.sqrt(query.map(x => x * x).sum)
+    val qn = if (nrm > 0) query.map(_ / nrm) else query
+    model.codebooks.zipWithIndex.map { case (cents, s) =>
+      val base = s * model.dsub
+      cents.map { cen =>
+        var d2 = 0.0d
+        var i = 0
+        while (i < model.dsub) {
+          val x = if (base + i < qn.length) qn(base + i) else 0.0d
+          val t = x - cen(i)
+          d2 += t * t
+          i += 1
+        }
+        d2
+      }
+    }
+  }
+
+  /** ADC top-k over a [[writePqCorpus]] layout for the query vector of
+    * `queryId` (looked up in `queryDf`, one collected row): the scan
+    * reads only (id, m-byte code), scores each row with m table
+    * lookups, and `TakeOrderedAndProject` keeps the top-k — no shuffle
+    * beyond the k-row merge. Returns `(id, pq_cos)` where
+    * `pq_cos = 1 - d²/2` (exact on normalized vectors). */
+  def pqTopKPrequantized(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queryDf: DataFrame, idCol: String,
+                         vecCol: String, queryId: Long, model: PqModel,
+                         k: Int): DataFrame = {
+    val q = queryDf.filter(col(idCol) === queryId)
+      .select(l2normalize(col(vecCol))).collect()
+    require(q.nonEmpty, s"pqTopKPrequantized: query id $queryId not found")
+    val lut = pqLut(q.head.getSeq[Double](0), model)
+    spark.read.parquet(path)
+      .filter(col("id") =!= queryId)
+      .select(col("id"),
+        (lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
+          col("pq_code"), lut) / 2.0d).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** One-call ADC top-k (encode-on-the-fly form of
+    * [[pqTopKPrequantized]], for corpora not yet materialized). */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, model: PqModel, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(l2normalize(col(vecCol))).collect()
+    require(q.nonEmpty, s"pqTopK: query id $queryId not found")
+    val lut = pqLut(q.head.getSeq[Double](0), model)
+    withPqCodes(df, vecCol, model)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("id"),
+        (lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
+          col("pq_code"), lut) / 2.0d).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col("id"))
+      .limit(k)
+  }
 }

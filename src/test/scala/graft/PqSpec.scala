@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product-quantization ANN ([[Similarity.trainPq]] / native
+  * [[graft.plans.PqEncode]] / [[graft.plans.PqAdcDistance]]).
+  *
+  * The test embeddings are uniform-random — PQ's WORST case (no
+  * cluster structure to exploit), so recall gates here are
+  * deliberately about invariants (determinism, planted-duplicate
+  * retrieval, bounded reconstruction error), not recall percentages;
+  * q_pq_topk pins planted rank-1 at all SFs.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val model =
+    Similarity.trainPq(emb, "vec_id", "embedding", m = 8, nbits = 8,
+      iters = 10)
+
+  test("codes are m bytes, in codebook range, and deterministic") {
+    val coded = Similarity.withPqCodes(emb, "embedding", model)
+      .select($"vec_id", $"pq_code")
+    val rows = coded.as[(Long, Array[Byte])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, code) =>
+      assert(code.length == 8, s"vec $id: ${code.length} bytes")
+      code.zipWithIndex.foreach { case (b, s) =>
+        assert((b & 0xff) < model.codebooks(s).size, s"vec $id sub $s")
+      }
+    }
+    // re-encode: bit-identical (deterministic expression, no RNG)
+    val again = Similarity.withPqCodes(emb, "embedding", model)
+      .select($"vec_id", $"pq_code").as[(Long, Array[Byte])].collect()
+    assert(rows.sortBy(_._1).zip(again.sortBy(_._1)).forall {
+      case ((i1, c1), (i2, c2)) =>
+        i1 == i2 && java.util.Arrays.equals(c1, c2)
+    })
+  }
+
+  test("model persists and reloads identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding", model, dir)
+    val back = Similarity.loadPqModel(spark, dir)
+    assert(back == model)
+    // and the persisted codes match a fresh encode
+    val onDisk = spark.read.parquet(s"$dir/codes")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val fresh = Similarity.withPqCodes(emb, "embedding", model)
+      .select($"vec_id", $"pq_code").as[(Long, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(onDisk.zip(fresh).forall { case ((i1, c1), (i2, c2)) =>
+      i1 == i2 && java.util.Arrays.equals(c1, c2) })
+  }
+
+  test("planted exact duplicate ranks first; both query paths agree") {
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" === 0L)
+        .select(lit(1000000L).as("vec_id"), $"embedding"))
+    val m = Similarity.trainPq(planted, "vec_id", "embedding",
+      m = 8, nbits = 8, iters = 10)
+    val onTheFly = Similarity.pqTopK(planted, "vec_id", "embedding",
+      queryId = 0L, m, k = 10).as[(Long, Double)].collect()
+    assert(onTheFly.head._1 == 1000000L,
+      s"top1=${onTheFly.head} — planted copy not first")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_ix").toString
+    Similarity.writePqIndex(planted, "vec_id", "embedding", m, dir)
+    val preq = Similarity.pqTopKPrequantized(spark, s"$dir/codes",
+      planted, "vec_id", "embedding", queryId = 0L, m, k = 10)
+      .as[(Long, Double)].collect()
+    assert(preq.toSeq == onTheFly.toSeq)
+  }
+
+  test("ADC cosine tracks exact cosine within the lossy-code bound") {
+    // 8-byte codes on 64-dim random vectors: reconstruction error is
+    // real but bounded; 0.5 is ~4x the worst observed gap and still
+    // catches any sign/scale/offset bug (those produce errors ~1-2)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 50).select($"id", $"cos_sim")
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, model, k = 500)
+      .select($"id", $"pq_cos")
+    val joined = exact.join(pq, "id")
+      .select(abs($"cos_sim" - $"pq_cos").as("err"))
+      .agg(max($"err")).as[Double].collect().head
+    assert(joined <= 0.5, s"max |pq_cos - cos| = $joined")
+  }
+
+  test("ADC scan plans as TakeOrderedAndProject, no global sort") {
+    val plan = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, model, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(!plan.contains("Sort ["), plan.take(800))
+  }
+}
