@@ -1826,6 +1826,33 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_pq_rerank", // the production ANN recipe: ADC candidate scan →
+      // exact float re-rank of only the candidate pool. Gated in its
+      // oracle-able degenerate case: pool >= corpus makes candidate
+      // generation lossless, so the re-ranked result must equal the
+      // exact brute-force top-k BIT FOR BIT — same oracle as
+      // q_cosine_knn. Recall-vs-pool behavior at lossy pool sizes is
+      // pinned in PqSpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = pqModelFor(s"rerank:$d",
+          Similarity.trainPq(emb, "vec_id", "embedding",
+            m = 8, nbits = 8, iters = 10))
+        Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+          queryId = 0L, model, k = 20, pool = 100000)
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT e.vec_id AS id,
+             |  list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS c
+             |  FROM embeddings e, q WHERE e.vec_id <> 0)
+             |SELECT id, round(c, 6) + 0 AS cos_sim FROM s
+             |ORDER BY round(c, 6) DESC, id LIMIT 20""".stripMargin)),
+
     Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:
       // O(n^2) all-pairs — the correctness spec for the SRP-blocked
       // variant below, and directly oracle-able

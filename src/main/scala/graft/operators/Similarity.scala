@@ -676,6 +676,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ candidates re-ranked EXACTLY — the production ANN recipe: the
+    * cheap ADC scan over m-byte codes keeps a `pool`-sized candidate
+    * list (pool ≈ 4-10x k), then only those `pool` rows join back to
+    * the float table by id for exact cosine. The expensive float math
+    * runs on `pool` rows instead of the corpus; the broadcast-able
+    * candidate list makes the re-rank join a corpus-scan-free probe.
+    * With `pool >= corpus` the result IS the exact [[cosineTopK]]
+    * (every row survives candidate generation) — the oracle-able
+    * degenerate case; real deployments size `pool` by recall target. */
+  def pqTopKReranked(df: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, model: PqModel, k: Int,
+                     pool: Int): DataFrame = {
+    require(pool >= k, s"pool ($pool) must cover k ($k)")
+    val cands = pqTopK(df, idCol, vecCol, queryId, model, pool)
+      .select(col("id"))
+    val q = broadcast(df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec")))
+    df.join(broadcast(cands), df(idCol) === cands("id"))
+      .join(q)
+      .select(df(idCol).as("id"),
+        round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** One-call ADC top-k (encode-on-the-fly form of
     * [[pqTopKPrequantized]], for corpora not yet materialized). */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,

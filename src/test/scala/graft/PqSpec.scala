@@ -89,6 +89,26 @@ class PqSpec extends SparkSpec {
     assert(joined <= 0.5, s"max |pq_cos - cos| = $joined")
   }
 
+  test("exact re-rank of a lossy candidate pool lifts recall") {
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).select($"id").as[Long].collect().toSet
+    def recall(ids: Set[Long]): Int = exact.intersect(ids).size
+    val pqOnly = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, model, k = 10).select($"id").as[Long].collect().toSet
+    // a 10x candidate pool re-ranked exactly must do at least as well
+    // as trusting the lossy ADC order outright
+    val reranked = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+      queryId = 0L, model, k = 10, pool = 100)
+      .select($"id").as[Long].collect().toSet
+    assert(recall(reranked) >= recall(pqOnly),
+      s"rerank ${recall(reranked)} < pq ${recall(pqOnly)}")
+    // and a corpus-sized pool is EXACT (the q_pq_rerank gate's claim)
+    val full = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+      queryId = 0L, model, k = 10, pool = 1000000)
+      .select($"id").as[Long].collect().toSet
+    assert(full == exact)
+  }
+
   test("ADC scan plans as TakeOrderedAndProject, no global sort") {
     val plan = Similarity.pqTopK(emb, "vec_id", "embedding",
       queryId = 0L, model, k = 10).queryExecution.executedPlan.toString
