@@ -1546,6 +1546,61 @@ object QueryCatalog {
       // q_incr_bench, so the timed cost is the delta probe itself
       headline = true),
 
+    Q("q_incremental_bloom", // the bloom-sidecar probe: same planted
+      // delta and same oracle as q_incremental_exact, but the probe
+      // answers definite corpus-misses from the per-leaf bloom sidecar
+      // and reads only leaves holding a surviving candidate — the
+      // at-scale shape where a mostly-new delta touches megabytes of
+      // sidecar instead of the index. dup_of must come out IDENTICAL
+      // (blooms have no false negatives; false positives only cost a
+      // leaf read), so the gate is the full exact oracle, not a
+      // tolerance.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xidx_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Dedup.buildExactIndex(docs, "doc_id", "text", dir)
+        if (!new java.io.File(s"$dir/_blooms", "_SUCCESS").exists())
+          Dedup.writeExactIndexBlooms(s, dir,
+            expectedItemsPerLeaf = 100000L)
+        val base = docs.filter(col("doc_id") < 6)
+        val delta = base
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
+            col("text")))
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select(lit(3000001L).as("doc_id"), upper(col("text")).as("text")))
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select(lit(3000002L).as("doc_id"), upper(col("text")).as("text")))
+        Dedup.incrementalExactDedupBloom(s, dir, delta, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("dup_of"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 6),
+             |delta AS (
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM base
+             |  UNION ALL SELECT doc_id + 2000000, text FROM base
+             |  UNION ALL SELECT CAST(3000001 AS BIGINT), upper(text)
+             |    FROM documents WHERE doc_id = 0
+             |  UNION ALL SELECT CAST(3000002 AS BIGINT), upper(text)
+             |    FROM documents WHERE doc_id = 0),
+             |corpus_min AS (
+             |  SELECT text, min(doc_id) AS m FROM documents
+             |  WHERE text IS NOT NULL GROUP BY text),
+             |delta_min AS (
+             |  SELECT text, min(doc_id) AS m FROM delta
+             |  WHERE text IS NOT NULL GROUP BY text)
+             |SELECT d.doc_id,
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |       ELSE coalesce(c.m,
+             |         CASE WHEN d.doc_id <> dm.m THEN dm.m END) END AS dup_of
+             |FROM delta d
+             |LEFT JOIN corpus_min c ON d.text = c.text
+             |LEFT JOIN delta_min dm ON d.text = dm.text""".stripMargin)),
+
     Q("q_incr_bench", // headline twin of q_incremental_dedup: the
       // persisted index is staged ONCE per (process, sf) — its
       // deployment shape (built at ingest, probed per delta batch) —

@@ -403,6 +403,121 @@ object Dedup {
           lit(null).cast(idType).as("dup_of")))
   }
 
+  /** Column wrapper over Spark's internal bloom-filter aggregate (the
+    * expression behind runtime join pruning): builds one bloom over
+    * `xxhash64(c)`. */
+  private def bloomAgg(c: Column, expectedItems: Long): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.GraftBridge.expression(xxhash64(c)),
+          expectedItems)
+        .toAggregateExpression())
+
+  /** Per-leaf bloom sidecar for a [[buildExactIndex]] layout, written
+    * to `indexPath/_blooms` (underscore prefix = invisible to parquet
+    * directory listings, so index scans never pick it up). One bloom
+    * row per `hmod` leaf over that leaf's content hashes.
+    *
+    * Why: [[incrementalExactDedup]] prunes the probe to the delta's
+    * prefix leaves, but still READS every one of those leaves — and at
+    * 256 prefixes a modest delta touches most of them. For the
+    * dominant at-scale case (most new docs are genuinely new), the
+    * bloom answers "no such hash in this leaf" from megabytes of
+    * sidecar instead of scanning terabytes of index. False positives
+    * only cost extra reads, never correctness (no false negatives).
+    * Rebuild after appending to the index — a stale sidecar CAN miss
+    * newer corpus hashes. */
+  def writeExactIndexBlooms(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String,
+                            expectedItemsPerLeaf: Long = 1000000L): Unit =
+    spark.read.parquet(indexPath)
+      .groupBy(col("hmod"))
+      .agg(bloomAgg(col("content_hash"), expectedItemsPerLeaf).as("bloom"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexPath/_blooms")
+
+  /** The delta hashes that MIGHT exist in the corpus, per the bloom
+    * sidecar: everything filtered out here is definitely absent.
+    * The sidecar is collected to the driver — bounded by
+    * [[ExactIndexMods]] x bloom size, the same boundedness argument as
+    * the prefix-key collect — and rides into the filter as a codegen
+    * reference object ([[graft.plans.BloomSidecarContains]]): Spark's
+    * own `might_contain` demands a CONSTANT bloom, and a per-leaf map
+    * beats 256 scalar subqueries. A hash whose leaf has no sidecar row
+    * is definitely absent (the leaf holds no corpus hashes at all).
+    * Exposed for spec assertions; `deltaHashes` must carry
+    * `content_hash`. */
+  private[graft] def bloomCandidateHashes(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      deltaHashes: DataFrame): DataFrame = {
+    val blooms: Map[Int, Seq[Byte]] =
+      spark.read.parquet(s"$indexPath/_blooms")
+        .select(col("hmod"), col("bloom")).collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    deltaHashes.select(col("content_hash")).distinct()
+      .filter(graft.plans.BloomSidecarContains.contains(
+        col("content_hash"), blooms))
+  }
+
+  /** [[incrementalExactDedup]] with the bloom sidecar in front: delta
+    * hashes that no leaf can contain are settled as corpus-miss without
+    * touching the index, and only leaves holding a surviving candidate
+    * are read at all. Output is IDENTICAL to the plain probe (the bloom
+    * has no false negatives; false positives just read a leaf that then
+    * matches nothing). Falls back to the plain probe when the sidecar
+    * is missing. The broadcast blooms are bounded by
+    * `ExactIndexMods x bloom size` — size `expectedItemsPerLeaf` so a
+    * leaf bloom stays ~1 MB. */
+  def incrementalExactDedupBloom(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, newDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxBroadcastDeltaRows: Long = 8L * 1000 * 1000): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_blooms")))
+      return incrementalExactDedup(spark, indexPath, newDocs, idCol,
+        textCol, maxBroadcastDeltaRows)
+    val idType = newDocs.schema(newDocs.schema.fieldIndex(idCol)).dataType
+    val hashed = Materialize(
+      newDocs.select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("content_hash")),
+      eager = false)
+    val nn = hashed.filter(col("content_hash").isNotNull)
+    // candidates survive the bloom; their prefix keys are the ONLY
+    // leaves worth reading (collected: bounded by ExactIndexMods)
+    val cands = Materialize(bloomCandidateHashes(spark, indexPath, nn),
+      eager = false)
+    val keys = cands.select(hashPrefixMod(col("content_hash")).as("k"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val deltaRows = nn.count()
+    val hint: DataFrame => DataFrame =
+      if (deltaRows <= maxBroadcastDeltaRows) broadcast(_) else identity
+    val wH = Window.partitionBy(col("content_hash"))
+    val withDeltaMin = nn.withColumn("delta_min", min(col("id")).over(wH))
+    val leaves = keys.map(k => s"$indexPath/hmod=$k")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val joined = if (leaves.isEmpty) {
+      withDeltaMin.withColumn("corpus_min", lit(null).cast(idType))
+    } else {
+      val index = spark.read.option("basePath", indexPath)
+        .parquet(leaves: _*)
+      val corpusMin = index
+        .join(hint(cands), Seq("content_hash"), "left_semi")
+        .groupBy(col("content_hash"))
+        .agg(min(col("id")).as("corpus_min"))
+      withDeltaMin.join(hint(corpusMin), Seq("content_hash"), "left_outer")
+    }
+    joined
+      .select(col("id"), col("content_hash"),
+        coalesce(col("corpus_min"),
+          when(col("id") =!= col("delta_min"), col("delta_min"))).as("dup_of"))
+      .unionByName(hashed.filter(col("content_hash").isNull)
+        .select(col("id"), col("content_hash"),
+          lit(null).cast(idType).as("dup_of")))
+  }
+
   /** Exact Jaccard over MinHash-LSH candidates: the robust hybrid —
     * candidate pairs come from signature band buckets (immune to the
     * rare-shingle blocking failure, see [[ngramJaccardPairs]]), then the

@@ -547,6 +547,69 @@ case class KllQuantile(child: Expression, q: Double) extends UnaryExpression {
     copy(child = c)
 }
 
+object BloomSidecarContains {
+  /** Column form over an md5-hex `content_hash` column; `blooms` maps
+    * hash-prefix leaf (first two hex chars, base 16 — the
+    * `buildExactIndex` layout key) to serialized spark-sketch bloom
+    * bytes (what `BloomFilterAggregate` emits). */
+  def contains(c: Column, blooms: Map[Int, Seq[Byte]]): Column =
+    GraftBridge.column(
+      BloomSidecarContains(GraftBridge.expression(c), blooms))
+}
+
+/** Membership probe against a per-leaf bloom sidecar held as a codegen
+  * reference object: Spark's own `might_contain` requires its bloom to
+  * be CONSTANT (it caches one deserialized filter), so a 256-leaf
+  * sidecar would need 256 scalar subqueries — this keeps the whole map
+  * in one expression instead. Returns false for a hash whose leaf has
+  * no bloom (that leaf holds no corpus hashes: definitely absent).
+  * The tested hash is `xxhash64(value, seed 42)` — bit-identical to
+  * the `functions.xxhash64` the sidecar was built over. `Seq[Byte]`
+  * values keep case-class structural equality (semanticEquals);
+  * filters deserialize once per task into the unboxed mirror. */
+case class BloomSidecarContains(child: Expression,
+                                blooms: Map[Int, Seq[Byte]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_sidecar_contains"
+
+  @transient private lazy val filters
+      : Map[Int, org.apache.spark.util.sketch.BloomFilter] =
+    blooms.map { case (k, bytes) =>
+      k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes.toArray))
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public: called from generated code. */
+  def compute(hash: UTF8String): Boolean = {
+    val s = hash.toString
+    if (s.length < 2) return false
+    val leaf =
+      try Integer.parseInt(s.substring(0, 2), 16)
+      catch { case _: NumberFormatException => return false }
+    filters.get(leaf) match {
+      case None => false
+      case Some(f) => f.mightContainLong(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(hash, StringType, 42L))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomSidecar", this,
+      classOf[BloomSidecarContains].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomSidecarContains =
+    copy(child = c)
+}
+
 /** Top-`k` heavy hitters of a frequent-items sketch as
   * `array<struct<item string, est long>>`, est desc then item asc
   * (NO_FALSE_POSITIVES: every returned item's true count is >= its
