@@ -3387,6 +3387,40 @@ object QueryCatalog {
       Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
              |  CAST(1.0 AS DOUBLE) AS top1_cos,
              |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
+
+    Q("q_ivfpq_topk", // the composed IVF-PQ index (FAISS IVFADC
+      // shape): centroid cells prune the scan to probes/nCells of the
+      // corpus AND each surviving row is an 8-byte residual code —
+      // partition pruning x 32x compression in one index. Planted
+      // gate: the exact copy of query vector 0 shares the query's
+      // cell (identical vector -> identical assignment) and its
+      // residual encodes to the query's own codes, so single-probe
+      // rank-1 (after excluding the query row, k=21 trick) must be
+      // id 1000000 with all 20 slots filled. Index staged once per
+      // (process, sf), _SUCCESS-gated.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = plantedEmbeddings(s, d)
+        if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists())
+          Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+            nCells = 8, m = 8, nbits = 8, iters = 3)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfPqTopK(s, dir, qVec, k = 21, probes = 1)
+          .filter(col("id") =!= 0L)
+          .agg(
+            max_by(col("id"), struct(col("pq_cos"), -col("id")))
+              .as("top1_id"),
+            count(lit(1)).as("n_rows"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(20 AS BIGINT) AS n_rows,
+             |  true AS cos_bounded""".stripMargin)),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

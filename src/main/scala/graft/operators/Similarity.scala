@@ -526,6 +526,15 @@ object Similarity {
       .orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
       .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "trainPq: empty input")
+    trainPqLocal(sample, m, nbits, iters)
+  }
+
+  /** Fit codebooks from already-collected (sampled) vectors — shared by
+    * [[trainPq]] (normalized corpus vectors) and [[buildIvfPqIndex]]
+    * (cell residuals, which must NOT be re-normalized). */
+  private def trainPqLocal(sample: Array[Array[Double]], m: Int,
+                           nbits: Int, iters: Int): PqModel = {
+    require(nbits >= 1 && nbits <= 8, s"nbits out of 1..8: $nbits")
     val d = sample.head.length
     require(d % m == 0, s"trainPq: dim $d not divisible by m=$m")
     val dsub = d / m
@@ -637,20 +646,7 @@ object Similarity {
   def pqLut(query: Seq[Double], model: PqModel): Seq[Seq[Double]] = {
     val nrm = math.sqrt(query.map(x => x * x).sum)
     val qn = if (nrm > 0) query.map(_ / nrm) else query
-    model.codebooks.zipWithIndex.map { case (cents, s) =>
-      val base = s * model.dsub
-      cents.map { cen =>
-        var d2 = 0.0d
-        var i = 0
-        while (i < model.dsub) {
-          val x = if (base + i < qn.length) qn(base + i) else 0.0d
-          val t = x - cen(i)
-          d2 += t * t
-          i += 1
-        }
-        d2
-      }
-    }
+    pqLut0(qn, model)
   }
 
   /** ADC top-k over a [[writePqCorpus]] layout for the query vector of
@@ -717,4 +713,121 @@ object Similarity {
       .orderBy(col("pq_cos").desc, col("id"))
       .limit(k)
   }
+
+  // ---- IVF-PQ (the FAISS IVFADC composition): centroid cells prune
+  // the scan to `probes`/nCells of the corpus AND each surviving row
+  // is only an m-byte code — partition pruning x 32x compression in
+  // one index. Codes encode the cell RESIDUAL (vn - centroid), the
+  // standard IVFADC refinement: residuals of a cell live in a much
+  // tighter ball than raw vectors, so the same codebook budget spends
+  // its centroids where the data actually is. ----
+
+  /** Build the composed index at `path`: `codes/` (id, m-byte residual
+    * code) hive-partitioned by cell, `model/` (PQ codebooks over
+    * residuals), `centroids/` (the coarse quantizer). Returns the
+    * centroids. Residual codebooks are fit driver-side on the same
+    * bounded hash-sample as [[kmeansCentroids]]. */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      path: String, nCells: Int = 16, m: Int = 8,
+                      nbits: Int = 8, iters: Int = 4,
+                      maxFitRows: Int = 65536): Seq[Seq[Double]] = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nCells, iters,
+      maxFitRows)
+    val cenArr = centroids.map(_.toArray).toArray
+    // residual sample for the codebook fit: same deterministic
+    // hash-ordered sample, residuals computed locally against the
+    // just-fit coarse quantizer
+    val sample = df
+      .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+      .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
+    val residuals = sample.map { v =>
+      var best = 0; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cenArr.length) {
+        val cen = cenArr(c)
+        var s = 0.0d; var i = 0
+        while (i < cen.length && i < v.length) { s += v(i) * cen(i); i += 1 }
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      val cen = cenArr(best)
+      v.zipWithIndex.map { case (x, i) =>
+        x - (if (i < cen.length) cen(i) else 0.0d) }
+    }
+    val model = trainPqLocal(residuals, m, nbits, iters)
+    // one distributed pass: assign cell, subtract its centroid, encode
+    val cenLit = typedlit(centroids.map(_.toSeq))
+    df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("__vn"))
+      .withColumn("cell", nearestCentroid(col("__vn"), centroids))
+      .withColumn("pq_code", graft.plans.PqExpressions.pq_encode(
+        zip_with(col("__vn"), element_at(cenLit, col("cell") + 1),
+          (a, b) => a - b),
+        model.codebooks))
+      .select(col("id"), col("cell"), col("pq_code"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex
+      .flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (cen, c) => (s, c, cen) } }
+      .toDF("s", "c", "cen")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids
+  }
+
+  /** ADC top-k through the composed index: rank cells by
+    * query-centroid similarity, read only the top `probes` partition
+    * directories, score each with its OWN lookup table (the LUT is
+    * per-cell — the query residual differs per cell), union, top-k.
+    * Cost per query: `probes/nCells` of the corpus at m bytes per
+    * row. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                queryVec: Array[Float], k: Int,
+                probes: Int = 1): DataFrame = {
+    val model = loadPqModel(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val nrm = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val qn = if (nrm > 0) queryVec.map(_ / nrm) else queryVec.map(_.toDouble)
+    val cells = centroids.toSeq
+      .map { case (ci, c) =>
+        ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
+      .sortBy { case (ci, s) => (-s, ci) }
+      .take(math.max(1, probes)).map(_._1)
+    val codes = spark.read.parquet(s"$path/codes")
+    val perCell = cells.map { ci =>
+      val res = qn.zip(centroids(ci)).map { case (a, b) => a - b }
+      val lut = pqLut0(res, model)
+      codes.filter(col("cell") === ci) // -> partition pruning
+        .select(col("id"),
+          (lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
+            col("pq_code"), lut) / 2.0d).as("pq_cos"))
+    }
+    perCell.reduce(_ unionByName _)
+      .orderBy(col("pq_cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** [[pqLut]] without re-normalizing (the input is already a residual
+    * in normalized space). */
+  private def pqLut0(res: Seq[Double], model: PqModel): Seq[Seq[Double]] =
+    model.codebooks.zipWithIndex.map { case (cents, s) =>
+      val base = s * model.dsub
+      cents.map { cen =>
+        var d2 = 0.0d
+        var i = 0
+        while (i < model.dsub) {
+          val x = if (base + i < res.length) res(base + i) else 0.0d
+          val t = x - cen(i)
+          d2 += t * t
+          i += 1
+        }
+        d2
+      }
+    }
 }

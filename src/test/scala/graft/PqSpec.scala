@@ -109,6 +109,35 @@ class PqSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF-PQ: planted copy retrieved through the composed index") {
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" === 0L)
+        .select(lit(1000000L).as("vec_id"), $"embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.buildIvfPqIndex(planted, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nbits = 8, iters = 3)
+    val qVec = planted.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    val probe = Similarity.ivfPqTopK(spark, dir, qVec, k = 11, probes = 1)
+      .filter($"id" =!= 0L)
+    val rows = probe.as[(Long, Double)].collect()
+    assert(rows.head._1 == 1000000L, s"top1=${rows.head}")
+    assert(rows.length == 10)
+    // the single-probe scan is partition-pruned to ONE cell directory
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    // widening the probe to every cell can only improve recall vs the
+    // exact neighbors (it degenerates to a full residual-PQ scan)
+    val exact = Similarity.cosineTopK(planted, "vec_id", "embedding",
+      queryId = 0L, k = 10).select($"id").as[Long].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      exact.intersect(df.filter($"id" =!= 0L).limit(10)
+        .select($"id").as[Long].collect().toSet).size
+    val r1 = recall(Similarity.ivfPqTopK(spark, dir, qVec, 11, probes = 1))
+    val r8 = recall(Similarity.ivfPqTopK(spark, dir, qVec, 11, probes = 8))
+    assert(r8 >= r1, s"probes=8 recall $r8 < probes=1 recall $r1")
+  }
+
   test("ADC scan plans as TakeOrderedAndProject, no global sort") {
     val plan = Similarity.pqTopK(emb, "vec_id", "embedding",
       queryId = 0L, model, k = 10).queryExecution.executedPlan.toString
