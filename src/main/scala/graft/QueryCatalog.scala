@@ -701,6 +701,29 @@ object QueryCatalog {
              |  count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    Q("q_sketch_stream_exec", // STREAMING sketch-table maintenance:
+      // drain the events source through the real incremental engine,
+      // each micro-batch appending per-(hour, type) theta sketches of
+      // its user_ids; then answer "distinct users per window" by
+      // MERGING the persisted per-batch sketch rows — never rescanning
+      // events. Theta is exact-mode at test-SF distinct counts, so the
+      // merged estimates hash-match the exact DISTINCT oracle (the
+      // at-scale behavior degrades to ~1.6% RSE, q_theta_overlap's
+      // documented envelope).
+      (s, d) => {
+        val dir = scratchDir("graft-sketch-stream")
+        graft.streaming.EventStreams.sketchAvailableNow(
+          s, s"$d/events.parquet", s"$dir/sk", s"$dir/ckpt")
+        val sk = s.read.parquet(s"$dir/sk/batch=*")
+        sk.groupBy(col("w_start"), col("event_type"))
+          .agg(theta_union_agg(col("theta"), 12).as("theta"))
+          .select(col("w_start"), col("event_type"),
+            theta_sketch_estimate(col("theta")).as("n_users"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     Q("q_event_sessions", // gap-based sessionization (30 min)
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1254,7 +1277,7 @@ object QueryCatalog {
         val li = t(s, d, "lineitem")
         val perBatch = li
           .groupBy(col("l_returnflag"), col("l_linenumber"))
-          .agg(graft.plans.SketchAggregates.kll_sketch_agg(
+          .agg(kll_sketch_agg_double(
             col("l_extendedprice").cast("double"), 200).as("kll"))
         val merged = graft.operators.Sketches.kllMergeBy(
           perBatch, "l_returnflag")
@@ -1266,9 +1289,9 @@ object QueryCatalog {
             expr("percentile(l_extendedprice, 0.95)").as("hi90"))
         merged.join(bands, "l_returnflag")
           .select(col("l_returnflag"), col("n"),
-            graft.plans.SketchAggregates.kll_quantile(col("kll"), 0.5)
+            kll_sketch_get_quantile_double(col("kll"), lit(0.5))
               .between(col("lo50"), col("hi50")).as("p50_in_band"),
-            graft.plans.SketchAggregates.kll_quantile(col("kll"), 0.9)
+            kll_sketch_get_quantile_double(col("kll"), lit(0.9))
               .between(col("lo90"), col("hi90")).as("p90_in_band"))
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

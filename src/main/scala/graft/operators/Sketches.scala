@@ -51,9 +51,10 @@ object Sketches {
   // cross-source overlap / contamination questions need at 100 TB:
   // "how many of source A's users/docs also appear in B" without ever
   // joining the raw data — one sketch-build scan per source, then
-  // set-algebra over KB-sized sketch rows) ----
-
-  import graft.plans.SketchAggregates._
+  // set-algebra over KB-sized sketch rows). Spark 4.1 ships the whole
+  // theta menu as BUILT-INS (`theta_sketch_agg` etc., DataSketches
+  // format, same library as the HLL pair above) — these helpers are
+  // thin composition, no custom expressions (§7.3: built-ins first) ----
 
   /** Per-group theta distinct sketches of `valueCol` (binary column
     * `theta`, DataSketches compact format). Exact while per-group
@@ -71,9 +72,10 @@ object Sketches {
 
   /** Pairwise overlap between every two groups' sketches: for each
     * unordered pair (a < b by group key), the estimated |A|, |B|,
-    * |A ∩ B| and |A \ B|. The self-join runs over ONE ROW PER GROUP
-    * (sketch rows, not data), broadcast — at any corpus scale this is
-    * metadata-sized work after the single build scan. */
+    * |A ∩ B| and |A \ B| (longs — the built-in estimate's rounding).
+    * The self-join runs over ONE ROW PER GROUP (sketch rows, not
+    * data), broadcast — at any corpus scale this is metadata-sized
+    * work after the single build scan. */
   def thetaOverlap(sketches: DataFrame, groupCol: String,
                    sketchCol: String = "theta"): DataFrame = {
     val a = sketches.select(col(groupCol).as("group_a"),
@@ -82,34 +84,39 @@ object Sketches {
       col(sketchCol).as("sk_b"))
     a.join(broadcast(b), col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"),
-        theta_estimate(col("sk_a")).as("n_a"),
-        theta_estimate(col("sk_b")).as("n_b"),
-        theta_estimate(theta_intersect(col("sk_a"), col("sk_b")))
+        theta_sketch_estimate(col("sk_a")).as("n_a"),
+        theta_sketch_estimate(col("sk_b")).as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
           .as("n_common"),
-        theta_estimate(theta_a_not_b(col("sk_a"), col("sk_b")))
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b")))
           .as("n_only_a"))
   }
 
   // ---- KLL: mergeable rank/quantile sketches. Exact percentile()
   // buffers every group value; a KLL sketch is a few KB with a
   // guaranteed normalized rank error, and per-batch sketches merge
-  // into global quantiles without rescanning ----
+  // into global quantiles without rescanning. Build + quantile are
+  // Spark built-ins; the column-of-sketches MERGE aggregate is the one
+  // missing piece (`kll_sketch_merge_double` is a two-sketch scalar),
+  // supplied by [[graft.plans.KllMergeAgg]] ----
 
   /** Per-group KLL sketches of `valueCol` (binary column `kll`). */
   def kllByGroup(df: DataFrame, groupCol: String, valueCol: String,
                  k: Int = 200): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(kll_sketch_agg(col(valueCol).cast("double"), k).as("kll"))
+      .agg(kll_sketch_agg_double(col(valueCol).cast("double"), k).as("kll"))
 
   /** Merge sketch rows to a coarser grouping. */
   def kllMergeBy(sketches: DataFrame, groupCol: String,
                  sketchCol: String = "kll", k: Int = 200): DataFrame =
     sketches.groupBy(col(groupCol))
-      .agg(kll_merge_agg(col(sketchCol), k).as(sketchCol))
+      .agg(graft.plans.SketchAggregates.kll_merge_agg(col(sketchCol), k)
+        .as(sketchCol))
 
   /** Quantile columns at the given ranks for a sketch column. */
   def kllQuantiles(sketch: Column, qs: Seq[Double]): Seq[Column] =
-    qs.map(q => kll_quantile(sketch, q).as(s"p${(q * 100).round}"))
+    qs.map(q => kll_sketch_get_quantile_double(sketch, lit(q))
+      .as(s"p${(q * 100).round}"))
 
   // ---- Frequent items: heavy hitters with Misra-Gries error bounds.
   // Exact top-k by frequency shuffles every distinct item; the sketch
@@ -120,13 +127,16 @@ object Sketches {
   def freqByGroup(df: DataFrame, groupCol: String, itemCol: String,
                   maxMapSize: Int = 1024): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(freq_items_agg(col(itemCol), maxMapSize).as("fi"))
+      .agg(graft.plans.SketchAggregates
+        .freq_items_agg(col(itemCol), maxMapSize).as("fi"))
 
   /** Merge all sketch rows and return the global top-k as
     * (item, est) rows, est desc then item asc. */
   def freqTop(sketches: DataFrame, k: Int, sketchCol: String = "fi",
               maxMapSize: Int = 1024): DataFrame =
-    sketches.agg(freq_merge_agg(col(sketchCol), maxMapSize).as(sketchCol))
-      .select(explode(freq_top_items(col(sketchCol), k)).as("t"))
+    sketches.agg(graft.plans.SketchAggregates
+        .freq_merge_agg(col(sketchCol), maxMapSize).as(sketchCol))
+      .select(explode(graft.plans.SketchAggregates
+        .freq_top_items(col(sketchCol), k)).as("t"))
       .select(col("t.item").as("item"), col("t.est").as("est"))
 }

@@ -54,43 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("id_pairs"),
       new ExpressionInfo(classOf[IdPairs].getName, "id_pairs"),
       (exprs: Seq[Expression]) => IdPairs(exprs.head)))
-    // mergeable-sketch aggregates + post-processing scalars
-    // (SketchAggregates: theta set algebra, KLL quantiles, heavy
-    // hitters). The analyzer wraps a bare AggregateFunction returned
+    // custom sketch aggregates + post-processing scalars — ONLY what
+    // Spark 4 lacks (theta and KLL build/scalar functions are Spark
+    // built-ins already in the SQL registry; see SketchAggregates
+    // scaladoc). The analyzer wraps a bare AggregateFunction returned
     // from a builder in its AggregateExpression during resolution.
-    ext.injectFunction((
-      FunctionIdentifier("theta_sketch_agg"),
-      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
-      (exprs: Seq[Expression]) => ThetaSketchAgg(exprs.head, intArg(exprs.lift(1).orNull, 12))))
-    ext.injectFunction((
-      FunctionIdentifier("theta_union_agg"),
-      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
-      (exprs: Seq[Expression]) => ThetaUnionAgg(exprs.head, intArg(exprs.lift(1).orNull, 12))))
-    ext.injectFunction((
-      FunctionIdentifier("theta_estimate"),
-      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
-      (exprs: Seq[Expression]) => ThetaEstimate(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("theta_intersect"),
-      new ExpressionInfo(classOf[ThetaIntersect].getName, "theta_intersect"),
-      (exprs: Seq[Expression]) => ThetaIntersect(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("theta_a_not_b"),
-      new ExpressionInfo(classOf[ThetaAnotB].getName, "theta_a_not_b"),
-      (exprs: Seq[Expression]) => ThetaAnotB(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("kll_sketch_agg"),
-      new ExpressionInfo(classOf[KllDoublesAgg].getName, "kll_sketch_agg"),
-      (exprs: Seq[Expression]) => KllDoublesAgg(exprs.head, intArg(exprs.lift(1).orNull, 200))))
     ext.injectFunction((
       FunctionIdentifier("kll_merge_agg"),
       new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
       (exprs: Seq[Expression]) => KllMergeAgg(exprs.head, intArg(exprs.lift(1).orNull, 200))))
-    ext.injectFunction((
-      FunctionIdentifier("kll_quantile"),
-      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
-      (exprs: Seq[Expression]) => KllQuantile(exprs.head,
-        exprs(1).eval().asInstanceOf[Double])))
     ext.injectFunction((
       FunctionIdentifier("freq_items_agg"),
       new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items_agg"),

@@ -146,6 +146,42 @@ object EventStreams {
     outDir
   }
 
+  /** Streaming maintenance of a mergeable sketch table — the streaming
+    * face of [[graft.operators.Sketches]]: each micro-batch appends
+    * per-(hour, event_type) THETA sketches of the batch's user_ids to
+    * `sketchDir/batch=<id>`, so ingest keeps the sketch table current
+    * and any later distinct-count / set-overlap question merges
+    * KB-sized sketch rows ([[graft.operators.Sketches.thetaUnionBy]])
+    * instead of rescanning events — at 100 TB the difference between
+    * answering from metadata and re-shuffling history.
+    *
+    * Idempotence without a table format: a replayed batch rewrites ITS
+    * OWN `batch=<id>` directory deterministically (same events → same
+    * sketch bytes), the same per-batch-directory contract as
+    * [[etlAvailableNow]]. Multiple sketches for one (window, type)
+    * across batches are fine BY CONSTRUCTION — theta unions are the
+    * merge, that is the whole point of a mergeable sketch table.
+    * Returns `sketchDir`. */
+  def sketchAvailableNow(spark: SparkSession, eventsPath: String,
+                         sketchDir: String, checkpointDir: String,
+                         lgK: Int = 12): String = {
+    import org.apache.spark.sql.functions._
+    val q = rawEventSource(spark, eventsPath)
+      .select(date_trunc("hour", col("ts")).as("w_start"),
+        col("event_type"), col("user_id"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.groupBy(col("w_start"), col("event_type"))
+          .agg(theta_sketch_agg(col("user_id"), lgK).as("theta"))
+          .write.mode("overwrite").parquet(s"$sketchDir/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+    sketchDir
+  }
+
   /** Incremental SCD Type-2 maintenance: drain a stream of dimension
     * UPDATES (parquet files landing in `updatesDir`) and fold each
     * micro-batch into a VERSIONED history table at `dimPath` with

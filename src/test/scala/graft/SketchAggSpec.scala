@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Sketches
-import graft.plans.SketchAggregates._
 
 /** Theta / KLL / frequent-items mergeable sketch aggregates
   * ([[graft.plans.SketchAggregates]]).
@@ -27,13 +26,14 @@ class SketchAggSpec extends SparkSpec {
     // 16 input partitions -> 16 partial buffers serialized + merged
     val sk = Sketches.thetaByGroup(
       events.repartition(16), "event_type", "user_id")
-    val est = sk.select($"event_type", theta_estimate($"theta").as("n"))
-      .as[(String, Double)].collect().toMap
+    val est = sk.select($"event_type",
+        theta_sketch_estimate($"theta").as("n"))
+      .as[(String, Long)].collect().toMap
     val exact = events.distinct().groupBy($"event_type").count()
       .as[(String, Long)].collect().toMap
     assert(est.keySet == exact.keySet)
     exact.foreach { case (tpe, n) =>
-      assert(est(tpe) == n.toDouble, s"$tpe: est=${est(tpe)} exact=$n")
+      assert(est(tpe) == n, s"$tpe: est=${est(tpe)} exact=$n")
     }
   }
 
@@ -41,13 +41,13 @@ class SketchAggSpec extends SparkSpec {
     val sk = Sketches.thetaByGroup(events, "event_type", "user_id")
     val overlaps = Sketches.thetaOverlap(sk, "event_type")
       .select($"group_a", $"group_b", $"n_common", $"n_only_a")
-      .as[(String, String, Double, Double)].collect()
+      .as[(String, String, Long, Long)].collect()
     assert(overlaps.nonEmpty)
     overlaps.foreach { case (a, b, common, onlyA) =>
       val (sa, sb) = (userSet(a), userSet(b))
-      assert(common == sa.intersect(sb).size.toDouble,
+      assert(common == sa.intersect(sb).size.toLong,
         s"($a,$b) common: $common vs ${sa.intersect(sb).size}")
-      assert(onlyA == sa.diff(sb).size.toDouble,
+      assert(onlyA == sa.diff(sb).size.toLong,
         s"($a,$b) onlyA: $onlyA vs ${sa.diff(sb).size}")
     }
   }
@@ -61,23 +61,24 @@ class SketchAggSpec extends SparkSpec {
       .write.parquet(s"$dir/b=1")
     val merged = Sketches.thetaUnionBy(
         spark.read.parquet(s"$dir/b=*"), "event_type")
-      .select($"event_type", theta_estimate($"theta").as("n"))
-      .as[(String, Double)].collect().toMap
+      .select($"event_type", theta_sketch_estimate($"theta").as("n"))
+      .as[(String, Long)].collect().toMap
     val exact = events.distinct().groupBy($"event_type").count()
       .as[(String, Long)].collect().toMap
     exact.foreach { case (tpe, n) =>
-      assert(merged(tpe) == n.toDouble, s"$tpe: ${merged(tpe)} vs $n")
+      assert(merged(tpe) == n, s"$tpe: ${merged(tpe)} vs $n")
     }
   }
 
   test("kll per-batch sketches merge to in-band global quantiles") {
     val li = Tables.lineitem(spark, sfDir)
     val perBatch = li.groupBy($"l_returnflag", $"l_linenumber")
-      .agg(kll_sketch_agg($"l_extendedprice".cast("double")).as("kll"))
+      .agg(kll_sketch_agg_double($"l_extendedprice".cast("double"))
+        .as("kll"))
     val merged = Sketches.kllMergeBy(perBatch, "l_returnflag")
       .select($"l_returnflag",
-        kll_quantile($"kll", 0.5).as("p50"),
-        kll_quantile($"kll", 0.9).as("p90"))
+        kll_sketch_get_quantile_double($"kll", lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double($"kll", lit(0.9)).as("p90"))
     val bands = li.groupBy($"l_returnflag").agg(
       expr("percentile(l_extendedprice, 0.45)").as("lo50"),
       expr("percentile(l_extendedprice, 0.55)").as("hi50"),
@@ -108,15 +109,43 @@ class SketchAggSpec extends SparkSpec {
     assert(top.toSeq == exact.toSeq, s"top=$top exact=$exact")
   }
 
+  test("stream-maintained sketch table merges to the exact answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sks").toString
+    graft.streaming.EventStreams.sketchAvailableNow(
+      spark, s"$sfDir/events.parquet", s"$dir/sk", s"$dir/ckpt")
+    val merged = spark.read.parquet(s"$dir/sk/batch=*")
+      .groupBy($"w_start", $"event_type")
+      .agg(theta_union_agg($"theta", 12).as("theta"))
+      .select($"w_start", $"event_type",
+        theta_sketch_estimate($"theta").as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, n) => (w.toString, t) -> n }.toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("w_start"), $"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, n) => (w.toString, t) -> n }.toMap
+    assert(merged == exact)
+  }
+
   test("sketch aggregates register for spark.sql and partial-aggregate") {
-    registerAll(spark)
+    graft.plans.SketchAggregates.registerAll(spark)
     events.createOrReplaceTempView("ev_sketch_test")
+    // theta is Spark's own SQL registration (built-in since 4.x) …
     val n = spark.sql(
-      """SELECT theta_estimate(theta_sketch_agg(user_id)) AS n
+      """SELECT theta_sketch_estimate(theta_sketch_agg(user_id)) AS n
         |FROM ev_sketch_test""".stripMargin)
-      .as[Double].collect().head
+      .as[Long].collect().head
     val exact = events.select($"user_id").distinct().count()
-    assert(n == exact.toDouble, s"sql est=$n exact=$exact")
+    assert(n == exact, s"sql est=$n exact=$exact")
+    // … the custom frequent-items trio comes from registerAll
+    val topSql = spark.sql(
+      """SELECT t.item, t.est FROM (
+        |  SELECT explode(freq_top_items(freq_merge_agg(fi), 3)) AS t
+        |  FROM (SELECT freq_items_agg(event_type) AS fi
+        |        FROM ev_sketch_test GROUP BY user_id % 4))""".stripMargin)
+      .as[(String, Long)].collect()
+    assert(topSql.length == 3 && topSql.map(_._2).sum > 0)
     // TypedImperativeAggregate plans through ObjectHashAggregate with a
     // partial below the exchange: the shuffle carries sketch states
     val plan = Sketches.thetaByGroup(events, "event_type", "user_id")
