@@ -430,35 +430,42 @@ object Dedup {
     * newer corpus hashes. */
   def writeExactIndexBlooms(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String,
-                            expectedItemsPerLeaf: Long = 1000000L): Unit =
+                            expectedItemsPerLeaf: Long = 100000L): Unit =
+    // size expectedItemsPerLeaf ≈ corpus distinct hashes / ExactIndexMods
+    // (the per-leaf population under the uniform md5 prefix split);
+    // 100k ≈ a 25M-hash corpus at the default fpp, ~180 KB per bloom —
+    // oversizing only wastes sidecar bytes, undersizing only raises
+    // fpp (extra leaf reads, never wrong answers)
     spark.read.parquet(indexPath)
       .groupBy(col("hmod"))
       .agg(bloomAgg(col("content_hash"), expectedItemsPerLeaf).as("bloom"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$indexPath/_blooms")
 
+  /** Driver-side load of the sidecar — bounded by [[ExactIndexMods]] x
+    * bloom size, the same boundedness argument as the prefix-key
+    * collect. */
+  private def loadBlooms(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Map[Int, Seq[Byte]] =
+    spark.read.parquet(s"$indexPath/_blooms")
+      .select(col("hmod"), col("bloom")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+
   /** The delta hashes that MIGHT exist in the corpus, per the bloom
     * sidecar: everything filtered out here is definitely absent.
-    * The sidecar is collected to the driver — bounded by
-    * [[ExactIndexMods]] x bloom size, the same boundedness argument as
-    * the prefix-key collect — and rides into the filter as a codegen
-    * reference object ([[graft.plans.BloomSidecarContains]]): Spark's
-    * own `might_contain` demands a CONSTANT bloom, and a per-leaf map
+    * The sidecar rides into the filter as a codegen reference object
+    * ([[graft.plans.BloomSidecarContains]]): Spark's own
+    * `might_contain` demands a CONSTANT bloom, and a per-leaf map
     * beats 256 scalar subqueries. A hash whose leaf has no sidecar row
     * is definitely absent (the leaf holds no corpus hashes at all).
     * Exposed for spec assertions; `deltaHashes` must carry
     * `content_hash`. */
   private[graft] def bloomCandidateHashes(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      deltaHashes: DataFrame): DataFrame = {
-    val blooms: Map[Int, Seq[Byte]] =
-      spark.read.parquet(s"$indexPath/_blooms")
-        .select(col("hmod"), col("bloom")).collect()
-        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      deltaHashes: DataFrame): DataFrame =
     deltaHashes.select(col("content_hash")).distinct()
       .filter(graft.plans.BloomSidecarContains.contains(
-        col("content_hash"), blooms))
-  }
+        col("content_hash"), loadBlooms(spark, indexPath)))
 
   /** [[incrementalExactDedup]] with the bloom sidecar in front: delta
     * hashes that no leaf can contain are settled as corpus-miss without
@@ -486,12 +493,18 @@ object Dedup {
       eager = false)
     val nn = hashed.filter(col("content_hash").isNotNull)
     // candidates survive the bloom; their prefix keys are the ONLY
-    // leaves worth reading (collected: bounded by ExactIndexMods)
-    val cands = Materialize(bloomCandidateHashes(spark, indexPath, nn),
-      eager = false)
-    val keys = cands.select(hashPrefixMod(col("content_hash")).as("k"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val deltaRows = nn.count()
+    // leaves worth reading. ONE job folds the surviving-key collect
+    // and the broadcast-gating row count (the plain probe's 'one job'
+    // discipline — per-batch latency here is job-overhead-dominated)
+    val survives = graft.plans.BloomSidecarContains.contains(
+      col("content_hash"), loadBlooms(spark, indexPath))
+    val head = nn.agg(
+      collect_set(when(survives, hashPrefixMod(col("content_hash"))))
+        .as("ks"),
+      count(lit(1)).as("n")).head()
+    val keys = head.getSeq[Int](0)
+    val deltaRows = head.getLong(1)
+    val cands = nn.filter(survives).select(col("content_hash")).distinct()
     val hint: DataFrame => DataFrame =
       if (deltaRows <= maxBroadcastDeltaRows) broadcast(_) else identity
     val wH = Window.partitionBy(col("content_hash"))

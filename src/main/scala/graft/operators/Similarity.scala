@@ -192,22 +192,40 @@ object Similarity {
     * Corpora at or under the cap fit on everything, and the seeds are
     * unchanged by sampling (the k lowest-hash ids are in every sample
     * by construction). `maxFitRows <= 0` disables the cap. */
+  /** The bounded deterministic fit sample shared by every model fit
+    * here ([[kmeansCentroids]], [[trainPq]], [[buildIvfPqIndex]]):
+    * L2-normalized vectors of the `maxFitRows` lowest-xxhash64 ids.
+    * Hash-ordered limit = per-partition top-K + single merge (no full
+    * sort); repartition spreads the single-partition limit result back
+    * out so downstream per-row work parallelizes; eager
+    * materialization so every consumer reads sample blocks, not the
+    * corpus scan — callers that need the sample MORE than once (e.g.
+    * the IVF-PQ build: coarse fit, then residual fit) must reuse ONE
+    * returned frame rather than re-deriving it. */
+  private[operators] def hashSampleVn(df: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      maxFitRows: Int): DataFrame = {
+    val all = df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
+    if (maxFitRows <= 0) all
+    else Materialize(
+      all.orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+        .repartition(col("id")),
+      eager = true)
+  }
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 4,
                       maxFitRows: Int = 100000): Seq[Seq[Double]] = {
     require(maxFitRows <= 0 || maxFitRows >= k,
       s"kmeansCentroids: maxFitRows ($maxFitRows) must cover k ($k) seeds")
-    val all = df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
-    // hash-ordered limit = per-partition top-K + single merge (no full
-    // sort); repartition spreads the single-partition limit result back
-    // out so Lloyd-round assignment parallelizes; eager materialization
-    // so each round reads sample blocks, not the corpus scan
-    val vn =
-      if (maxFitRows <= 0) all
-      else Materialize(
-        all.orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
-          .repartition(col("id")),
-        eager = true)
+    kmeansFromSampleVn(hashSampleVn(df, idCol, vecCol, maxFitRows), k, iters)
+  }
+
+  /** Lloyd rounds over an already-materialized [[hashSampleVn]] frame
+    * (shared so [[buildIvfPqIndex]] fits coarse centroids and residual
+    * codebooks off ONE sample scan). */
+  private def kmeansFromSampleVn(vn: DataFrame, k: Int,
+                                 iters: Int): Seq[Seq[Double]] = {
     // deterministic SPREAD seeding: hash-ordering the ids picks k
     // pseudo-random corpus vectors reproducibly — adjacent-id seeds
     // (e.g. the k lowest) can be correlated (insertion order often is)
@@ -620,7 +638,14 @@ object Similarity {
   def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
                    model: PqModel, path: String): Unit = {
     writePqCorpus(df, idCol, vecCol, model, s"$path/codes")
-    val spark = df.sparkSession
+    writePqModel(df.sparkSession, model, path)
+  }
+
+  /** The persisted model layout (`path/model`: one (s, c, cen) row per
+    * centroid) — single definition shared by [[writePqIndex]] and
+    * [[buildIvfPqIndex]]; [[loadPqModel]] is its inverse. */
+  private def writePqModel(spark: org.apache.spark.sql.SparkSession,
+                           model: PqModel, path: String): Unit = {
     import spark.implicits._
     model.codebooks.zipWithIndex
       .flatMap { case (cents, s) =>
@@ -628,6 +653,14 @@ object Similarity {
       .toDF("s", "c", "cen")
       .repartition(1).write.mode("overwrite").parquet(s"$path/model")
   }
+
+  /** The single definition of ADC scoring: approximate cosine
+    * `1 - d²/2` from the table-lookup distance over `pq_code` —
+    * shared by every PQ query path so formula/tie-break changes cannot
+    * desynchronize them (PqSpec asserts path agreement). */
+  private def adcCos(lut: Seq[Seq[Double]]): Column =
+    lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
+      col("pq_code"), lut) / 2.0d
 
   /** Load the [[writePqIndex]] model (tiny: m x ksub rows). */
   def loadPqModel(spark: org.apache.spark.sql.SparkSession,
@@ -665,9 +698,7 @@ object Similarity {
     val lut = pqLut(q.head.getSeq[Double](0), model)
     spark.read.parquet(path)
       .filter(col("id") =!= queryId)
-      .select(col("id"),
-        (lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
-          col("pq_code"), lut) / 2.0d).as("pq_cos"))
+      .select(col("id"), adcCos(lut).as("pq_cos"))
       .orderBy(col("pq_cos").desc, col("id"))
       .limit(k)
   }
@@ -707,9 +738,7 @@ object Similarity {
     val lut = pqLut(q.head.getSeq[Double](0), model)
     withPqCodes(df, vecCol, model)
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol).as("id"),
-        (lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
-          col("pq_code"), lut) / 2.0d).as("pq_cos"))
+      .select(col(idCol).as("id"), adcCos(lut).as("pq_cos"))
       .orderBy(col("pq_cos").desc, col("id"))
       .limit(k)
   }
@@ -731,15 +760,13 @@ object Similarity {
                       path: String, nCells: Int = 16, m: Int = 8,
                       nbits: Int = 8, iters: Int = 4,
                       maxFitRows: Int = 65536): Seq[Seq[Double]] = {
-    val centroids = kmeansCentroids(df, idCol, vecCol, nCells, iters,
-      maxFitRows)
+    // ONE sample scan feeds both fits: coarse centroids (distributed
+    // Lloyd over the materialized sample) and residual codebooks
+    // (local Lloyd over the same rows, collected once)
+    val vnSample = hashSampleVn(df, idCol, vecCol, maxFitRows)
+    val centroids = kmeansFromSampleVn(vnSample, nCells, iters)
     val cenArr = centroids.map(_.toArray).toArray
-    // residual sample for the codebook fit: same deterministic
-    // hash-ordered sample, residuals computed locally against the
-    // just-fit coarse quantizer
-    val sample = df
-      .select(col(idCol).as("id"), l2normalize(col(vecCol)).as("vn"))
-      .orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+    val sample = vnSample.orderBy(xxhash64(col("id")), col("id"))
       .select(col("vn")).collect().map(_.getSeq[Double](0).toArray)
     val residuals = sample.map { v =>
       var best = 0; var bestS = Double.NegativeInfinity
@@ -769,11 +796,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val spark = df.sparkSession
     import spark.implicits._
-    model.codebooks.zipWithIndex
-      .flatMap { case (cents, s) =>
-        cents.zipWithIndex.map { case (cen, c) => (s, c, cen) } }
-      .toDF("s", "c", "cen")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    writePqModel(spark, model, path)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -804,9 +827,7 @@ object Similarity {
       val res = qn.zip(centroids(ci)).map { case (a, b) => a - b }
       val lut = pqLut0(res, model)
       codes.filter(col("cell") === ci) // -> partition pruning
-        .select(col("id"),
-          (lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
-            col("pq_code"), lut) / 2.0d).as("pq_cos"))
+        .select(col("id"), adcCos(lut).as("pq_cos"))
     }
     perCell.reduce(_ unionByName _)
       .orderBy(col("pq_cos").desc, col("id"))

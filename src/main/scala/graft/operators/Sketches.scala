@@ -113,10 +113,15 @@ object Sketches {
       .agg(graft.plans.SketchAggregates.kll_merge_agg(col(sketchCol), k)
         .as(sketchCol))
 
-  /** Quantile columns at the given ranks for a sketch column. */
+  /** Quantile columns at the given ranks for a sketch column. Labels
+    * keep every significant digit (p50, p99_9) — rounding the label
+    * would let distinct ranks collide into one ambiguous column name. */
   def kllQuantiles(sketch: Column, qs: Seq[Double]): Seq[Column] =
-    qs.map(q => kll_sketch_get_quantile_double(sketch, lit(q))
-      .as(s"p${(q * 100).round}"))
+    qs.map { q =>
+      val label = BigDecimal(q * 100).underlying.stripTrailingZeros
+        .toPlainString.replace('.', '_').replace("-", "m")
+      kll_sketch_get_quantile_double(sketch, lit(q)).as(s"p$label")
+    }
 
   // ---- Frequent items: heavy hitters with Misra-Gries error bounds.
   // Exact top-k by frequency shuffles every distinct item; the sketch

@@ -247,6 +247,29 @@ case class FreqMergeAgg(
     copy(child = c)
 }
 
+/** The per-leaf bloom map carried by [[BloomSidecarContains]].
+  * A class of its own for one load-bearing reason: `Expression.toString`
+  * (and therefore every plan-description string the listener bus
+  * renders per execution) flattens expression arguments — a raw
+  * `Map[Int, Seq[Byte]]` would stringify megabytes of bloom bytes into
+  * each explain/SQL-event payload. This wrapper renders as a short
+  * summary while keeping value-based equality for semanticEquals.
+  * Equality compares sizes + a cheap per-leaf byte-length fingerprint,
+  * not full byte arrays (two sidecars of the same layout differing
+  * only in set bits are astronomically unlikely to collide on
+  * (leaf -> length) while sharing a query plan in one process). */
+final class BloomSidecar(val blooms: Map[Int, Seq[Byte]])
+    extends Serializable {
+  private def fingerprint: Map[Int, Int] = blooms.map { case (k, v) => k -> v.length }
+  override def toString: String =
+    s"BloomSidecar(${blooms.size} leaves, ${blooms.valuesIterator.map(_.length.toLong).sum} bytes)"
+  override def hashCode: Int = fingerprint.hashCode
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomSidecar => b.fingerprint == fingerprint
+    case _ => false
+  }
+}
+
 object BloomSidecarContains {
   /** Column form over an md5-hex `content_hash` column; `blooms` maps
     * hash-prefix leaf (first two hex chars, base 16 — the
@@ -254,7 +277,8 @@ object BloomSidecarContains {
     * bytes (what `BloomFilterAggregate` emits). */
   def contains(c: Column, blooms: Map[Int, Seq[Byte]]): Column =
     GraftBridge.column(
-      BloomSidecarContains(GraftBridge.expression(c), blooms))
+      BloomSidecarContains(GraftBridge.expression(c),
+        new BloomSidecar(blooms)))
 }
 
 /** Membership probe against a per-leaf bloom sidecar held as a codegen
@@ -264,11 +288,11 @@ object BloomSidecarContains {
   * in one expression instead. Returns false for a hash whose leaf has
   * no bloom (that leaf holds no corpus hashes: definitely absent).
   * The tested hash is `xxhash64(value, seed 42)` — bit-identical to
-  * the `functions.xxhash64` the sidecar was built over. `Seq[Byte]`
-  * values keep case-class structural equality (semanticEquals);
-  * filters deserialize once per task into the unboxed mirror. */
+  * the `functions.xxhash64` the sidecar was built over. The
+  * [[BloomSidecar]] wrapper keeps plan strings compact; filters
+  * deserialize once per task into the unboxed mirror. */
 case class BloomSidecarContains(child: Expression,
-                                blooms: Map[Int, Seq[Byte]])
+                                sidecar: BloomSidecar)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -277,7 +301,7 @@ case class BloomSidecarContains(child: Expression,
 
   @transient private lazy val filters
       : Map[Int, org.apache.spark.util.sketch.BloomFilter] =
-    blooms.map { case (k, bytes) =>
+    sidecar.blooms.map { case (k, bytes) =>
       k -> org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes.toArray))
     }
