@@ -933,6 +933,90 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_curate", // the ONE-CALL curation pipeline: Gopher quality
+      // gates -> exact dedup among passers -> benchmark
+      // decontamination, composed into a single DAG with per-stage
+      // attribution per input doc (curation at scale is audited by
+      // its reject reasons). Duplicates are planted (docs 0..9 recopied
+      // at +1M — dup leg exercised: the copy of any passing original
+      // must be flagged, the original kept); eval set = docs < 20 at
+      // 3-grams (both contamination branches exercised, the
+      // q_decontaminate configuration); minTokens=30 (the
+      // q_gopher_rules configuration — both quality branches
+      // exercised). The oracle composes the three stage oracles.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val planted = docs.select(col("doc_id"), col("text")).unionByName(
+          docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        CorpusOps.curate(planted, "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "text",
+          minTokens = 30, contamN = 3)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents
+             |  WHERE doc_id < 10),
+             |b AS (SELECT doc_id AS id, text AS t,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    string_split(text, chr(10)) AS lines FROM p
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |m AS (SELECT id, t, len(toks) AS n,
+             |    CAST(list_aggregate(list_transform(toks,
+             |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+             |      AS raw_wlen,
+             |    CAST(len(regexp_extract_all(t, '#')) +
+             |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+             |      / len(toks) AS raw_sym,
+             |    CAST(len(list_filter(lines,
+             |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+             |      / len(lines) AS raw_bullet,
+             |    CAST(len(list_filter(lines,
+             |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+             |      AS DOUBLE) / len(lines) AS raw_ellipsis,
+             |    CAST(len(list_filter(toks,
+             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             |      / len(toks) AS raw_alpha,
+             |    CAST(len(list_filter(toks, x -> lower(x) IN
+             |        ('the','be','to','of','and','that','have','with')))
+             |      AS BIGINT) AS stop_hits
+             |  FROM b),
+             |q AS (SELECT id, t,
+             |    (n >= 30 AND n <= 100000
+             |      AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
+             |      AND raw_sym < 0.1 AND raw_bullet < 0.9
+             |      AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
+             |      AND stop_hits >= 2) AS quality_ok
+             |  FROM m),
+             |dm AS (SELECT t, min(id) AS m FROM q
+             |  WHERE quality_ok GROUP BY t),
+             |ct AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM p
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
+             |g AS (SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      list_transform(toks, (x, i) ->
+             |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             |      v -> v IS NOT NULL)) AS sh
+             |    FROM ct) u),
+             |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id < 20),
+             |hits AS (SELECT g.doc_id, count(*) AS n
+             |         FROM g JOIN ev USING (sh) GROUP BY 1)
+             |SELECT p.doc_id,
+             |  coalesce(q.quality_ok, false) AS quality_ok,
+             |  coalesce(q.quality_ok AND p.doc_id <> dm.m, false)
+             |    AS is_dup,
+             |  coalesce(hits.n, 0) > 0 AS contaminated,
+             |  (coalesce(q.quality_ok, false)
+             |    AND NOT coalesce(q.quality_ok AND p.doc_id <> dm.m, false)
+             |    AND NOT (coalesce(hits.n, 0) > 0)) AS kept
+             |FROM p
+             |LEFT JOIN q ON q.id = p.doc_id
+             |LEFT JOIN dm ON dm.t = p.text
+             |LEFT JOIN hits ON hits.doc_id = p.doc_id""".stripMargin)),
+
     Q("q_stratified_sample", // deterministic stratified sample: k docs
       // per source by md5-hash order — reproducible across runs/engines
       // (no rand()), so the oracle draws the identical sample

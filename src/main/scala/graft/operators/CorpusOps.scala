@@ -430,4 +430,57 @@ object CorpusOps {
         round(avg(log(col("c").cast("double") / col("total"))), 4)
           .as("avg_logprob"))
   }
+
+  /** One-call corpus curation: the standard pretraining recipe composed
+    * from this library's independently-gated stages —
+    *   1. Gopher quality gates ([[TextAnalysis.gopherRules]]
+    *      conjunction),
+    *   2. exact dedup AMONG quality passers (the recipe order: no
+    *      point keeping a duplicate slot for a doc quality already
+    *      rejected; first occurrence = min id per distinct text, keyed
+    *      on md5 so the shuffle carries 16-byte hashes, not documents
+    *      — the [[Dedup.buildExactIndex]] identity contract),
+    *   3. benchmark decontamination ([[contaminationFlags]] against
+    *      `evalSet`).
+    *
+    * Returns one row PER INPUT DOC with per-stage attribution —
+    * `(id, quality_ok, is_dup, contaminated, kept)` where
+    * `kept = quality_ok && !is_dup && !contaminated` — rather than
+    * just the survivors: curation at scale is audited by its reject
+    * reasons (what fraction died at which gate), and the attribution
+    * columns make that a groupBy away. Null/blank docs fail quality
+    * and carry false for the later stages.
+    *
+    * Scale shape: all three stages compose into ONE DAG — a
+    * shuffle-free quality scan, one md5-keyed aggregation + probe for
+    * dedup, and the contamination broadcast join — no intermediate
+    * materialization, no corpus-sized driver state. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             evalSet: DataFrame, evalTextCol: String,
+             minTokens: Int = 50, contamN: Int = 8): DataFrame = {
+    val quality = graft.operators.TextAnalysis
+      .gopherRules(docs, idCol, textCol, minTokens)
+      .select(col("id").as(idCol), col("passes").as("quality_ok"))
+    val contam = contaminationFlags(docs, idCol, textCol,
+        evalSet, evalTextCol, contamN)
+      .select(col(idCol), col("contaminated"))
+    val qual = docs
+      .join(quality.filter(col("quality_ok")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("__h"))
+    val firstPer = qual.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__first"))
+    val dup = qual.join(firstPer, Seq("__h"))
+      .select(col(idCol), (col(idCol) =!= col("__first")).as("is_dup"))
+    docs.select(col(idCol))
+      .join(quality, Seq(idCol), "left_outer")
+      .join(dup, Seq(idCol), "left_outer")
+      .join(contam, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("kept",
+        col("quality_ok") && !col("is_dup") && !col("contaminated"))
+  }
 }

@@ -312,4 +312,33 @@ class CorpusOpsSpec extends SparkSpec {
         "doc_id", "text", maxTokens = 8, stride = 9)
     }
   }
+
+  test("curate: per-stage attribution is consistent and dups resolve to originals") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val out = CorpusOps.curate(planted, "doc_id", "text",
+        docs.filter($"doc_id" < 20), "text", minTokens = 30, contamN = 3)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    // every input doc exactly once, attribution consistent
+    assert(out.length == planted.count())
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (id, q, dup, cont, kept) =>
+      assert(kept == (q && !dup && !cont), s"doc $id inconsistent")
+      assert(!dup || q, s"doc $id: dup verdict on a quality reject")
+    }
+    // a planted copy of any quality-passing original is the dup, the
+    // original never is (first occurrence = min id)
+    val byId = out.map(r => r._1 -> r).toMap
+    (0L until 10L).foreach { k =>
+      if (byId(k)._2) {
+        assert(byId(k + 1000000)._3, s"copy of passing doc $k not dup")
+        assert(!byId(k)._3, s"original $k flagged as dup")
+      }
+    }
+    // the pipeline actually curates: some docs kept, some rejected
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
 }
