@@ -933,6 +933,31 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_sentences", // sentence segmentation (the unit for
+      // sentence-level dedup / seq2seq extraction). The corpus has no
+      // terminator punctuation, so one is planted deterministically:
+      // literal replace of ' a ' with '. ' (left-to-right
+      // non-overlapping in both engines) yields multi-sentence docs;
+      // the RE2-safe segmentation pattern then runs verbatim in the
+      // oracle. sent_id numbered before empty filtering on both sides.
+      (s, d) => TextAnalysis.sentences(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            call_function("replace", col("text"), lit(" a "), lit(". "))
+              .as("text")),
+        "doc_id", "text"),
+      Some("""WITH p AS (SELECT doc_id,
+             |    replace(text, ' a ', '. ') AS t
+             |  FROM documents WHERE text IS NOT NULL),
+             |e AS (SELECT doc_id, generate_subscripts(l, 1) AS i,
+             |    unnest(l) AS s FROM (
+             |    SELECT doc_id,
+             |      regexp_extract_all(t, '[^.!?]+[.!?]*') AS l
+             |    FROM p))
+             |SELECT doc_id, CAST(i AS BIGINT) AS sent_id,
+             |  trim(s) AS sentence
+             |FROM e WHERE length(trim(s)) > 0""".stripMargin)),
+
     Q("q_curate", // the ONE-CALL curation pipeline: Gopher quality
       // gates -> exact dedup among passers -> benchmark
       // decontamination, composed into a single DAG with per-stage

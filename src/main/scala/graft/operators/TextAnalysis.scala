@@ -269,4 +269,23 @@ object TextAnalysis {
       when(n > 0, round(topCnt.cast("double") / n.cast("double"), 4))
         .otherwise(lit(0.0d)).as("top_tok_share"))
   }
+
+  /** Sentence segmentation: one row per sentence as
+    * `(id, sent_id, sentence)` — the unit sentence-level dedup,
+    * seq2seq pair extraction, and per-sentence quality filters work
+    * on. A sentence is a maximal run of non-terminator characters
+    * plus its trailing `.`/`!`/`?` run (`[^.!?]+[.!?]*` — an RE2-safe
+    * pattern, so a SQL oracle can run it verbatim; no lookbehind,
+    * which RE2 lacks). `sent_id` numbers matches 1-based BEFORE
+    * empty-trim filtering so ids are stable under whitespace quirks.
+    * Shuffle-free: one regex pass + posexplode per document. */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(call_function("regexp_extract_all",
+          col(textCol), lit("[^.!?]+[.!?]*"), lit(0)))
+          .as(Seq("__i", "__s")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("sent_id"),
+        trim(col("__s")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
 }
