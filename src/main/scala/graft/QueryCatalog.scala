@@ -2040,6 +2040,35 @@ object QueryCatalog {
              |SELECT id, round(c, 6) + 0 AS cos_sim FROM s
              |ORDER BY round(c, 6) DESC, id LIMIT 20""".stripMargin)),
 
+    Q("q_knn_join", // k-NN JOIN: top-3 neighbors for EVERY vector (the
+      // batch op behind semantic-dup graphs / kNN classifiers), exact
+      // O(n²) baseline over a 200-vector slice so the oracle's
+      // all-pairs cosine stays cheap; the per-row cap plans as
+      // WindowGroupLimit (O(n x k) shuffle). Corpus-scale variants:
+      // srpNeighborPairs blocking or ivfPqTopK candidates + re-rank.
+      (s, d) => Similarity.knnJoin(
+        t(s, d, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 3),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id < 200),
+             |pairs AS (SELECT a.vec_id AS id, b.vec_id AS id_b,
+             |  round(
+             |    list_aggregate(list_transform(a.embedding,
+             |      (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             |      'sum')
+             |    / (sqrt(list_aggregate(list_transform(a.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |     * sqrt(list_aggregate(list_transform(b.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             |  , 6) + 0 AS cos_sim
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT id, id_b, cos_sim, row_number() OVER (
+             |    PARTITION BY id ORDER BY cos_sim DESC, id_b) AS rank
+             |  FROM pairs)
+             |SELECT id, CAST(rank AS BIGINT) AS rank,
+             |  id_b AS neighbor_id, cos_sim
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
     Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:
       // O(n^2) all-pairs — the correctness spec for the SRP-blocked
       // variant below, and directly oracle-able

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -483,6 +484,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
+  }
+
+  /** k-NN JOIN: the top-`k` most-similar neighbors for EVERY vector —
+    * the batch operator behind semantic-dup graphs, kNN classifiers,
+    * and retrieval-training negatives. This is the exact O(n²)
+    * baseline (one self-join, then a per-row top-k): the shape a SQL
+    * oracle can check. The per-row cap compiles to WindowGroupLimit
+    * (Spark 3.5+), so each map task keeps a k-heap per id before the
+    * exchange — shuffle volume is O(n x k), not O(n²). At corpus
+    * scale, block the same computation with [[srpNeighborPairs]]
+    * cells or generate candidates per-row with [[ivfPqTopK]] probes
+    * and re-rank; this brute form is the correctness spec. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+              k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("id_b"))
+    a.join(b, col("id") =!= col("id_b"))
+      .select(col("id"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("id_b").as("neighbor_id"), col("cos_sim"))
   }
 
   /** All-pairs near-neighbors above a similarity floor, SRP-blocked:

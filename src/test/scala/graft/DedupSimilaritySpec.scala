@@ -789,4 +789,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
+
+  test("knnJoin: k rows per vector, per-row top-k agrees with cosineTopK") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 50)
+    val knn = graft.operators.Similarity.knnJoin(emb, "vec_id", "embedding", k = 4)
+    val counts = knn.groupBy($"id").count().as[(Long, Long)].collect()
+    assert(counts.length == 50 && counts.forall(_._2 == 4L))
+    // the row set for one id is exactly that id's cosineTopK
+    val viaKnn = knn.filter($"id" === 7L).orderBy($"rank")
+      .select($"neighbor_id", $"cos_sim").as[(Long, Double)].collect().toSeq
+    val viaTopK = graft.operators.Similarity
+      .cosineTopK(emb, "vec_id", "embedding", queryId = 7L, k = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaKnn == viaTopK)
+    // per-row cap keeps a pre-exchange heap, not a full per-id sort
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
 }
