@@ -108,6 +108,16 @@ object QueryCatalog {
       val m = fit; pqModels.put(key, m); m
     }
 
+  /** Process-level BPE model memo (same rationale as [[pqModelFor]]:
+    * learning is deterministic per sfDir, so repeated runs reuse it). */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, CorpusOps.BpeModel]()
+  private def bpeModelFor(key: String,
+                          fit: => CorpusOps.BpeModel): CorpusOps.BpeModel =
+    Option(bpeModels.get(key)).getOrElse {
+      val m = fit; bpeModels.put(key, m); m
+    }
+
   private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     e.select(col("vec_id"), col("embedding")).unionByName(
@@ -932,6 +942,44 @@ object QueryCatalog {
              |FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"""
         .stripMargin),
       headline = true),
+
+    Q("q_bpe_tokens", // learned BPE subword tokenization (Sennrich et
+      // al. 2016 — the algorithm under most LLM tokenizers): merges
+      // learned from the distributed word-frequency table (20 merges
+      // here so subwords stay nontrivial — full saturation would
+      // degenerate every word to one token), applied by the native
+      // BpeEncode expression. Token identity is not SQL-expressible,
+      // so the gate pins the algebraic laws: exact n_words from SQL,
+      // round-trip (concat of subtokens minus the </w> markers equals
+      // the concat of words), and the token-count envelope
+      // n_words <= n_subtokens <= n_nonspace_chars + n_words (each
+      // word is 1..len+1 units); BpeSpec pins the learned merges on a
+      // hand-computable corpus.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        val model = bpeModelFor(d,
+          CorpusOps.learnBpe(docs, "text", numMerges = 20))
+        docs
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("__w"),
+            CorpusOps.bpeTokens(col("text"), model).as("__bpe"),
+            length(regexp_replace(col("text"), "\\s", "")).as("__nc"))
+          .select(col("doc_id"),
+            size(col("__w")).cast("long").as("n_words"),
+            (call_function("replace",
+              concat_ws("", col("__bpe")), lit("</w>"), lit("")) ===
+              concat_ws("", col("__w"))).as("roundtrip_ok"),
+            (size(col("__bpe")) >= size(col("__w")) &&
+              size(col("__bpe")) <= col("__nc") + size(col("__w")))
+              .as("bounded_ok"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_words,
+             |  true AS roundtrip_ok, true AS bounded_ok
+             |FROM documents
+             |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin)),
 
     Q("q_sentences", // sentence segmentation (the unit for
       // sentence-level dedup / seq2seq extraction). The corpus has no

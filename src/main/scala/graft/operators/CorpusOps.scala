@@ -431,6 +431,84 @@ object CorpusOps {
           .as("avg_logprob"))
   }
 
+  /** Learned byte-pair-encoding merge list (Sennrich, Haddow, Birch
+    * 2016 — the subword algorithm under most LLM tokenizers). Merge
+    * rank = position; lower rank applies first. */
+  final case class BpeModel(merges: Seq[(String, String)])
+
+  /** Learn `numMerges` BPE merges from the corpus. The word-frequency
+    * table is computed DISTRIBUTED (one explode + groupBy — the only
+    * corpus-sized work) and capped at the `maxVocab` most frequent
+    * words (ties by word — the standard practice and the bound that
+    * makes the driver-side merge loop safe at any corpus size: BPE
+    * learning needs the frequency dict, never the corpus). The local
+    * loop is the reference algorithm: count adjacent symbol pairs
+    * weighted by word frequency, merge the most frequent (ties by
+    * lexicographic pair, so learning is deterministic), stop early
+    * when no pair repeats. Words end in a `</w>` symbol so merges can
+    * learn word-final units. */
+  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               maxVocab: Int = 50000): BpeModel = {
+    require(numMerges >= 0, s"numMerges negative: $numMerges")
+    val freqs = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] = freqs.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ "</w>", c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = numMerges > 0
+    while (continue && merges.length < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val repeated = pairCounts.filter(_._2 >= 2)
+      if (repeated.isEmpty) continue = false
+      else {
+        val best = repeated.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          (mergeOnce(syms, best), c) }
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** One left-to-right pass replacing adjacent (a, b) with a+b. */
+  private def mergeOnce(syms: Array[String],
+                        pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length &&
+          syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Subword-tokenize `textCol` with a learned model: array column of
+    * BPE tokens (word-final units carry the `</w>` marker). Delegates
+    * to the native [[graft.plans.BpeEncode]] — one JIT'd loop per row
+    * with a per-task word cache (natural-language word frequency is
+    * Zipfian; almost every word encode is a cache hit). */
+  def bpeTokens(c: Column, model: BpeModel): Column =
+    graft.plans.BpeExpressions.bpe_encode(c, model.merges)
+
   /** One-call corpus curation: the standard pretraining recipe composed
     * from this library's independently-gated stages —
     *   1. Gopher quality gates ([[TextAnalysis.gopherRules]]
