@@ -979,7 +979,8 @@ object QueryCatalog {
              |    AS n_words,
              |  true AS roundtrip_ok, true AS bounded_ok
              |FROM documents
-             |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin)),
+             |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin),
+      headline = true),
 
     Q("q_sentences", // sentence segmentation (the unit for
       // sentence-level dedup / seq2seq extraction). The corpus has no
@@ -1088,7 +1089,8 @@ object QueryCatalog {
              |FROM p
              |LEFT JOIN q ON q.id = p.doc_id
              |LEFT JOIN dm ON dm.t = p.text
-             |LEFT JOIN hits ON hits.doc_id = p.doc_id""".stripMargin)),
+             |LEFT JOIN hits ON hits.doc_id = p.doc_id""".stripMargin),
+      headline = true),
 
     Q("q_stratified_sample", // deterministic stratified sample: k docs
       // per source by md5-hash order — reproducible across runs/engines
