@@ -118,6 +118,21 @@ object QueryCatalog {
       val m = fit; bpeModels.put(key, m); m
     }
 
+  /** The planted probe delta shared by q_incremental_exact and
+    * q_incremental_bloom (and their common oracle): corpus-dup copies
+    * of docs 0..5 at +1M and +2M, plus a novel upper-cased doc-0 text
+    * twice (3M+1 genuinely new, 3M+2 its intra-batch dup). */
+  private def plantedExactDelta(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("doc_id") < 6)
+    base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
+        col("text")))
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .select(lit(3000001L).as("doc_id"), upper(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .select(lit(3000002L).as("doc_id"), upper(col("text")).as("text")))
+  }
+
   private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     e.select(col("vec_id"), col("embedding")).unionByName(
@@ -1690,15 +1705,7 @@ object QueryCatalog {
         // rebuild per iteration
         if (!new java.io.File(dir, "_SUCCESS").exists())
           Dedup.buildExactIndex(docs, "doc_id", "text", dir)
-        val base = docs.filter(col("doc_id") < 6)
-        val delta = base
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-          .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
-            col("text")))
-          .unionByName(docs.filter(col("doc_id") === 0)
-            .select(lit(3000001L).as("doc_id"), upper(col("text")).as("text")))
-          .unionByName(docs.filter(col("doc_id") === 0)
-            .select(lit(3000002L).as("doc_id"), upper(col("text")).as("text")))
+        val delta = plantedExactDelta(docs)
         Dedup.incrementalExactDedup(s, dir, delta, "doc_id", "text")
           .select(col("id").as("doc_id"), col("dup_of"))
       },
@@ -1748,15 +1755,7 @@ object QueryCatalog {
         if (!new java.io.File(s"$dir/_blooms", "_SUCCESS").exists())
           Dedup.writeExactIndexBlooms(s, dir,
             expectedItemsPerLeaf = 100000L)
-        val base = docs.filter(col("doc_id") < 6)
-        val delta = base
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-          .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
-            col("text")))
-          .unionByName(docs.filter(col("doc_id") === 0)
-            .select(lit(3000001L).as("doc_id"), upper(col("text")).as("text")))
-          .unionByName(docs.filter(col("doc_id") === 0)
-            .select(lit(3000002L).as("doc_id"), upper(col("text")).as("text")))
+        val delta = plantedExactDelta(docs)
         Dedup.incrementalExactDedupBloom(s, dir, delta, "doc_id", "text")
           .select(col("id").as("doc_id"), col("dup_of"))
       },

@@ -536,8 +536,7 @@ object CorpusOps {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              evalSet: DataFrame, evalTextCol: String,
              minTokens: Int = 50, contamN: Int = 8): DataFrame = {
-    val quality = graft.operators.TextAnalysis
-      .gopherRules(docs, idCol, textCol, minTokens)
+    val quality = TextAnalysis.gopherRules(docs, idCol, textCol, minTokens)
       .select(col("id").as(idCol), col("passes").as("quality_ok"))
     val contam = contaminationFlags(docs, idCol, textCol,
         evalSet, evalTextCol, contamN)

@@ -175,24 +175,6 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
-  /** Spark-native spherical k-means-lite (Lloyd rounds on L2-normalized
-    * vectors, so nearest-by-dot == nearest-by-cosine): the centroid
-    * model for [[buildIvfCentroidIndex]]. Deterministic: seeded from
-    * the `k` lowest-hash vectors. Each round is one narrow
-    * (cell, dim-position, value) shuffle for the mean update plus a
-    * k x dim collect (the model itself — tiny); assignment is per-row
-    * expression work, no shuffle.
-    *
-    * The fit runs on a BOUNDED deterministic sample: the `maxFitRows`
-    * lowest xxhash64(id) vectors (a reproducible pseudo-random subset;
-    * distributed top-K, no full sort), materialized once so Lloyd
-    * rounds never rescan the corpus. Centroid quality needs only a
-    * representative sample — without the cap each round posexploded
-    * EVERY vector into (cell, pos, value) rows, a corpus x dim shuffle
-    * per iteration, the one real scale-killer at 100 TB (VERDICT r6).
-    * Corpora at or under the cap fit on everything, and the seeds are
-    * unchanged by sampling (the k lowest-hash ids are in every sample
-    * by construction). `maxFitRows <= 0` disables the cap. */
   /** The bounded deterministic fit sample shared by every model fit
     * here ([[kmeansCentroids]], [[trainPq]], [[buildIvfPqIndex]]):
     * L2-normalized vectors of the `maxFitRows` lowest-xxhash64 ids.
@@ -214,6 +196,22 @@ object Similarity {
       eager = true)
   }
 
+  /** Spark-native spherical k-means-lite (Lloyd rounds on L2-normalized
+    * vectors, so nearest-by-dot == nearest-by-cosine): the centroid
+    * model for [[buildIvfCentroidIndex]]. Deterministic: seeded from
+    * the `k` lowest-hash vectors. Each round is one narrow
+    * (cell, dim-position, value) shuffle for the mean update plus a
+    * k x dim collect (the model itself — tiny); assignment is per-row
+    * expression work, no shuffle.
+    *
+    * The fit runs on the BOUNDED deterministic [[hashSampleVn]] sample:
+    * centroid quality needs only a representative subset — without the
+    * cap each round posexploded EVERY vector into (cell, pos, value)
+    * rows, a corpus x dim shuffle per iteration, the one real
+    * scale-killer at 100 TB (VERDICT r6). Corpora at or under the cap
+    * fit on everything, and the seeds are unchanged by sampling (the k
+    * lowest-hash ids are in every sample by construction).
+    * `maxFitRows <= 0` disables the cap. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 4,
                       maxFitRows: Int = 100000): Seq[Seq[Double]] = {

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.{SketchAggregates => Skc}
+
 /** Mergeable-sketch aggregation — the incremental-analytics pattern a
   * 100 TB store runs on: precompute a small sketch PER PARTITION/BATCH
   * (a binary column, persistable to parquet), then answer queries by
@@ -110,7 +112,7 @@ object Sketches {
   def kllMergeBy(sketches: DataFrame, groupCol: String,
                  sketchCol: String = "kll", k: Int = 200): DataFrame =
     sketches.groupBy(col(groupCol))
-      .agg(graft.plans.SketchAggregates.kll_merge_agg(col(sketchCol), k)
+      .agg(Skc.kll_merge_agg(col(sketchCol), k)
         .as(sketchCol))
 
   /** Quantile columns at the given ranks for a sketch column. Labels
@@ -132,16 +134,13 @@ object Sketches {
   def freqByGroup(df: DataFrame, groupCol: String, itemCol: String,
                   maxMapSize: Int = 1024): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(graft.plans.SketchAggregates
-        .freq_items_agg(col(itemCol), maxMapSize).as("fi"))
+      .agg(Skc.freq_items_agg(col(itemCol), maxMapSize).as("fi"))
 
   /** Merge all sketch rows and return the global top-k as
     * (item, est) rows, est desc then item asc. */
   def freqTop(sketches: DataFrame, k: Int, sketchCol: String = "fi",
               maxMapSize: Int = 1024): DataFrame =
-    sketches.agg(graft.plans.SketchAggregates
-        .freq_merge_agg(col(sketchCol), maxMapSize).as(sketchCol))
-      .select(explode(graft.plans.SketchAggregates
-        .freq_top_items(col(sketchCol), k)).as("t"))
+    sketches.agg(Skc.freq_merge_agg(col(sketchCol), maxMapSize).as(sketchCol))
+      .select(explode(Skc.freq_top_items(col(sketchCol), k)).as("t"))
       .select(col("t.item").as("item"), col("t.est").as("est"))
 }

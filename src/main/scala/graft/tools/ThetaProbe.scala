@@ -28,12 +28,9 @@ object ThetaProbe {
     kll.select(kll_sketch_get_quantile_double($"k", lit(0.5)).as("p50"))
       .printSchema()
     kll.select(kll_sketch_get_quantile_double($"k", lit(0.5))).show()
-    // merge of persisted kll bytes
-    val k2 = df.groupBy($"g").agg(
-      kll_sketch_agg_double($"v".cast("double"), 200).as("k"))
-    k2.agg(kll_sketch_merge_double($"k", lit(200)).as("m"))
-      .select(kll_sketch_get_quantile_double($"m", lit(0.5))).show()
-    // SQL registry?
+    // NOTE (the probe's key finding): kll_sketch_merge_double is a
+    // TWO-SKETCH SCALAR (binary, binary), not an aggregate — merging a
+    // COLUMN of persisted KLL sketches needs graft's KllMergeAgg.
     df.createOrReplaceTempView("t")
     spark.sql("SELECT theta_sketch_estimate(theta_sketch_agg(v)) FROM t").show()
     spark.stop()
