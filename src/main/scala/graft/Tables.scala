@@ -16,6 +16,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
+    else if (name == "embeddings") embeddings(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` works against
@@ -79,5 +80,18 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Embeddings with the vector column PINNED to `array<float>`
+    * regardless of the file's element type. Same defense class as
+    * [[events]]: the driver regenerated `events.ts` under a different
+    * parquet encoding once (r9 — it silently broke 12 queries), and a
+    * future regeneration could just as silently flip `embedding` to
+    * `list<double>`, which would crash every `getSeq[Float]` collect
+    * (query-vector lookups in the ANN catalog queries) at use time.
+    * The cast is a no-op on today's float32 files. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/embeddings.parquet")
+    raw.withColumn("embedding",
+      raw("embedding").cast("array<float>"))
+  }
 }

@@ -173,4 +173,31 @@ class EventsEncodingSpec extends SparkSpec {
     assert(fromNtz.forall(_._1 > 1600000000000000L),
       s"streaming windows collapsed toward the epoch: $fromNtz")
   }
+
+  test("Tables.embeddings pins array<float> under a double[] regeneration") {
+    // the same defense class for the OTHER typed table: a driver
+    // regeneration flipping embedding to list<double> would crash every
+    // getSeq[Float] query-vector collect at use time. The loader casts
+    // to array<float>, so both encodings produce identical ANN results.
+    import org.apache.spark.sql.functions._
+    val floatDir = "/root/testdata/sf0.001"
+    val dblDir = java.nio.file.Files
+      .createTempDirectory("graft-emb-enc").toString
+    Tables.embeddings(spark, floatDir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.parquet(s"$dblDir/embeddings.parquet")
+    val viaDouble = Tables.embeddings(spark, dblDir)
+    assert(viaDouble.schema("embedding").dataType.simpleString
+      == "array<float>", viaDouble.schema.treeString)
+    // the collect path the catalog's ANN queries use must not throw …
+    val q = viaDouble.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    assert(q.nonEmpty)
+    // … and ranking is identical to the float file's
+    def top(dir: String) = graft.operators.Similarity
+      .cosineTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(dblDir) == top(floatDir))
+  }
 }
