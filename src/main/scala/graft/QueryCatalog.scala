@@ -997,6 +997,40 @@ object QueryCatalog {
              |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin),
       headline = true),
 
+    Q("q_token_ids", // the training-ready form: BPE tokens mapped to
+      // integer ids through the corpus vocabulary (frequency-ordered,
+      // deterministic), carried as a LITERAL map — transform +
+      // element_at, no join, fully codegen'd. Gate: decode through the
+      // reverse map reproduces the token sequence exactly, every id
+      // resolves (the vocab was built from this corpus), and n_words
+      // is pinned by SQL.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        val model = bpeModelFor(d,
+          CorpusOps.learnBpe(docs, "text", numMerges = 20))
+        val vmap = CorpusOps.bpeVocab(docs, "text", model)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rev = vmap.map(_.swap)
+        docs
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("__w"),
+            CorpusOps.bpeTokens(col("text"), model).as("__t"),
+            CorpusOps.tokenIds(col("text"), model, vmap).as("__ids"))
+          .select(col("doc_id"),
+            size(col("__w")).cast("long").as("n_words"),
+            (array_min(col("__ids")) >= 0L).as("all_known"),
+            (transform(col("__ids"),
+              i => element_at(typedlit(rev), i)) === col("__t"))
+              .as("decode_ok"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    AS n_words,
+             |  true AS all_known, true AS decode_ok
+             |FROM documents
+             |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin)),
+
     Q("q_sentences", // sentence segmentation (the unit for
       // sentence-level dedup / seq2seq extraction). The corpus has no
       // terminator punctuation, so one is planted deterministically:

@@ -509,6 +509,34 @@ object CorpusOps {
   def bpeTokens(c: Column, model: BpeModel): Column =
     graft.plans.BpeExpressions.bpe_encode(c, model.merges)
 
+  /** The model's token vocabulary over a corpus: `(token, id)` with
+    * ids assigned by (frequency desc, token) — deterministic, so a
+    * vocab rebuilt from the same corpus is identical. One distributed
+    * explode+groupBy; the result is model-sized (bounded by the
+    * alphabet + merge count, NOT the corpus), safe to collect or
+    * broadcast. */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               model: BpeModel): DataFrame = {
+    val w = Window.orderBy(col("c").desc, col("token"))
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(bpeTokens(col(textCol), model)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .select(col("token"), col("id"))
+  }
+
+  /** Map text to its integer token-id sequence — the training-ready
+    * form ([[chunkDocs]] / [[packSequences]] downstream operate on
+    * these counts). `vocab` is the collected [[bpeVocab]] map, carried
+    * as a LITERAL map column (built-ins only: `transform` +
+    * `element_at`, fully codegen'd, no join — the vocabulary is
+    * model-sized, not corpus-sized). Out-of-vocabulary tokens (text
+    * the vocab's corpus never saw) become `unkId`. */
+  def tokenIds(c: Column, model: BpeModel, vocab: Map[String, Long],
+               unkId: Long = -1L): Column =
+    transform(bpeTokens(c, model),
+      t => coalesce(element_at(typedlit(vocab), t), lit(unkId)))
+
   /** One-call corpus curation: the standard pretraining recipe composed
     * from this library's independently-gated stages —
     *   1. Gopher quality gates ([[TextAnalysis.gopherRules]]

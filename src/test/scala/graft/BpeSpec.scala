@@ -44,6 +44,31 @@ class BpeSpec extends SparkSpec {
     assert(enc.mkString("").replace("</w>", "") == "lowestlownewest")
   }
 
+  test("vocab ids are deterministic; token ids decode; OOV maps to unk") {
+    val model = CorpusOps.learnBpe(toy, "text", numMerges = 6)
+    val v1 = CorpusOps.bpeVocab(toy, "text", model)
+      .as[(String, Long)].collect().toMap
+    val v2 = CorpusOps.bpeVocab(toy, "text", model)
+      .as[(String, Long)].collect().toMap
+    assert(v1 == v2 && v1.nonEmpty)
+    assert(v1.values.toSeq.sorted == (0L until v1.size).toSeq)
+    val rev = v1.map(_.swap)
+    // in-vocab text decodes exactly; the OOV word "zzz" becomes unk ids
+    val rows = Seq((0L, "newest low"), (1L, "zzz"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        CorpusOps.bpeTokens($"text", model).as("t"),
+        CorpusOps.tokenIds($"text", model, v1).as("ids"))
+      .as[(Long, Seq[String], Seq[Long])].collect().sortBy(_._1)
+    val (_, toks0, ids0) = rows(0)
+    assert(ids0.map(rev) == toks0)
+    val (_, toks1, ids1) = rows(1)
+    assert(ids1.length == toks1.length)
+    assert(ids1.zip(toks1).forall { case (i, t) =>
+      if (v1.contains(t)) i == v1(t) else i == -1L })
+    assert(ids1.contains(-1L), s"no unk in $ids1 for $toks1")
+  }
+
   test("more merges never increase the token count; corpus round-trips") {
     val docs = Tables.documents(spark, sfDir)
       .filter($"text".isNotNull && trim($"text") =!= "")
