@@ -3508,6 +3508,57 @@ object QueryCatalog {
       },
       Some("SELECT * FROM region")),
 
+    Q("q_warc_roundtrip", // WARC container source/sink (the Common Crawl
+      // format — the ingestion end of the web-corpus pipeline): write the
+      // corpus as archived HTTP responses (per-record gzip members, one
+      // file per partition), read it back through the record parser +
+      // HTTP header strip, and recover the table exactly. Multilingual
+      // text exercises the byte-counted (not char-counted) framing.
+      (s, d) => {
+        val dir = scratchDir("graft_warc")
+        val docs = t(s, d, "documents")
+        graft.sources.Warc.write(
+          docs.select(
+            concat(lit("http://www."), col("source"), lit(".org/doc/"),
+              col("doc_id")).as("target_uri"),
+            encode(col("text"), "UTF-8").as("body"))
+            .repartition(4),
+          dir)
+        graft.sources.Warc.read(s, dir)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("http_status").cast("long").as("http_status"),
+            col("body_text").as("text"))
+      },
+      Some("SELECT doc_id, CAST(200 AS BIGINT) AS http_status, text " +
+        "FROM documents")),
+
+    Q("q_url_filter", // domain-blocklist filtering (the UT1-style step):
+      // drop every row whose URL host is a blocked domain or any
+      // subdomain of one. src3.org blocks www.src3.org via the
+      // parent-domain leg; www.src7.org blocks exactly itself.
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".org/p/"),
+            col("doc_id")).as("url"))
+        CorpusOps.urlBlocklistFilter(docs, "url",
+            Seq("src3.org", "www.src7.org").toDF("domain"))
+          .select(col("doc_id"), col("host"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  lower(regexp_extract(
+             |    'https://www.' || source || '.org/p/' || doc_id,
+             |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+             |    1)) AS host FROM documents)
+             |SELECT doc_id, host FROM d
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM (VALUES ('src3.org'), ('www.src7.org'))
+             |    b(domain)
+             |  WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain)"""
+        .stripMargin)),
+
     Q("q_binaryfile_ingest", // binaryFile source: media files -> blob rows
       // feeding the multimodal pipeline (rows-only)
       (s, d) => {

@@ -400,6 +400,59 @@ object CorpusOps {
       .select(col(idCol), col("clean_text"), col("n_lines"), col("n_removed"))
   }
 
+  /** Lowercased host of a URL column: the authority between `://` and
+    * the first `/ : ? #`, userinfo stripped — a plain codegen'd regexp,
+    * no UDF. Malformed URLs yield the empty string (regexp_extract's
+    * no-match value), which no blocklist entry matches — unparseable
+    * URLs pass through and stay visible rather than being silently
+    * swallowed by the filter. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Every label-suffix of a host that a domain blocklist entry could
+    * match: `a.b.c.org` -> `[a.b.c.org, b.c.org, c.org, org]`, capped
+    * at the LAST `maxLabels` suffixes (the shallow ones near the TLD).
+    * Blocklist entries are registrable domains of a few labels, so the
+    * cap bounds the explode fan-out per host without losing any match
+    * for entries of <= `maxLabels` labels — that bound is the operator's
+    * declared contract. */
+  def hostSuffixes(host: Column, maxLabels: Int = 8): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val from = greatest(lit(1), n - maxLabels + 1)
+    transform(sequence(from, n),
+      i => array_join(slice(labels, i, n - i + 1), "."))
+  }
+
+  /** Domain-blocklist filter — the UT1/adult-domain removal step of a
+    * web-corpus pipeline: keep rows whose URL host matches NO blocklist
+    * domain, where a domain blocks itself AND every subdomain
+    * (`example.org` blocks `a.example.org`; `www.x.org` blocks only that
+    * host). `blocklist` is a one-column (`domain`) DataFrame of
+    * lowercase domains.
+    *
+    * Scale shape: the match is decided per HOST, not per row, so the
+    * suffix explode and blocklist join run over `select(host).distinct`
+    * — corpus-size-independent (distinct hosts ≪ rows; the fuzzy-join
+    * family uses the same distinct-values contraction). Blocked hosts
+    * then anti-join back onto the corpus keyed on host: one equi-join
+    * shuffle over the rows (AQE will broadcast the blocked-host side
+    * when small, making the row pass shuffle-free). No collects — a
+    * multi-million-domain blocklist stays a DataFrame end to end.
+    * Returns the kept rows plus a `host` column. */
+  def urlBlocklistFilter(df: DataFrame, urlCol: String,
+                         blocklist: DataFrame,
+                         maxLabels: Int = 8): DataFrame = {
+    val withHost = df.withColumn("host", urlHost(col(urlCol)))
+    val blockedHosts = withHost.select(col("host")).distinct()
+      .withColumn("__sfx", explode(hostSuffixes(col("host"), maxLabels)))
+      .join(blocklist.select(lower(col("domain")).as("__sfx")), Seq("__sfx"),
+        "left_semi")
+      .select(col("host")).distinct()
+    withHost.join(blockedHosts, Seq("host"), "left_anti")
+  }
+
   /** Corpus unigram log-probability per document — the cheap LM-quality
     * proxy (CCNet-style filtering ranks documents by LM score; a
     * unigram model over the corpus itself is its deterministic,

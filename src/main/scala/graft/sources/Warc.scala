@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500 / WARC/1.x) reader and writer — the container format
+  * of Common Crawl, i.e. THE on-disk shape of a real 100 TB pre-training
+  * corpus. The engine already has the downstream steps (htmlToText = the
+  * WET extraction, Gopher rules, dedup); this closes the ingestion end.
+  *
+  * Scale shape: production `.warc.gz` files are a concatenation of
+  * per-record gzip members, which makes a single file NON-splittable but
+  * a crawl trivially parallel ACROSS files (a Common Crawl segment is
+  * ~64k files of ~1 GB — file-level parallelism is the production
+  * grain, and exactly what `binaryFile` + flatMap gives: one task per
+  * file, no shuffle, records never leave the task that read them).
+  * `java.util.zip.GZIPInputStream` natively resumes across concatenated
+  * members, so member-per-record and whole-file gzip both decode.
+  *
+  * The parser is length-delimited (WARC `Content-Length` counts body
+  * BYTES), so bodies may contain arbitrary binary — including CRLFCRLF
+  * — without desyncing; between records it resynchronizes on the next
+  * `WARC/` magic, so one malformed record skips forward rather than
+  * poisoning the rest of the file.
+  */
+object Warc {
+
+  /** One parsed record. `httpStatus` is populated (and HTTP response
+    * headers stripped from `body`) only for `application/http` payloads
+    * — the W3C-archived response convention; other content types pass
+    * through untouched. */
+  final case class WarcRecord(
+      warcFile: String,
+      recordType: String,
+      recordId: String,
+      targetUri: String,
+      warcDate: String,
+      contentType: String,
+      httpStatus: Option[Int],
+      body: Array[Byte])
+
+  /** Read every WARC file under `path` (glob ok) into a DataFrame of
+    * records, keeping only `keepTypes` (warcinfo/request/metadata
+    * records are framing, not content — the default keeps responses,
+    * the crawl payload). `body_text` is a UTF-8 decode of the payload
+    * for the text pipeline; `body` keeps the exact bytes for binary
+    * payloads (images in crawl data). */
+  def read(spark: SparkSession, path: String,
+           keepTypes: Set[String] = Set("response")): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val types = keepTypes.map(_.toLowerCase)
+    files.flatMap { case (file, bytes) =>
+      parseBytes(file, bytes).filter(r => types(r.recordType.toLowerCase))
+    }.toDF()
+      .select(
+        col("warcFile").as("warc_file"),
+        col("recordType").as("record_type"),
+        col("recordId").as("record_id"),
+        col("targetUri").as("target_uri"),
+        col("warcDate").as("warc_date"),
+        col("contentType").as("content_type"),
+        col("httpStatus").as("http_status"),
+        col("body"),
+        decode(col("body"), "UTF-8").as("body_text"))
+  }
+
+  /** Parse one file's bytes (gunzipping if the gzip magic leads) into
+    * records. */
+  def parseBytes(file: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b)
+        new GZIPInputStream(raw)
+      else raw
+    parseStream(file, new BufferedInputStream(in))
+  }
+
+  /** Streaming record parser: header block (case-insensitive keys, CRLF
+    * lines, blank-line terminated), then exactly `Content-Length` body
+    * bytes, then the inter-record CRLFs. A record without a parseable
+    * Content-Length cannot be framed — skip to the next `WARC/` line. */
+  def parseStream(file: String, in: InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; nextRec = advance(); r
+      }
+
+      @annotation.tailrec
+      private def advance(): WarcRecord = {
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) null
+        else if (!line.startsWith("WARC/")) advance() // resync on magic
+        else {
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine(in)
+          while (h != null && h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i > 0)
+              headers(h.substring(0, i).trim.toLowerCase) =
+                h.substring(i + 1).trim
+            h = readLine(in)
+          }
+          headers.get("content-length").flatMap(_.toLongOption) match {
+            case None => advance() // unframeable: resync
+            case Some(n) =>
+              val body = in.readNBytes(
+                math.min(n, Int.MaxValue.toLong).toInt)
+              val cType = headers.getOrElse("content-type", "")
+              val (status, payload) =
+                if (cType.toLowerCase.startsWith("application/http"))
+                  stripHttp(body)
+                else (None, body)
+              WarcRecord(
+                warcFile = file,
+                recordType = headers.getOrElse("warc-type", ""),
+                recordId = headers.getOrElse("warc-record-id", ""),
+                targetUri = headers.getOrElse("warc-target-uri", ""),
+                warcDate = headers.getOrElse("warc-date", ""),
+                contentType = cType,
+                httpStatus = status,
+                body = payload)
+          }
+        }
+      }
+    }
+
+  /** Split an embedded HTTP message at its first CRLFCRLF: status code
+    * from the status line, payload after the headers. A body with no
+    * header terminator passes through whole (truncated capture). */
+  private[graft] def stripHttp(body: Array[Byte]): (Option[Int], Array[Byte]) = {
+    val sep = indexOfCrlfCrlf(body)
+    if (sep < 0) (None, body)
+    else {
+      val head = new String(body, 0, sep, UTF_8)
+      val status = head.linesIterator.nextOption()
+        .flatMap(_.split(" ", 3).lift(1)).flatMap(_.toIntOption)
+      (status, java.util.Arrays.copyOfRange(body, sep + 4, body.length))
+    }
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Read one CRLF/LF line as ISO-8859-1-ish chars (WARC headers are
+    * ASCII); null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    if (c == -1) return null
+    while (c != -1 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  /** Distributed WARC writer: each input partition becomes one
+    * `part-NNNNN.warc.gz` under `dir` (the crawl-segment file layout),
+    * each record its own gzip member (the Common Crawl convention — a
+    * reader can then seek to a member boundary without decoding the
+    * prefix). `df` must carry a string URI column and a binary body
+    * column; `httpWrap` stores the body as an archived HTTP 200
+    * response (the response-record convention) so reads exercise the
+    * header-strip path. Record IDs are content-derived (name-UUID of
+    * uri) and `warcDate` is caller-fixed, so the output is
+    * deterministic for a given input — rewrites are idempotent.
+    *
+    * Executors open the destination through Hadoop's FileSystem with a
+    * fresh `Configuration()` (loads core-site.xml from the executor
+    * classpath — the standard cluster setup; local fs needs nothing).
+    * An empty partition writes no file. */
+  def write(df: DataFrame, dir: String,
+            uriCol: String = "target_uri", bodyCol: String = "body",
+            httpWrap: Boolean = true,
+            warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(String, Array[Byte])] =
+      df.select(col(uriCol).cast("string"), col(bodyCol).cast("binary"))
+        .as[(String, Array[Byte])]
+    ds.foreachPartition { it: Iterator[(String, Array[Byte])] =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val out = new org.apache.hadoop.fs.Path(
+          f"$dir/part-$pid%05d.warc.gz")
+        val fs = out.getFileSystem(conf)
+        val os = fs.create(out, true)
+        try it.foreach { case (uri, body) =>
+          val gz = new GZIPOutputStream(os)
+          gz.write(recordBytes(uri, body, httpWrap, warcDate))
+          gz.finish() // member trailer; underlying stream stays open
+        } finally os.close()
+      }
+    }
+  }
+
+  /** Serialize one response record (ASCII headers + byte-counted body +
+    * the two inter-record CRLFs). */
+  private[graft] def recordBytes(uri: String, body: Array[Byte],
+                                   httpWrap: Boolean,
+                                   warcDate: String): Array[Byte] = {
+    val payload =
+      if (!httpWrap) body
+      else ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +
+        s"\r\nContent-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    val cType =
+      if (httpWrap) "application/http; msgtype=response" else "text/plain"
+    val rid = java.util.UUID.nameUUIDFromBytes(uri.getBytes(UTF_8))
+    val head =
+      s"""WARC/1.0\r
+         |WARC-Type: response\r
+         |WARC-Record-ID: <urn:uuid:$rid>\r
+         |WARC-Date: $warcDate\r
+         |WARC-Target-URI: $uri\r
+         |Content-Type: $cType\r
+         |Content-Length: ${payload.length}\r
+         |\r
+         |""".stripMargin
+    head.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+}

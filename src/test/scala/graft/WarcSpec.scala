@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    TempDirs.deleteOnExit(d.toFile)
+    d.toString
+  }
+
+  // -- parser unit level ----------------------------------------------
+
+  private def record(uri: String, body: Array[Byte],
+                     httpWrap: Boolean = false): Array[Byte] =
+    Warc.recordBytes(uri, body, httpWrap, "2026-01-01T00:00:00Z")
+
+  test("parseBytes frames by Content-Length: CRLFCRLF inside a body " +
+    "does not desync the next record") {
+    val tricky = "line1\r\n\r\nline2".getBytes(UTF_8) // header-terminator bytes
+    val bytes = record("http://a/1", tricky) ++
+      record("http://a/2", "second".getBytes(UTF_8))
+    val recs = Warc.parseBytes("f", bytes).toList
+    assert(recs.map(_.targetUri) == List("http://a/1", "http://a/2"))
+    assert(recs.head.body.sameElements(tricky))
+  }
+
+  test("parser resyncs on the WARC/ magic after garbage and skips " +
+    "records without a parseable Content-Length") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://bad/nolen\r\n\r\n").getBytes(UTF_8)
+    val bytes = "not a warc preamble\r\n".getBytes(UTF_8) ++ noLen ++
+      record("http://good/1", "ok".getBytes(UTF_8))
+    val recs = Warc.parseBytes("f", bytes).toList
+    assert(recs.map(_.targetUri) == List("http://good/1"))
+  }
+
+  test("multi-member gzip decodes across member boundaries") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Seq("http://g/1", "http://g/2").foreach { uri =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(record(uri, uri.getBytes(UTF_8)))
+      gz.finish()
+    }
+    val recs = Warc.parseBytes("f", bos.toByteArray).toList
+    assert(recs.map(_.targetUri) == List("http://g/1", "http://g/2"))
+  }
+
+  test("stripHttp: status parsed and headers removed; truncated " +
+    "message (no CRLFCRLF) passes through whole") {
+    val (st, payload) = Warc.stripHttp(
+      "HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody!".getBytes(UTF_8))
+    assert(st.contains(404))
+    assert(new String(payload, UTF_8) == "body!")
+    val raw = "HTTP/1.1 200 OK\r\nX: truncated".getBytes(UTF_8)
+    val (st2, p2) = Warc.stripHttp(raw)
+    assert(st2.isEmpty && p2.sameElements(raw))
+  }
+
+  // -- DataFrame round trip -------------------------------------------
+
+  test("write -> read roundtrip recovers uri/body exactly; warcinfo-" +
+    "style non-response types are filtered by default") {
+    val dir = tmpDir("warc_rt")
+    val rows = Seq(
+      ("http://ex.org/a", "hello 世界"), // multibyte: byte-counted framing
+      ("http://ex.org/b", "plain ascii"),
+      ("http://ex.org/c", ""))
+    Warc.write(
+      rows.toDF("target_uri", "t")
+        .select($"target_uri", encode($"t", "UTF-8").as("body"))
+        .repartition(2),
+      dir)
+    val back = Warc.read(spark, dir)
+      .select($"target_uri", $"body_text", $"http_status", $"record_type")
+      .as[(String, String, Option[Int], String)].collect().sortBy(_._1)
+    assert(back.map(r => r._1 -> r._2).toList == rows.sortBy(_._1)
+      .map(r => r._1 -> r._2).toList)
+    assert(back.forall(_._3.contains(200)))
+    assert(back.forall(_._4 == "response"))
+    // exactly one .warc.gz per non-empty partition (ignoring Hadoop
+    // local-FS .crc sidecars — hidden files, which binaryFile skips too)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.forall(_.endsWith(".warc.gz")) && files.length == 2, files.toList)
+  }
+
+  test("read keeps requested types only and parses them") {
+    val dir = tmpDir("warc_types")
+    // hand-build a file with a warcinfo record before a response
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 9\r\n" +
+      "\r\nrobots: x\r\n\r\n").getBytes(UTF_8)
+    val bytes = info ++ record("http://t/1", "payload".getBytes(UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/f.warc"), bytes)
+    assert(Warc.read(spark, dir).count() == 1)
+    val all = Warc.read(spark, dir, keepTypes = Set("response", "warcinfo"))
+    assert(all.count() == 2)
+    assert(all.filter($"record_type" === "warcinfo")
+      .select($"body_text").as[String].head() == "robots: x")
+  }
+
+  // -- URL blocklist filter -------------------------------------------
+
+  test("urlHost: scheme/userinfo/port/path stripped, lowercased; " +
+    "malformed -> empty string") {
+    val rows = Seq(
+      "https://User@WWW.Ex.ORG:8443/p?q#f",
+      "http://plain.org",
+      "not a url").toDF("u")
+      .select(CorpusOps.urlHost($"u").as("h")).as[String].collect().toList
+    assert(rows == List("www.ex.org", "plain.org", ""))
+  }
+
+  test("hostSuffixes: full chain, and the maxLabels cap keeps the " +
+    "shallow (TLD-side) suffixes") {
+    val out = Seq("a.b.c.org").toDF("h")
+      .select(CorpusOps.hostSuffixes($"h").as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a.b.c.org", "b.c.org", "c.org", "org"))
+    val capped = Seq("a.b.c.org").toDF("h")
+      .select(CorpusOps.hostSuffixes($"h", maxLabels = 2).as("s"))
+      .as[Seq[String]].head()
+    assert(capped == Seq("c.org", "org"))
+  }
+
+  test("urlBlocklistFilter: domain blocks itself and subdomains; " +
+    "sibling domains and malformed URLs survive") {
+    val docs = Seq(
+      (1L, "http://bad.org/x"),            // exact domain
+      (2L, "http://a.bad.org/x"),          // subdomain
+      (3L, "http://notbad.org/x"),         // suffix of the NAME, not a label suffix
+      (4L, "http://www.good.org/x"),
+      (5L, "nonsense")).toDF("doc_id", "url")
+    val kept = CorpusOps.urlBlocklistFilter(docs, "url",
+        Seq("bad.org").toDF("domain"))
+      .select($"doc_id").as[Long].collect().sorted.toList
+    assert(kept == List(3L, 4L, 5L))
+  }
+
+  test("urlBlocklistFilter runs its suffix explode over distinct hosts," +
+    " not rows") {
+    val docs = (0 until 64).map(i => (i.toLong, s"http://h${i % 4}.org/p/$i"))
+      .toDF("doc_id", "url")
+    val out = CorpusOps.urlBlocklistFilter(docs, "url",
+      Seq("h9.org").toDF("domain"))
+    assert(out.count() == 64)
+    // the explode feeds off an Aggregate (the distinct), never the raw scan
+    val plan = out.queryExecution.optimizedPlan.toString
+    val genIdx = plan.indexOf("Generate explode")
+    assert(genIdx >= 0, plan.take(800))
+    assert(plan.indexOf("Aggregate", genIdx) >= 0, plan.take(1200))
+  }
+}
