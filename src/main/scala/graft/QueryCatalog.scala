@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusOps, Dedup, DiffEngine, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, DiffEngine, Multimodal, Similarity, TextAnalysis, TimeSeries}
 
 /** The operator inventory (SURVEY.md §2 Tier A + §7.1 Tier B), one entry
   * per operator: a Spark implementation and, where ANSI-SQL-expressible,
@@ -3200,6 +3200,42 @@ object QueryCatalog {
              |    AS value_locf
              |FROM spine s LEFT JOIN hourly h USING (user_id, hour)"""
         .stripMargin)),
+
+    Q("q_ewma", // exponentially-weighted moving average per user — the
+      // order-dependent recursive smoother a windowed sum can't express;
+      // one hash agg, group-local sorted fold (alpha = 0.3, seeded with
+      // the first value). Both engines fold IEEE doubles in the
+      // identical (ts, event_id) order, so round(4) agrees exactly.
+      (s, d) => TimeSeries
+        .ewmaByGroup(t(s, d, "events"), "user_id", Seq("ts", "event_id"),
+          "value", alpha = 0.3)
+        .select(col("user_id"), round(col("ewma"), 4).as("ewma")),
+      Some("""SELECT user_id, round(list_reduce(
+             |    list_transform(list(value ORDER BY ts, event_id),
+             |                   x -> CAST(x AS DOUBLE)),
+             |    (acc, x) -> acc*0.7 + x*0.3), 4) AS ewma
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("q_peak_concurrency", // sweep-line interval algebra: peak number
+      // of simultaneously-active user-day spans per day — +1/-1 deltas,
+      // one per-day window running sum, max; no interval self-join.
+      (s, d) => {
+        val iv = t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        TimeSeries.peakConcurrency(iv, "day", "s", "e")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |         min(ts) AS s, max(ts) AS e
+             |  FROM events GROUP BY 1, 2),
+             |pts AS (SELECT day, s AS t, 1 AS d FROM iv
+             |        UNION ALL SELECT day, e, -1 FROM iv),
+             |run AS (SELECT day, sum(d) OVER (
+             |    PARTITION BY day ORDER BY t, d DESC
+             |    ROWS UNBOUNDED PRECEDING) AS c FROM pts)
+             |SELECT day, CAST(max(c) AS BIGINT) AS peak
+             |FROM run GROUP BY day""".stripMargin)),
 
     Q("q_jaccard_lsh", // exact Jaccard over LSH-blocked candidates.
       // LSH banding itself isn't SQL-expressible, but the OUTPUT is: the
