@@ -3595,6 +3595,96 @@ object QueryCatalog {
              |  WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain)"""
         .stripMargin)),
 
+    Q("q_web_pipeline", // the END-TO-END web ingestion pipeline: corpus
+      // (+ planted dups, ids +1M, the curate convention) staged as a
+      // WARC archive -> record parse + HTTP strip -> URL blocklist
+      // (src3.org parent-domain leg, www.src7.org exact-host leg) ->
+      // Gopher quality gate (minTokens=30) -> exact dedup keep-first.
+      // A planted copy whose original survives must dedup away; a copy
+      // whose original is blocklisted shares its host and dies with it.
+      // One composed DAG; the oracle composes the stage oracles.
+      (s, d) => {
+        import s.implicits._
+        val dir = scratchDir("graft_wet")
+        val docs = t(s, d, "documents")
+        val planted = docs.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+              col("source")))
+        graft.sources.Warc.write(
+          planted.select(
+            concat(lit("http://www."), col("source"), lit(".org/doc/"),
+              col("doc_id")).as("target_uri"),
+            encode(col("text"), "UTF-8").as("body"))
+            .repartition(4),
+          dir)
+        val recs = graft.sources.Warc.read(s, dir).select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"),
+          col("body_text").as("text"))
+        val allowed = CorpusOps.urlBlocklistFilter(recs, "url",
+          Seq("src3.org", "www.src7.org").toDF("domain"))
+        val passers = TextAnalysis
+          .gopherRules(allowed, "doc_id", "text", minTokens = 30)
+          .filter(col("passes")).select(col("id").as("doc_id"))
+        val quality = allowed.join(passers, Seq("doc_id"), "left_semi")
+        val firsts = quality
+          .groupBy(md5(col("text").cast("binary")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        quality.join(firsts.select(col("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .select(col("doc_id"), col("host"))
+      },
+      Some("""WITH pl AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, source FROM documents
+             |  WHERE doc_id < 10),
+             |d AS (SELECT doc_id, text,
+             |    lower('www.' || source || '.org') AS host FROM pl),
+             |allowed AS (SELECT * FROM d WHERE NOT EXISTS (
+             |  SELECT 1 FROM (VALUES ('src3.org'), ('www.src7.org'))
+             |    b(domain)
+             |  WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain)),
+             |b AS (SELECT doc_id AS id, text AS t,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    string_split(text, chr(10)) AS lines FROM allowed
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |m AS (SELECT id, len(toks) AS n,
+             |    CAST(list_aggregate(list_transform(toks,
+             |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+             |      AS raw_wlen,
+             |    CAST(len(regexp_extract_all(t, '#')) +
+             |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+             |      / len(toks) AS raw_sym,
+             |    CAST(len(list_filter(lines,
+             |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+             |      / len(lines) AS raw_bullet,
+             |    CAST(len(list_filter(lines,
+             |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+             |      AS DOUBLE) / len(lines) AS raw_ellipsis,
+             |    CAST(len(list_filter(toks,
+             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             |      / len(toks) AS raw_alpha,
+             |    CAST(len(list_filter(toks, x -> lower(x) IN
+             |        ('the','be','to','of','and','that','have','with')))
+             |      AS BIGINT) AS stop_hits
+             |  FROM b),
+             |q AS (SELECT id FROM m
+             |  WHERE n >= 30 AND n <= 100000
+             |    AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
+             |    AND raw_sym < 0.1 AND raw_bullet < 0.9
+             |    AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
+             |    AND stop_hits >= 2),
+             |keep AS (SELECT doc_id, host, md5(text) AS h FROM allowed
+             |  WHERE doc_id IN (SELECT id FROM q)),
+             |firsts AS (SELECT h, min(doc_id) AS doc_id FROM keep
+             |  GROUP BY h)
+             |SELECT k.doc_id, k.host FROM keep k
+             |JOIN firsts f ON k.doc_id = f.doc_id"""
+        .stripMargin)),
+
     Q("q_binaryfile_ingest", // binaryFile source: media files -> blob rows
       // feeding the multimodal pipeline (rows-only)
       (s, d) => {
