@@ -3595,6 +3595,36 @@ object QueryCatalog {
              |  WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain)"""
         .stripMargin)),
 
+    Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
+      // incremental engine: the staged archive directory drains through
+      // readStream (file-stream source over binaryFile, same parser as
+      // the batch path) -> per-host doc/char totals -> complete-mode
+      // memory sink; the oracle is the same aggregation straight off
+      // `documents`. Incremental file discovery itself is spec-pinned
+      // in WarcSpec (second drain processes only the new archive file).
+      (s, d) => {
+        val dir = scratchDir("graft-warc-stream")
+        val docs = t(s, d, "documents")
+        graft.sources.Warc.write(
+          docs.select(
+            concat(lit("http://www."), col("source"), lit(".org/doc/"),
+              col("doc_id")).as("target_uri"),
+            encode(col("text"), "UTF-8").as("body"))
+            .repartition(2),
+          s"$dir/arch")
+        val agg = graft.sources.Warc.readStream(s, s"$dir/arch")
+          .select(CorpusOps.urlHost(col("target_uri")).as("host"),
+            length(col("body_text")).cast("long").as("__n"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_chars"))
+        graft.streaming.EventStreams.drainToMemory(s, agg,
+          s"$dir/ckpt", "graft_warc_stream")
+      },
+      Some("""SELECT lower('www.' || source || '.org') AS host,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     Q("q_web_pipeline", // the END-TO-END web ingestion pipeline: corpus
       // (+ planted dups, ids +1M, the curate convention) staged as a
       // WARC archive -> record parse + HTTP strip -> URL blocklist

@@ -52,9 +52,44 @@ object Warc {
   def read(spark: SparkSession, path: String,
            keepTypes: Set[String] = Set("response")): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    toRecords(spark,
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])],
+      keepTypes)
+  }
+
+  /** Streaming face of [[read]]: a file-stream source over a directory
+    * that archive files LAND in — each newly arrived `.warc(.gz)` file
+    * is parsed (same parser, same output schema as the batch path) in
+    * the micro-batch that discovers it, and the checkpoint guarantees
+    * each file is processed exactly once across restarts. This is the
+    * natural incremental-crawl shape: the crawler drops finished
+    * archive files into a directory, the pipeline keeps up file by
+    * file — the unit of streaming progress is the same unit as the
+    * batch path's parallelism. */
+  def readStream(spark: SparkSession, dir: String,
+                 keepTypes: Set[String] = Set("response")): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    toRecords(spark,
+      spark.readStream.format("binaryFile").schema(binaryFileSchema)
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])],
+      keepTypes)
+  }
+
+  /** Shared (batch + streaming) file-bytes -> record rows step. */
+  private def toRecords(spark: SparkSession,
+                        files: Dataset[(String, Array[Byte])],
+                        keepTypes: Set[String]): DataFrame = {
+    import spark.implicits._
     val types = keepTypes.map(_.toLowerCase)
     files.flatMap { case (file, bytes) =>
       parseBytes(file, bytes).filter(r => types(r.recordType.toLowerCase))

@@ -388,7 +388,7 @@ object EventStreams {
     * sink is bounded by the group/key count, not the event count; the
     * production path for unbounded output is [[etlAvailableNow]]'s
     * foreachBatch → parquet. */
-  private def drainToMemory(spark: SparkSession, transformed: DataFrame,
+  private[graft] def drainToMemory(spark: SparkSession, transformed: DataFrame,
                             checkpointDir: String, sinkName: String,
                             mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = transformed

@@ -108,6 +108,50 @@ class WarcSpec extends SparkSpec {
       .select($"body_text").as[String].head() == "robots: x")
   }
 
+  test("readStream: a second AvailableNow drain processes only newly " +
+    "landed archive files (checkpointed exactly-once per file)") {
+    val root = tmpDir("warc_stream")
+    val arch = s"$root/arch"; new java.io.File(arch).mkdirs()
+    // land one single-file archive under a unique name
+    def land(n: Int, uris: Seq[String]): Unit = {
+      val staging = s"$root/stage$n"
+      Warc.write(
+        uris.toDF("target_uri")
+          .select($"target_uri", encode($"target_uri", "UTF-8").as("body"))
+          .coalesce(1),
+        staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$staging/part-00000.warc.gz"),
+        java.nio.file.Paths.get(s"$arch/archive-$n.warc.gz"))
+    }
+    // foreachBatch -> parquet (the production sink shape — the memory
+    // sink does not support checkpoint RECOVERY, which is the very
+    // thing under test here); each drain writes to its own out dir, so
+    // what it contains is exactly what its run processed
+    def drain(outName: String): Set[String] = {
+      val out = s"$root/$outName"
+      val q = Warc.readStream(spark, arch).select($"target_uri")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .start()
+      q.awaitTermination()
+      if (!new java.io.File(out).exists()) Set.empty
+      else spark.read.parquet(s"$out/batch=*").as[String].collect().toSet
+    }
+    land(0, Seq("http://a/1", "http://a/2"))
+    assert(drain("out1") == Set("http://a/1", "http://a/2"))
+    land(1, Seq("http://b/1"))
+    // shared checkpoint: the second drain processes ONLY the new file —
+    // archive 0 is committed, never reread
+    assert(drain("out2") == Set("http://b/1"))
+  }
+
   // -- URL blocklist filter -------------------------------------------
 
   test("urlHost: scheme/userinfo/port/path stripped, lowercased; " +
