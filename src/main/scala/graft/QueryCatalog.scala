@@ -3214,7 +3214,8 @@ object QueryCatalog {
              |    list_transform(list(value ORDER BY ts, event_id),
              |                   x -> CAST(x AS DOUBLE)),
              |    (acc, x) -> acc*0.7 + x*0.3), 4) AS ewma
-             |FROM events GROUP BY user_id""".stripMargin)),
+             |FROM events GROUP BY user_id""".stripMargin),
+      headline = true),
 
     Q("q_peak_concurrency", // sweep-line interval algebra: peak number
       // of simultaneously-active user-day spans per day — +1/-1 deltas,
@@ -3235,7 +3236,8 @@ object QueryCatalog {
              |    PARTITION BY day ORDER BY t, d DESC
              |    ROWS UNBOUNDED PRECEDING) AS c FROM pts)
              |SELECT day, CAST(max(c) AS BIGINT) AS peak
-             |FROM run GROUP BY day""".stripMargin)),
+             |FROM run GROUP BY day""".stripMargin),
+      headline = true),
 
     Q("q_jaccard_lsh", // exact Jaccard over LSH-blocked candidates.
       // LSH banding itself isn't SQL-expressible, but the OUTPUT is: the
