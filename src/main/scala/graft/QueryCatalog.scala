@@ -73,6 +73,44 @@ object QueryCatalog {
       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
       |  FROM c)""".stripMargin
 
+  /** DuckDB CTE replicating [[TextAnalysis.gopherRules]]'s metric
+    * block: given a CTE `b(id, t, toks, lines)` (already blank-
+    * filtered), yields `m(id, t, n, raw_wlen, raw_sym, raw_bullet,
+    * raw_ellipsis, raw_alpha, stop_hits)`. ONE source for the signal
+    * definitions, shared by q_gopher_rules / q_curate /
+    * q_web_pipeline (chunkDocsCtes precedent) — a stop-word or signal
+    * change cannot drift between the three oracles. */
+  private val gopherMetricsCte =
+    """m AS (SELECT id, t, len(toks) AS n,
+      |    CAST(list_aggregate(list_transform(toks,
+      |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+      |      AS raw_wlen,
+      |    CAST(len(regexp_extract_all(t, '#')) +
+      |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+      |      / len(toks) AS raw_sym,
+      |    CAST(len(list_filter(lines,
+      |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+      |      / len(lines) AS raw_bullet,
+      |    CAST(len(list_filter(lines,
+      |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+      |      AS DOUBLE) / len(lines) AS raw_ellipsis,
+      |    CAST(len(list_filter(toks,
+      |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |      / len(toks) AS raw_alpha,
+      |    CAST(len(list_filter(toks, x -> lower(x) IN
+      |        ('the','be','to','of','and','that','have','with')))
+      |      AS BIGINT) AS stop_hits
+      |  FROM b)""".stripMargin
+
+  /** The Gopher pass conjunction over [[gopherMetricsCte]]'s columns at
+    * minTokens=30 — the thresholds' single home. */
+  private val gopherPassSql =
+    """n >= 30 AND n <= 100000
+      |      AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
+      |      AND raw_sym < 0.1 AND raw_bullet < 0.9
+      |      AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
+      |      AND stop_hits >= 2""".stripMargin
+
   private val segments =
     Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
 
@@ -1076,7 +1114,7 @@ object QueryCatalog {
           docs.filter(col("doc_id") < 20), "text",
           minTokens = 30, contamN = 3)
       },
-      Some("""WITH p AS (
+      Some(raw"""WITH p AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
              |  SELECT doc_id + 1000000, text FROM documents
@@ -1085,32 +1123,9 @@ object QueryCatalog {
              |    string_split_regex(trim(text), '\s+') AS toks,
              |    string_split(text, chr(10)) AS lines FROM p
              |  WHERE text IS NOT NULL AND trim(text) <> ''),
-             |m AS (SELECT id, t, len(toks) AS n,
-             |    CAST(list_aggregate(list_transform(toks,
-             |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
-             |      AS raw_wlen,
-             |    CAST(len(regexp_extract_all(t, '#')) +
-             |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
-             |      / len(toks) AS raw_sym,
-             |    CAST(len(list_filter(lines,
-             |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
-             |      / len(lines) AS raw_bullet,
-             |    CAST(len(list_filter(lines,
-             |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
-             |      AS DOUBLE) / len(lines) AS raw_ellipsis,
-             |    CAST(len(list_filter(toks,
-             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-             |      / len(toks) AS raw_alpha,
-             |    CAST(len(list_filter(toks, x -> lower(x) IN
-             |        ('the','be','to','of','and','that','have','with')))
-             |      AS BIGINT) AS stop_hits
-             |  FROM b),
+             |$gopherMetricsCte,
              |q AS (SELECT id, t,
-             |    (n >= 30 AND n <= 100000
-             |      AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
-             |      AND raw_sym < 0.1 AND raw_bullet < 0.9
-             |      AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
-             |      AND stop_hits >= 2) AS quality_ok
+             |    ($gopherPassSql) AS quality_ok
              |  FROM m),
              |dm AS (SELECT t, min(id) AS m FROM q
              |  WHERE quality_ok GROUP BY t),
@@ -1307,7 +1322,7 @@ object QueryCatalog {
             .otherwise(col("text")).as("text"))
         TextAnalysis.gopherRules(planted, "doc_id", "text", minTokens = 30)
       },
-      Some("""WITH p AS (SELECT doc_id AS id,
+      Some(raw"""WITH p AS (SELECT doc_id AS id,
              |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
              |      '- bullet point one' || chr(10) ||
              |      '- bullet point two' || chr(10) ||
@@ -1318,26 +1333,7 @@ object QueryCatalog {
              |    string_split_regex(trim(t), '\s+') AS toks,
              |    string_split(t, chr(10)) AS lines FROM p
              |  WHERE t IS NOT NULL AND trim(t) <> ''),
-             |m AS (SELECT id, len(toks) AS n,
-             |    CAST(list_aggregate(list_transform(toks,
-             |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
-             |      AS raw_wlen,
-             |    CAST(len(regexp_extract_all(t, '#')) +
-             |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
-             |      / len(toks) AS raw_sym,
-             |    CAST(len(list_filter(lines,
-             |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
-             |      / len(lines) AS raw_bullet,
-             |    CAST(len(list_filter(lines,
-             |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
-             |      AS DOUBLE) / len(lines) AS raw_ellipsis,
-             |    CAST(len(list_filter(toks,
-             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-             |      / len(toks) AS raw_alpha,
-             |    CAST(len(list_filter(toks, x -> lower(x) IN
-             |        ('the','be','to','of','and','that','have','with')))
-             |      AS BIGINT) AS stop_hits
-             |  FROM b)
+             |$gopherMetricsCte
              |SELECT id, CAST(n AS BIGINT) AS n_tokens,
              |  round(raw_wlen, 4) AS mean_wlen,
              |  round(raw_sym, 4) AS symbol_ratio,
@@ -1352,11 +1348,7 @@ object QueryCatalog {
              |  raw_ellipsis < 0.3 AS ok_ellipsis,
              |  raw_alpha > 0.8 AS ok_alpha,
              |  stop_hits >= 2 AS ok_stops,
-             |  (n >= 30 AND n <= 100000
-             |    AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
-             |    AND raw_sym < 0.1 AND raw_bullet < 0.9
-             |    AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
-             |    AND stop_hits >= 2) AS passes
+             |  ($gopherPassSql) AS passes
              |FROM m""".stripMargin),
       headline = true),
 
@@ -3211,7 +3203,8 @@ object QueryCatalog {
           "value", alpha = 0.3)
         .select(col("user_id"), round(col("ewma"), 4).as("ewma")),
       Some("""SELECT user_id, round(list_reduce(
-             |    list_transform(list(value ORDER BY ts, event_id),
+             |    list_transform(list(value ORDER BY ts, event_id)
+             |                   FILTER (WHERE value IS NOT NULL),
              |                   x -> CAST(x AS DOUBLE)),
              |    (acc, x) -> acc*0.7 + x*0.3), 4) AS ewma
              |FROM events GROUP BY user_id""".stripMargin),
@@ -3650,25 +3643,28 @@ object QueryCatalog {
             encode(col("text"), "UTF-8").as("body"))
             .repartition(4),
           dir)
-        val recs = graft.sources.Warc.read(s, dir).select(
-          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-            .cast("long").as("doc_id"),
-          col("target_uri").as("url"),
-          col("body_text").as("text"))
+        // the parsed-archive subtree (binaryFile scan + gunzip + record
+        // parse) is referenced by every later stage branch — without a
+        // materialization each reference re-inflates the archive
+        val recs = graft.operators.Materialize(
+          graft.sources.Warc.read(s, dir).select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("target_uri").as("url"),
+            col("body_text").as("text")),
+          eager = false)
         val allowed = CorpusOps.urlBlocklistFilter(recs, "url",
           Seq("src3.org", "www.src7.org").toDF("domain"))
         val passers = TextAnalysis
           .gopherRules(allowed, "doc_id", "text", minTokens = 30)
           .filter(col("passes")).select(col("id").as("doc_id"))
         val quality = allowed.join(passers, Seq("doc_id"), "left_semi")
-        val firsts = quality
-          .groupBy(md5(col("text").cast("binary")).as("__h"))
-          .agg(min(col("doc_id")).as("doc_id"))
-        quality.join(firsts.select(col("doc_id")), Seq("doc_id"),
-            "left_semi")
+        val firsts = Dedup.exact(quality, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        quality.join(firsts, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("host"))
       },
-      Some("""WITH pl AS (
+      Some(raw"""WITH pl AS (
              |  SELECT doc_id, text, source FROM documents
              |  UNION ALL
              |  SELECT doc_id + 1000000, text, source FROM documents
@@ -3683,32 +3679,9 @@ object QueryCatalog {
              |    string_split_regex(trim(text), '\s+') AS toks,
              |    string_split(text, chr(10)) AS lines FROM allowed
              |  WHERE text IS NOT NULL AND trim(text) <> ''),
-             |m AS (SELECT id, len(toks) AS n,
-             |    CAST(list_aggregate(list_transform(toks,
-             |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)
-             |      AS raw_wlen,
-             |    CAST(len(regexp_extract_all(t, '#')) +
-             |         len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
-             |      / len(toks) AS raw_sym,
-             |    CAST(len(list_filter(lines,
-             |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
-             |      / len(lines) AS raw_bullet,
-             |    CAST(len(list_filter(lines,
-             |        l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
-             |      AS DOUBLE) / len(lines) AS raw_ellipsis,
-             |    CAST(len(list_filter(toks,
-             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-             |      / len(toks) AS raw_alpha,
-             |    CAST(len(list_filter(toks, x -> lower(x) IN
-             |        ('the','be','to','of','and','that','have','with')))
-             |      AS BIGINT) AS stop_hits
-             |  FROM b),
+             |$gopherMetricsCte,
              |q AS (SELECT id FROM m
-             |  WHERE n >= 30 AND n <= 100000
-             |    AND raw_wlen >= 3.0 AND raw_wlen <= 10.0
-             |    AND raw_sym < 0.1 AND raw_bullet < 0.9
-             |    AND raw_ellipsis < 0.3 AND raw_alpha > 0.8
-             |    AND stop_hits >= 2),
+             |  WHERE $gopherPassSql),
              |keep AS (SELECT doc_id, host, md5(text) AS h FROM allowed
              |  WHERE doc_id IN (SELECT id FROM q)),
              |firsts AS (SELECT h, min(doc_id) AS doc_id FROM keep

@@ -444,6 +444,10 @@ object CorpusOps {
   def urlBlocklistFilter(df: DataFrame, urlCol: String,
                          blocklist: DataFrame,
                          maxLabels: Int = 8): DataFrame = {
+    require(!df.columns.contains("host"),
+      "urlBlocklistFilter: input already has a 'host' column — the " +
+        "operator derives its own from the URL and would silently " +
+        "clobber yours; rename it first")
     val withHost = df.withColumn("host", urlHost(col(urlCol)))
     val blockedHosts = withHost.select(col("host")).distinct()
       .withColumn("__sfx", explode(hostSuffixes(col("host"), maxLabels)))

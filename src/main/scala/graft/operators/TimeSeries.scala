@@ -27,13 +27,20 @@ object TimeSeries {
     * previous chunk's tail).
     *
     * `orderCols` must make the order total (ties would make the fold
-    * nondeterministic) — pass a unique tiebreaker last. */
+    * nondeterministic) — pass a unique tiebreaker last. Null values are
+    * SKIPPED (pandas-ewm semantics): the fold sees only non-null
+    * observations, rather than a null poisoning — or, worse, silently
+    * re-seeding — the rest of the series. A group with only nulls
+    * yields a null EWMA. */
   def ewmaByGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
                   valueCol: String, alpha: Double,
                   outCol: String = "ewma"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"ewmaByGroup: alpha $alpha not in (0,1]")
-    val ordered = array_sort(collect_list(struct(
-      orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)))
+    // collect_list drops null ENTRIES: wrapping the struct in a
+    // null-on-null-value conditional is what implements the skip
+    val ordered = array_sort(collect_list(
+      when(col(valueCol).isNotNull, struct(
+        orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*))))
     df.groupBy(col(groupCol))
       .agg(aggregate(ordered, lit(null).cast("double"),
         (acc: Column, x: Column) =>

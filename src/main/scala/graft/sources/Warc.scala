@@ -146,7 +146,11 @@ object Warc {
                 h.substring(i + 1).trim
             h = readLine(in)
           }
-          headers.get("content-length").flatMap(_.toLongOption) match {
+          // a negative length is as unframeable as a missing one — it
+          // must take the resync path, not reach readNBytes (which
+          // throws on negatives, poisoning the whole file)
+          headers.get("content-length").flatMap(_.toLongOption)
+            .filter(_ >= 0) match {
             case None => advance() // unframeable: resync
             case Some(n) =>
               val body = in.readNBytes(
@@ -194,17 +198,18 @@ object Warc {
     -1
   }
 
-  /** Read one CRLF/LF line as ISO-8859-1-ish chars (WARC headers are
-    * ASCII); null at EOF. */
+  /** Read one CRLF/LF line, decoded as UTF-8 (the WARC spec allows
+    * UTF-8 header values — non-ASCII target URIs exist in real crawls;
+    * a per-byte toChar would mojibake them); null at EOF. */
   private def readLine(in: InputStream): String = {
-    val sb = new StringBuilder
+    val bos = new java.io.ByteArrayOutputStream(80)
     var c = in.read()
     if (c == -1) return null
     while (c != -1 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') bos.write(c)
       c = in.read()
     }
-    sb.toString
+    new String(bos.toByteArray, UTF_8)
   }
 
   /** Distributed WARC writer: each input partition becomes one
@@ -247,8 +252,14 @@ object Warc {
         val deflater = new java.util.zip.Deflater(
           java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
         try it.foreach { case (uri, body) =>
+          // a record without a URI is unaddressable — fail loudly with
+          // a message, not an executor NPE; a null body is a legitimate
+          // empty payload
+          require(uri != null, "Warc.write: null target URI row")
           writeGzipMember(os, deflater,
-            recordBytes(uri, body, httpWrap, warcDate))
+            recordBytes(uri,
+              if (body == null) Array.emptyByteArray else body,
+              httpWrap, warcDate))
         } finally {
           deflater.end()
           os.close()

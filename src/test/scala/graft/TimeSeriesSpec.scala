@@ -16,6 +16,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1L) == 27.5 && out(2L) == 7.0)
   }
 
+  test("ewmaByGroup: nulls are skipped (they neither poison nor " +
+    "re-seed the fold); an all-null group yields null") {
+    val df = Seq((1L, 1L, Option(10.0)), (1L, 2L, None),
+      (1L, 3L, Option(20.0)), (2L, 1L, None)).toDF("g", "i", "v")
+    val out = TimeSeries.ewmaByGroup(df, "g", Seq("i"), "v", alpha = 0.5)
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(15.0)) // 10 -> (skip) -> .5*10+.5*20
+    assert(out(2L).isEmpty)
+  }
+
   test("ewmaByGroup: result is input-partition-order independent " +
     "(orderCols decide the fold order)") {
     val rows = (0 until 200).map(i => (i.toLong % 4, i.toLong, (i % 17).toDouble))

@@ -42,6 +42,39 @@ class WarcSpec extends SparkSpec {
     assert(recs.map(_.targetUri) == List("http://good/1"))
   }
 
+  test("a negative Content-Length is unframeable: resync, not a crash") {
+    val neg = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://bad/neg\r\nContent-Length: -7\r\n\r\n")
+      .getBytes(UTF_8)
+    val recs = Warc.parseBytes("f",
+      neg ++ record("http://good/1", "ok".getBytes(UTF_8))).toList
+    assert(recs.map(_.targetUri) == List("http://good/1"))
+  }
+
+  test("non-ASCII target URIs survive the header roundtrip (UTF-8 " +
+    "header decode, not per-byte Latin-1)") {
+    val uri = "http://例え.jp/ダ"
+    val recs = Warc.parseBytes("f",
+      record(uri, "x".getBytes(UTF_8))).toList
+    assert(recs.map(_.targetUri) == List(uri))
+  }
+
+  test("write: null body is an empty payload; null URI fails loudly") {
+    val dir = tmpDir("warc_nulls")
+    Warc.write(
+      Seq(("http://n/1", Option.empty[Array[Byte]])).toDF("target_uri", "body"),
+      dir)
+    val back = Warc.read(spark, dir).select($"target_uri", $"body_text")
+      .as[(String, String)].collect().toList
+    assert(back == List(("http://n/1", "")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.write(Seq((Option.empty[String], "x".getBytes(UTF_8)))
+        .toDF("target_uri", "body"), tmpDir("warc_nulluri"))
+    }
+    assert(e.getMessage.contains("null target URI") ||
+      Option(e.getCause).exists(_.getMessage.contains("null target URI")))
+  }
+
   test("multi-member gzip decodes across member boundaries") {
     val bos = new java.io.ByteArrayOutputStream()
     Seq("http://g/1", "http://g/2").foreach { uri =>
@@ -188,6 +221,16 @@ class WarcSpec extends SparkSpec {
         Seq("bad.org").toDF("domain"))
       .select($"doc_id").as[Long].collect().sorted.toList
     assert(kept == List(3L, 4L, 5L))
+  }
+
+  test("urlBlocklistFilter refuses an input that already has a host " +
+    "column instead of silently clobbering it") {
+    val df = Seq((1L, "http://a.org/x", "callers-own-host"))
+      .toDF("doc_id", "url", "host")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.urlBlocklistFilter(df, "url", Seq("b.org").toDF("domain"))
+    }
+    assert(e.getMessage.contains("host"))
   }
 
   test("urlBlocklistFilter runs its suffix explode over distinct hosts," +
