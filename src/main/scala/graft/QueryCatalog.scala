@@ -2859,6 +2859,35 @@ object QueryCatalog {
              |GROUP BY o_orderkey""".stripMargin),
       headline = true),
 
+    Q("q_interval_join", // interval x interval OVERLAP join via the
+      // same time-bin blocking (strict overlap, exactly-once emission
+      // in the bin of the later start — no dedup shuffle): which
+      // event-type activity spans intersect which user-day spans. The
+      // oracle is the plain theta join, so the gate also proves the
+      // blocking loses/duplicates nothing.
+      (s, d) => {
+        val e = t(s, d, "events")
+        val l = e.groupBy(col("user_id"), to_date(col("ts")).as("l_day"))
+          .agg(min(col("ts")).as("ls"), max(col("ts")).as("le"))
+        val r = e.groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts")).as("rs"), max(col("ts")).as("re"))
+        graft.operators.RangeJoin.intervalOverlap(
+            l, r, "user_id",
+            lStart = col("ls"), lEnd = col("le"),
+            rStart = col("rs"), rEnd = col("re"),
+            binSeconds = 86400L)
+          .select(col("user_id"), col("l_day"), col("event_type"))
+      },
+      Some("""WITH l AS (SELECT user_id, CAST(ts AS DATE) AS l_day,
+             |    min(ts) AS ls, max(ts) AS le
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type,
+             |    min(ts) AS rs, max(ts) AS re
+             |  FROM events GROUP BY 1, 2)
+             |SELECT l.user_id, l.l_day, r.event_type
+             |FROM l JOIN r ON l.user_id = r.user_id
+             | AND l.ls < r.re AND r.rs < l.le""".stripMargin)),
+
     Q("q_det_sample", // reproducible hash-based (stratified) sampling
       (s, d) => t(s, d, "documents")
         .withColumn("__h", pmod(col("doc_id") * 2654435761L, lit(100)))

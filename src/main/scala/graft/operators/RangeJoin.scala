@@ -38,4 +38,41 @@ object RangeJoin {
       .filter(col("__point") >= col("__start") && col("__point") < col("__end"))
       .drop("__bin", "__start", "__end", "__point")
   }
+
+  /** Interval x interval OVERLAP join, equi on `key`: pairs where
+    * `[lStart, lEnd)` and `[rStart, rEnd)` intersect (strict overlap —
+    * merely touching endpoints don't pair). Same blocking idea as
+    * [[pointInInterval]]: both sides explode to their covered bins,
+    * equi-join on (key, bin), exact predicate after.
+    *
+    * Exactly-once emission without a distinct: an overlapping pair
+    * co-occurs in EVERY bin both spans cover, so a blind bin join
+    * duplicates pairs. But `max(lStart, rStart)` lies inside both
+    * intervals whenever they overlap, so the pair is emitted only in
+    * THAT bin — each pair has exactly one such bin, and no
+    * deduplicating shuffle is needed; the join output is final.
+    *
+    * Shuffle shape: each side is copied span/binSeconds + 1 times, so
+    * pick `binSeconds` near the typical interval length; long-tail
+    * intervals fan out linearly (their true cost), never
+    * quadratically. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+                      lStart: Column, lEnd: Column,
+                      rStart: Column, rEnd: Column,
+                      binSeconds: Long): DataFrame = {
+    def bins(s: Column, e: Column): Column =
+      sequence(floor(unix_timestamp(s) / binSeconds),
+        floor(unix_timestamp(e) / binSeconds))
+    val l = left
+      .withColumn("__ls", lStart).withColumn("__le", lEnd)
+      .withColumn("__bin", explode(bins(col("__ls"), col("__le"))))
+    val r = right
+      .withColumn("__rs", rStart).withColumn("__re", rEnd)
+      .withColumn("__bin", explode(bins(col("__rs"), col("__re"))))
+    l.join(r, Seq(key, "__bin"))
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le") &&
+        col("__bin") ===
+          floor(unix_timestamp(greatest(col("__ls"), col("__rs"))) / binSeconds))
+      .drop("__bin", "__ls", "__le", "__rs", "__re")
+  }
 }

@@ -66,6 +66,49 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long)].head()._2 == 1L)
   }
 
+  test("intervalOverlap: strict overlap, exactly-once across bin " +
+    "boundaries, touching endpoints excluded") {
+    import graft.operators.RangeJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // k=1: left spans 3 daily bins; right overlaps in 2 of them — the
+    // pair must emit ONCE. Right "touch" starts exactly at left's end
+    // (strict: no pair). k=2: disjoint.
+    val l = Seq(
+      (1L, "a", ts("2024-01-01 06:00:00"), ts("2024-01-03 18:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("k", "l_id", "ls", "le")
+    val r = Seq(
+      (1L, "x", ts("2024-01-02 00:00:00"), ts("2024-01-04 00:00:00")),
+      (1L, "touch", ts("2024-01-03 18:00:00"), ts("2024-01-05 00:00:00")),
+      (2L, "y", ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00")))
+      .toDF("k", "r_id", "rs", "re")
+    val out = RangeJoin.intervalOverlap(l, r, "k",
+        $"ls", $"le", $"rs", $"re", binSeconds = 86400L)
+      .select($"l_id", $"r_id").as[(String, String)].collect().toList
+    assert(out == List(("a", "x"))) // once, despite 2 shared bins
+  }
+
+  test("intervalOverlap equals the theta join on real data for every " +
+    "bin width (blocking is invisible to results)") {
+    import graft.operators.RangeJoin
+    val e = Tables.events(spark, sfDir)
+    val l = e.groupBy($"user_id", to_date($"ts").as("l_day"))
+      .agg(min($"ts").as("ls"), max($"ts").as("le"))
+    val r = e.groupBy($"user_id", $"event_type")
+      .agg(min($"ts").as("rs"), max($"ts").as("re"))
+    val theta = l.join(r, Seq("user_id"))
+      .filter($"ls" < $"re" && $"rs" < $"le")
+      .select($"user_id", $"l_day", $"event_type")
+      .collect().map(_.toString).sorted.toList
+    for (bin <- Seq(3600L, 86400L, 7 * 86400L)) {
+      val blocked = RangeJoin.intervalOverlap(l, r, "user_id",
+          $"ls", $"le", $"rs", $"re", binSeconds = bin)
+        .select($"user_id", $"l_day", $"event_type")
+        .collect().map(_.toString).sorted.toList
+      assert(blocked == theta, s"bin=$bin")
+    }
+  }
+
   test("peakConcurrency plan: window sorts within hash partitions, " +
     "never globally") {
     val iv = Tables.events(spark, sfDir)
