@@ -2886,7 +2886,8 @@ object QueryCatalog {
              |  FROM events GROUP BY 1, 2)
              |SELECT l.user_id, l.l_day, r.event_type
              |FROM l JOIN r ON l.user_id = r.user_id
-             | AND l.ls < r.re AND r.rs < l.le""".stripMargin)),
+             | AND l.ls < r.re AND r.rs < l.le""".stripMargin),
+      headline = true),
 
     Q("q_det_sample", // reproducible hash-based (stratified) sampling
       (s, d) => t(s, d, "documents")
