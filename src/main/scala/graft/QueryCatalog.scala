@@ -3232,11 +3232,17 @@ object QueryCatalog {
         .ewmaByGroup(t(s, d, "events"), "user_id", Seq("ts", "event_id"),
           "value", alpha = 0.3)
         .select(col("user_id"), round(col("ewma"), 4).as("ewma")),
-      Some("""SELECT user_id, round(list_reduce(
-             |    list_transform(list(value ORDER BY ts, event_id)
-             |                   FILTER (WHERE value IS NOT NULL),
-             |                   x -> CAST(x AS DOUBLE)),
-             |    (acc, x) -> acc*0.7 + x*0.3), 4) AS ewma
+      // the CASE guard covers the all-null group (count(value)=0):
+      // list_reduce over an empty list ERRORS in DuckDB, while the
+      // Spark side returns a null row — without the guard a single
+      // all-null user in regenerated testdata would crash the oracle
+      Some("""SELECT user_id,
+             |  CASE WHEN count(value) = 0 THEN NULL
+             |    ELSE round(list_reduce(
+             |      list_transform(list(value ORDER BY ts, event_id)
+             |                     FILTER (WHERE value IS NOT NULL),
+             |                     x -> CAST(x AS DOUBLE)),
+             |      (acc, x) -> acc*0.7 + x*0.3), 4) END AS ewma
              |FROM events GROUP BY user_id""".stripMargin),
       headline = true),
 
@@ -3683,12 +3689,20 @@ object QueryCatalog {
             col("target_uri").as("url"),
             col("body_text").as("text")),
           eager = false)
-        val allowed = CorpusOps.urlBlocklistFilter(recs, "url",
-          Seq("src3.org", "www.src7.org").toDF("domain"))
+        // allowed feeds gopherRules AND the semi-join; quality feeds
+        // Dedup.exact AND the final semi-join — materialize both so
+        // the suffix-explode anti-join and the regex-heavy Gopher
+        // metrics run once, not per downstream branch
+        val allowed = graft.operators.Materialize(
+          CorpusOps.urlBlocklistFilter(recs, "url",
+            Seq("src3.org", "www.src7.org").toDF("domain")),
+          eager = false)
         val passers = TextAnalysis
           .gopherRules(allowed, "doc_id", "text", minTokens = 30)
           .filter(col("passes")).select(col("id").as("doc_id"))
-        val quality = allowed.join(passers, Seq("doc_id"), "left_semi")
+        val quality = graft.operators.Materialize(
+          allowed.join(passers, Seq("doc_id"), "left_semi"),
+          eager = false)
         val firsts = Dedup.exact(quality, "doc_id", "text")
           .select(col("keep_id").as("doc_id"))
         quality.join(firsts, Seq("doc_id"), "left_semi")

@@ -440,21 +440,24 @@ object CorpusOps {
     * shuffle over the rows (AQE will broadcast the blocked-host side
     * when small, making the row pass shuffle-free). No collects — a
     * multi-million-domain blocklist stays a DataFrame end to end.
-    * Returns the kept rows plus a `host` column. */
+    *
+    * Returns the kept rows plus the URL-derived host under `hostCol`.
+    * An existing column of that name is REPLACED — the derivation is
+    * deterministic from `urlCol`, so chained calls (filtering against
+    * several blocklists in sequence) compose naturally; if your input
+    * carries a `host` column with DIFFERENT semantics, pass another
+    * `hostCol` (or rename yours) so it survives untouched. */
   def urlBlocklistFilter(df: DataFrame, urlCol: String,
                          blocklist: DataFrame,
-                         maxLabels: Int = 8): DataFrame = {
-    require(!df.columns.contains("host"),
-      "urlBlocklistFilter: input already has a 'host' column — the " +
-        "operator derives its own from the URL and would silently " +
-        "clobber yours; rename it first")
-    val withHost = df.withColumn("host", urlHost(col(urlCol)))
-    val blockedHosts = withHost.select(col("host")).distinct()
-      .withColumn("__sfx", explode(hostSuffixes(col("host"), maxLabels)))
+                         maxLabels: Int = 8,
+                         hostCol: String = "host"): DataFrame = {
+    val withHost = df.withColumn(hostCol, urlHost(col(urlCol)))
+    val blockedHosts = withHost.select(col(hostCol)).distinct()
+      .withColumn("__sfx", explode(hostSuffixes(col(hostCol), maxLabels)))
       .join(blocklist.select(lower(col("domain")).as("__sfx")), Seq("__sfx"),
         "left_semi")
-      .select(col("host")).distinct()
-    withHost.join(blockedHosts, Seq("host"), "left_anti")
+      .select(col(hostCol)).distinct()
+    withHost.join(blockedHosts, Seq(hostCol), "left_anti")
   }
 
   /** Corpus unigram log-probability per document — the cheap LM-quality

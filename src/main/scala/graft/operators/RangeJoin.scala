@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Both joins stage bin/endpoint temp columns on the inputs; an input
+    * that already carries one of these names would be silently
+    * overwritten and dropped — fail loudly instead (the repo-wide
+    * guard convention). */
+  private def requireNoReserved(left: DataFrame, right: DataFrame,
+                                names: Seq[String]): Unit = {
+    val clash = (left.columns ++ right.columns).filter(names.contains)
+    require(clash.isEmpty,
+      s"RangeJoin: input columns ${clash.mkString(", ")} collide with " +
+        "reserved temp names; rename them first")
+  }
+
   /** Matches of `point` (right) falling in [start, end) (left), equi on
     * `key`. Left columns + right columns of the matched pairs.
     *
@@ -26,6 +38,8 @@ object RangeJoin {
   def pointInInterval(left: DataFrame, right: DataFrame, key: String,
                       start: Column, end: Column, point: Column,
                       binSeconds: Long): DataFrame = {
+    requireNoReserved(left, right,
+      Seq("__bin", "__start", "__end", "__point"))
     val sBin = floor(unix_timestamp(start) / binSeconds)
     val eBin = floor(unix_timestamp(end) / binSeconds)
     val l = left
@@ -60,6 +74,8 @@ object RangeJoin {
                       lStart: Column, lEnd: Column,
                       rStart: Column, rEnd: Column,
                       binSeconds: Long): DataFrame = {
+    requireNoReserved(left, right,
+      Seq("__bin", "__ls", "__le", "__rs", "__re"))
     def bins(s: Column, e: Column): Column =
       sequence(floor(unix_timestamp(s) / binSeconds),
         floor(unix_timestamp(e) / binSeconds))

@@ -300,6 +300,12 @@ object Warc {
   private[graft] def recordBytes(uri: String, body: Array[Byte],
                                    httpWrap: Boolean,
                                    warcDate: String): Array[Byte] = {
+    // a CR/LF inside the URI would inject a header line, desync the
+    // written Content-Length from the real payload, and make the READER
+    // silently drop records at resync — the same silent-loss class the
+    // null-URI require guards; crawl data does contain garbage URLs
+    require(uri.indexOf('\r') < 0 && uri.indexOf('\n') < 0,
+      s"Warc.write: target URI contains CR/LF: ${uri.take(80)}")
     val payload =
       if (!httpWrap) body
       else ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8" +

@@ -109,6 +109,20 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("range joins reject inputs whose columns collide with reserved " +
+    "temp names instead of silently dropping them") {
+    import graft.operators.RangeJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), 9L))
+      .toDF("k", "ls", "le", "__bin")
+    val r = Seq((1L, ts("2024-01-01 12:00:00"), ts("2024-01-03 00:00:00")))
+      .toDF("k", "rs", "re")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, r, "k", $"ls", $"le", $"rs", $"re", 86400L)
+    }
+    assert(e.getMessage.contains("__bin"))
+  }
+
   test("peakConcurrency plan: window sorts within hash partitions, " +
     "never globally") {
     val iv = Tables.events(spark, sfDir)

@@ -223,14 +223,35 @@ class WarcSpec extends SparkSpec {
     assert(kept == List(3L, 4L, 5L))
   }
 
-  test("urlBlocklistFilter refuses an input that already has a host " +
-    "column instead of silently clobbering it") {
-    val df = Seq((1L, "http://a.org/x", "callers-own-host"))
-      .toDF("doc_id", "url", "host")
-    val e = intercept[IllegalArgumentException] {
-      CorpusOps.urlBlocklistFilter(df, "url", Seq("b.org").toDF("domain"))
+  test("urlBlocklistFilter chains: sequential blocklists compose, the " +
+    "host column is recomputed (deterministically) each pass") {
+    val docs = Seq(
+      (1L, "http://a.org/x"), (2L, "http://b.org/x"), (3L, "http://c.org/x"))
+      .toDF("doc_id", "url")
+    val once = CorpusOps.urlBlocklistFilter(docs, "url",
+      Seq("a.org").toDF("domain"))
+    val twice = CorpusOps.urlBlocklistFilter(once, "url",
+      Seq("b.org").toDF("domain"))
+    assert(twice.select($"doc_id").as[Long].collect().toList == List(3L))
+    // a caller's host column with different semantics survives under
+    // a custom hostCol
+    val own = Seq((1L, "http://a.org/x", "mine")).toDF("doc_id", "url", "host")
+    val kept = CorpusOps.urlBlocklistFilter(own, "url",
+      Seq("z.org").toDF("domain"), hostCol = "url_host")
+    assert(kept.select($"host").as[String].head() == "mine")
+    assert(kept.select($"url_host").as[String].head() == "a.org")
+  }
+
+  test("write rejects a CR/LF-bearing URI instead of corrupting the " +
+    "archive framing") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.write(Seq(("http://a/x\r\nContent-Length: 0", "b".getBytes(UTF_8)))
+        .toDF("target_uri", "body"), tmpDir("warc_crlf"))
     }
-    assert(e.getMessage.contains("host"))
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CR/LF")))
   }
 
   test("urlBlocklistFilter runs its suffix explode over distinct hosts," +
