@@ -152,9 +152,15 @@ object Warc {
           headers.get("content-length").flatMap(_.toLongOption)
             .filter(_ >= 0) match {
             case None => advance() // unframeable: resync
+            case Some(n) if n > Int.MaxValue =>
+              // a >2 GB record is legal WARC but can't land in one JVM
+              // array; stream-skip exactly its body so FRAMING survives
+              // and every subsequent record still parses (truncating via
+              // min() would desync and silently drop the rest of the file)
+              skipFully(in, n)
+              advance()
             case Some(n) =>
-              val body = in.readNBytes(
-                math.min(n, Int.MaxValue.toLong).toInt)
+              val body = in.readNBytes(n.toInt)
               val cType = headers.getOrElse("content-type", "")
               val (status, payload) =
                 if (cType.toLowerCase.startsWith("application/http"))
@@ -198,15 +204,36 @@ object Warc {
     -1
   }
 
+  /** Discard exactly `n` body bytes from `in` (InputStream.skip may
+    * return short — loop; fall back to read() when skip reports no
+    * progress so a non-skipping stream still advances). Stops quietly
+    * at EOF (truncated capture — nothing left to resync over). */
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() == -1) return
+      else left -= 1
+    }
+  }
+
   /** Read one CRLF/LF line, decoded as UTF-8 (the WARC spec allows
     * UTF-8 header values — non-ASCII target URIs exist in real crawls;
-    * a per-byte toChar would mojibake them); null at EOF. */
+    * a per-byte toChar would mojibake them); null at EOF. Only the CR
+    * that immediately precedes the terminating LF is stripped — a bare
+    * CR INSIDE a header value is data and passes through (a blanket
+    * CR-drop would silently alter the value). A lone CR at EOF is a
+    * truncated CRLF and is dropped. */
   private def readLine(in: InputStream): String = {
     val bos = new java.io.ByteArrayOutputStream(80)
     var c = in.read()
     if (c == -1) return null
+    var pendingCr = false
     while (c != -1 && c != '\n') {
-      if (c != '\r') bos.write(c)
+      if (pendingCr) bos.write('\r')
+      pendingCr = c == '\r'
+      if (!pendingCr) bos.write(c)
       c = in.read()
     }
     new String(bos.toByteArray, UTF_8)
@@ -238,10 +265,20 @@ object Warc {
         .as[(String, Array[Byte])]
     ds.foreachPartition { it: Iterator[(String, Array[Byte])] =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val conf = new org.apache.hadoop.conf.Configuration()
-        val out = new org.apache.hadoop.fs.Path(
+        // task-commit protocol: stream to an ATTEMPT-unique temp path,
+        // rename to the final name only after the close() succeeds. Two
+        // attempts of the same task (speculation, a zombie surviving a
+        // retry) then write disjoint files and the last complete rename
+        // wins — a shared final path under fs.create(overwrite) would
+        // interleave the two attempts' gzip members, and the reader's
+        // resync would silently DROP records instead of failing.
+        val fin = new org.apache.hadoop.fs.Path(
           f"$dir/part-$pid%05d.warc.gz")
+        val out = new org.apache.hadoop.fs.Path(
+          f"$dir/_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}.warc.gz")
         val fs = out.getFileSystem(conf)
         val os = fs.create(out, true)
         // ONE Deflater for the whole partition, reset per member — a
@@ -260,10 +297,15 @@ object Warc {
             recordBytes(uri,
               if (body == null) Array.emptyByteArray else body,
               httpWrap, warcDate))
-        } finally {
-          deflater.end()
-          os.close()
+        } catch { case e: Throwable =>
+          // failed attempt: drop the partial temp file, never publish it
+          deflater.end(); os.close(); fs.delete(out, false); throw e
         }
+        deflater.end()
+        os.close()
+        fs.delete(fin, false) // clear a previous attempt's publish, if any
+        if (!fs.rename(out, fin))
+          sys.error(s"Warc.write: task commit rename $out -> $fin failed")
       }
     }
   }
