@@ -55,6 +55,48 @@ object QueryCatalog {
     dir.toString
   }
 
+  /** Once-per-(sfDir)-per-JVM derived physical layouts: the normalized
+    * events rewrite and the bucketed fact tables are one-time layout
+    * work a real deployment pays at ingest, not per query — so the
+    * catalog/bench queries that exercise them build each layout on
+    * first use and every later call (Verify's single pass, Bench's 5
+    * iterations) reads the cached copy. `computeIfAbsent` makes the
+    * build exactly-once even if headline queries ever run concurrently. */
+  private object DerivedLayouts {
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Path of the typed, time-clustered events copy (see
+      * [[graft.sources.Layout.writeNormalized]]). */
+    def normalizedEvents(s: SparkSession, d: String): String =
+      built.computeIfAbsent(s"events:$d", _ => {
+        val dir = scratchDir("graft_evnorm")
+        graft.sources.Layout.writeNormalized(
+          Tables.events(s, d), s"$dir/events", "ts", numFiles = 8)
+        s"$dir/events"
+      })
+
+    /** Bucketed `orders`/`lineitem` table names (same bucket count and
+      * key on both sides → co-located, exchange-free fact-fact join).
+      * Table names carry the sfDir hash so test sessions and Verify
+      * sessions pointing at different SFs never collide in one
+      * warehouse. */
+    def bucketedFacts(s: SparkSession, d: String): (String, String) = {
+      val tag = Integer.toHexString(d.hashCode).takeWhile(_ != '-')
+      val names = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
+      built.computeIfAbsent(s"buckets:$d", _ => {
+        graft.sources.Layout.saveBucketed(
+          Tables.orders(s, d), names._1, "o_orderkey", buckets = 8)
+        graft.sources.Layout.saveBucketed(
+          Tables.lineitem(s, d)
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+          names._2, "o_orderkey", buckets = 8)
+        names._1
+      })
+      names
+    }
+  }
+
   /** DuckDB CTE chain replicating [[CorpusOps.chunkDocs]] over
     * `documents` at maxTokens=32 / stride=24 — ends in
     * `u(doc_id, toks, chunk_id)`; shared by q_chunk_docs and
@@ -2672,6 +2714,54 @@ object QueryCatalog {
              |  round(sum(l_extendedprice), 2) AS rev
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand""".stripMargin),
+      headline = true),
+
+    Q("q_events_pruned", // time-sliced scan over the NORMALIZED events
+      // layout (Layout.writeNormalized via DerivedLayouts — built once
+      // per JVM, read thereafter): `ts` is a plain typed TIMESTAMP
+      // column here, so the range predicate lands in PushedFilters and
+      // prunes files/row-groups, where the same predicate against
+      // Tables.events's normalizing expression cannot push at all
+      // (LayoutSpec pins both plans; this gates the values).
+      (s, d) => {
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-17 00:00:00").cast("timestamp")
+        s.read.parquet(DerivedLayouts.normalizedEvents(s, d))
+          .filter(col("ts") >= lo && col("ts") < hi)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"),
+            min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(sum(value), 2) AS total_value,
+             |  min(ts) AS first_ts, max(ts) AS last_ts
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+             |GROUP BY event_type""".stripMargin),
+      headline = true),
+
+    Q("q_bucketed_join", // exchange-free fact-fact join over the
+      // bucketed layout (Layout.saveBucketed via DerivedLayouts): both
+      // sides bucketed 8-way on the order key, so the sort-merge join
+      // (merge hint — test-SF sizes would auto-broadcast and bypass
+      // the layout) reads co-located buckets with NO shuffle on either
+      // side; the only exchange left is the final group-by. LayoutSpec
+      // asserts the no-Exchange plan; this gates the values.
+      (s, d) => {
+        val (bo, bl) = DerivedLayouts.bucketedFacts(s, d)
+        s.table(bo).hint("merge")
+          .join(s.table(bl), "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+              2).as("rev"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
       headline = true),
 
     Q("q_regexp_funcs",

@@ -40,6 +40,34 @@ object Layout {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** One-time rewrite of a normalized-AT-READ table to a layout whose
+    * columns are physically TYPED — the pruning restorer for tables
+    * whose loader wraps a column in a normalizing expression (e.g.
+    * `Tables.events` branches on the file's parquet timestamp encoding
+    * and rebuilds `ts` via `timestamp_micros(when(...))`). A predicate
+    * against such a wrapped column is a predicate on an EXPRESSION:
+    * Catalyst cannot push it into the scan, so `PushedFilters` is empty
+    * and parquet row-group/file min-max pruning is dead — invisible at
+    * test SF, the first thing a real user hits time-slicing 100 TB of
+    * events. After this rewrite the column is a plain TIMESTAMP(micros)
+    * parquet column, filters reach the reader, and because rows are
+    * range-clustered on `timeCol` each file covers a disjoint time
+    * slice, so a time predicate prunes whole files from the listing,
+    * not just row groups (LayoutSpec pins both properties).
+    *
+    * Cost shape: one range exchange (sampled partitioner) + local sort
+    * — paid ONCE, amortized over every later time-sliced query; the
+    * same trade as [[writeZOrdered]], which is the variant to use when
+    * a SECOND range-queried column matters. */
+  def writeNormalized(df: DataFrame, path: String, timeCol: String,
+                      numFiles: Int,
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numFiles > 0, "writeNormalized: numFiles must be positive")
+    df.repartitionByRange(numFiles, col(timeCol))
+      .sortWithinPartitions(col(timeCol))
+      .write.mode(mode).parquet(path)
+  }
+
   /** Compact a small-file parquet dataset into ~`targetBytes` files —
     * the table-maintenance pass every incremental pipeline needs:
     * streaming sinks and per-batch appends leave thousands of KB-sized
