@@ -152,11 +152,14 @@ object Warc {
           headers.get("content-length").flatMap(_.toLongOption)
             .filter(_ >= 0) match {
             case None => advance() // unframeable: resync
-            case Some(n) if n > Int.MaxValue =>
-              // a >2 GB record is legal WARC but can't land in one JVM
-              // array; stream-skip exactly its body so FRAMING survives
-              // and every subsequent record still parses (truncating via
-              // min() would desync and silently drop the rest of the file)
+            case Some(n) if n > Int.MaxValue - 8 =>
+              // a ~2 GB+ record is legal WARC but can't land in one JVM
+              // array (the VM's max array size is Int.MaxValue - 8, so
+              // a plain > Int.MaxValue guard would still OOM on the
+              // last few values); stream-skip exactly its body so
+              // FRAMING survives and every subsequent record still
+              // parses (truncating via min() would desync and silently
+              // drop the rest of the file)
               skipFully(in, n)
               advance()
             case Some(n) =>
@@ -208,7 +211,7 @@ object Warc {
     * return short — loop; fall back to read() when skip reports no
     * progress so a non-skipping stream still advances). Stops quietly
     * at EOF (truncated capture — nothing left to resync over). */
-  private def skipFully(in: InputStream, n: Long): Unit = {
+  private[graft] def skipFully(in: InputStream, n: Long): Unit = {
     var left = n
     while (left > 0) {
       val s = in.skip(left)
@@ -263,18 +266,40 @@ object Warc {
     val ds: Dataset[(String, Array[Byte])] =
       df.select(col(uriCol).cast("string"), col(bodyCol).cast("binary"))
         .as[(String, Array[Byte])]
+    // job-level overwrite, DRIVER-side, before any task launches: clear
+    // prior part files and crashed attempts' temp litter. Without this
+    // (a) a rerun with FEWER partitions would leave stale high-numbered
+    // part files mixed into the new output — a silent data corruption a
+    // reader can't detect — and (b) `_tmp-*` files from JVM-killed
+    // attempts (which never reach their own cleanup) would accumulate
+    // forever, invisible to Spark's hidden-file filter but not to the
+    // filesystem bill.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (driverFs.exists(dirPath)) {
+      val stale =
+        Option(driverFs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/part-*.warc.gz")))
+          .getOrElse(Array.empty) ++
+        Option(driverFs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/_tmp-part-*")))
+          .getOrElse(Array.empty)
+      stale.foreach(s => driverFs.delete(s.getPath, false))
+    }
     ds.foreachPartition { it: Iterator[(String, Array[Byte])] =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
         val conf = new org.apache.hadoop.conf.Configuration()
         // task-commit protocol: stream to an ATTEMPT-unique temp path,
-        // rename to the final name only after the close() succeeds. Two
+        // rename to the final name only after the close() succeeds —
+        // first complete rename wins (see [[publishAttempt]]). Two
         // attempts of the same task (speculation, a zombie surviving a
-        // retry) then write disjoint files and the last complete rename
-        // wins — a shared final path under fs.create(overwrite) would
-        // interleave the two attempts' gzip members, and the reader's
-        // resync would silently DROP records instead of failing.
+        // retry) write disjoint temp files — a shared final path under
+        // fs.create(overwrite) would interleave the two attempts' gzip
+        // members, and the reader's resync would silently DROP records
+        // instead of failing.
         val fin = new org.apache.hadoop.fs.Path(
           f"$dir/part-$pid%05d.warc.gz")
         val out = new org.apache.hadoop.fs.Path(
@@ -298,17 +323,60 @@ object Warc {
               if (body == null) Array.emptyByteArray else body,
               httpWrap, warcDate))
         } catch { case e: Throwable =>
-          // failed attempt: drop the partial temp file, never publish it
-          deflater.end(); os.close(); fs.delete(out, false); throw e
+          // failed attempt: drop the partial temp file, never publish
+          // it. Each cleanup step runs in its own guard: a throwing
+          // close() must neither MASK the original failure (it attaches
+          // as suppressed) nor skip the delete that follows it.
+          def quietly(step: => Unit): Unit =
+            try step catch { case t: Throwable => e.addSuppressed(t) }
+          quietly(deflater.end())
+          quietly(os.close())
+          quietly { fs.delete(out, false); () }
+          throw e
         }
         deflater.end()
         os.close()
-        fs.delete(fin, false) // clear a previous attempt's publish, if any
-        if (!fs.rename(out, fin))
-          sys.error(s"Warc.write: task commit rename $out -> $fin failed")
+        publishAttempt(fs, out, fin)
+        // best-effort sweep of OTHER attempts' leftovers for this
+        // partition: a JVM-killed attempt never runs its own cleanup,
+        // and nothing else will ever delete its temp file (ours was
+        // just renamed away or dropped by publishAttempt). A sweep
+        // racing an attempt that is still WRITING is safe — that
+        // zombie's publish will then fail its rename, find the final
+        // file present, and count itself committed.
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          f"$dir/_tmp-part-$pid%05d-attempt-*.warc.gz")))
+          .getOrElse(Array.empty)
+          .foreach(s =>
+            try { fs.delete(s.getPath, false); () }
+            catch { case _: java.io.IOException => () })
       }
     }
   }
+
+  /** First-commit-wins task publish: rename `tmp` to `fin` WITHOUT
+    * pre-deleting the destination. If the rename is refused and `fin`
+    * exists, another attempt of the same task already committed — this
+    * attempt's copy (byte-identical: the writer is deterministic for a
+    * given input partition) is dropped and the commit counts as done.
+    * The r11 delete-then-rename protocol had a loss window this closes:
+    * a zombie attempt finishing AFTER the winner would delete the
+    * committed part file, and if its own rename then failed the
+    * partition's output was silently gone while the task stayed marked
+    * successful. (On filesystems whose rename overwrites an existing
+    * destination — POSIX local fs — the overwrite is harmless for the
+    * same determinism reason; HDFS-like filesystems refuse and take the
+    * already-committed branch.)
+    *
+    * @return true if THIS attempt's file was published, false if a
+    *         prior attempt's commit was found and kept */
+  private[graft] def publishAttempt(fs: org.apache.hadoop.fs.FileSystem,
+                                    tmp: org.apache.hadoop.fs.Path,
+                                    fin: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.rename(tmp, fin)) true
+    else if (fs.exists(fin)) { fs.delete(tmp, false); false }
+    else sys.error(s"Warc.write: task commit rename $tmp -> $fin failed " +
+      "and no committed file exists")
 
   /** Write `bytes` as one complete gzip member (RFC 1952 header + raw
     * deflate + CRC32/ISIZE trailer) reusing the caller's Deflater. */

@@ -254,6 +254,142 @@ class WarcSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("CR/LF")))
   }
 
+  // -- r11 hardening pins: oversize skip-framing, CR-in-header, commit --
+
+  /** `n` synthetic zero bytes with an O(1) skip — stands in for a
+    * multi-GB record body no test should allocate. */
+  private final class ZeroStream(private var remaining: Long)
+      extends java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1 else { remaining -= 1; 0 }
+    override def skip(n: Long): Long = {
+      val s = math.max(0L, math.min(n, remaining)); remaining -= s; s
+    }
+  }
+
+  test("a record with a >JVM-array Content-Length is stream-skipped and " +
+    "framing survives: the NEXT record still parses") {
+    // 2147483647 passes a naive `> Int.MaxValue` guard but exceeds the
+    // VM's max array size — the r12 guard routes it to skipFully
+    val huge = Int.MaxValue.toLong
+    val header = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://big/1\r\n" +
+      s"Content-Length: $huge\r\n\r\n").getBytes(UTF_8)
+    val after = "\r\n\r\n".getBytes(UTF_8) ++
+      record("http://after/2", "still here".getBytes(UTF_8))
+    val in = new java.io.SequenceInputStream(
+      java.util.Collections.enumeration(java.util.Arrays.asList(
+        new java.io.ByteArrayInputStream(header),
+        new ZeroStream(huge): java.io.InputStream,
+        new java.io.ByteArrayInputStream(after))))
+    val recs = Warc.parseStream("f", in).toList
+    assert(recs.map(_.targetUri) == List("http://after/2"))
+    assert(new String(recs.head.body, UTF_8) == "still here")
+  }
+
+  test("skipFully makes progress on a stream whose skip() reports none") {
+    val data = (0 until 64).map(_.toByte).toArray
+    val in = new java.io.FilterInputStream(
+      new java.io.ByteArrayInputStream(data)) {
+      override def skip(n: Long): Long = 0L // e.g. a decorator without skip
+    }
+    Warc.skipFully(in, 10)
+    assert(in.read() == 10)
+    // skipping past EOF stops quietly (truncated capture)
+    Warc.skipFully(in, 1000)
+    assert(in.read() == -1)
+  }
+
+  test("a bare CR inside a header value is data, not a terminator: " +
+    "values round-trip byte-exactly") {
+    // 'a\r\rb' exercises consecutive interior CRs; the terminating CRLF
+    // is still stripped
+    val bytes = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x/a\r\rb\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8)
+    val recs = Warc.parseBytes("f", bytes).toList
+    assert(recs.map(_.targetUri) == List("http://x/a\r\rb"))
+    assert(new String(recs.head.body, UTF_8) == "ok")
+  }
+
+  test("write commit: stale temp files and stale part files from prior " +
+    "runs never surface, and a finished write leaves no _tmp litter") {
+    val dir = tmpDir("warc_commit")
+    // plant (a) a crashed attempt's temp file for partition 0 and (b) a
+    // high-numbered part file from an imaginary earlier, wider run
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_tmp-part-00000-attempt-999.warc.gz"),
+      "zombie partial".getBytes(UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-00099.warc.gz"),
+      "stale wide-run output".getBytes(UTF_8))
+    Warc.write(
+      Seq(("http://c/1", "one".getBytes(UTF_8)),
+        ("http://c/2", "two".getBytes(UTF_8)))
+        .toDF("target_uri", "body").repartition(1),
+      dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(names.count(_.startsWith("_tmp-")) == 0,
+      s"temp litter survived: ${names.mkString(",")}")
+    assert(!names.contains("part-00099.warc.gz"),
+      s"stale part from a wider run survived: ${names.mkString(",")}")
+    val back = Warc.read(spark, dir)
+      .select($"target_uri", $"body_text").as[(String, String)]
+      .collect().toList.sorted
+    assert(back == List(("http://c/1", "one"), ("http://c/2", "two")))
+  }
+
+  test("write commit: a FAILED job publishes nothing and cleans its own " +
+    "temp file") {
+    val dir = tmpDir("warc_failcommit")
+    intercept[org.apache.spark.SparkException] {
+      Warc.write(
+        Seq(("http://ok/1", Some("x".getBytes(UTF_8))),
+          (null: String, Some("y".getBytes(UTF_8))))
+          .toDF("target_uri", "body").repartition(1),
+        dir)
+    }
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_tmp-")),
+      s"failed attempt leaked its temp file: ${names.mkString(",")}")
+    assert(!names.exists(n => n.startsWith("part-") && n.endsWith(".warc.gz")),
+      s"failed attempt published output: ${names.mkString(",")}")
+  }
+
+  test("publishAttempt: winner renames; a later attempt finding a " +
+    "committed file drops its own copy and reports not-published") {
+    val dir = tmpDir("warc_publish")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+    def put(n: String, s: String) = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/$n"), s.getBytes(UTF_8))
+    // attempt 0 commits first
+    put("_tmp-a0", "payload")
+    assert(Warc.publishAttempt(fs, p("_tmp-a0"), p("part-x")))
+    assert(!fs.exists(p("_tmp-a0")) && fs.exists(p("part-x")))
+    // attempt 1 (zombie) arrives after the winner: its temp must be
+    // gone afterwards and a committed file must remain. (On a POSIX
+    // local fs the rename may overwrite — byte-identical by the
+    // writer's determinism, here same content; on HDFS-likes it is
+    // refused and reported not-published.)
+    put("_tmp-a1", "payload")
+    Warc.publishAttempt(fs, p("_tmp-a1"), p("part-x"))
+    assert(!fs.exists(p("_tmp-a1")) && fs.exists(p("part-x")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/part-x")), UTF_8) == "payload")
+    // rename failure with NO committed file present is a loud error —
+    // either our own sys.error, or the filesystem's (LocalFileSystem
+    // throws FileNotFoundException from rename() itself); what it must
+    // never be is a silent success
+    val e = intercept[Exception] {
+      Warc.publishAttempt(fs, p("_tmp-missing"), p("part-y"))
+    }
+    assert(e.isInstanceOf[java.io.FileNotFoundException] ||
+      e.getMessage.contains("task commit rename"))
+    assert(!fs.exists(p("part-y")))
+  }
+
   test("urlBlocklistFilter runs its suffix explode over distinct hosts," +
     " not rows") {
     val docs = (0 until 64).map(i => (i.toLong, s"http://h${i % 4}.org/p/$i"))
