@@ -2700,6 +2700,46 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_asof_tolerance", // merge_asof(tolerance=...): the carried
+      // match NULLS OUT when older than the window — it never falls
+      // back to a different row. Self-enrichment shape: every
+      // non-click event picks up the user's latest click within 12h.
+      // Marks dedup per (user, ts) exactly as q_asof_join dedups
+      // orders: at equal times "latest" is otherwise ambiguous on
+      // both engines.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)
+        val marks = t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("ts").as("mts"),
+            col("event_id").as("mark_id"), col("value").as("mark_value"))
+        val probes = t(s, d, "events")
+          .filter(col("event_type") =!= "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin
+          .asOf(probes, marks, "user_id", "ts", "mts",
+            Seq("mark_id", "mark_value"), tolerance = Some("12 hours"))
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ts AS mts, event_id AS mark_id,
+             |         value AS mark_value
+             |  FROM (SELECT *, row_number() OVER (
+             |          PARTITION BY user_id, ts
+             |          ORDER BY event_id DESC) AS rn
+             |        FROM events WHERE event_type = 'click') WHERE rn = 1),
+             |p AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type <> 'click')
+             |SELECT p.event_id, p.user_id, p.ts,
+             |  CASE WHEN m.mts >= p.ts - INTERVAL '12 hours'
+             |       THEN m.mark_id END AS mark_id,
+             |  CASE WHEN m.mts >= p.ts - INTERVAL '12 hours'
+             |       THEN m.mark_value END AS mark_value
+             |FROM p ASOF LEFT JOIN m
+             |  ON p.user_id = m.user_id AND p.ts >= m.mts"""
+        .stripMargin)),
+
     Q("q_salted_join", // skew-mitigated join (semantics = plain join)
       (s, d) => {
         val dim = t(s, d, "part")

@@ -32,10 +32,44 @@ object AsOfJoin {
     * @param leftTime   event-time column in `left`
     * @param rightTime  event-time column in `right`
     * @param rightCols  right payload columns to carry (become nullable)
+    * @param tolerance  optional maximum match age as an ANSI interval
+    *                   literal body (e.g. `"7 days"`, `"30 minutes"`):
+    *                   a carried right row older than
+    *                   `leftTime - tolerance` is treated as NO match
+    *                   (its payload columns null out) — pandas
+    *                   `merge_asof(tolerance=...)` semantics. The
+    *                   filter is applied to the carried match, so it
+    *                   never finds a different (even older) row
+    *                   instead.
+    * @param maxGroupRows house loud-failure guard (the
+    *                   `tokenBudgetSelect` convention): the carry
+    *                   window serializes each key's left+right rows
+    *                   through one task, so a power-law key at 100×
+    *                   becomes a silent straggler — instead the call
+    *                   FAILS naming the hot key (set `<= 0` to disable
+    *                   the pre-count). The remedies are key-specific:
+    *                   time-bucket the key upstream, or pre-aggregate
+    *                   the right side.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
            leftTime: String, rightTime: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String],
+           tolerance: Option[String] = None,
+           maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+    if (maxGroupRows > 0) {
+      val over = left.select(col(keyCol))
+        .unionByName(right.select(col(keyCol)))
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGroupRows)
+        .orderBy(col("__n").desc).limit(1)
+        .collect()
+      require(over.isEmpty,
+        s"AsOfJoin.asOf: key '${over.head.get(0)}' has " +
+          s"${over.head.getLong(1)} rows across both sides (> " +
+          s"maxGroupRows=$maxGroupRows); the per-key carry window would " +
+          "serialize them through ONE task — time-bucket the key, " +
+          "pre-aggregate the right side, or raise/disable maxGroupRows")
+    }
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -45,10 +79,14 @@ object AsOfJoin {
     // carried as the "match" for every left row until a real right row
     // appears — null time is not negative infinity. Left rows always
     // survive (null left time simply carries no payload).
+    // `__rt` rides inside the payload struct so a tolerance check can
+    // see the matched row's OWN time after the carry.
     val r = right
       .filter(col(keyCol).isNotNull && col(rightTime).isNotNull)
       .select(col(keyCol), col(rightTime).as("__t"),
-        lit(0).as("__tag"), struct(rightCols.map(col): _*).as("__payload"))
+        lit(0).as("__tag"),
+        struct((rightCols.map(col) :+
+          col(rightTime).as("__rt")): _*).as("__payload"))
 
     // align schemas for the union: left carries nulls for __payload,
     // right carries nulls for the left columns
@@ -67,7 +105,15 @@ object AsOfJoin {
     val carried = lAligned.unionByName(rAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
 
-    carried.filter(col("__tag") === 1)
+    // tolerance: null the carried match when it is older than the
+    // window — a per-row codegen'd conditional, no extra shuffle
+    val matched = tolerance match {
+      case None => carried
+      case Some(tol) => carried.withColumn("__match",
+        when(col("__match.__rt") >=
+          col("__t") - expr(s"INTERVAL '$tol'"), col("__match")))
+    }
+    matched.filter(col("__tag") === 1)
       .select((leftCols.map(col) :+ col("__match")): _*)
       .select((leftCols.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(c))): _*)

@@ -31,11 +31,34 @@ object TimeSeries {
     * SKIPPED (pandas-ewm semantics): the fold sees only non-null
     * observations, rather than a null poisoning — or, worse, silently
     * re-seeding — the rest of the series. A group with only nulls
-    * yields a null EWMA. */
+    * yields a null EWMA.
+    *
+    * `maxGroupRows` is the house loud-failure guard (the
+    * `tokenBudgetSelect` convention): a power-law key at 100× the test
+    * scale would otherwise pile one group's whole history into a single
+    * agg buffer and become a silent straggler/OOM — instead the call
+    * FAILS naming the offending group (set `<= 0` to disable the
+    * pre-count; the count only sees non-null observations, the rows the
+    * buffer actually holds). For unbounded groups use
+    * [[ewmaByGroupChunked]]. */
   def ewmaByGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
                   valueCol: String, alpha: Double,
-                  outCol: String = "ewma"): DataFrame = {
+                  outCol: String = "ewma",
+                  maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"ewmaByGroup: alpha $alpha not in (0,1]")
+    if (maxGroupRows > 0) {
+      val over = df.filter(col(valueCol).isNotNull)
+        .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGroupRows)
+        .orderBy(col("__n").desc).limit(1)
+        .collect()
+      require(over.isEmpty,
+        s"ewmaByGroup: group '${over.head.get(0)}' has " +
+          s"${over.head.getLong(1)} observations (> maxGroupRows=" +
+          s"$maxGroupRows); its sorted fold would hold the whole group " +
+          "in ONE agg buffer — use ewmaByGroupChunked, or raise/disable " +
+          "maxGroupRows")
+    }
     // collect_list drops null ENTRIES: wrapping the struct in a
     // null-on-null-value conditional is what implements the skip
     val ordered = array_sort(collect_list(
@@ -46,6 +69,69 @@ object TimeSeries {
         (acc: Column, x: Column) =>
           when(acc.isNull, x.getField("__v"))
             .otherwise(acc * (1 - alpha) + x.getField("__v") * alpha))
+        .as(outCol))
+  }
+
+  /** [[ewmaByGroup]] for UNBOUNDED groups: the same final-EWMA
+    * semantics, but per-task state is bounded by the largest time
+    * CHUNK, not the largest group — the scale path the `maxGroupRows`
+    * guard points at.
+    *
+    * EWMA composes across a split of the series: for a chunk with
+    * non-null observations v_1..v_n, the fold seeded with `s` ends at
+    *
+    *   s * (1-α)^n  +  Σ_i α (1-α)^(n-i) v_i
+    *
+    * so each (group, chunk) reduces to four numbers — n, the decay
+    * (1-α)^n, the seeded-contribution Σ-term (a fold from 0), and the
+    * SEEDLESS fold (first value seeds; used when the chunk is the
+    * group's first non-empty one) — and a second group-level fold over
+    * chunks in time order stitches them:
+    * `acc = acc==null ? seedless : acc*decay + contrib`. An all-null
+    * chunk (n=0, decay=1, contrib=0, seedless=null) is the identity in
+    * both branches, so empty chunks pass through untouched.
+    *
+    * Scale shape: TWO hash aggregations — (group, chunk) then group —
+    * with per-buffer state = one chunk's observations, then one row per
+    * chunk. Pick `chunkExpr` (e.g. `date_trunc("month", col("ts"))`) so
+    * chunks are task-sized; it MUST be monotone non-decreasing in the
+    * `orderCols` order within each group (chunks are re-folded sorted
+    * by chunk key — a non-monotone chunking would reorder
+    * observations), and chunk keys must be non-null.
+    *
+    * Floating-point note: the stitched value is algebraically equal to
+    * [[ewmaByGroup]]'s but associates the arithmetic differently, so
+    * results agree to rounding error, not bit-exactly
+    * (TimeSeriesSpec pins 1e-9 relative agreement). */
+  def ewmaByGroupChunked(df: DataFrame, groupCol: String,
+                         orderCols: Seq[String], valueCol: String,
+                         alpha: Double, chunkExpr: Column,
+                         outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"ewmaByGroupChunked: alpha $alpha not in (0,1]")
+    val ordered = array_sort(collect_list(
+      when(col(valueCol).isNotNull, struct(
+        orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*))))
+    val v = (x: Column) => x.getField("__v")
+    val perChunk = df
+      .groupBy(col(groupCol), chunkExpr.as("__chunk"))
+      .agg(
+        size(ordered).cast("double").as("__n"),
+        aggregate(ordered, lit(0.0),
+          (acc: Column, x: Column) =>
+            acc * (1 - alpha) + v(x) * alpha).as("__contrib"),
+        aggregate(ordered, lit(null).cast("double"),
+          (acc: Column, x: Column) =>
+            when(acc.isNull, v(x))
+              .otherwise(acc * (1 - alpha) + v(x) * alpha)).as("__seedless"))
+      .withColumn("__decay", pow(lit(1 - alpha), col("__n")))
+    val chunks = array_sort(collect_list(struct(
+      col("__chunk"), col("__decay"), col("__contrib"), col("__seedless"))))
+    perChunk.groupBy(col(groupCol))
+      .agg(aggregate(chunks, lit(null).cast("double"),
+        (acc: Column, x: Column) =>
+          when(acc.isNull, x.getField("__seedless"))
+            .otherwise(acc * x.getField("__decay") + x.getField("__contrib")))
         .as(outCol))
   }
 

@@ -29,6 +29,50 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == ev.count())
   }
 
+  test("asOf: maxGroupRows guard fails loudly naming the hot key " +
+    "(left+right rows counted together); disabled guard passes") {
+    val left = (1 to 15).map(i => (7L, i.toLong, s"e$i"))
+      .toDF("k", "t", "ev")
+    val right = (1 to 10).map(i => (7L, i.toLong, s"o$i"))
+      .toDF("k", "rt", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"),
+        maxGroupRows = 20) // 15 + 10 = 25 > 20
+    }
+    assert(e.getMessage.contains("'7'") &&
+      e.getMessage.contains("maxGroupRows"))
+    assert(AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"),
+      maxGroupRows = 0).count() == 15)
+  }
+
+  test("asOf with tolerance: a match older than the window nulls out " +
+    "instead of falling back to an even older row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-10 00:00:00"), "stale"), // last right is 9d old
+      (1L, ts("2024-01-20 00:00:00"), "fresh"), // last right is 2d old
+      (2L, ts("2024-01-10 00:00:00"), "never")  // no right rows at all
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-18 00:00:00"), "b")
+    ).toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"),
+      tolerance = Some("5 days"))
+      .select($"ev", $"payload").as[(String, Option[String])]
+      .collect().toMap
+    assert(out("stale").isEmpty)     // carried 'a' is 9 days old -> null
+    assert(out("fresh").contains("b"))
+    assert(out("never").isEmpty)
+    // boundary is inclusive: exactly tolerance-old still matches
+    val edge = Seq((1L, ts("2024-01-23 00:00:00"), "edge"))
+      .toDF("k", "t", "ev")
+    val eo = AsOfJoin.asOf(edge, right, "k", "t", "rt", Seq("payload"),
+      tolerance = Some("5 days"))
+      .select($"payload").as[Option[String]].collect()
+    assert(eo.toList == List(Some("b")))
+  }
+
   test("saltedJoin equals the plain join") {
     val dim = Tables.part(spark, sfDir)
       .select($"p_partkey".as("l_partkey"), $"p_brand")

@@ -46,6 +46,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan.take(600))
   }
 
+  test("ewmaByGroup: maxGroupRows guard fails loudly naming the hot " +
+    "group; disabled guard and null observations behave") {
+    val hot = (1 to 20).map(i => (Option("hot"), i.toLong, Option(i.toDouble)))
+    val df = (hot :+ ((Option("cold"), 1L, Option(1.0))))
+      .toDF("g", "i", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaByGroup(df, "g", Seq("i"), "v", 0.5,
+        maxGroupRows = 10)
+    }
+    assert(e.getMessage.contains("hot") &&
+      e.getMessage.contains("maxGroupRows"))
+    // disabling the pre-count skips the guard entirely
+    assert(TimeSeries.ewmaByGroup(df, "g", Seq("i"), "v", 0.5,
+      maxGroupRows = 0).count() == 2)
+    // the cap counts OBSERVATIONS (what the agg buffer holds), so null
+    // values — which the fold skips — don't trip it
+    val nulls = (1 to 20).map(i => (Option("padded"), i.toLong,
+      if (i <= 10) Option(i.toDouble) else None)).toDF("g", "i", "v")
+    assert(TimeSeries.ewmaByGroup(nulls, "g", Seq("i"), "v", 0.5,
+      maxGroupRows = 10).count() == 1)
+  }
+
+  test("ewmaByGroupChunked matches ewmaByGroup to rounding error, " +
+    "and all-null chunks are the identity") {
+    val ev = Tables.events(spark, sfDir)
+    val flat = TimeSeries.ewmaByGroup(ev, "user_id",
+      Seq("ts", "event_id"), "value", 0.3, maxGroupRows = 0)
+      .as[(Long, Double)].collect().toMap
+    val chunked = TimeSeries.ewmaByGroupChunked(ev, "user_id",
+      Seq("ts", "event_id"), "value", 0.3,
+      date_trunc("week", col("ts")))
+      .as[(Long, Double)].collect().toMap
+    assert(flat.keySet == chunked.keySet)
+    flat.foreach { case (k, x) =>
+      val y = chunked(k)
+      assert(math.abs(x - y) <= 1e-9 * (1.0 + math.abs(x)),
+        s"user $k: flat $x vs chunked $y")
+    }
+    // a chunk whose values are ALL null must pass the running state
+    // through untouched — including when it PRECEDES the first data
+    val df = Seq(
+      (1L, 1L, Option.empty[Double]),  // chunk 0: all null, leading
+      (1L, 11L, Option(10.0)),         // chunk 1: seeds
+      (1L, 21L, Option.empty[Double]), // chunk 2: all null, interior
+      (1L, 31L, Option(20.0))          // chunk 3: 0.5*10+0.5*20
+    ).toDF("g", "i", "v")
+    val out = TimeSeries.ewmaByGroupChunked(df, "g", Seq("i"), "v", 0.5,
+      (col("i") / 10).cast("long")).as[(Long, Double)].collect().toMap
+    assert(out(1L) == 15.0)
+  }
+
   test("peakConcurrency: overlap counting is end-inclusive — touching " +
     "and zero-length intervals count") {
     val iv = Seq(
