@@ -792,13 +792,15 @@ object QueryCatalog {
 
     Q("q_event_stream_exec", // STREAMING EXECUTION gate: the tumbling
       // aggregation above, but executed through the real incremental
-      // engine — readStream file source over the same events parquet,
-      // Trigger.AvailableNow drain, complete-mode memory sink — and
-      // hash-compared against the identical batch oracle. Closes the
-      // "streaming twins compile and are spec-tested but no catalog
-      // query RUNS one" gap (§2.9): a divergence between incremental
-      // state and the batch plan goes red here.
-      (s, d) => graft.streaming.EventStreams.tumblingAvailableNow(
+      // engine — readStream file source, Trigger.AvailableNow,
+      // complete-mode memory sink — and hash-compared against the
+      // identical batch oracle. Since r12 the drain is the
+      // KILL-AND-RESTART form (tumblingRestartDrain): half the rows,
+      // stop, resume a new query from the checkpoint, drain the rest —
+      // so both incremental-vs-batch divergence AND checkpoint-recovery
+      // faults (lost state halves counts, replayed files double them)
+      // go red here every round.
+      (s, d) => graft.streaming.EventStreams.tumblingRestartDrain(
           s, s"$d/events.parquet", scratchDir("graft-stream-ckpt"))
         .select(col("w_start"), col("event_type"), col("n"),
           col("sum_value")),

@@ -298,6 +298,41 @@ object EventStreams {
     drainToMemory(spark, eventTimeWindow(rawEventSource(spark, eventsPath)),
       checkpointDir, sinkName)
 
+  /** Kill-and-restart execution gate: [[tumblingAvailableNow]] split
+    * into TWO AvailableNow runs sharing one checkpoint. Half the source
+    * rows land as one file, the first drain runs to completion and
+    * STOPS (a graceful kill — the query object is gone, the JVM could
+    * die here), the other half lands, and a brand-new query RESUMES
+    * from the checkpoint. The final complete-mode table must equal the
+    * single-run answer: recovery faults are arithmetically visible —
+    * lost state store halves the counts, a failed file-source-log
+    * recovery doubles the first file's contribution. Until r12 every
+    * `*_stream_exec` gate drained in one run, so checkpoint recovery
+    * was claimed but never exercised; this is the exercised form
+    * (q_event_stream_exec gates it against the DuckDB oracle every
+    * round). Halves split by event_id parity, so their time ranges
+    * fully interleave — the restart must also accept events earlier
+    * than the recovered watermark (complete mode keeps all window
+    * state; nothing is droppable). */
+  def tumblingRestartDrain(spark: SparkSession, eventsPath: String,
+                           checkpointDir: String,
+                           sinkName: String = "graft_stream_tumbling_restart")
+      : DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(eventsPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src")
+    graft.TempDirs.deleteOnExit(srcDir.toFile)
+    val src = srcDir.toString
+    raw.filter(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    drainToMemory(spark, eventTimeWindow(rawEventSource(spark, src)),
+      checkpointDir, sinkName)
+    raw.filter(pmod(col("event_id"), lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(src)
+    drainToMemory(spark, eventTimeWindow(rawEventSource(spark, src)),
+      checkpointDir, sinkName)
+  }
+
   /** Runs [[sessionWindow]] (built-in gap-based `session_window` state)
     * through the real incremental engine the same way
     * [[tumblingAvailableNow]] does: `readStream` over the raw events

@@ -42,6 +42,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("kill-and-restart: a new query resumes from the checkpoint, " +
+    "processes only the new file, and recovers the window state") {
+    val src = java.nio.file.Files.createTempDirectory("restart_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    val ev = Tables.events(spark, sfDir)
+    val half = ev.filter(pmod($"event_id", lit(2)) === 0)
+    half.coalesce(1).write.mode("append").parquet(src)
+    // run 1: drain the first half, then the query object is GONE
+    val mid = EventStreams.drainToMemory(spark,
+      EventStreams.eventTimeWindow(EventStreams.rawEventSource(spark, src)),
+      ckpt, "restart_mid")
+    assert(mid.agg(sum($"n")).as[Long].head() == half.count())
+    // run 2: land the other half, resume a brand-new query from ckpt
+    ev.filter(pmod($"event_id", lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(src)
+    val fin = EventStreams.drainToMemory(spark,
+      EventStreams.eventTimeWindow(EventStreams.rawEventSource(spark, src)),
+      ckpt, "restart_fin")
+      .select("w_start", "event_type", "n", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    // final table equals the single-pass batch answer: lost state would
+    // halve the early windows, a replayed first file would double them
+    val batch = ev
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n",
+        $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(fin == batch)
+  }
+
   test("session windows produce per-user sessions") {
     val out = runToMemory(
       EventStreams.sessionWindow(EventStreams.readEventStream(spark, eventsDir)),
