@@ -85,6 +85,11 @@ object QueryCatalog {
       val tag = Integer.toHexString(d.hashCode).takeWhile(_ != '-')
       val names = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
       built.computeIfAbsent(s"buckets:$d", _ => {
+        // Deterministic names + a warehouse that outlives the
+        // in-memory catalog = the orphaned-location hazard on every
+        // rerun; sweep first (Layout.dropOrphanedTableLocation).
+        Seq(names._1, names._2).foreach(
+          graft.sources.Layout.dropOrphanedTableLocation(s, _))
         graft.sources.Layout.saveBucketed(
           Tables.orders(s, d), names._1, "o_orderkey", buckets = 8)
         graft.sources.Layout.saveBucketed(
@@ -1040,6 +1045,36 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_span_dedup", // cross-document exact duplicated-span stats (the
+      // posting-list reading of Lee et al. 2021 substring dedup): per
+      // doc, how many of its distinct word 8-gram spans also occur
+      // verbatim in another document. Corpus-vs-itself — no broadcast
+      // assumption, unlike q_decontaminate's small-eval-set join. The
+      // synthetic corpus shares ~10% of spans organically (45/500 docs
+      // at sf0.001), so both branches carry signal at n = 8, the
+      // published span length.
+      (s, d) => CorpusOps.duplicateSpanStats(
+        t(s, d, "documents"), "doc_id", "text", n = 8, minDf = 2),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 8),
+             |sp AS (SELECT DISTINCT doc_id,
+             |    array_to_string(tk[i:i+7], ' ') AS span
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM t)),
+             |df AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2)
+             |SELECT s.doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dup_spans,
+             |  round(CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0
+             |    END) AS DOUBLE) / count(*), 6) AS dup_frac
+             |FROM sp s LEFT JOIN df d ON s.span = d.span
+             |GROUP BY s.doc_id""".stripMargin),
+      headline = true),
+
     Q("q_bpe_tokens", // learned BPE subword tokenization (Sennrich et
       // al. 2016 — the algorithm under most LLM tokenizers): merges
       // learned from the distributed word-frequency table (20 merges
@@ -1211,6 +1246,29 @@ object QueryCatalog {
              |      PARTITION BY source
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents) WHERE rn <= 50""".stripMargin)),
+
+    Q("q_weighted_sample", // weighted sample without replacement: k
+      // docs per source with inclusion probability ~ n_chars
+      // (Efraimidis-Spirakis A-ES keys over a deterministic
+      // md5-derived uniform — no rand(), so the oracle draws the
+      // IDENTICAL sample: both engines parse the same 8 hex chars of
+      // md5(doc_id) and rank by ln(u)/w). Key values are compared via
+      // the discrete selection + rank, not as floats.
+      (s, d) => CorpusOps.weightedSampleK(
+        t(s, d, "documents"), "source", "doc_id", "n_chars", k = 25)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rank").cast("long").as("rank")),
+      Some("""SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+             |FROM (
+             |  SELECT doc_id, source, n_chars, row_number() OVER (
+             |      PARTITION BY source
+             |      ORDER BY ln((('0x' ||
+             |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             |          + 0.5) / 4294967296.0)
+             |        / CAST(n_chars AS DOUBLE) DESC,
+             |        doc_id) AS rank
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+             |WHERE rank <= 25""".stripMargin)),
 
     Q("q_token_budget", // data-mixing quota: per source, keep docs in
       // id order until the cumulative token count exceeds the budget

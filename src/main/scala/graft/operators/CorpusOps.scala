@@ -79,6 +79,42 @@ object CorpusOps {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement: `k` rows per
+    * group with inclusion probability proportional to `weightCol` —
+    * the source-mixing primitive when documents are not equal (sample
+    * by quality score, length, dedup-cluster mass ...). Implements the
+    * Efraimidis–Spirakis A-ES key (IPL 2006): each row draws key
+    * u^(1/w) — ranked here by the monotone-equivalent ln(u)/w — and
+    * the k largest keys per group are exactly a weighted draw without
+    * replacement. u is a deterministic md5-derived uniform, same
+    * no-`rand()` rationale as [[stratifiedSampleK]]: retried tasks,
+    * reruns and differential oracles all see the same draw.
+    *
+    * Rows with NULL or non-positive weight carry zero inclusion
+    * probability and are excluded (A-ES is undefined there).
+    *
+    * Scale shape: identical to [[stratifiedSampleK]] — one shuffle on
+    * the group key and the rank filter compiles to WindowGroupLimit
+    * (Spark 3.5+), a pre-shuffle per-map-partition top-k heap, so
+    * shuffle volume is O(partitions x k) per group, not group size. */
+  def weightedSampleK(df: DataFrame, groupCol: String, idCol: String,
+                      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    // u in (0,1): the 32 high bits of md5(id) scaled by 2^-32, nudged
+    // off 0 so ln(u) stays finite (+0.5 keeps the value strictly
+    // inside the open interval; both engines parse the same 8 hex
+    // chars, so the draw is engine-portable)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(key.desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .withColumnRenamed("__rank", "rank")
+  }
+
   /** Token-budget selection — the data-mixing primitive: per `groupCol`
     * (source, language, domain ...), keep documents in `priority` order
     * until the group's cumulative whitespace-token count exceeds
@@ -398,6 +434,61 @@ object CorpusOps {
         count(lit(1)).as("n_lines"),
         sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_removed"))
       .select(col(idCol), col("clean_text"), col("n_lines"), col("n_removed"))
+  }
+
+  /** Cross-document exact duplicated-span statistics — the posting-list
+    * reading of substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021: their suffix array finds
+    * >= 50-token exact substrings; the distributed approximation is
+    * fixed-length word `n`-gram spans at stride 1, the same shape the
+    * paper's NearDup baseline and MOSS-style plagiarism detectors use).
+    * Unlike [[contaminationFlags]] (corpus vs a SMALL eval set,
+    * broadcast join) this is corpus-vs-ITSELF: the duplicated-span set
+    * can be corpus-sized, so no broadcast assumption anywhere.
+    *
+    * Returns one row per document with at least one full span — i.e.
+    * at least `n` whitespace tokens — (`idCol`, `n_spans` = distinct
+    * spans in the doc, `dup_spans` = those also occurring verbatim in
+    * at least `minDf - 1` OTHER documents, `dup_frac`). Downstream
+    * curation drops docs above a `dup_frac` threshold or routes
+    * `dup_spans` into a span-removal rewrite.
+    *
+    * Scale shape: [[graft.plans.TextExpressions.word_shingles]] emits
+    * each doc's span SET (within-doc repeats collapse at the source, so
+    * nothing downstream needs countDistinct); document frequency
+    * aggregates on the 64-bit span hash with map-side combine;
+    * membership rejoins on (hash, span) — string equality decides, the
+    * hash only partitions, so a 64-bit collision can never flag a
+    * unique span (same argument as [[removeBoilerplateLines]]). Both
+    * shuffles are linear in corpus tokens. At 100 TB the stride-1
+    * posting volume is |tokens| rows per doc: winnow it (keep spans
+    * with `hash % w == 0`) for a 1/w sample with identical df
+    * semantics on the kept spans — a `w`-for-recall dial the caller
+    * applies upstream; this operator stays exact. */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 2, s"span length out of range: $n")
+    require(minDf >= 2, s"minDf < 2 would flag every span: $minDf")
+    val spans = docs.filter(hasMinTokens(col(textCol), n))
+      .select(col(idCol),
+        graft.plans.TextExpressions.word_shingles(col(textCol), n)
+          .as("__sh"))
+      .select(col(idCol), explode(col("__sh")).as("__span"))
+    val dupSet = spans
+      .select(xxhash64(col("__span")).as("__h"), col("__span"))
+      .groupBy(col("__h"), col("__span"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__span").as("__dspan"), lit(1).as("__dup"))
+    spans
+      .join(dupSet, xxhash64(col("__span")) === col("__h") &&
+        col("__span") === col("__dspan"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col(idCol), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
   }
 
   /** Lowercased host of a URL column: the authority between `://` and

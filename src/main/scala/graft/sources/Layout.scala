@@ -40,6 +40,25 @@ object Layout {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Remove a managed table's on-disk LOCATION when the session's
+    * catalog does not own the table — the cross-JVM rerun hazard of
+    * [[saveBucketed]] with a non-persistent (in-memory) catalog: the
+    * warehouse directory outlives the catalog, so a fresh JVM pointed
+    * at the same warehouse sees the old files but not the table, and
+    * `saveAsTable(Overwrite)` refuses to CREATE over the orphaned
+    * location (LOCATION_ALREADY_EXISTS — Overwrite can only
+    * drop-and-recreate tables the catalog knows). Call before
+    * [[saveBucketed]] when the table name is deterministic across
+    * runs. A no-op when the catalog owns the table (Overwrite handles
+    * that case itself) or when nothing is on disk. */
+  def dropOrphanedTableLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + table)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+
   /** One-time rewrite of a normalized-AT-READ table to a layout whose
     * columns are physically TYPED — the pruning restorer for tables
     * whose loader wraps a column in a normalizing expression (e.g.

@@ -38,6 +38,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("duplicateSpanStats: shared spans flag both docs, unique docs stay clean") {
+    // n = 3 word spans. Docs 1 and 2 share exactly "beta gamma delta";
+    // doc 3 is disjoint; doc 4 is too short for any 3-gram.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "start beta gamma delta end"),
+      (3L, "one two three four"),
+      (4L, "x y")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.duplicateSpanStats(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1 spans: "alpha beta gamma","beta gamma delta","gamma delta epsilon"
+    // doc2 spans: "start beta gamma","beta gamma delta","gamma delta end"
+    assert(out(1L) == ((3L, 1L)), s"doc1: ${out.get(1L)}")
+    assert(out(2L) == ((3L, 1L)), s"doc2: ${out.get(2L)}")
+    assert(out(3L) == ((2L, 0L)))
+    assert(!out.contains(4L), "sub-n docs have no span row")
+  }
+
+  test("duplicateSpanStats: within-doc repeats count once (set semantics)") {
+    // "a b c" appears twice inside doc 1 but only doc 1 carries it:
+    // df = 1 -> NOT a duplicate span, and n_spans counts it once.
+    val docs = Seq(
+      (1L, "a b c x a b c"), // distinct spans: abc bcx cxa xab
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    val out = CorpusOps.duplicateSpanStats(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 0L)), s"doc1: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 0L)))
+  }
+
+  test("duplicateSpanStats: exact duplicate docs share every span") {
+    val docs = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "p q r s t u v w x y"),
+      // doc3 8-grams ("m n o p q r s t", "n o p q r s t u",
+      // "o p q r s t u v") overlap docs 1-2 only at length < 8, so it
+      // pins that sub-span overlap does NOT flag
+      (3L, "m n o p q r s t u v"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.duplicateSpanStats(docs, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
   test("stratifiedSampleK: at most k per stratum, deterministic draw") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
@@ -58,6 +109,45 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = CorpusOps.stratifiedSampleK(
       Tables.documents(spark, sfDir), "source", "doc_id", 7)
       .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("weightedSampleK: k per group, deterministic, heavy weight always drawn") {
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd",
+        if (i == 42L) 1.0e9 else 1.0)) // one overwhelming weight
+    val df = rows.toDF("id", "grp", "w")
+    val out = CorpusOps.weightedSampleK(df, "grp", "id", "w", k = 10)
+    val got = out.select($"grp", $"id", $"rank")
+      .as[(String, Long, Int)].collect()
+    assert(got.count(_._1 == "even") == 10)
+    assert(got.count(_._1 == "odd") == 10)
+    // ranks are contiguous 1..k inside each group
+    assert(got.filter(_._1 == "even").map(_._3).sorted.toSeq == (1 to 10))
+    // the A-ES key ln(u)/w for w = 1e9 is ~0, beating every w = 1 row:
+    // the heavy row must be drawn, and drawn FIRST
+    assert(got.find(_._2 == 42L).map(_._3).contains(1),
+      s"heavy row missing/misranked: ${got.toSeq.sortBy(r => (r._1, r._3))}")
+    // deterministic: an identical second call draws the identical sample
+    val again = CorpusOps.weightedSampleK(df, "grp", "id", "w", k = 10)
+      .select($"grp", $"id", $"rank").as[(String, Long, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("weightedSampleK: non-positive and null weights are never drawn") {
+    val df = Seq[(Long, String, java.lang.Double)](
+      (1L, "g", 5.0), (2L, "g", 0.0), (3L, "g", -1.0), (4L, "g", null),
+      (5L, "g", 2.0)).toDF("id", "grp", "w")
+    val ids = CorpusOps.weightedSampleK(df, "grp", "id", "w", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(ids == Set(1L, 5L), s"got $ids")
+  }
+
+  test("weightedSampleK compiles to WindowGroupLimit (pre-shuffle top-k)") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = CorpusOps.weightedSampleK(docs, "source", "doc_id",
+      "n_chars", k = 25).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 

@@ -82,6 +82,32 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("dropOrphanedTableLocation clears a dead location; rerun succeeds") {
+    // Simulate the cross-JVM rerun: the warehouse directory for a
+    // deterministic table name exists on disk, but THIS session's
+    // catalog has never heard of the table (a previous JVM's managed
+    // table). saveAsTable(Overwrite) refuses to create over it —
+    // sweeping first makes the rebuild succeed.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val orphan = new java.io.File(
+      new org.apache.hadoop.fs.Path(s"$wh/b_orphan").toUri.getPath)
+    assert(orphan.mkdirs())
+    val junk = new java.io.File(orphan, "part-stale.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val df = Tables.orders(spark, sfDir).select($"o_orderkey")
+    intercept[Exception] {
+      Layout.saveBucketed(df, "b_orphan", "o_orderkey", buckets = 2)
+    }
+    Layout.dropOrphanedTableLocation(spark, "b_orphan")
+    assert(!orphan.exists(), "stale location should be gone")
+    Layout.saveBucketed(df, "b_orphan", "o_orderkey", buckets = 2)
+    assert(spark.table("b_orphan").count() == df.count())
+    // and once the catalog OWNS the table, the sweep is a no-op:
+    // Overwrite's own drop-and-recreate path stays in charge
+    Layout.dropOrphanedTableLocation(spark, "b_orphan")
+    assert(spark.table("b_orphan").count() == df.count())
+  }
+
   test("normalized events layout pushes ts-range filters into the scan") {
     val base = Files.createTempDirectory("layout_norm").toString
     val path = s"$base/events"
