@@ -3436,6 +3436,33 @@ object QueryCatalog {
              |FROM events GROUP BY user_id""".stripMargin),
       headline = true),
 
+    Q("q_rolling_zscore", // rolling z-score anomaly signal: each
+      // event's deviation from the mean/stddev of its user's 20
+      // PRECEDING values (frame ends at -1 — the score never sees the
+      // value it judges). Under-populated (<5 obs) and zero-variance
+      // windows yield null; the zero-variance branch is engine-stable
+      // because identical inputs fold to exactly 0 in both engines.
+      (s, d) => TimeSeries.rollingZScore(
+        t(s, d, "events"), "user_id", Seq("ts", "event_id"), "value",
+        lookback = 20, minPoints = 5)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("z_score")),
+      // `+ 0` scrubs DuckDB round()'s -0.0 (Spark never emits it —
+      // the r4-documented float hazard, one organic hit at sf0.1)
+      Some("""SELECT event_id, user_id, ts, value,
+             |  CASE WHEN cnt >= 5 AND sd > 0
+             |       THEN round((value - mu) / sd, 4) + 0 END AS z_score
+             |FROM (
+             |  SELECT event_id, user_id, ts, value,
+             |    avg(value) OVER w AS mu,
+             |    stddev_samp(value) OVER w AS sd,
+             |    count(value) OVER w AS cnt
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))"""
+        .stripMargin),
+      headline = true),
+
     Q("q_peak_concurrency", // sweep-line interval algebra: peak number
       // of simultaneously-active user-day spans per day — +1/-1 deltas,
       // one per-day window running sum, max; no interval self-join.

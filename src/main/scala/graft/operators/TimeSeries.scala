@@ -149,6 +149,56 @@ object TimeSeries {
     * window sorts WITHIN partitions only (no global sort), so the
     * partition column should bound the per-task row count (a day, an
     * hour, a tenant). */
+  /** Rolling z-score anomaly signal: each row's deviation from the
+    * mean / sample-stddev of its `lookback` PRECEDING rows in
+    * `orderCols` order (the frame ends at -1, so the score never sees
+    * the value it judges — a spike cannot mask itself). Rows whose
+    * window holds fewer than `minPoints` observations, or whose window
+    * has zero variance, get a null score instead of a meaningless or
+    * infinite one (the zero-variance test is exact: identical inputs
+    * fold to exactly 0 variance, so the branch is engine-stable).
+    *
+    * Output = input columns + `outCol` (rounded to 4 decimals).
+    *
+    * Scale shape: one shuffle on the group key; the frame is a bounded
+    * ROWS window, so aggregation state is O(lookback) and the
+    * partition buffer beneath it is spill-backed — a big group costs
+    * one task's TIME, not memory. That per-key serialization is why
+    * the house `maxGroupRows` loud-guard applies (the [[ewmaByGroup]]
+    * convention). Unlike EWMA, the score needs only `lookback` rows of
+    * history, so unbounded keys chunk trivially: time-slice with a
+    * `lookback`-row overlap and the scores reproduce exactly. */
+  def rollingZScore(df: DataFrame, groupCol: String,
+                    orderCols: Seq[String], valueCol: String,
+                    lookback: Int = 20, minPoints: Int = 5,
+                    outCol: String = "z_score",
+                    maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+    require(lookback >= minPoints,
+      s"rollingZScore: lookback $lookback < minPoints $minPoints")
+    require(minPoints >= 2,
+      s"rollingZScore: minPoints $minPoints < 2 (stddev undefined)")
+    if (maxGroupRows > 0) {
+      val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGroupRows)
+        .orderBy(col("__n").desc).limit(1)
+        .collect()
+      require(over.isEmpty,
+        s"rollingZScore: group '${over.head.get(0)}' has " +
+          s"${over.head.getLong(1)} rows (> maxGroupRows=$maxGroupRows); " +
+          "its window serializes onto one task — time-chunk with a " +
+          s"$lookback-row overlap, or raise/disable maxGroupRows")
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol).cast("double")
+    val mu = avg(v).over(w)
+    val sd = stddev_samp(v).over(w)
+    val cnt = count(v).over(w)
+    df.withColumn(outCol,
+      when(cnt >= minPoints && sd > 0, round((v - mu) / sd, 4)))
+  }
+
   def peakConcurrency(intervals: DataFrame, byCol: String,
                       startCol: String, endCol: String,
                       outCol: String = "peak"): DataFrame = {

@@ -64,6 +64,17 @@ object CorpusScale {
       f"pack_s=$tPack%.2f packs=$nPacked%d " +
       f"chunk_Mtok_per_s=${nTokens / 1e6 / tChunk}%.1f " +
       f"pack_Mtok_per_s=${nTokens / 1e6 / tPack}%.1f")
+
+    // duplicateSpanStats on the replicated corpus is its WORST case:
+    // every span's df >= mult, so the dup-span set is corpus-sized and
+    // the membership join back carries every posting — the exact
+    // regime the SCALE.md note says must not assume a broadcast.
+    val (nFlagged, tSpan) = time {
+      CorpusOps.duplicateSpanStats(docs, "doc_id", "text", n = 8)
+        .filter(col("dup_spans") > 0).count()
+    }
+    println(f"span_s=$tSpan%.2f flagged=$nFlagged%d " +
+      f"span_Mtok_per_s=${nTokens / 1e6 / tSpan}%.1f")
     spark.stop()
   }
 }

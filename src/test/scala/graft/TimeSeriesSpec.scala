@@ -174,6 +174,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("__bin"))
   }
 
+  test("rollingZScore: hand-computed window, self-exclusion, null gates") {
+    // group g, values 1..6 at positions 1..6; lookback 3, minPoints 2.
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0),
+      (6, 100.0)).map { case (p, v) => ("g", p, v) }
+      .toDF("grp", "pos", "v")
+    val out = TimeSeries.rollingZScore(df, "grp", Seq("pos"), "v",
+      lookback = 3, minPoints = 2)
+      .select($"pos", $"z_score").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1).isEmpty, "no preceding rows")
+    assert(out(2).isEmpty, "one preceding row < minPoints")
+    // pos 3: window {1,2}: mu=1.5, sd=sqrt(0.5); z=(3-1.5)/0.7071=2.1213
+    assert(out(3).contains(2.1213), s"pos3: ${out(3)}")
+    // pos 4: window {1,2,3}: mu=2, sd=1; z=2
+    assert(out(4).contains(2.0))
+    // pos 6 is the spike: window {3,4,5} mu=4 sd=1 -> z=96; the spike
+    // never sees itself, so it scores as the anomaly it is
+    assert(out(6).contains(96.0))
+  }
+
+  test("rollingZScore: zero-variance window scores null, not infinity") {
+    val df = Seq(("g", 1, 7.0), ("g", 2, 7.0), ("g", 3, 7.0),
+      ("g", 4, 9.0)).toDF("grp", "pos", "v")
+    val out = TimeSeries.rollingZScore(df, "grp", Seq("pos"), "v",
+      lookback = 3, minPoints = 2)
+      .select($"pos", $"z_score").collect()
+      .map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(out(4), "window {7,7,7} has sd=0 -> null score")
+  }
+
+  test("rollingZScore: maxGroupRows guard fails loudly on a hot key") {
+    val hot = spark.range(0, 1000)
+      .select(lit("hot").as("grp"), $"id".as("pos"),
+        ($"id" % 7).cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.rollingZScore(hot, "grp", Seq("pos"), "v",
+        lookback = 20, minPoints = 5, maxGroupRows = 100)
+    }
+    assert(e.getMessage.contains("hot") &&
+      e.getMessage.contains("maxGroupRows"), e.getMessage)
+  }
+
   test("peakConcurrency plan: window sorts within hash partitions, " +
     "never globally") {
     val iv = Tables.events(spark, sfDir)
