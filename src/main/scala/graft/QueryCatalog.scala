@@ -3436,6 +3436,43 @@ object QueryCatalog {
              |FROM events GROUP BY user_id""".stripMargin),
       headline = true),
 
+    Q("q_funnel", // ordered conversion funnel signup -> click ->
+      // purchase per user: earliest strictly-time-increasing
+      // completion of each step. The engine's greedy time-order fold
+      // equals the oracle's iterative min-after-previous formulation
+      // (greedy earliest-completion is optimal; equal-time events
+      // never advance a step in either).
+      (s, d) => graft.operators.TimeSeries.funnel(
+        t(s, d, "events"), "user_id", "ts",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        Seq("t_signup", "t_click", "t_purchase")),
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t_signup FROM events
+             |  WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t_click
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t_signup
+             |  GROUP BY 1),
+             |t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t_purchase
+             |  FROM events e JOIN t2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+             |  GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type IN ('signup', 'click', 'purchase')
+             |        AND ts IS NOT NULL)
+             |SELECT u.user_id, t1.t_signup, t2.t_click, t3.t_purchase,
+             |  CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+             |            WHEN t2.t_click IS NOT NULL THEN 2
+             |            WHEN t1.t_signup IS NOT NULL THEN 1
+             |            ELSE 0 END AS BIGINT) AS steps_completed
+             |FROM u LEFT JOIN t1 USING (user_id)
+             |  LEFT JOIN t2 USING (user_id)
+             |  LEFT JOIN t3 USING (user_id)""".stripMargin)),
+
     Q("q_rolling_zscore", // rolling z-score anomaly signal: each
       // event's deviation from the mean/stddev of its user's 20
       // PRECEDING values (frame ends at -1 — the score never sees the

@@ -149,6 +149,81 @@ object TimeSeries {
     * window sorts WITHIN partitions only (no global sort), so the
     * partition column should bound the per-task row count (a day, an
     * hour, a tenant). */
+  /** Ordered conversion funnel: per entity, the earliest
+    * strictly-time-increasing completion of each step — step i must
+    * occur on an event with time STRICTLY after step i-1's completion
+    * (the classic product-analytics funnel; greedy earliest-completion
+    * is optimal, so the result equals the iterative
+    * "min time of step-i matches after t_{i-1}" formulation the SQL
+    * oracle uses — an event at a time EQUAL to the previous completion
+    * never advances, identically in both).
+    *
+    * Returns one row per entity with at least one step-matching event:
+    * (`entityCol`, one nullable time column per step named by
+    * `stepNames` (default `t1..tn`), `steps_completed`). An event
+    * matching several steps advances at most one.
+    *
+    * Scale shape: the [[ewmaByGroup]] contract — events matching NO
+    * step are dropped before the shuffle, then ONE hash aggregation
+    * whose per-group state is the entity's (time, step-mask) array,
+    * folded group-locally in time order (codegen'd `aggregate`, no
+    * window, no global sort). The bound is matching-events-per-entity,
+    * with the same `maxGroupRows` loud-guard. */
+  def funnel(events: DataFrame, entityCol: String, timeCol: String,
+             steps: Seq[Column], stepNames: Seq[String] = Nil,
+             maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 30,
+      s"funnel: 1..30 steps, got ${steps.size}")
+    val names =
+      if (stepNames.isEmpty) steps.indices.map(i => s"t${i + 1}")
+      else {
+        require(stepNames.size == steps.size,
+          s"funnel: ${stepNames.size} names for ${steps.size} steps")
+        stepNames
+      }
+    val n = steps.size
+    val mask = steps.zipWithIndex
+      .map { case (p, i) => when(p, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val tagged = events
+      .select(col(entityCol), col(timeCol).as("__t"), mask.as("__m"))
+      .filter(col("__m") > 0 && col("__t").isNotNull)
+    if (maxGroupRows > 0) {
+      val over = tagged.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGroupRows)
+        .orderBy(col("__n").desc).limit(1)
+        .collect()
+      require(over.isEmpty,
+        s"funnel: entity '${over.head.get(0)}' has " +
+          s"${over.head.getLong(1)} step-matching events (> maxGroupRows=" +
+          s"$maxGroupRows); its sorted fold would hold them in ONE agg " +
+          "buffer — pre-filter the event stream, or raise/disable " +
+          "maxGroupRows")
+    }
+    val timeType = tagged.schema("__t").dataType
+    val ordered = array_sort(collect_list(struct(col("__t"), col("__m"))))
+    // acc = completion times so far; size(acc) = the next step index.
+    // `get` (not element_at) reads the last completion: it returns null
+    // out-of-bounds instead of an ANSI error, and `t > null` is null ->
+    // the OR falls through to the size-0 branch.
+    val folded = tagged.groupBy(col(entityCol))
+      .agg(aggregate(ordered,
+        array().cast(org.apache.spark.sql.types.ArrayType(timeType)),
+        (acc: Column, x: Column) =>
+          when(size(acc) < n &&
+            call_function("shiftright", x.getField("__m"), size(acc))
+              .bitwiseAND(lit(1)) === 1 &&
+            (size(acc) === 0 ||
+              x.getField("__t") > get(acc, size(acc) - 1)),
+            concat(acc, array(x.getField("__t"))))
+            .otherwise(acc)).as("__times"))
+    folded.select(
+      col(entityCol) +:
+        names.zipWithIndex.map { case (nm, i) =>
+          get(col("__times"), lit(i)).as(nm) } :+
+        size(col("__times")).cast("long").as("steps_completed"): _*)
+  }
+
   /** Rolling z-score anomaly signal: each row's deviation from the
     * mean / sample-stddev of its `lookback` PRECEDING rows in
     * `orderCols` order (the frame ends at -1, so the score never sees

@@ -174,6 +174,64 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("__bin"))
   }
 
+  test("funnel: greedy strict-increase fold, hand-checked") {
+    // user 1 completes all three; user 2 stalls after signup (its only
+    // click is BEFORE the signup); user 3's click shares the signup's
+    // timestamp (strictness: never advances); user 4 has no step events
+    // at all (absent from the output).
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 5L, "click"), (1L, 20L, "click"),
+      (1L, 30L, "purchase"),
+      (2L, 10L, "signup"), (2L, 5L, "click"),
+      (3L, 10L, "signup"), (3L, 10L, "click"), (3L, 15L, "purchase"),
+      (4L, 10L, "error"))
+      .toDF("user_id", "t", "event_type")
+    val out = TimeSeries.funnel(ev, "user_id", "t",
+      Seq($"event_type" === "signup", $"event_type" === "click",
+        $"event_type" === "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(10L), None, None, 1L)))
+    assert(out(3L) == ((Some(10L), None, None, 1L)),
+      "same-timestamp click must not advance; later purchase can't skip")
+    assert(!out.contains(4L))
+  }
+
+  test("funnel: one event advances at most one step even when it " +
+    "matches several") {
+    val ev = Seq((1L, 10L, "both"), (1L, 20L, "both"))
+      .toDF("user_id", "t", "event_type")
+    val out = TimeSeries.funnel(ev, "user_id", "t",
+      Seq($"event_type" === "both", $"event_type" === "both"))
+      .collect().map(r => (Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3))).head
+    assert(out == ((Some(10L), Some(20L), 2L)))
+  }
+
+  test("funnel plan: one aggregation, no window, no sort exchange") {
+    val plan = TimeSeries.funnel(Tables.events(spark, sfDir), "user_id",
+      "ts", Seq($"event_type" === "signup", $"event_type" === "click"),
+      maxGroupRows = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("rangepartitioning"), plan.take(600))
+  }
+
+  test("funnel: maxGroupRows guard fails loudly on a hot entity") {
+    val hot = spark.range(0, 500)
+      .select(lit(7L).as("user_id"), $"id".as("t"),
+        lit("signup").as("event_type"))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.funnel(hot, "user_id", "t",
+        Seq($"event_type" === "signup"), maxGroupRows = 100)
+    }
+    assert(e.getMessage.contains("maxGroupRows"), e.getMessage)
+  }
+
   test("rollingZScore: hand-computed window, self-exclusion, null gates") {
     // group g, values 1..6 at positions 1..6; lookback 3, minPoints 2.
     val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0),
