@@ -2555,6 +2555,41 @@ object QueryCatalog {
              | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"""
         .stripMargin)),
 
+    Q("q_funnel_stream_exec", // STREAMING EXECUTION gate #7: the
+      // conversion funnel as ARBITRARY state — GroupState carries each
+      // user's completion times; every micro-batch continues the
+      // greedy strict-increase fold over its own time-sorted events.
+      // Single-file source → one micro-batch → the drained sink IS the
+      // batch funnel result, so the oracle is q_funnel's iterative
+      // min-after-previous SQL verbatim (timestamps compare exactly;
+      // no float anywhere).
+      (s, d) => graft.streaming.EventStreams.funnelAvailableNow(
+        s, s"$d/events.parquet", scratchDir("graft-stream-funnel-ckpt")),
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t_signup FROM events
+             |  WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t_click
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t_signup
+             |  GROUP BY 1),
+             |t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t_purchase
+             |  FROM events e JOIN t2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+             |  GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type IN ('signup', 'click', 'purchase')
+             |        AND ts IS NOT NULL)
+             |SELECT u.user_id, t1.t_signup, t2.t_click, t3.t_purchase,
+             |  CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+             |            WHEN t2.t_click IS NOT NULL THEN 2
+             |            WHEN t1.t_signup IS NOT NULL THEN 1
+             |            ELSE 0 END AS BIGINT) AS steps_completed
+             |FROM u LEFT JOIN t1 USING (user_id)
+             |  LEFT JOIN t2 USING (user_id)
+             |  LEFT JOIN t3 USING (user_id)""".stripMargin)),
+
     Q("q_scalar_subquery", // filter against a global aggregate
       (s, d) => {
         val o = t(s, d, "orders")

@@ -91,6 +91,49 @@ object EventStreams {
       }
   }
 
+  case class FunnelRow(user_id: Long,
+                       t_signup: Option[java.sql.Timestamp],
+                       t_click: Option[java.sql.Timestamp],
+                       t_purchase: Option[java.sql.Timestamp],
+                       steps_completed: Long)
+
+  /** Streaming face of [[graft.operators.TimeSeries.funnel]] for the
+    * signup → click → purchase ladder: per user, GroupState carries the
+    * completion times so far; each micro-batch sorts ITS OWN
+    * step-matching events by (ts, event_id) and continues the greedy
+    * strict-increase fold on top of the carried state. Equal to the
+    * batch fold whenever an entity's event time does not regress
+    * across micro-batches (in-order landing — and exactly equal for a
+    * single-batch drain, which is what the exec gate runs). NoTimeout
+    * for the same reason as [[userRunningTotals]]: eviction of stale
+    * entities is an event-time watermark policy in production. */
+  def funnelStream(spark: SparkSession,
+                   events: Dataset[Event]): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val steps = Vector("signup", "click", "purchase")
+    events
+      .filter(e => e.ts != null && steps.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[java.sql.Timestamp], FunnelRow](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[Seq[java.sql.Timestamp]]) =>
+          var times = state.getOption.getOrElse(Seq.empty)
+          // java.sql.Timestamp keeps sub-millisecond precision in its
+          // nanos field, so order/compare via Instant, not getTime
+          val sorted = batch.toSeq.sortBy(e => (e.ts.toInstant, e.event_id))
+          sorted.foreach { e =>
+            val k = times.size
+            if (k < steps.size && e.event_type == steps(k) &&
+              (times.isEmpty ||
+                e.ts.toInstant.isAfter(times.last.toInstant)))
+              times = times :+ e.ts
+          }
+          state.update(times)
+          FunnelRow(uid, times.lift(0), times.lift(1), times.lift(2),
+            times.size.toLong)
+      }
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon
     * (`dropDuplicates` keyed on id + event time — Spark keeps id state
     * only as long as the watermark requires). */
@@ -395,6 +438,22 @@ object EventStreams {
     drainToMemory(spark,
       userRunningTotals(spark, src).toDF()
         .select(col("user_id"), col("n_events")),
+      checkpointDir, sinkName, OutputMode.Update())
+  }
+
+  /** Runs [[funnelStream]] (custom funnel GroupState) through the
+    * incremental engine. Update mode (mapGroupsWithState's only
+    * fit-for-purpose mode); the single-file source drains in ONE
+    * micro-batch, so every user's fold sees its full history sorted —
+    * the drained sink holds exactly the batch funnel result and
+    * hash-compares against the same iterative-min oracle as
+    * q_funnel. */
+  def funnelAvailableNow(spark: SparkSession, eventsPath: String,
+                         checkpointDir: String,
+                         sinkName: String = "graft_stream_funnel"): DataFrame = {
+    import spark.implicits._
+    val src = rawEventSource(spark, eventsPath).as[Event]
+    drainToMemory(spark, funnelStream(spark, src).toDF(),
       checkpointDir, sinkName, OutputMode.Update())
   }
 

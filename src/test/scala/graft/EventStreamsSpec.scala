@@ -233,6 +233,62 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == ev.count())
   }
 
+  test("funnel state carries across micro-batches: a time-split " +
+    "two-batch drain equals the batch funnel") {
+    // Split events at the median ts into two files and force one
+    // micro-batch per file (maxFilesPerTrigger=1): every user's fold
+    // pauses mid-history with its GroupState carrying the completed
+    // steps, then continues in batch 2 — the carried-state path the
+    // single-batch exec gate never exercises. In-order landing (the
+    // documented funnelStream contract) holds by the time split.
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile_approx(ts, 0.5)").collect()(0)
+      .getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("funnel_split").toString
+    ev.filter($"ts" <= cut).coalesce(1).write.parquet(s"$dir/b=1")
+    ev.filter($"ts" > cut).coalesce(1).write.parquet(s"$dir/b=2")
+    // lexicographic file listing drives batch order: stage flat files
+    val flat = java.nio.file.Files.createTempDirectory("funnel_flat").toString
+    def onePart(sub: String, out: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$flat/$out"))
+    }
+    onePart("b=1", "a-first.parquet")
+    onePart("b=2", "b-second.parquet")
+    // the file source orders batches by modification time (path breaks
+    // ties) — make the intended order explicit rather than relying on
+    // copy timing
+    assert(new java.io.File(s"$flat/a-first.parquet")
+      .setLastModified(1000000000000L))
+    assert(new java.io.File(s"$flat/b-second.parquet")
+      .setLastModified(1000000100000L))
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat).as[EventStreams.Event]
+    val streamed = runToMemory(
+      EventStreams.funnelStream(spark, src).toDF(), "funnel_2batch",
+      mode = "update")
+      .groupBy($"user_id") // update mode: keep each user's LAST emit
+      .agg(max(struct($"steps_completed", $"t_signup", $"t_click",
+        $"t_purchase")).as("s"))
+      .select($"user_id", $"s.t_signup", $"s.t_click", $"s.t_purchase",
+        $"s.steps_completed")
+    val batch = graft.operators.TimeSeries.funnel(ev, "user_id", "ts",
+      Seq($"event_type" === "signup", $"event_type" === "click",
+        $"event_type" === "purchase"),
+      Seq("t_signup", "t_click", "t_purchase"))
+    val s = streamed.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = batch.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(s.keySet == b.keySet,
+      s"entity sets differ: ${(s.keySet diff b.keySet).take(3)} / " +
+        s"${(b.keySet diff s.keySet).take(3)}")
+    val bad = s.keys.filter(k => s(k) != b(k)).take(3)
+    assert(bad.isEmpty, s"mismatch at users $bad: " +
+      bad.map(k => s"$k: streamed=${s(k)} batch=${b(k)}").mkString("; "))
+  }
+
   test("scd2AvailableNow: incremental history equals sequential batch SCD2") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("scd2_stream").toString
