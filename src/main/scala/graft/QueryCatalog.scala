@@ -1075,6 +1075,77 @@ object QueryCatalog {
              |GROUP BY s.doc_id""".stripMargin),
       headline = true),
 
+    Q("q_span_dedup_winnow", // the 100 TB relief valve for
+      // q_span_dedup: winnow=4 keeps only spans with
+      // md5-prefix ≡ 0 (mod 4) — a 1/4 posting sample whose keep
+      // decision is a pure function of the span STRING, so every kept
+      // span keeps its EXACT df (kept everywhere or nowhere; df is
+      // never diluted) and dup_frac becomes an unbiased kept-span
+      // estimate. Both engines parse the same 8 hex chars of md5, so
+      // the sampled span set is identical.
+      (s, d) => CorpusOps.duplicateSpanStats(
+        t(s, d, "documents"), "doc_id", "text", n = 8, minDf = 2,
+        winnow = 4),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 8),
+             |sp AS (SELECT DISTINCT doc_id, span FROM (
+             |    SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS span
+             |    FROM (SELECT doc_id, tk,
+             |            unnest(generate_series(1, len(tk) - 7)) AS i
+             |          FROM t))
+             |  WHERE ('0x' || substr(md5(span), 1, 8))::UBIGINT % 4 = 0),
+             |df AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2)
+             |SELECT s.doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dup_spans,
+             |  round(CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0
+             |    END) AS DOUBLE) / count(*), 6) AS dup_frac
+             |FROM sp s LEFT JOIN df d ON s.span = d.span
+             |GROUP BY s.doc_id""".stripMargin)),
+
+    Q("q_dup_spans_merged", // variable-length exact substring dedup
+      // (Lee et al. 2021's actionable form): duplicated fixed-8 spans
+      // become intervals [i, i+7] over token offsets; overlapping or
+      // adjacent intervals union into maximal removal RANGES per doc
+      // (group-local sorted fold — the funnel shape). Oracle is the
+      // classic gaps-and-islands: with equal-length intervals the
+      // running end is prev+n-1, so a new island starts exactly when
+      // pos - lag(pos) > n.
+      (s, d) => CorpusOps.dupSpansMerged(
+        t(s, d, "documents"), "doc_id", "text", n = 8, minDf = 2,
+        minTokens = 8),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 8),
+             |pos AS (SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(tk[i:i+7], ' ') AS span
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM t)),
+             |df AS (SELECT span FROM (SELECT DISTINCT doc_id, span
+             |                         FROM pos)
+             |       GROUP BY span HAVING count(*) >= 2),
+             |hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN df USING (span)),
+             |isl AS (SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos - prev > 8
+             |             THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM (SELECT doc_id, pos,
+             |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |            AS prev
+             |        FROM hits))
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+             |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+             |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+             |FROM isl GROUP BY doc_id, island
+             |HAVING max(pos) + 7 - min(pos) + 1 >= 8""".stripMargin),
+      headline = true),
+
     Q("q_bpe_tokens", // learned BPE subword tokenization (Sennrich et
       // al. 2016 — the algorithm under most LLM tokenizers): merges
       // learned from the distributed word-frequency table (20 merges
@@ -2560,7 +2631,7 @@ object QueryCatalog {
       // user's completion times; every micro-batch continues the
       // greedy strict-increase fold over its own time-sorted events.
       // Single-file source → one micro-batch → the drained sink IS the
-      // batch funnel result, so the oracle is q_funnel's iterative
+      // batch funnel result, so the oracle is q_funnel_ordered's iterative
       // min-after-previous SQL verbatim (timestamps compare exactly;
       // no float anywhere).
       (s, d) => graft.streaming.EventStreams.funnelAvailableNow(
@@ -3471,7 +3542,7 @@ object QueryCatalog {
              |FROM events GROUP BY user_id""".stripMargin),
       headline = true),
 
-    Q("q_funnel", // ordered conversion funnel signup -> click ->
+    Q("q_funnel_ordered", // ordered conversion funnel signup -> click ->
       // purchase per user: earliest strictly-time-increasing
       // completion of each step. The engine's greedy time-order fold
       // equals the oracle's iterative min-after-previous formulation
@@ -4212,6 +4283,15 @@ object QueryCatalog {
        |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)"""
       .stripMargin
   }
+
+  // Duplicate names silently drop a query from SparkEntry's last-wins
+  // .toMap gate (the r12 q_funnel incident) — fail EVERY run at catalog
+  // construction instead of trusting a test suite that itself aborts on
+  // the duplicate.
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names in QueryCatalog.all: " +
+      all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+        .mkString(", "))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

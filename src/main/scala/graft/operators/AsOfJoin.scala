@@ -45,31 +45,21 @@ object AsOfJoin {
     *                   `tokenBudgetSelect` convention): the carry
     *                   window serializes each key's left+right rows
     *                   through one task, so a power-law key at 100×
-    *                   becomes a silent straggler — instead the call
-    *                   FAILS naming the hot key (set `<= 0` to disable
-    *                   the pre-count). The remedies are key-specific:
-    *                   time-bucket the key upstream, or pre-aggregate
-    *                   the right side.
+    *                   becomes a silent straggler — instead the query
+    *                   FAILS naming the hot key (set `<= 0` to
+    *                   disable). The check is a whole-partition count
+    *                   over the same key partitioning, computed in the
+    *                   already-paid carry shuffle — zero extra jobs
+    *                   (the r12 pre-count cost a second full scan,
+    *                   measured +57% at sf0.1). The remedies are
+    *                   key-specific: time-bucket the key upstream, or
+    *                   pre-aggregate the right side.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
            leftTime: String, rightTime: String,
            rightCols: Seq[String],
            tolerance: Option[String] = None,
            maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
-    if (maxGroupRows > 0) {
-      val over = left.select(col(keyCol))
-        .unionByName(right.select(col(keyCol)))
-        .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxGroupRows)
-        .orderBy(col("__n").desc).limit(1)
-        .collect()
-      require(over.isEmpty,
-        s"AsOfJoin.asOf: key '${over.head.get(0)}' has " +
-          s"${over.head.getLong(1)} rows across both sides (> " +
-          s"maxGroupRows=$maxGroupRows); the per-key carry window would " +
-          "serialize them through ONE task — time-bucket the key, " +
-          "pre-aggregate the right side, or raise/disable maxGroupRows")
-    }
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -102,8 +92,24 @@ object AsOfJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchExpr = last(col("__payload"), ignoreNulls = true).over(w)
+    // in-pass guard: whole-partition count over the same key
+    // partitioning — rides the carry shuffle, zero extra jobs
+    val guardedMatch =
+      if (maxGroupRows <= 0) matchExpr
+      else {
+        val total = count(lit(1)).over(Window.partitionBy(col(keyCol)))
+        when(total > maxGroupRows, raise_error(concat(
+          lit("AsOfJoin.asOf: key '"), col(keyCol).cast("string"),
+          lit("' has "), total.cast("string"),
+          lit(s" rows across both sides (> maxGroupRows=$maxGroupRows); " +
+            "the per-key carry window serializes them through ONE task " +
+            "— time-bucket the key, pre-aggregate the right side, or " +
+            "raise/disable maxGroupRows"))))
+          .otherwise(matchExpr)
+      }
     val carried = lAligned.unionByName(rAligned)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", guardedMatch)
 
     // tolerance: null the carried match when it is older than the
     // window — a per-row codegen'd conditional, no extra shuffle

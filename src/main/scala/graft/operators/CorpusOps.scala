@@ -130,33 +130,39 @@ object CorpusOps {
     * group serializes onto one task (WindowExec semantics) — acceptable
     * because groups are curation units (sources/languages), bounded in
     * count and roughly balanced. `maxGroupRows` is the loud-failure
-    * guard for that assumption: when any group exceeds it the call
+    * guard for that assumption: when any group exceeds it the query
     * FAILS with the offending group named instead of silently
-    * serializing a giant group onto one task (set `<= 0` to disable
-    * the pre-count). For a genuinely skewed key space use
+    * serializing a giant group onto one task (set `<= 0` to disable;
+    * the check is a whole-partition count over the same group
+    * partitioning — it rides the already-paid window shuffle, zero
+    * extra jobs). For a genuinely skewed key space use
     * [[tokenBudgetSelectBucketed]], which parallelizes the running sum
     * inside each group. */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String, budgetTokens: Long,
                         priority: Seq[Column] = Seq.empty,
                         maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
-    if (maxGroupRows > 0) {
-      val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxGroupRows)
-        .orderBy(col("__n").desc).limit(1)
-        .collect()
-      require(over.isEmpty,
-        s"tokenBudgetSelect: group '${over.head.get(0)}' has " +
-          s"${over.head.getLong(1)} rows (> maxGroupRows=$maxGroupRows); " +
-          "its running sum would serialize onto ONE task — use " +
-          "tokenBudgetSelectBucketed, or raise/disable maxGroupRows")
-    }
     val ord = if (priority.nonEmpty) priority :+ col(idCol)
               else Seq(col(idCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col("n_toks")).over(w)
+    // in-pass guard: whole-partition count over the same group
+    // partitioning — rides the window shuffle, zero extra jobs
+    val guarded =
+      if (maxGroupRows <= 0) cum
+      else {
+        val total = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+        when(total > maxGroupRows, raise_error(concat(
+          lit("tokenBudgetSelect: group '"), col(groupCol).cast("string"),
+          lit("' has "), total.cast("string"),
+          lit(s" rows (> maxGroupRows=$maxGroupRows); its running sum " +
+            "would serialize onto ONE task — use " +
+            "tokenBudgetSelectBucketed, or raise/disable maxGroupRows"))))
+          .otherwise(cum)
+      }
     df.withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("cum_toks", guarded)
       .filter(col("cum_toks") <= budgetTokens)
   }
 
@@ -461,19 +467,34 @@ object CorpusOps {
     * hash only partitions, so a 64-bit collision can never flag a
     * unique span (same argument as [[removeBoilerplateLines]]). Both
     * shuffles are linear in corpus tokens. At 100 TB the stride-1
-    * posting volume is |tokens| rows per doc: winnow it (keep spans
-    * with `hash % w == 0`) for a 1/w sample with identical df
-    * semantics on the kept spans — a `w`-for-recall dial the caller
-    * applies upstream; this operator stays exact. */
+    * posting volume is |tokens| rows per doc: `winnow = w > 1` keeps
+    * only spans whose content hash is ≡ 0 (mod w) — a 1/w posting
+    * sample with IDENTICAL df semantics on the kept spans (the keep
+    * decision is a pure function of the span string, so a kept span is
+    * kept in EVERY document and its df is exact, never diluted;
+    * `dup_frac` becomes an unbiased estimate over the kept-span
+    * sample, and `n_spans`/`dup_spans` count kept spans only). A doc
+    * whose every span is winnowed away yields no row. The keep hash is
+    * the engine-portable md5-prefix (the [[weightedSampleK]]
+    * convention) so the dial itself is oracle-checkable; a deployment
+    * chasing the last few % of scan cost can swap in xxhash64 without
+    * changing any semantics. */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int = 8, minDf: Int = 2): DataFrame = {
+                         n: Int = 8, minDf: Int = 2,
+                         winnow: Int = 1): DataFrame = {
     require(n >= 2, s"span length out of range: $n")
     require(minDf >= 2, s"minDf < 2 would flag every span: $minDf")
-    val spans = docs.filter(hasMinTokens(col(textCol), n))
+    require(winnow >= 1, s"winnow must be >= 1: $winnow")
+    val exploded = docs.filter(hasMinTokens(col(textCol), n))
       .select(col(idCol),
         graft.plans.TextExpressions.word_shingles(col(textCol), n)
           .as("__sh"))
       .select(col(idCol), explode(col("__sh")).as("__span"))
+    val spans =
+      if (winnow == 1) exploded
+      else exploded.filter(
+        conv(substring(md5(col("__span")), 1, 8), 16, 10).cast("long")
+          % winnow === 0)
     val dupSet = spans
       .select(xxhash64(col("__span")).as("__h"), col("__span"))
       .groupBy(col("__h"), col("__span"))
@@ -489,6 +510,96 @@ object CorpusOps {
       .select(col(idCol), col("n_spans"), col("dup_spans"),
         round(col("dup_spans").cast("double") / col("n_spans"), 6)
           .as("dup_frac"))
+  }
+
+  /** Maximal duplicated token RANGES per document — the actionable form
+    * of [[duplicateSpanStats]] and the distributed reading of Lee et
+    * al. 2021's exact substring dedup (their suffix array emits
+    * arbitrary >= 50-token duplicated substrings for REMOVAL; here
+    * every duplicated fixed-`n` span is an interval `[i, i+n-1]` over
+    * the doc's token offsets, and overlapping/adjacent intervals union
+    * into maximal ranges — exactly the spans a suffix array would
+    * report, discretized to stride-1 n-gram resolution: any duplicated
+    * substring of >= n tokens is covered, with range ends resolved to
+    * within n-1 tokens).
+    *
+    * Returns one row per maximal range of at least `minTokens` tokens:
+    * (`idCol`, `start_tok`, `end_tok` — 0-based inclusive token
+    * offsets — `n_tokens`). Downstream curation cuts these ranges out
+    * of the doc (or drops docs whose ranges cover too much — the
+    * [[duplicateSpanStats]] score). A span is "duplicated" when it
+    * occurs in >= `minDf` distinct documents ([[duplicateSpanStats]]
+    * semantics: within-doc repeats alone don't flag).
+    *
+    * Scale shape: three linear passes, no all-pairs anywhere — (1) df
+    * over the distinct (doc, span) set on the 64-bit hash (map-side
+    * combine); (2) an INNER rejoin of the positional posting list on
+    * (hash, span) — string equality decides, so a hash collision can
+    * never flag a unique span, and non-duplicated positions (the vast
+    * majority) drop BEFORE the merge shuffle; (3) one hash aggregation
+    * per doc whose sorted fold unions intervals group-locally (the
+    * [[TimeSeries.funnel]] shape — per-buffer state is bounded by the
+    * DOC's flagged-offset count, and a document is the natural
+    * upper bound, so no `maxGroupRows` guard is needed). The winnow
+    * dial does NOT apply here: dropping 3 of 4 spans would break
+    * adjacency merging — use winnowed [[duplicateSpanStats]] to pick
+    * candidate DOCS cheaply, then run this on the flagged subset. */
+  def dupSpansMerged(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDf: Int = 2,
+                     minTokens: Int = 8): DataFrame = {
+    require(n >= 2, s"span length out of range: $n")
+    require(minDf >= 2, s"minDf < 2 would flag every span: $minDf")
+    require(minTokens >= n,
+      s"minTokens $minTokens < n $n can never filter anything tighter " +
+        "than the span length")
+    val tk = split(trim(col(textCol)), "\\s+")
+    // positional stride-1 spans: offset i covers tokens [i, i+n-1].
+    // (word_shingles emits the per-doc SET — fine for df, wrong for
+    // positions — so the positional side is the declarative slice.)
+    val posSpans = docs.filter(hasMinTokens(col(textCol), n))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(tk) - n),
+          i => array_join(slice(tk, i + 1, lit(n)), " ")))
+          .as(Seq("__pos", "__span")))
+    // df over the distinct (doc, span) set — identical semantics to
+    // duplicateSpanStats; posSpans is recomputed by both branches on
+    // purpose (cheap projection of the scan, the removeBoilerplateLines
+    // call: recomputing beats storing corpus x spans blocks)
+    val dupSet = posSpans.select(col(idCol), col("__span")).distinct()
+      .select(xxhash64(col("__span")).as("__h"), col("__span"))
+      .groupBy(col("__h"), col("__span"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__span").as("__dspan"))
+    val hits = posSpans
+      .join(dupSet, xxhash64(col("__span")) === col("__h") &&
+        col("__span") === col("__dspan"))
+      .select(col(idCol), col("__pos"))
+    // group-local interval union: fold ascending offsets, extending the
+    // open range while the next interval overlaps or touches it
+    val itype = org.apache.spark.sql.types.IntegerType
+    val zero = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s", itype),
+        org.apache.spark.sql.types.StructField("e", itype)))))
+    val merged = hits.groupBy(col(idCol))
+      .agg(aggregate(array_sort(collect_list(col("__pos"))), zero,
+        (acc: Column, i: Column) => {
+          val lastS = get(acc, size(acc) - 1).getField("s")
+          val lastE = get(acc, size(acc) - 1).getField("e")
+          when(size(acc) > 0 && i <= lastE + 1,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(lastS.as("s"),
+                greatest(lastE, i + n - 1).as("e")))))
+            .otherwise(concat(acc,
+              array(struct(i.as("s"), (i + n - 1).as("e")))))
+        }).as("__ranges"))
+    merged.select(col(idCol), explode(col("__ranges")).as("__r"))
+      .select(col(idCol),
+        col("__r.s").cast("long").as("start_tok"),
+        col("__r.e").cast("long").as("end_tok"),
+        (col("__r.e") - col("__r.s") + 1).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
   }
 
   /** Lowercased host of a URL column: the authority between `://` and

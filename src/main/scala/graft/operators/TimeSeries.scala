@@ -36,40 +36,42 @@ object TimeSeries {
     * `maxGroupRows` is the house loud-failure guard (the
     * `tokenBudgetSelect` convention): a power-law key at 100× the test
     * scale would otherwise pile one group's whole history into a single
-    * agg buffer and become a silent straggler/OOM — instead the call
-    * FAILS naming the offending group (set `<= 0` to disable the
-    * pre-count; the count only sees non-null observations, the rows the
-    * buffer actually holds). For unbounded groups use
-    * [[ewmaByGroupChunked]]. */
+    * agg buffer and become a silent straggler/OOM — instead the query
+    * FAILS naming the offending group (set `<= 0` to disable). The
+    * check rides INSIDE the aggregate — `size` of the very array the
+    * fold consumes — so it costs zero extra jobs (the r12 pre-count
+    * variant cost a second full scan, measured +66% at sf0.1). It only
+    * sees non-null observations (the rows the buffer actually holds),
+    * and it fires once the group's array is collected: the fold and
+    * all downstream stages stop loudly, though a group so large the
+    * array ITSELF cannot be buffered dies on Spark's memory manager
+    * first. For unbounded groups use [[ewmaByGroupChunked]]. */
   def ewmaByGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
                   valueCol: String, alpha: Double,
                   outCol: String = "ewma",
                   maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"ewmaByGroup: alpha $alpha not in (0,1]")
-    if (maxGroupRows > 0) {
-      val over = df.filter(col(valueCol).isNotNull)
-        .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxGroupRows)
-        .orderBy(col("__n").desc).limit(1)
-        .collect()
-      require(over.isEmpty,
-        s"ewmaByGroup: group '${over.head.get(0)}' has " +
-          s"${over.head.getLong(1)} observations (> maxGroupRows=" +
-          s"$maxGroupRows); its sorted fold would hold the whole group " +
-          "in ONE agg buffer — use ewmaByGroupChunked, or raise/disable " +
-          "maxGroupRows")
-    }
     // collect_list drops null ENTRIES: wrapping the struct in a
     // null-on-null-value conditional is what implements the skip
     val ordered = array_sort(collect_list(
       when(col(valueCol).isNotNull, struct(
         orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*))))
-    df.groupBy(col(groupCol))
-      .agg(aggregate(ordered, lit(null).cast("double"),
-        (acc: Column, x: Column) =>
-          when(acc.isNull, x.getField("__v"))
-            .otherwise(acc * (1 - alpha) + x.getField("__v") * alpha))
-        .as(outCol))
+    val fold = aggregate(ordered, lit(null).cast("double"),
+      (acc: Column, x: Column) =>
+        when(acc.isNull, x.getField("__v"))
+          .otherwise(acc * (1 - alpha) + x.getField("__v") * alpha))
+    // same collect_list instance in guard and fold -> one agg buffer
+    // (PhysicalAggregation dedups semantically-equal aggregates)
+    val guarded =
+      if (maxGroupRows <= 0) fold
+      else when(size(ordered) > maxGroupRows, raise_error(concat(
+        lit("ewmaByGroup: group '"), col(groupCol).cast("string"),
+        lit("' has "), size(ordered).cast("string"),
+        lit(s" observations (> maxGroupRows=$maxGroupRows); its sorted " +
+          "fold holds the whole group in ONE agg buffer — use " +
+          "ewmaByGroupChunked, or raise/disable maxGroupRows"))))
+        .otherwise(fold)
+    df.groupBy(col(groupCol)).agg(guarded.as(outCol))
   }
 
   /** [[ewmaByGroup]] for UNBOUNDED groups: the same final-EWMA
@@ -188,35 +190,35 @@ object TimeSeries {
     val tagged = events
       .select(col(entityCol), col(timeCol).as("__t"), mask.as("__m"))
       .filter(col("__m") > 0 && col("__t").isNotNull)
-    if (maxGroupRows > 0) {
-      val over = tagged.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxGroupRows)
-        .orderBy(col("__n").desc).limit(1)
-        .collect()
-      require(over.isEmpty,
-        s"funnel: entity '${over.head.get(0)}' has " +
-          s"${over.head.getLong(1)} step-matching events (> maxGroupRows=" +
-          s"$maxGroupRows); its sorted fold would hold them in ONE agg " +
-          "buffer — pre-filter the event stream, or raise/disable " +
-          "maxGroupRows")
-    }
     val timeType = tagged.schema("__t").dataType
     val ordered = array_sort(collect_list(struct(col("__t"), col("__m"))))
     // acc = completion times so far; size(acc) = the next step index.
     // `get` (not element_at) reads the last completion: it returns null
     // out-of-bounds instead of an ANSI error, and `t > null` is null ->
     // the OR falls through to the size-0 branch.
+    val fold = aggregate(ordered,
+      array().cast(org.apache.spark.sql.types.ArrayType(timeType)),
+      (acc: Column, x: Column) =>
+        when(size(acc) < n &&
+          call_function("shiftright", x.getField("__m"), size(acc))
+            .bitwiseAND(lit(1)) === 1 &&
+          (size(acc) === 0 ||
+            x.getField("__t") > get(acc, size(acc) - 1)),
+          concat(acc, array(x.getField("__t"))))
+          .otherwise(acc))
+    // in-pass guard (the ewmaByGroup convention): size of the SAME
+    // collected array, zero extra jobs
+    val guarded =
+      if (maxGroupRows <= 0) fold
+      else when(size(ordered) > maxGroupRows, raise_error(concat(
+        lit("funnel: entity '"), col(entityCol).cast("string"),
+        lit("' has "), size(ordered).cast("string"),
+        lit(s" step-matching events (> maxGroupRows=$maxGroupRows); the " +
+          "sorted fold holds them in ONE agg buffer — pre-filter the " +
+          "event stream, or raise/disable maxGroupRows"))))
+        .otherwise(fold)
     val folded = tagged.groupBy(col(entityCol))
-      .agg(aggregate(ordered,
-        array().cast(org.apache.spark.sql.types.ArrayType(timeType)),
-        (acc: Column, x: Column) =>
-          when(size(acc) < n &&
-            call_function("shiftright", x.getField("__m"), size(acc))
-              .bitwiseAND(lit(1)) === 1 &&
-            (size(acc) === 0 ||
-              x.getField("__t") > get(acc, size(acc) - 1)),
-            concat(acc, array(x.getField("__t"))))
-            .otherwise(acc)).as("__times"))
+      .agg(guarded.as("__times"))
     folded.select(
       col(entityCol) +:
         names.zipWithIndex.map { case (nm, i) =>
@@ -252,17 +254,6 @@ object TimeSeries {
       s"rollingZScore: lookback $lookback < minPoints $minPoints")
     require(minPoints >= 2,
       s"rollingZScore: minPoints $minPoints < 2 (stddev undefined)")
-    if (maxGroupRows > 0) {
-      val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxGroupRows)
-        .orderBy(col("__n").desc).limit(1)
-        .collect()
-      require(over.isEmpty,
-        s"rollingZScore: group '${over.head.get(0)}' has " +
-          s"${over.head.getLong(1)} rows (> maxGroupRows=$maxGroupRows); " +
-          "its window serializes onto one task — time-chunk with a " +
-          s"$lookback-row overlap, or raise/disable maxGroupRows")
-    }
     val w = Window.partitionBy(col(groupCol))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-lookback, -1)
@@ -270,8 +261,23 @@ object TimeSeries {
     val mu = avg(v).over(w)
     val sd = stddev_samp(v).over(w)
     val cnt = count(v).over(w)
-    df.withColumn(outCol,
-      when(cnt >= minPoints && sd > 0, round((v - mu) / sd, 4)))
+    val score = when(cnt >= minPoints && sd > 0, round((v - mu) / sd, 4))
+    // in-pass guard: a whole-partition count over the SAME window
+    // partitioning (the shuffle is already paid; no extra job — the
+    // r12 pre-count cost a second full scan per call)
+    val guarded =
+      if (maxGroupRows <= 0) score
+      else {
+        val total = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+        when(total > maxGroupRows, raise_error(concat(
+          lit("rollingZScore: group '"), col(groupCol).cast("string"),
+          lit("' has "), total.cast("string"),
+          lit(s" rows (> maxGroupRows=$maxGroupRows); its window " +
+            s"serializes onto one task — time-chunk with a $lookback-row " +
+            "overlap, or raise/disable maxGroupRows"))))
+          .otherwise(score)
+      }
+    df.withColumn(outCol, guarded)
   }
 
   def peakConcurrency(intervals: DataFrame, byCol: String,

@@ -447,7 +447,7 @@ object EventStreams {
     * micro-batch, so every user's fold sees its full history sorted —
     * the drained sink holds exactly the batch funnel result and
     * hash-compares against the same iterative-min oracle as
-    * q_funnel. */
+    * q_funnel_ordered. */
   def funnelAvailableNow(spark: SparkSession, eventsPath: String,
                          checkpointDir: String,
                          sinkName: String = "graft_stream_funnel"): DataFrame = {

@@ -35,12 +35,10 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("k", "t", "ev")
     val right = (1 to 10).map(i => (7L, i.toLong, s"o$i"))
       .toDF("k", "rt", "payload")
-    val e = intercept[IllegalArgumentException] {
+    interceptGuard("'7'", "maxGroupRows") {
       AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"),
-        maxGroupRows = 20) // 15 + 10 = 25 > 20
+        maxGroupRows = 20).collect() // 15 + 10 = 25 > 20
     }
-    assert(e.getMessage.contains("'7'") &&
-      e.getMessage.contains("maxGroupRows"))
     assert(AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"),
       maxGroupRows = 0).count() == 15)
   }

@@ -89,6 +89,89 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("duplicateSpanStats winnow: kept spans keep EXACT df (kept " +
+    "everywhere or nowhere), and winnowed counts are a subset") {
+    // Real corpus slice: for every doc the winnowed (n_spans, dup_spans)
+    // must be <= the exact ones, and — the df-identity law — a span the
+    // winnow keeps is judged duplicated iff the EXACT form judged it
+    // duplicated, because the keep decision is a pure function of the
+    // span string. We pin that law directly: recompute kept-span df by
+    // hand on a planted corpus.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "start beta gamma delta end"),
+      (3L, "one two three four"),
+      (4L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // exact form at n=3
+    val exact = CorpusOps.duplicateSpanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // hand-model the winnow=2 keep set + kept-span dfs
+    def spans(s: String): Seq[String] =
+      s.split("\\s+").sliding(3).map(_.mkString(" ")).toSeq.distinct
+    def kept(sp: String): Boolean = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sp.getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString, 16)
+      h % 2 == 0
+    }
+    val corpus = Map(1L -> "alpha beta gamma delta epsilon",
+      2L -> "start beta gamma delta end", 3L -> "one two three four",
+      4L -> "alpha beta gamma delta epsilon")
+    val keptSpans = corpus.view.mapValues(t => spans(t).filter(kept)).toMap
+    val df = keptSpans.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expect = keptSpans.collect { case (id, sps) if sps.nonEmpty =>
+      id -> ((sps.size.toLong, sps.count(df(_) >= 2).toLong)) }
+    val out = CorpusOps.duplicateSpanStats(docs, "doc_id", "text", n = 3,
+      winnow = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == expect, s"got $out want $expect")
+    // subset law vs the exact form
+    out.foreach { case (id, (n, d)) =>
+      val (en, ed) = exact(id)
+      assert(n <= en && d <= ed, s"doc $id: winnowed ($n,$d) vs exact ($en,$ed)")
+    }
+  }
+
+  test("dupSpansMerged: adjacent duplicated spans union into one " +
+    "maximal range; disjoint runs stay separate; minTokens filters") {
+    // n = 3. Docs 1 and 2 share the run "b c d e f" (token offsets
+    // 1..5 in doc 1): flagged 3-gram offsets 1,2,3 -> one merged range
+    // [1, 5] of 5 tokens. Doc 1 ALSO shares "x y z" with doc 2 at its
+    // tail (offsets 7..9), disjoint from the first run.
+    val docs = Seq(
+      (1L, "a b c d e f q x y z"),
+      (2L, "p b c d e f r s x y z"),
+      (3L, "totally different words here no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dupSpansMerged(docs, "doc_id", "text",
+      n = 3, minDf = 2, minTokens = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 1L, 5L, 5L), (1L, 7L, 9L, 3L),
+      (2L, 1L, 5L, 5L), (2L, 8L, 10L, 3L)), out)
+    // minTokens above the merged width drops the short tail run but
+    // keeps the 5-token one
+    val tall = CorpusOps.dupSpansMerged(docs, "doc_id", "text",
+      n = 3, minDf = 2, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(tall == Set((1L, 5L), (2L, 5L)), tall)
+  }
+
+  test("dupSpansMerged: within-doc repeats alone do not flag " +
+    "(df counts distinct documents)") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "different words entirely here")).toDF("doc_id", "text")
+    assert(CorpusOps.dupSpansMerged(docs, "doc_id", "text",
+      n = 3, minDf = 2, minTokens = 3).count() == 0)
+  }
+
   test("stratifiedSampleK: at most k per stratum, deterministic draw") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
@@ -172,12 +255,10 @@ class CorpusOpsSpec extends SparkSpec {
   test("tokenBudgetSelect: maxGroupRows guard fails loudly on a skewed group") {
     val skew = (1L to 500L).map(i => (i, "hot", "a b c"))
       .toDF("doc_id", "source", "text")
-    val ex = intercept[IllegalArgumentException] {
+    interceptGuard("hot", "tokenBudgetSelectBucketed") {
       CorpusOps.tokenBudgetSelect(skew, "source", "doc_id", "text",
-        budgetTokens = 100L, maxGroupRows = 100L)
+        budgetTokens = 100L, maxGroupRows = 100L).collect()
     }
-    assert(ex.getMessage.contains("hot"))
-    assert(ex.getMessage.contains("tokenBudgetSelectBucketed"))
     // disabled guard still runs
     assert(CorpusOps.tokenBudgetSelect(skew, "source", "doc_id", "text",
       budgetTokens = 100L, maxGroupRows = 0L).count() > 0)

@@ -51,13 +51,11 @@ class TimeSeriesSpec extends SparkSpec {
     val hot = (1 to 20).map(i => (Option("hot"), i.toLong, Option(i.toDouble)))
     val df = (hot :+ ((Option("cold"), 1L, Option(1.0))))
       .toDF("g", "i", "v")
-    val e = intercept[IllegalArgumentException] {
+    interceptGuard("hot", "maxGroupRows") {
       TimeSeries.ewmaByGroup(df, "g", Seq("i"), "v", 0.5,
-        maxGroupRows = 10)
+        maxGroupRows = 10).collect()
     }
-    assert(e.getMessage.contains("hot") &&
-      e.getMessage.contains("maxGroupRows"))
-    // disabling the pre-count skips the guard entirely
+    // disabling the guard skips it entirely
     assert(TimeSeries.ewmaByGroup(df, "g", Seq("i"), "v", 0.5,
       maxGroupRows = 0).count() == 2)
     // the cap counts OBSERVATIONS (what the agg buffer holds), so null
@@ -225,11 +223,10 @@ class TimeSeriesSpec extends SparkSpec {
     val hot = spark.range(0, 500)
       .select(lit(7L).as("user_id"), $"id".as("t"),
         lit("signup").as("event_type"))
-    val e = intercept[IllegalArgumentException] {
+    interceptGuard("maxGroupRows", "step-matching") {
       TimeSeries.funnel(hot, "user_id", "t",
-        Seq($"event_type" === "signup"), maxGroupRows = 100)
+        Seq($"event_type" === "signup"), maxGroupRows = 100).collect()
     }
-    assert(e.getMessage.contains("maxGroupRows"), e.getMessage)
   }
 
   test("rollingZScore: hand-computed window, self-exclusion, null gates") {
@@ -267,12 +264,10 @@ class TimeSeriesSpec extends SparkSpec {
     val hot = spark.range(0, 1000)
       .select(lit("hot").as("grp"), $"id".as("pos"),
         ($"id" % 7).cast("double").as("v"))
-    val e = intercept[IllegalArgumentException] {
+    interceptGuard("hot", "maxGroupRows") {
       TimeSeries.rollingZScore(hot, "grp", Seq("pos"), "v",
-        lookback = 20, minPoints = 5, maxGroupRows = 100)
+        lookback = 20, minPoints = 5, maxGroupRows = 100).collect()
     }
-    assert(e.getMessage.contains("hot") &&
-      e.getMessage.contains("maxGroupRows"), e.getMessage)
   }
 
   test("peakConcurrency plan: window sorts within hash partitions, " +
