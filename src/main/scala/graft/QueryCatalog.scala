@@ -3606,6 +3606,30 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_rolling_zscore_chunked", // the scale path for unbounded keys:
+      // same z-scores computed with per-task state bounded by the time
+      // CHUNK (week) + lookback carried rows, never the whole key —
+      // the oracle is q_rolling_zscore's single-window SQL VERBATIM
+      // because the chunked form reproduces it exactly (the carried
+      // ordinal predecessors rebuild the identical ROWS frame).
+      (s, d) => TimeSeries.rollingZScoreChunked(
+        t(s, d, "events"), "user_id", Seq("ts", "event_id"), "value",
+        date_trunc("week", col("ts")), lookback = 20, minPoints = 5)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("z_score")),
+      Some("""SELECT event_id, user_id, ts, value,
+             |  CASE WHEN cnt >= 5 AND sd > 0
+             |       THEN round((value - mu) / sd, 4) + 0 END AS z_score
+             |FROM (
+             |  SELECT event_id, user_id, ts, value,
+             |    avg(value) OVER w AS mu,
+             |    stddev_samp(value) OVER w AS sd,
+             |    count(value) OVER w AS cnt
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))"""
+        .stripMargin)),
+
     Q("q_peak_concurrency", // sweep-line interval algebra: peak number
       // of simultaneously-active user-day spans per day — +1/-1 deltas,
       // one per-day window running sum, max; no interval self-join.

@@ -10,8 +10,14 @@ object Verify {
     // iteration aid; the driver always runs the full set)
     val only = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // repo-root hygiene: Derby's log and the default ./spark-warehouse
+    // otherwise litter the cwd across rounds
+    System.setProperty("derby.stream.error.file",
+      new java.io.File("target/derby.log").getAbsolutePath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_verify_wh").toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

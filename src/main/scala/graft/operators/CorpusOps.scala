@@ -96,7 +96,17 @@ object CorpusOps {
     * Scale shape: identical to [[stratifiedSampleK]] — one shuffle on
     * the group key and the rank filter compiles to WindowGroupLimit
     * (Spark 3.5+), a pre-shuffle per-map-partition top-k heap, so
-    * shuffle volume is O(partitions x k) per group, not group size. */
+    * shuffle volume is O(partitions x k) per group, not group size.
+    *
+    * Documented float hazard (the house register): the ORDERING — not
+    * the emitted values — is a float surface. ln(u)/w is evaluated by
+    * two libm implementations (JVM `Math.log` vs the oracle's C
+    * `log`), and a 1-ulp divergence on near-tied keys exactly at the
+    * rank-k boundary could select different rows per engine. It cannot
+    * be engineered away (w varies per row, so the key cannot be made
+    * integral); it is vanishingly rare (needs two keys within 1 ulp
+    * AND straddling rank k) and has never been observed at any gated
+    * SF, but it is nonzero — same class as the round()-at-.xx5 note. */
   def weightedSampleK(df: DataFrame, groupCol: String, idCol: String,
                       weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")

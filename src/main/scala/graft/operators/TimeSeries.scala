@@ -280,6 +280,97 @@ object TimeSeries {
     df.withColumn(outCol, guarded)
   }
 
+  /** [[rollingZScore]] for UNBOUNDED keys — the scale path its
+    * `maxGroupRows` guard points at: per-task state is bounded by the
+    * largest time CHUNK (plus `lookback` carried rows), not the largest
+    * group, and the scores reproduce the single-window form EXACTLY.
+    *
+    * Because the score needs only `lookback` preceding rows, a chunk
+    * can be scored independently once it also sees the last `lookback`
+    * rows BEFORE it. Shape (the [[graft.operators.CorpusOps
+    * .tokenBudgetSelectBucketed]] two-phase convention, generalized to
+    * a lookback overlap):
+    *
+    *   1. rank rows within (group, chunk) — a window whose partitions
+    *      are chunk-sized;
+    *   2. per-(group, chunk) counts get a TINY prefix-sum window (one
+    *      row per chunk) that turns ranks into per-group GLOBAL
+    *      ordinals without any global window;
+    *   3. each row is copied into every LATER chunk whose first
+    *      ordinal is within `lookback` of it (almost always just the
+    *      next chunk, but a run of thin chunks carries further — this
+    *      is what keeps thin chunks exact), via a broadcast join
+    *      against the chunk summary;
+    *   4. one window per (group, chunk) over (own + carried) rows
+    *      ordered by ordinal: the carried rows are exactly the ordinal
+    *      predecessors, so the `ROWS -lookback..-1` frame sees
+    *      precisely what the single-window form saw. Carried copies
+    *      are scored too, then dropped.
+    *
+    * `chunkExpr` must be non-null and monotone non-decreasing in the
+    * `orderCols` order within each group (the [[ewmaByGroupChunked]]
+    * contract), and `orderCols` must be a total order (ranks decide
+    * frame membership). Pick task-sized chunks (an hour, a day). Cost:
+    * two chunk-partitioned shuffles + one broadcast of the chunk
+    * summary — no guard needed, nothing serializes a whole key. */
+  def rollingZScoreChunked(df: DataFrame, groupCol: String,
+                           orderCols: Seq[String], valueCol: String,
+                           chunkExpr: Column,
+                           lookback: Int = 20, minPoints: Int = 5,
+                           outCol: String = "z_score"): DataFrame = {
+    require(lookback >= minPoints,
+      s"rollingZScoreChunked: lookback $lookback < minPoints $minPoints")
+    require(minPoints >= 2,
+      s"rollingZScoreChunked: minPoints $minPoints < 2 (stddev undefined)")
+    val inCols = df.columns.toSeq
+    val wRank = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(orderCols.map(col): _*)
+    // materialized: summary + ordinal join + carry join all read it,
+    // and it carries a window — the expensive-subtree Materialize rule
+    val ranked = Materialize(df.withColumn("__chunk", chunkExpr)
+      .withColumn("__rk", row_number().over(wRank).cast("long")),
+      eager = false)
+    val wChunks = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per (group, chunk) — broadcast-sized by construction;
+    // materialized because BOTH the ordinal join and the carry-target
+    // join read it (its prefix-sum window is the only place the group
+    // is hashed alone, and only over this tiny summary)
+    val offsets = Materialize(ranked
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wChunks), lit(0L))),
+      eager = false)
+    val withOrd = ranked
+      .join(offsets.select(col(groupCol), col("__chunk"), col("__off")),
+        Seq(groupCol, "__chunk"))
+      .withColumn("__ord", col("__off") + col("__rk"))
+      .drop("__rk", "__off")
+    // ONE broadcast join fans each row out to every chunk that needs
+    // it: its own (cj == chunk, always matched — every (group, chunk)
+    // has a summary row) plus each later chunk starting within
+    // lookback of it (lo_j <= ord + lookback). No union, so the
+    // withOrd subtree is never duplicated.
+    val targets = offsets.select(col(groupCol).as("__cg"),
+      col("__chunk").as("__cj"), (col("__off") + 1).as("__lo"))
+    val expanded = withOrd
+      .join(broadcast(targets),
+        col(groupCol) === col("__cg") &&
+          (col("__cj") === col("__chunk") ||
+            (col("__cj") > col("__chunk") &&
+              col("__lo") <= col("__ord") + lookback)))
+      .withColumn("__carry", col("__cj") > col("__chunk"))
+    val wScore = Window.partitionBy(col(groupCol), col("__cj"))
+      .orderBy(col("__ord")).rowsBetween(-lookback, -1)
+    val v = col(valueCol).cast("double")
+    val scored = expanded.withColumn(outCol,
+      when(count(v).over(wScore) >= minPoints &&
+        stddev_samp(v).over(wScore) > 0,
+        round((v - avg(v).over(wScore)) / stddev_samp(v).over(wScore), 4)))
+    scored.filter(!col("__carry"))
+      .select((inCols.map(col) :+ col(outCol)): _*)
+  }
+
   def peakConcurrency(intervals: DataFrame, byCol: String,
                       startCol: String, endCol: String,
                       outCol: String = "peak"): DataFrame = {

@@ -50,14 +50,26 @@ object Layout {
     * drop-and-recreate tables the catalog knows). Call before
     * [[saveBucketed]] when the table name is deterministic across
     * runs. A no-op when the catalog owns the table (Overwrite handles
-    * that case itself) or when nothing is on disk. */
-  def dropOrphanedTableLocation(spark: SparkSession, table: String): Unit =
+    * that case itself) or when nothing is on disk.
+    *
+    * Assumes the DEFAULT database: a managed table's location is
+    * `<warehouse>/<lowercased name>` only there (a non-default db adds
+    * a `<db>.db/` segment — callers using one must drop the location
+    * themselves). The name is lowercased because Spark lowercases
+    * identifiers when deriving managed locations; without it a
+    * mixed-case name makes the sweep a silent no-op and the subsequent
+    * saveBucketed still dies with LOCATION_ALREADY_EXISTS. */
+  def dropOrphanedTableLocation(spark: SparkSession, table: String): Unit = {
+    require(!table.contains("."),
+      s"dropOrphanedTableLocation assumes the default database; got '$table'")
     if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + "/" + table)
+        spark.conf.get("spark.sql.warehouse.dir") + "/" +
+          table.toLowerCase(java.util.Locale.ROOT))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
     }
+  }
 
   /** One-time rewrite of a normalized-AT-READ table to a layout whose
     * columns are physically TYPED — the pruning restorer for tables

@@ -75,6 +75,30 @@ object CorpusScale {
     }
     println(f"span_s=$tSpan%.2f flagged=$nFlagged%d " +
       f"span_Mtok_per_s=${nTokens / 1e6 / tSpan}%.1f")
+
+    // the winnow dial: posting volume (rows entering the df shuffle)
+    // and wall-clock vs the exact form, at the same worst-case df
+    for (w <- Seq(4, 16)) {
+      val (res, tW) = time {
+        val out = CorpusOps.duplicateSpanStats(docs, "doc_id", "text",
+          n = 8, winnow = w)
+        val flagged = out.filter(col("dup_spans") > 0).count()
+        val postings = out.select(sum(col("n_spans"))).collect()(0).getLong(0)
+        (flagged, postings)
+      }
+      println(f"winnow=$w%d span_s=$tW%.2f flagged=${res._1}%d " +
+        f"kept_postings=${res._2}%d " +
+        f"span_Mtok_per_s=${nTokens / 1e6 / tW}%.1f")
+    }
+
+    // dupSpansMerged (variable-length ranges): the positional side
+    // carries ALL stride-1 offsets (heavier than the set-collapsed
+    // stats), then only duplicated positions survive to the merge
+    val (nRanges, tMerge) = time {
+      CorpusOps.dupSpansMerged(docs, "doc_id", "text", n = 8).count()
+    }
+    println(f"merge_s=$tMerge%.2f ranges=$nRanges%d " +
+      f"merge_Mtok_per_s=${nTokens / 1e6 / tMerge}%.1f")
     spark.stop()
   }
 }

@@ -85,9 +85,15 @@ object PqRecall {
         nCells = nCells, m = 8, nbits = nbits, iters = 4)
       for (probes <- Seq(1, 2, 4, 8, 16)) {
         val recalls = qIds.map { q =>
+          // fetch k+1, drop the query itself, then TRUNCATE back to the
+          // top-k of what remains (score order): when lossy codes or
+          // low probes fail to retrieve q, keeping all k+1 candidates
+          // would score a k+1-sized set against a k-sized truth set and
+          // inflate recall at exactly the low-recall operating points
           val got = Similarity.ivfPqTopK(spark, path, qVecs(q), k + 1,
             probes)
-            .select("id").collect().map(_.getLong(0)).toSet - q
+            .select("id").collect().map(_.getLong(0)).toSeq
+            .filterNot(_ == q).take(k).toSet
           truth(q).intersect(got).size.toDouble / k
         }
         val mean = recalls.sum / recalls.size

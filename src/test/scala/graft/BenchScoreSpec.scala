@@ -24,6 +24,24 @@ class BenchScoreSpec extends AnyFunSuite {
     assert(!results.exists(_._1 == "b"))
   }
 
+  test("partial passes (the noisy-query extra iterations) contribute " +
+    "only to the queries they carry") {
+    val samples = Seq(
+      Seq("a" -> 5.0, "b" -> 1.0),
+      Seq("a" -> 3.0, "b" -> 2.0),
+      Seq("a" -> 2.0), // extra pass: only the noisy query
+      Seq("a" -> 9.0))
+    val (failed, results) = Bench.score(Seq("a", "b"), samples)
+    assert(failed.isEmpty)
+    val a = results.find(_._1 == "a").get
+    val b = results.find(_._1 == "b").get
+    assert(a._2 == 2.0 && a._3 == 4.75) // min over 4, mean over 4
+    assert(b._2 == 1.0 && b._3 == 1.5)  // untouched by partial passes
+    // a NaN in a partial pass still condemns its query
+    val (f2, _) = Bench.score(Seq("a"), samples :+ Seq("a" -> Double.NaN))
+    assert(f2 == Seq("a"))
+  }
+
   test("all-green pass scores every query with exact stats") {
     val samples = Seq(Seq("x" -> 2.0), Seq("x" -> 4.0), Seq("x" -> 3.0))
     val (failed, results) = Bench.score(Seq("x"), samples)

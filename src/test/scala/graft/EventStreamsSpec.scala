@@ -289,6 +289,50 @@ class EventStreamsSpec extends SparkSpec {
       bad.map(k => s"$k: streamed=${s(k)} batch=${b(k)}").mkString("; "))
   }
 
+  test("funnel batch/stream parity on the equal-timestamp edge: an " +
+    "event AT the previous completion time never advances, in BOTH " +
+    "implementations") {
+    // The greedy-fold law both implementations claim: step i needs time
+    // STRICTLY after step i-1's completion. Planted edges:
+    //  user 1: click AT the signup instant (no advance), then a later
+    //          click (advances), purchase AT that click (no advance)
+    //          -> steps_completed = 2
+    //  user 2: clean strict ladder -> 3
+    //  user 3: signup only, duplicate signup at same instant -> 1
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0, "{}"),
+      EventStreams.Event(2L, ts("2024-01-01 10:00:00"), 1L, "click", 0, "{}"),
+      EventStreams.Event(3L, ts("2024-01-01 11:00:00"), 1L, "click", 0, "{}"),
+      EventStreams.Event(4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 0, "{}"),
+      EventStreams.Event(5L, ts("2024-01-02 09:00:00"), 2L, "signup", 0, "{}"),
+      EventStreams.Event(6L, ts("2024-01-02 09:30:00"), 2L, "click", 0, "{}"),
+      EventStreams.Event(7L, ts("2024-01-02 09:45:00"), 2L, "purchase", 0, "{}"),
+      EventStreams.Event(8L, ts("2024-01-03 08:00:00"), 3L, "signup", 0, "{}"),
+      EventStreams.Event(9L, ts("2024-01-03 08:00:00"), 3L, "signup", 0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel_edge")
+      .toString + "/events"
+    rows.toDF().coalesce(1).write.parquet(dir)
+    val batchDf = spark.read.parquet(dir)
+    val batch = graft.operators.TimeSeries.funnel(batchDf, "user_id", "ts",
+      Seq($"event_type" === "signup", $"event_type" === "click",
+        $"event_type" === "purchase"),
+      Seq("t_signup", "t_click", "t_purchase"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val src = spark.readStream.schema(batchDf.schema).parquet(dir)
+      .as[EventStreams.Event]
+    val streamed = runToMemory(
+      EventStreams.funnelStream(spark, src).toDF(), "funnel_edge_out",
+      mode = "update")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(batch == streamed,
+      s"batch=$batch\nstreamed=$streamed")
+    // and the law itself, pinned on the planted values
+    assert(batch(1L).last == 2L, s"user1: ${batch(1L)}")
+    assert(batch(2L).last == 3L)
+    assert(batch(3L).last == 1L)
+  }
+
   test("scd2AvailableNow: incremental history equals sequential batch SCD2") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("scd2_stream").toString

@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared test harness: one SparkSession per suite (lazy), small local
   * parallelism, UTC — mirrors the driver's Verify session. */
 trait SparkSpec extends AnyFunSuite {
+  // Derby (JdbcSourceSpec's embedded db) writes derby.log into the cwd
+  // unless told otherwise — keep the repo root clean
+  System.setProperty("derby.stream.error.file",
+    new java.io.File("target/derby.log").getAbsolutePath)
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

@@ -270,6 +270,63 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rollingZScoreChunked reproduces the single-window scores " +
+    "EXACTLY on the events corpus") {
+    val ev = Tables.events(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+    def score(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    val flat = TimeSeries.rollingZScore(ev, "user_id",
+      Seq("ts", "event_id"), "value", lookback = 20, minPoints = 5,
+      maxGroupRows = 0)
+      .select($"event_id", $"z_score").collect()
+      .map(r => key(r) -> score(r)).toMap
+    val chunked = TimeSeries.rollingZScoreChunked(ev, "user_id",
+      Seq("ts", "event_id"), "value", date_trunc("week", $"ts"),
+      lookback = 20, minPoints = 5)
+      .select($"event_id", $"z_score").collect()
+      .map(r => key(r) -> score(r)).toMap
+    assert(chunked.size == flat.size)
+    assert(chunked == flat) // bit-exact: same frame rows, same fold
+  }
+
+  test("rollingZScoreChunked: thin chunks (smaller than lookback) " +
+    "carry across MULTIPLE chunks and stay exact") {
+    // chunks of 2 rows with lookback 5: a row's frame spans up to 3
+    // chunks back — the single-overlap shortcut would be wrong here
+    val df = (1 to 20).map(i => ("g", i.toLong, (i * i % 13).toDouble))
+      .toDF("grp", "pos", "v")
+    val flat = TimeSeries.rollingZScore(df, "grp", Seq("pos"), "v",
+      lookback = 5, minPoints = 2, maxGroupRows = 0)
+      .select($"pos", $"z_score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val chunked = TimeSeries.rollingZScoreChunked(df, "grp", Seq("pos"),
+      "v", ($"pos" / 2).cast("long"), lookback = 5, minPoints = 2)
+      .select($"pos", $"z_score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(chunked == flat)
+  }
+
+  test("rollingZScoreChunked plan: row-level shuffles partition by " +
+    "(group, chunk); only the one-row-per-chunk summary hashes the " +
+    "group alone") {
+    val exch = TimeSeries.rollingZScoreChunked(
+      Tables.events(spark, sfDir), "user_id", Seq("ts", "event_id"),
+      "value", date_trunc("week", $"ts"))
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("hashpartitioning(user_id"))
+      .toSeq
+    val groupOnly = exch.filterNot(l =>
+      l.contains("__chunk") || l.contains("__cj"))
+    assert(exch.exists(l => l.contains("__chunk") || l.contains("__cj")),
+      s"no (group, chunk) shuffle found:\n${exch.mkString("\n")}")
+    // at most one group-alone shuffle: the tiny one-row-per-chunk
+    // summary's prefix-sum window — never the row-level data
+    assert(groupOnly.size <= 1, groupOnly.mkString("\n"))
+  }
+
   test("peakConcurrency plan: window sorts within hash partitions, " +
     "never globally") {
     val iv = Tables.events(spark, sfDir)
