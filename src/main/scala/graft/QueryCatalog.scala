@@ -1146,6 +1146,61 @@ object QueryCatalog {
              |HAVING max(pos) + 7 - min(pos) + 1 >= 8""".stripMargin),
       headline = true),
 
+    Q("q_dup_spans_removed", // Lee et al.'s final step: DELETE the
+      // merged duplicated ranges and keep the remainder. Untouched
+      // docs pass through byte-identical; rewritten docs rejoin
+      // surviving tokens with single spaces (token-level semantics);
+      // a wall-to-wall duplicate rewrites to '' (both engines emit the
+      // empty string, not null). n_removed sums the disjoint ranges.
+      (s, d) => CorpusOps.removeDupSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 8, minDf = 2,
+        minTokens = 8),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 8),
+             |pos AS (SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(tk[i:i+7], ' ') AS span
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM t)),
+             |df AS (SELECT span FROM (SELECT DISTINCT doc_id, span
+             |                         FROM pos)
+             |       GROUP BY span HAVING count(*) >= 2),
+             |hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN df USING (span)),
+             |isl AS (SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos - prev > 8
+             |             THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM (SELECT doc_id, pos,
+             |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |            AS prev
+             |        FROM hits)),
+             |ranges AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM isl GROUP BY doc_id, island
+             |  HAVING max(pos) + 7 - min(pos) + 1 >= 8),
+             |toks AS (SELECT doc_id, i - 1 AS p, tk[i] AS w
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk))) AS i
+             |        FROM t)),
+             |keep AS (SELECT k.doc_id, k.p, k.w FROM toks k
+             |  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+             |    WHERE r.doc_id = k.doc_id AND k.p BETWEEN r.s AND r.e)),
+             |reb AS (SELECT doc_id,
+             |    array_to_string(list(w ORDER BY p), ' ') AS rebuilt
+             |  FROM keep GROUP BY doc_id),
+             |rem AS (SELECT doc_id,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+             |  FROM ranges GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CASE WHEN rem.doc_id IS NULL THEN d.text
+             |       ELSE coalesce(reb.rebuilt, '') END AS clean_text,
+             |  coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed
+             |FROM documents d
+             |LEFT JOIN rem USING (doc_id)
+             |LEFT JOIN reb USING (doc_id)""".stripMargin)),
+
     Q("q_bpe_tokens", // learned BPE subword tokenization (Sennrich et
       // al. 2016 — the algorithm under most LLM tokenizers): merges
       // learned from the distributed word-frequency table (20 merges

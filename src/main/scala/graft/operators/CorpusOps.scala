@@ -612,6 +612,49 @@ object CorpusOps {
       .filter(col("n_tokens") >= minTokens)
   }
 
+  /** Cut the [[dupSpansMerged]] ranges OUT of the corpus — the final
+    * step of Lee et al. 2021's substring dedup (the paper deletes the
+    * duplicated substrings and keeps the remainder, rather than
+    * dropping whole documents). Returns one row per input document:
+    * (`idCol`, `clean_text`, `n_removed` tokens).
+    *
+    * Token-level semantics: a document's duplicated ranges (maximal,
+    * disjoint by construction) are removed and the SURVIVING tokens
+    * are rejoined with single spaces — so a rewritten document is
+    * whitespace-NORMALIZED (tokens are the unit of this operator;
+    * original spacing is not a preserved property). Documents with no
+    * duplicated range pass through VERBATIM (byte-identical text,
+    * n_removed = 0), including null/short docs. A document that is
+    * duplicated wall-to-wall rewrites to the empty string — visible
+    * and filterable downstream, never silently dropped.
+    *
+    * Scale shape: [[dupSpansMerged]] (three linear passes) plus one
+    * left join of the corpus against its per-doc range lists (grouped
+    * on the doc id — one row per flagged doc, so the join's right side
+    * is at most corpus-sized and usually far smaller) and a per-row
+    * codegen'd positional filter; ranges-per-doc is bounded by
+    * doc-length/n, so the per-token `exists` probe is cheap. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDf: Int = 2,
+                     minTokens: Int = 8): DataFrame = {
+    val ranges = dupSpansMerged(docs, idCol, textCol, n, minDf, minTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("__rm"))
+    val tk = split(trim(col(textCol)), "\\s+")
+    val kept = filter(tk, (_, i) =>
+      !exists(col("__rm"), r =>
+        i >= r.getField("start_tok") && i <= r.getField("end_tok")))
+    val removed = aggregate(col("__rm"), lit(0L),
+      (acc: Column, r: Column) =>
+        acc + r.getField("end_tok") - r.getField("start_tok") + 1)
+    docs.join(ranges, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__rm").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        coalesce(removed, lit(0L)).as("n_removed"))
+  }
+
   /** Lowercased host of a URL column: the authority between `://` and
     * the first `/ : ? #`, userinfo stripped — a plain codegen'd regexp,
     * no UDF. Malformed URLs yield the empty string (regexp_extract's

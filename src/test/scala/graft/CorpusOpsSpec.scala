@@ -172,6 +172,35 @@ class CorpusOpsSpec extends SparkSpec {
       n = 3, minDf = 2, minTokens = 3).count() == 0)
   }
 
+  test("removeDupSpans: flagged ranges are cut, survivors rejoin, " +
+    "untouched docs pass byte-identical, full dup rewrites to ''") {
+    val docs = Seq(
+      // docs 1 & 4 are identical -> wall-to-wall dup -> ''
+      (1L, "a b c d e f"),
+      (4L, "a b c d e f"),
+      // doc 2 shares the 3-gram run "b c d e" with 1/4 plus a unique
+      // tail; doc 5 shares "x y z" with doc 2's tail region? no — keep
+      // doc 2's unique tail truly unique
+      (2L, "q b c d e unique tail words here"),
+      // doc 3: disjoint, and with IRREGULAR whitespace that must
+      // survive untouched (the verbatim pass-through contract)
+      (3L, "totally  different   words here"),
+      // doc 6: too short for any 3-gram
+      (6L, "x y")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeDupSpans(docs, "doc_id", "text",
+      n = 3, minDf = 2, minTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("", 6L)), out(1L))
+    assert(out(4L) == (("", 6L)))
+    // doc 2: dup 3-grams "b c d", "c d e" (shared with docs 1/4) at
+    // offsets 1,2 -> merged [1,4] -> remove "b c d e", keep the rest
+    assert(out(2L) == (("q unique tail words here", 4L)), out(2L))
+    assert(out(3L) == (("totally  different   words here", 0L)))
+    assert(out(6L) == (("x y", 0L)))
+  }
+
   test("stratifiedSampleK: at most k per stratum, deterministic draw") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
