@@ -2036,6 +2036,70 @@ object QueryCatalog {
              |LEFT JOIN corpus_min c ON d.text = c.text
              |LEFT JOIN delta_min dm ON d.text = dm.text""".stripMargin)),
 
+    Q("q_incremental_span", // the incremental face of q_span_dedup:
+      // span df against a PERSISTED append-friendly index (partial
+      // rows summed at probe) instead of recomputing corpus df per
+      // delta. A span is duplicated when corpus+delta df >= 2, so the
+      // oracle recomputes over the union and keeps delta docs. Planted
+      // legs: docs 0..5 recopied at +1M (every span corpus-dup,
+      // dup_frac 1), a MIXED doc (10 unique tokens + doc-7's text:
+      // boundary-crossing spans novel, interior spans dup — dup_frac
+      // strictly inside (0,1)), and a fully-novel doc (dup_frac 0).
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_spidx_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          CorpusOps.buildSpanIndex(docs, "doc_id", "text", dir, n = 8)
+        val delta = docs.filter(col("doc_id") < 6)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") === 7)
+            .select(lit(2000001L).as("doc_id"),
+              concat(lit("zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 "),
+                col("text")).as("text")))
+          .unionByName(s.range(1)
+            .select(lit(2000002L).as("doc_id"),
+              lit("uw1 uw2 uw3 uw4 uw5 uw6 uw7 uw8 uw9 uw10 uw11 uw12")
+                .as("text")))
+        CorpusOps.incrementalSpanStats(s, dir, delta, "doc_id", "text",
+          n = 8, minDf = 2)
+      },
+      Some("""WITH delta AS (
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             |  WHERE doc_id < 6
+             |  UNION ALL
+             |  SELECT CAST(2000001 AS BIGINT),
+             |    'zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 ' || text
+             |  FROM documents WHERE doc_id = 7
+             |  UNION ALL
+             |  SELECT CAST(2000002 AS BIGINT),
+             |    'uw1 uw2 uw3 uw4 uw5 uw6 uw7 uw8 uw9 uw10 uw11 uw12'),
+             |all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id, text FROM delta),
+             |t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS tk
+             |  FROM all_docs
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 8),
+             |sp AS (SELECT DISTINCT doc_id,
+             |    array_to_string(tk[i:i+7], ' ') AS span
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM t)),
+             |df AS (SELECT span FROM sp GROUP BY span
+             |       HAVING count(*) >= 2)
+             |SELECT s.doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dup_spans,
+             |  round(CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0
+             |    END) AS DOUBLE) / count(*), 6) AS dup_frac
+             |FROM sp s LEFT JOIN df d ON s.span = d.span
+             |WHERE s.doc_id >= 1000000
+             |GROUP BY s.doc_id""".stripMargin)),
+
     Q("q_incr_bench", // headline twin of q_incremental_dedup: the
       // persisted index is staged ONCE per (process, sf) — its
       // deployment shape (built at ingest, probed per delta batch) —

@@ -612,6 +612,119 @@ object CorpusOps {
       .filter(col("n_tokens") >= minTokens)
   }
 
+  /** Number of hash-partition leaves in a persisted span-df index. */
+  val SpanIndexMods = 64
+
+  private def spanMod(h: Column): Column =
+    pmod(h, lit(SpanIndexMods.toLong)).cast("int")
+
+  /** Persist a span document-frequency index — the incremental face of
+    * [[duplicateSpanStats]] (the [[graft.operators.Dedup
+    * .buildExactIndex]] convention, applied to spans): one row per
+    * distinct span, `(h = xxhash64(span), span, df = number of corpus
+    * docs containing it)`, hive-partitioned into [[SpanIndexMods]]
+    * leaves by `h mod`. APPEND-friendly by design: later corpora write
+    * additional PARTIAL rows under the same layout (`mode("append")`),
+    * and probes SUM df across rows per (h, span) — no read-modify-write
+    * of the index, ever (the at-scale property: ingest appends, never
+    * rewrites). */
+  def buildSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, n: Int = 8,
+                     mode: String = "overwrite"): Unit =
+    docs.filter(hasMinTokens(col(textCol), n))
+      .select(col(idCol),
+        explode(graft.plans.TextExpressions.word_shingles(col(textCol), n))
+          .as("span"))
+      .select(xxhash64(col("span")).as("h"), col("span"))
+      .groupBy(col("h"), col("span"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("hmod", spanMod(col("h")))
+      // one task per leaf before the partitioned write (the
+      // buildExactIndex small-files reasoning)
+      .repartition(col("hmod"))
+      .write.mode(mode).partitionBy("hmod").parquet(path)
+
+  /** [[duplicateSpanStats]] for a NEW batch against a persisted
+    * [[buildSpanIndex]] corpus — the shape that avoids recomputing
+    * span df over 100 TB when a delta lands: per delta doc,
+    * (`idCol`, `n_spans`, `dup_spans`, `dup_frac`) where a span is
+    * duplicated when its document frequency across CORPUS + DELTA is
+    * at least `minDf` (the delta counts itself, so intra-delta
+    * duplicates are caught in the same call — the
+    * [[graft.operators.Dedup.incrementalExactDedup]] contract; delta
+    * ids are assumed disjoint from corpus ids).
+    *
+    * Probe cost scales with the delta, not the corpus: the delta's
+    * distinct `h mod` keys (<= [[SpanIndexMods]], bounded by the
+    * layout) prune the index read to matching leaves; those leaves are
+    * semi-joined down to the delta's own spans and SUMMED per
+    * (h, span) — partial append rows collapse here — before a join
+    * that is broadcast while the delta is small
+    * (`maxBroadcastDeltaRows`), left to AQE above that. String
+    * equality decides every match; the hash only partitions (the
+    * [[duplicateSpanStats]] collision argument). NOT lazy: leaf
+    * probes run at call time (the incremental-family eager
+    * convention). */
+  def incrementalSpanStats(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 8, minDf: Int = 2,
+                           maxBroadcastDeltaRows: Long = 8L * 1000 * 1000)
+      : DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would flag every span: $minDf")
+    val deltaSpans = Materialize(
+      newDocs.filter(hasMinTokens(col(textCol), n))
+        .select(col(idCol),
+          explode(
+            graft.plans.TextExpressions.word_shingles(col(textCol), n))
+            .as("__span"))
+        .withColumn("__h", xxhash64(col("__span"))),
+      eager = false)
+    val deltaDf = Materialize(
+      deltaSpans.groupBy(col("__h"), col("__span"))
+        .agg(count(lit(1)).as("__ddf")),
+      eager = false)
+    val head = deltaDf.agg(
+      collect_set(spanMod(col("__h"))).as("ks"),
+      count(lit(1)).as("n")).head()
+    val keys =
+      if (head.isNullAt(0)) Seq.empty[Int] else head.getSeq[Int](0)
+    val deltaRows = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val hint: DataFrame => DataFrame =
+      if (deltaRows <= maxBroadcastDeltaRows) broadcast(_) else identity
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    val leaves = keys.map(k => s"$indexPath/hmod=$k")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val combined =
+      if (leaves.isEmpty)
+        deltaDf.withColumn("__tdf", col("__ddf"))
+      else {
+        val corpusDf = spark.read.option("basePath", indexPath)
+          .parquet(leaves: _*)
+          .join(hint(deltaDf.select(col("__h").as("h"),
+            col("__span").as("span"))), Seq("h", "span"), "left_semi")
+          .groupBy(col("h"), col("span"))
+          .agg(sum(col("df")).as("__cdf"))
+          .select(col("h").as("__h"), col("span").as("__span"),
+            col("__cdf"))
+        deltaDf.join(hint(corpusDf), Seq("__h", "__span"), "left_outer")
+          .withColumn("__tdf",
+            col("__ddf") + coalesce(col("__cdf"), lit(0L)))
+      }
+    val dupSet = combined.filter(col("__tdf") >= minDf)
+      .select(col("__h"), col("__span"), lit(1).as("__dup"))
+    deltaSpans
+      .join(hint(dupSet), Seq("__h", "__span"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col(idCol), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
+
   /** Cut the [[dupSpansMerged]] ranges OUT of the corpus — the final
     * step of Lee et al. 2021's substring dedup (the paper deletes the
     * duplicated substrings and keeps the remainder, rather than

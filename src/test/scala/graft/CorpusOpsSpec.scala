@@ -201,6 +201,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(6L) == (("x y", 0L)))
   }
 
+  test("incrementalSpanStats == duplicateSpanStats over corpus+delta " +
+    "restricted to delta docs; appended partial index rows sum") {
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val delta = corpus.filter($"doc_id" < 4)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      .unionByName(Seq((2000001L, "nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8 nv9"))
+        .toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("span_idx").toString
+    CorpusOps.buildSpanIndex(corpus, "doc_id", "text", s"$dir/idx", n = 5)
+    val inc = CorpusOps.incrementalSpanStats(spark, s"$dir/idx", delta,
+      "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val full = CorpusOps.duplicateSpanStats(
+      corpus.unionByName(delta), "doc_id", "text", n = 5, minDf = 2)
+      .filter($"doc_id" >= 1000000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(inc == full, s"inc=${inc.toSeq.sortBy(_._1).take(5)} " +
+      s"full=${full.toSeq.sortBy(_._1).take(5)}")
+    assert(inc(2000001L)._2 == 0L, "novel doc must have zero dup spans")
+    // append-friendliness: appending the DELTA's own spans as partial
+    // rows makes a re-probe of a fresh single-copy doc see df 2
+    // (corpus partial + appended partial summed at probe time)
+    CorpusOps.buildSpanIndex(delta, "doc_id", "text", s"$dir/idx",
+      n = 5, mode = "append")
+    val reprobe = CorpusOps.incrementalSpanStats(spark, s"$dir/idx",
+      Seq((3000001L, "nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8 nv9"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // the novel doc's spans now exist once in the appended index +
+    // once in this probe -> every span duplicated
+    assert(reprobe(3000001L)._1 == reprobe(3000001L)._2,
+      s"append not summed: ${reprobe(3000001L)}")
+  }
+
   test("stratifiedSampleK: at most k per stratum, deterministic draw") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
