@@ -562,15 +562,18 @@ object CorpusOps {
     require(minTokens >= n,
       s"minTokens $minTokens < n $n can never filter anything tighter " +
         "than the span length")
-    val tk = split(trim(col(textCol)), "\\s+")
     // positional stride-1 spans: offset i covers tokens [i, i+n-1].
     // (word_shingles emits the per-doc SET — fine for df, wrong for
-    // positions — so the positional side is the declarative slice.)
+    // positions — so the positional side is the native
+    // word_shingle_offsets expression: one JIT'd loop per doc. The
+    // declarative transform/slice/array_join formulation re-sliced per
+    // offset and measured ~5x slower end-to-end at sf0.1.)
     val posSpans = docs.filter(hasMinTokens(col(textCol), n))
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(tk) - n),
-          i => array_join(slice(tk, i + 1, lit(n)), " ")))
-          .as(Seq("__pos", "__span")))
+        explode(graft.plans.TextExpressions
+          .word_shingle_offsets(col(textCol), n)).as("__ps"))
+      .select(col(idCol), col("__ps.pos").as("__pos"),
+        col("__ps.span").as("__span"))
     // df over the distinct (doc, span) set — identical semantics to
     // duplicateSpanStats; posSpans is recomputed by both branches on
     // purpose (cheap projection of the scan, the removeBoilerplateLines
@@ -627,14 +630,32 @@ object CorpusOps {
     * additional PARTIAL rows under the same layout (`mode("append")`),
     * and probes SUM df across rows per (h, span) — no read-modify-write
     * of the index, ever (the at-scale property: ingest appends, never
-    * rewrites). */
+    * rewrites).
+    *
+    * `winnow = w > 1` composes the [[duplicateSpanStats]] posting dial
+    * with the incremental path: the index holds only spans with
+    * md5-prefix ≡ 0 (mod w) — 1/w the rows, exact df on what it holds
+    * (span-pure keep decision). The chosen w is recorded in a
+    * `_winnow` marker at `path` and ENFORCED at probe time: a
+    * mismatched probe would silently undercount corpus df, so
+    * [[incrementalSpanStats]] refuses it loudly instead. Appends must
+    * reuse the builder's w (the marker is only written on
+    * overwrite). */
   def buildSpanIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, n: Int = 8,
-                     mode: String = "overwrite"): Unit =
-    docs.filter(hasMinTokens(col(textCol), n))
+                     mode: String = "overwrite",
+                     winnow: Int = 1): Unit = {
+    require(winnow >= 1, s"winnow must be >= 1: $winnow")
+    val exploded = docs.filter(hasMinTokens(col(textCol), n))
       .select(col(idCol),
         explode(graft.plans.TextExpressions.word_shingles(col(textCol), n))
           .as("span"))
+    val spans =
+      if (winnow == 1) exploded
+      else exploded.filter(
+        conv(substring(md5(col("span")), 1, 8), 16, 10).cast("long")
+          % winnow === 0)
+    spans
       .select(xxhash64(col("span")).as("h"), col("span"))
       .groupBy(col("h"), col("span"))
       .agg(count(lit(1)).as("df"))
@@ -643,6 +664,32 @@ object CorpusOps {
       // buildExactIndex small-files reasoning)
       .repartition(col("hmod"))
       .write.mode(mode).partitionBy("hmod").parquet(path)
+    if (mode == "overwrite") {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path),
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/_winnow"), true)
+      try out.write(winnow.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The winnow recorded by [[buildSpanIndex]]; 1 when the marker is
+    * absent (pre-winnow layouts). */
+  private def indexWinnow(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_winnow")
+    if (!fs.exists(p)) 1
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt
+      finally in.close()
+    }
+  }
 
   /** [[duplicateSpanStats]] for a NEW batch against a persisted
     * [[buildSpanIndex]] corpus — the shape that avoids recomputing
@@ -669,15 +716,26 @@ object CorpusOps {
                            indexPath: String, newDocs: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 8, minDf: Int = 2,
+                           winnow: Int = 1,
                            maxBroadcastDeltaRows: Long = 8L * 1000 * 1000)
       : DataFrame = {
     require(minDf >= 2, s"minDf < 2 would flag every span: $minDf")
+    require(winnow >= 1, s"winnow must be >= 1: $winnow")
+    val idxW = indexWinnow(spark, indexPath)
+    require(idxW == winnow,
+      s"incrementalSpanStats: probe winnow=$winnow but the index at " +
+        s"$indexPath was built with winnow=$idxW — a mismatch silently " +
+        "undercounts corpus df; rebuild or probe with the index's value")
+    val allDelta = newDocs.filter(hasMinTokens(col(textCol), n))
+      .select(col(idCol),
+        explode(
+          graft.plans.TextExpressions.word_shingles(col(textCol), n))
+          .as("__span"))
     val deltaSpans = Materialize(
-      newDocs.filter(hasMinTokens(col(textCol), n))
-        .select(col(idCol),
-          explode(
-            graft.plans.TextExpressions.word_shingles(col(textCol), n))
-            .as("__span"))
+      (if (winnow == 1) allDelta
+       else allDelta.filter(
+         conv(substring(md5(col("__span")), 1, 8), 16, 10).cast("long")
+           % winnow === 0))
         .withColumn("__h", xxhash64(col("__span"))),
       eager = false)
     val deltaDf = Materialize(

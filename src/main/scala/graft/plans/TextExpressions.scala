@@ -53,6 +53,9 @@ object TextExpressions {
   def char_bigrams(c: Column): Column =
     GraftBridge.column(CharBigrams(GraftBridge.expression(c)))
 
+  def word_shingle_offsets(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingleOffsets(GraftBridge.expression(c), n))
+
   def srp_signature(c: Column, nBits: Int): Column =
     GraftBridge.column(SrpSignature(GraftBridge.expression(c), nBits))
 
@@ -222,6 +225,62 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** POSITIONAL word n-gram spans: every stride-1 offset (not the
+  * deduplicated set [[WordShingles]] emits) as
+  * `array<struct<pos:int, span:string>>`, `pos` the 0-based token
+  * offset. One JIT'd StringBuilder loop per row — the declarative
+  * `transform(sequence(0, m-n), i -> array_join(slice(tk, i+1, n)))`
+  * formulation re-slices and re-joins per offset and measured ~5x
+  * slower end-to-end on the span-range pipeline (SCALE.md r13). Short
+  * docs get an empty array. */
+case class WordShingleOffsets(child: Expression, n: Int)
+    extends UnaryExpression {
+  import TextExpressions._
+
+  require(n > 0)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("span", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingle_offsets"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Never null for non-null input. Public: called from generated
+    * code. */
+  def compute(input: UTF8String): ArrayData = {
+    val toks = tokenize(input.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i, UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingleOffsets", this,
+      classOf[WordShingleOffsets].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingleOffsets =
     copy(child = c)
 }
 

@@ -99,6 +99,19 @@ object CorpusScale {
     }
     println(f"merge_s=$tMerge%.2f ranges=$nRanges%d " +
       f"merge_Mtok_per_s=${nTokens / 1e6 / tMerge}%.1f")
+
+    // full removal rewrite: merged ranges joined back + positional
+    // token filter (the worst case rewrites EVERY doc here)
+    val (remStats, tRemove) = time {
+      val out = CorpusOps.removeDupSpans(docs, "doc_id", "text", n = 8)
+      val agg = out.select(
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
+        sum(col("n_removed"))).collect()(0)
+      (agg.getLong(0), agg.getLong(1))
+    }
+    println(f"remove_s=$tRemove%.2f rewritten=${remStats._1}%d " +
+      f"tokens_removed=${remStats._2}%d " +
+      f"remove_Mtok_per_s=${nTokens / 1e6 / tRemove}%.1f")
     spark.stop()
   }
 }

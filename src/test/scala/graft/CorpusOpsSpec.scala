@@ -240,6 +240,33 @@ class CorpusOpsSpec extends SparkSpec {
       s"append not summed: ${reprobe(3000001L)}")
   }
 
+  test("incrementalSpanStats winnow composes: equals winnowed full " +
+    "recompute, and a winnow mismatch refuses loudly") {
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val delta = corpus.filter($"doc_id" < 4)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("span_idx_w").toString
+    CorpusOps.buildSpanIndex(corpus, "doc_id", "text", s"$dir/idx",
+      n = 5, winnow = 2)
+    val inc = CorpusOps.incrementalSpanStats(spark, s"$dir/idx", delta,
+      "doc_id", "text", n = 5, minDf = 2, winnow = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val full = CorpusOps.duplicateSpanStats(
+      corpus.unionByName(delta), "doc_id", "text", n = 5, minDf = 2,
+      winnow = 2)
+      .filter($"doc_id" >= 1000000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(inc == full)
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.incrementalSpanStats(spark, s"$dir/idx", delta,
+        "doc_id", "text", n = 5, minDf = 2) // winnow = 1 vs index's 2
+    }
+    assert(e.getMessage.contains("winnow"), e.getMessage)
+  }
+
   test("stratifiedSampleK: at most k per stratum, deterministic draw") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = CorpusOps.stratifiedSampleK(docs, "source", "doc_id", 7)
