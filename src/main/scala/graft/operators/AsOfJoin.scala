@@ -93,12 +93,19 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchExpr = last(col("__payload"), ignoreNulls = true).over(w)
-    // in-pass guard: whole-partition count over the same key
-    // partitioning — rides the carry shuffle, zero extra jobs
+    // in-pass guard: a whole-partition count over the SAME
+    // (partition, order) spec — frames may differ within one
+    // WindowExec, so it rides the carry window's own pass (zero extra
+    // jobs, zero extra window passes). The frame must be
+    // unbounded-BOTH, not a running count: the left-rows-only filter
+    // above this window would let a hot key whose tail is all RIGHT
+    // rows escape a running-count check, while the total is visible
+    // from every surviving row.
     val guardedMatch =
       if (maxGroupRows <= 0) matchExpr
       else {
-        val total = count(lit(1)).over(Window.partitionBy(col(keyCol)))
+        val total = count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
         when(total > maxGroupRows, raise_error(concat(
           lit("AsOfJoin.asOf: key '"), col(keyCol).cast("string"),
           lit("' has "), total.cast("string"),

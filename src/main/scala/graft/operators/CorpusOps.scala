@@ -157,12 +157,18 @@ object CorpusOps {
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col("n_toks")).over(w)
-    // in-pass guard: whole-partition count over the same group
-    // partitioning — rides the window shuffle, zero extra jobs
+    // in-pass guard: a whole-partition count over the same
+    // (partition, order) spec — shares the running sum's own
+    // WindowExec pass (zero extra jobs, zero extra window passes).
+    // Unbounded-BOTH frame is load-bearing here: this operator KEEPS
+    // the budget prefix (early rows), so a running count at surviving
+    // rows would never exceed the cap — the total is what every kept
+    // row must see.
     val guarded =
       if (maxGroupRows <= 0) cum
       else {
-        val total = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+        val total = count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
         when(total > maxGroupRows, raise_error(concat(
           lit("tokenBudgetSelect: group '"), col(groupCol).cast("string"),
           lit("' has "), total.cast("string"),

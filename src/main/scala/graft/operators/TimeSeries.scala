@@ -262,19 +262,26 @@ object TimeSeries {
     val sd = stddev_samp(v).over(w)
     val cnt = count(v).over(w)
     val score = when(cnt >= minPoints && sd > 0, round((v - mu) / sd, 4))
-    // in-pass guard: a whole-partition count over the SAME window
-    // partitioning (the shuffle is already paid; no extra job — the
-    // r12 pre-count cost a second full scan per call)
+    // in-pass guard: a whole-partition count over the same
+    // (partition, order) spec — frames may differ within one
+    // WindowExec, so the check shares the score window's pass (zero
+    // extra jobs, zero extra window passes). Unbounded-BOTH frame so
+    // EVERY evaluated row sees the total (a running count would let a
+    // downstream filter over early rows hide a hot key's tail).
     val guarded =
       if (maxGroupRows <= 0) score
       else {
-        val total = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+        val total = count(lit(1)).over(
+          Window.partitionBy(col(groupCol))
+            .orderBy(orderCols.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing))
         when(total > maxGroupRows, raise_error(concat(
           lit("rollingZScore: group '"), col(groupCol).cast("string"),
           lit("' has "), total.cast("string"),
           lit(s" rows (> maxGroupRows=$maxGroupRows); its window " +
-            s"serializes onto one task — time-chunk with a $lookback-row " +
-            "overlap, or raise/disable maxGroupRows"))))
+            "serializes onto one task — use rollingZScoreChunked, or " +
+            "raise/disable maxGroupRows"))))
           .otherwise(score)
       }
     df.withColumn(outCol, guarded)
