@@ -2504,6 +2504,46 @@ object QueryCatalog {
              |  true AS dim_ok, true AS range_ok, true AS checksum_ok
              |FROM documents""".stripMargin)),
 
+    Q("q_video_external", // EXECUTION gate for the external-decoder
+      // boundary (the general-video path no JDK codec can serve): a
+      // deterministic fake cutter script — head -c 4 / tail -c +5,
+      // the ffmpeg contract shape `<tool> <in> <outDir>` — decodes
+      // each payload into exactly two frames, and the oracle
+      // recomputes the byte arithmetic on the same payloads
+      // (byte-based on the encoded BLOB, so multibyte text can't
+      // skew it). Pins the boundary's plumbing: temp-file handoff,
+      // frame ordering, per-blob fan-out, n_bytes of every frame.
+      // Bounded to 200 docs so the per-blob process spawns stay a
+      // gate, not a benchmark.
+      (s, d) => {
+        val tool = java.nio.file.Files.createTempFile("graft_cutter", ".sh")
+        java.nio.file.Files.write(tool,
+          ("#!/bin/sh\n" +
+            "head -c 4 \"$1\" > \"$2/f_00000\"\n" +
+            "tail -c +5 \"$1\" > \"$2/f_00001\"\n").getBytes("UTF-8"))
+        tool.toFile.setExecutable(true)
+        TempDirs.deleteOnExit(tool.toFile)
+        val docs = t(s, d, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 200)
+        val media = Multimodal.asMediaTable(docs, "doc_id", "text", "video")
+        Multimodal.sampleFramesExternal(s, media, tool.toString).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            length(col("frame")).cast("long").as("n_bytes"),
+            col("decoder"))
+      },
+      Some("""WITH d AS (SELECT doc_id, encode(text) AS b
+             |  FROM documents WHERE text IS NOT NULL AND doc_id < 200)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+             |  CAST(least(octet_length(b), 4) AS BIGINT) AS n_bytes,
+             |  'external' AS decoder
+             |FROM d
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT),
+             |  CAST(greatest(octet_length(b) - 4, 0) AS BIGINT),
+             |  'external'
+             |FROM d""".stripMargin)),
+
     Q("q_media_frames", // REAL video-frame sampling (MJPEG): a 3-video
       // fixture of concatenated tiny JPEGs, synthesized in-process
       // (bounded: 3 x 6 8x8 frames — the binaryfile-fixture pattern).

@@ -284,6 +284,69 @@ object Multimodal {
     * restart markers stop at `FFD7`. Frames carrying EXIF thumbnails
     * with their own EOI would split early — MJPEG frames are JFIF
     * baseline without thumbnails, so out of scope and documented.) */
+  /** The EXTERNAL-BINARY boundary for general video codecs (H.264 &
+    * co.) — the one decode path no JDK codec can serve. The contract is
+    * codec-agnostic and ffmpeg-shaped: the tool at `toolPath` is
+    * invoked per blob as `<tool> <inputFile> <outputDir>`, must exit 0,
+    * and must write one file per extracted frame into `outputDir`
+    * (lexicographic name order = frame order) — an ffmpeg deployment
+    * wraps `ffmpeg -i $1 $2/frame_%05d.jpg` in a two-line script. Every
+    * `everyNth`-th frame is emitted as a [[MediaFrame]] with
+    * `decoder = "external"`; null blobs emit no rows.
+    *
+    * A non-zero exit FAILS the task loudly with the tool's combined
+    * output — a silently-skipped decode would corrupt the corpus (the
+    * `maxGroupRows` loud-failure philosophy applied to codecs). Scale
+    * shape: mapPartitions (the documented media-batch last resort);
+    * one temp dir per blob, cleaned per blob; blobs never shuffle
+    * wider than their partition; process startup amortizes over frame
+    * count, and a deployment that needs finer control points
+    * `toolPath` at a batching wrapper. This container ships no real
+    * codec, so the boundary is exercised by a deterministic fake
+    * cutter in the spec and the execution gate — the Spark-side
+    * plumbing (temp-file handoff, exit-code contract, frame ordering,
+    * fan-out shape, cleanup) is what the gate pins. */
+  def sampleFramesExternal(spark: SparkSession, media: DataFrame,
+                           toolPath: String, everyNth: Int = 1)
+      : Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(everyNth >= 1, s"everyNth must be >= 1: $everyNth")
+    media.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Seq.empty[MediaFrame]
+        else {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_vid")
+          try {
+            val in = tmp.resolve("input.bin")
+            java.nio.file.Files.write(in, bytes)
+            val outDir = tmp.resolve("frames")
+            java.nio.file.Files.createDirectory(outDir)
+            val p = new ProcessBuilder(toolPath, in.toString,
+              outDir.toString).redirectErrorStream(true).start()
+            val log = new String(p.getInputStream.readAllBytes, "UTF-8")
+            val rc = p.waitFor()
+            if (rc != 0)
+              throw new IllegalStateException(
+                s"external decoder '$toolPath' exited $rc for media " +
+                  s"$id: ${log.take(500)}")
+            val frames = Option(outDir.toFile.listFiles)
+              .getOrElse(Array.empty).sortBy(_.getName)
+            frames.indices.by(everyNth).map { f =>
+              MediaFrame(id, f,
+                java.nio.file.Files.readAllBytes(frames(f).toPath),
+                "external")
+            }.toSeq
+          } finally {
+            def purge(x: java.io.File): Unit = {
+              Option(x.listFiles).foreach(_.foreach(purge)); x.delete(); ()
+            }
+            purge(tmp.toFile)
+          }
+        }
+      }
+  }
+
   private[graft] def splitMjpegFrames(bytes: Array[Byte]): Seq[(Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val n = bytes.length

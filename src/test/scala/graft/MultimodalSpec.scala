@@ -220,4 +220,49 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(refeed.forall(_.decoder == "imageio"))
   }
+
+  private def writeTool(body: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft_tool", ".sh")
+    java.nio.file.Files.write(p, ("#!/bin/sh\n" + body).getBytes("UTF-8"))
+    p.toFile.setExecutable(true)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("sampleFramesExternal: tool contract — frame files in name " +
+    "order, exact bytes round-trip, everyNth sampling, null blobs " +
+    "emit nothing") {
+    // fake decoder: three frames — first 2 bytes, next 2, the rest
+    val tool = writeTool(
+      """head -c 2 "$1" > "$2/f_0"
+        |tail -c +3 "$1" | head -c 2 > "$2/f_1"
+        |tail -c +5 "$1" > "$2/f_2"
+        |""".stripMargin)
+    val media = Multimodal.asMediaTable(
+      Seq((1L, Option("abcdefgh")), (2L, Option("xy")),
+        (3L, Option.empty[String]))
+        .toDF("id", "payload"), "id", "payload", "video")
+    val out = Multimodal.sampleFramesExternal(spark, media, tool)
+      .collect().map(f =>
+        (f.media_id, f.frame_idx) -> new String(f.frame, "UTF-8")).toMap
+    assert(out == Map(
+      (1L, 0) -> "ab", (1L, 1) -> "cd", (1L, 2) -> "efgh",
+      (2L, 0) -> "xy", (2L, 1) -> "", (2L, 2) -> ""),
+      out.toString) // null blob (id 3) emits no rows
+    assert(out.keySet.forall(_._1 != 3L))
+    val every2 = Multimodal.sampleFramesExternal(spark, media, tool,
+      everyNth = 2).collect().filter(_.media_id == 1L)
+      .map(_.frame_idx).sorted.toSeq
+    assert(every2 == Seq(0, 2))
+  }
+
+  test("sampleFramesExternal: a non-zero tool exit fails the job " +
+    "LOUDLY with the tool's output, never skips silently") {
+    val tool = writeTool("echo 'codec exploded' >&2; exit 3\n")
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "abc")).toDF("id", "payload"), "id", "payload", "video")
+    interceptGuard("exited 3", "codec exploded") {
+      Multimodal.sampleFramesExternal(spark, media, tool).collect()
+    }
+  }
 }
