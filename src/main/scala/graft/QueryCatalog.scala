@@ -1455,6 +1455,95 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
+      // per-doc sum of ln p_target(bucket) - ln p_raw(bucket) over
+      // hashed unigram+bigram features (add-one smoothing, 4096
+      // buckets); target distribution = the English slice of the
+      // corpus. md5-bucket hashing so DuckDB hashes features
+      // identically; logw rounded to 4 (sum-order float hazard, house
+      // register).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.dsirLogWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", buckets = 4096)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |f AS (
+             |  SELECT doc_id, lang, unnest(list_concat(toks,
+             |      list_filter(list_transform(toks,
+             |        (x, i) -> CASE WHEN i < len(toks)
+             |          THEN x || ' ' || toks[i+1] END),
+             |        y -> y IS NOT NULL))) AS g
+             |  FROM d),
+             |fb AS (SELECT doc_id, lang,
+             |    ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b
+             |  FROM f),
+             |ct AS (SELECT b, count(*) AS ct FROM fb
+             |  WHERE lang = 'en' GROUP BY 1),
+             |cr AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+             |tot AS (SELECT
+             |    CAST((SELECT count(*) FROM fb WHERE lang = 'en')
+             |      AS DOUBLE) AS tt,
+             |    CAST((SELECT count(*) FROM fb) AS DOUBLE) AS tr),
+             |lr AS (SELECT b,
+             |    ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0)) -
+             |    ln((cr + 1.0) / (tr + 4096.0)) AS lr
+             |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             |  round(sum(lr), 4) + 0 AS logw
+             |FROM fb JOIN lr USING (b) GROUP BY 1""".stripMargin)),
+
+    Q("q_dsir_sample", // DSIR resampling: Gumbel top-k over the
+      // importance logits = weighted draw without replacement with
+      // p ~ importance weight (the log-space twin of
+      // q_weighted_sample's A-ES keys). Deterministic md5-derived
+      // Gumbel, so the oracle draws the identical sample; selection
+      // ordering is the documented float surface at the rank-k
+      // boundary.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.dsirResample(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", k = 100,
+          buckets = 4096)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |f AS (
+             |  SELECT doc_id, lang, unnest(list_concat(toks,
+             |      list_filter(list_transform(toks,
+             |        (x, i) -> CASE WHEN i < len(toks)
+             |          THEN x || ' ' || toks[i+1] END),
+             |        y -> y IS NOT NULL))) AS g
+             |  FROM d),
+             |fb AS (SELECT doc_id, lang,
+             |    ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b
+             |  FROM f),
+             |ct AS (SELECT b, count(*) AS ct FROM fb
+             |  WHERE lang = 'en' GROUP BY 1),
+             |cr AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+             |tot AS (SELECT
+             |    CAST((SELECT count(*) FROM fb WHERE lang = 'en')
+             |      AS DOUBLE) AS tt,
+             |    CAST((SELECT count(*) FROM fb) AS DOUBLE) AS tr),
+             |lr AS (SELECT b,
+             |    ln((coalesce(ct, 0) + 1.0) / (tt + 4096.0)) -
+             |    ln((cr + 1.0) / (tr + 4096.0)) AS lr
+             |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+             |w AS (SELECT doc_id, count(*) AS nf, sum(lr) AS lw
+             |  FROM fb JOIN lr USING (b) GROUP BY 1)
+             |SELECT doc_id, CAST(nf AS BIGINT) AS n_feats,
+             |  round(lw, 4) + 0 AS logw
+             |FROM w
+             |ORDER BY lw + (-ln(-ln(
+             |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |      ::UBIGINT + 0.5) / 4294967296.0))) DESC, doc_id
+             |LIMIT 100""".stripMargin)),
+
     Q("q_boilerplate", // corpus-frequency boilerplate line removal (the
       // C4 recipe: drop lines occurring verbatim in >= minDocs distinct
       // docs, rebuild the doc from surviving lines in order). The

@@ -923,6 +923,118 @@ object CorpusOps {
           .as("avg_logprob"))
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram profile is. Features
+    * are word unigrams + bigrams hashed into `buckets` buckets; bucket
+    * probabilities are estimated per corpus with add-one smoothing, and
+    * a document's log importance weight is the sum over its feature
+    * instances of ln p_target(bucket) - ln p_raw(bucket). Returns
+    * (`idCol`, `n_feats`, `logw` rounded to 4 places) for every
+    * non-blank raw document; higher = more target-like.
+    *
+    * The bucket hash parses 8 hex chars of md5 (the house engine-
+    * portable hash — xxhash64 has no DuckDB 1.0 counterpart), so a
+    * differential oracle hashes features identically.
+    *
+    * Scale shape: one explode per corpus (linear in tokens), two hash
+    * aggregations to <= `buckets` rows each, and the per-doc reduce.
+    * The bucket log-ratio table is at most `buckets` rows, so it rides
+    * a broadcast (size-gated: past 2^20 buckets the join falls back to
+    * shuffle — but the key is the aggregation's own key, so the
+    * partitioning is reused). Like [[unigramLogProb]], the exploded
+    * raw relation feeds both the bucket counts and the rejoin without
+    * materialization: storing corpus x features costs more than the
+    * second scan it saves. Corpus-total rows ride a broadcast, never a
+    * driver collect.
+    *
+    * Documented float hazard (house register): `logw` is a sum of
+    * doubles whose order differs per engine/partitioning; round-to-4
+    * absorbs the low bits (same class as [[unigramLogProb]]'s
+    * avg-of-ln). */
+  def dsirLogWeights(raw: DataFrame, idCol: String, textCol: String,
+                     target: DataFrame, targetTextCol: String,
+                     buckets: Int = 8192): DataFrame =
+    dsirWeighted(raw, idCol, textCol, target, targetTextCol, buckets)
+      .select(col(idCol), col("n_feats"),
+        (round(col("__logw"), 4) + lit(0.0d)).as("logw"))
+
+  /** DSIR resampling: the top-`k` documents by Gumbel-perturbed log
+    * importance weight — exactly a weighted draw WITHOUT replacement
+    * with probability proportional to the importance weight (Gumbel
+    * top-k; the log-space twin of [[weightedSampleK]]'s A-ES keys,
+    * needed here because weights live as logs and exp would over/
+    * underflow). The Gumbel variate -ln(-ln u) uses the same
+    * deterministic md5-derived uniform as the sampling family: no
+    * `rand()`, so retries, reruns and differential oracles draw the
+    * identical sample. Returns (`idCol`, `n_feats`, `logw`) of the
+    * selected documents.
+    *
+    * Scale shape: [[dsirLogWeights]] plus a global top-k, which Spark
+    * executes as TakeOrderedAndProject (per-partition heaps, no global
+    * sort or single-partition window).
+    *
+    * Documented float hazard: the ORDERING key logw + gumbel is a float
+    * surface at the rank-k boundary (two docs within an ulp straddling
+    * k could swap per engine) — same accepted class as
+    * [[weightedSampleK]], never observed at any gated SF. */
+  def dsirResample(raw: DataFrame, idCol: String, textCol: String,
+                   target: DataFrame, targetTextCol: String, k: Int,
+                   buckets: Int = 8192): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val gumbel = -log(-log(u))
+    dsirWeighted(raw, idCol, textCol, target, targetTextCol, buckets)
+      .orderBy((col("__logw") + gumbel).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_feats"),
+        (round(col("__logw"), 4) + lit(0.0d)).as("logw"))
+  }
+
+  /** Shared DSIR core: (`idCol`, `n_feats`, unrounded `__logw`). */
+  private def dsirWeighted(raw: DataFrame, idCol: String, textCol: String,
+                           target: DataFrame, targetTextCol: String,
+                           buckets: Int): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    val b = lit(buckets.toLong)
+    def feats(df: DataFrame, text: String, keep: Seq[Column]): DataFrame = {
+      val toks = tokens(col(text))
+      val bigrams = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (x, y) => concat(x, lit(" "), y)))
+        .otherwise(array().cast("array<string>"))
+      df.filter(col(text).isNotNull && trim(col(text)) =!= "")
+        .select(keep :+ explode(concat(toks, bigrams)).as("__g"): _*)
+        .withColumn("__b",
+          conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % b)
+        .drop("__g")
+    }
+    val rawFeats = feats(raw, textCol, Seq(col(idCol)))
+    val tgtCounts = feats(target, targetTextCol, Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawCounts = rawFeats.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val totals = rawCounts
+      .agg(sum(col("__cr")).cast("double").as("__tr"))
+      .crossJoin(tgtCounts.agg(
+        coalesce(sum(col("__ct")), lit(0L)).cast("double").as("__tt")))
+    // log-ratio per bucket the raw corpus actually uses (absent buckets
+    // contribute nothing to any document's sum)
+    val ratios = rawCounts
+      .join(tgtCounts, Seq("__b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(1.0d)) /
+          (col("__tt") + b.cast("double"))) -
+          log((col("__cr").cast("double") + lit(1.0d)) /
+            (col("__tr") + b.cast("double")))).as("__lr"))
+    val ratioSide = if (buckets <= (1 << 20)) broadcast(ratios) else ratios
+    rawFeats.join(ratioSide, Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("__logw"))
+  }
+
   /** Learned byte-pair-encoding merge list (Sennrich, Haddow, Birch
     * 2016 — the subword algorithm under most LLM tokenizers). Merge
     * rank = position; lower rank applies first. */

@@ -607,4 +607,67 @@ class CorpusOpsSpec extends SparkSpec {
     // the pipeline actually curates: some docs kept, some rejected
     assert(out.exists(_._5) && out.exists(!_._5))
   }
+
+  test("dsirLogWeights: target-like docs score above off-target docs") {
+    // target distribution is pure "alpha beta" text; raw corpus holds
+    // one doc from that distribution and one from a disjoint one
+    val target = Seq((100L, "alpha beta alpha beta alpha"),
+      (101L, "beta alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // target-like
+      (2L, "zeta omega zeta omega"), // off-target
+      (3L, "alpha beta zeta omega") // mixed: must land between
+    ).toDF("doc_id", "text")
+    val w = CorpusOps.dsirLogWeights(raw, "doc_id", "text",
+        target, "text", buckets = 1 << 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L), w.toString)
+    // n_feats = unigrams + bigrams: 4 toks -> 4 + 3 = 7
+    val nf = CorpusOps.dsirLogWeights(raw, "doc_id", "text",
+        target, "text", buckets = 1 << 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf.values.forall(_ == 7L), nf.toString)
+  }
+
+  test("dsirLogWeights: blank/null docs drop; single-token doc has no bigram") {
+    val target = Seq((100L, "alpha")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha"), (2L, "  "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dsirLogWeights(raw, "doc_id", "text",
+      target, "text", buckets = 64).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(out.head.getLong(1) == 1L) // one unigram, zero bigrams
+  }
+
+  test("dsirResample: deterministic draw, favors the target-like mass") {
+    // 30 target-like docs + 30 off-target docs; k=10 from logits with a
+    // large gap must draw overwhelmingly (and deterministically) from
+    // the target-like side
+    val target = Seq.tabulate(5)(i => (1000L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val raw = (Seq.tabulate(30)(i => (i.toLong, "alpha beta gamma delta")) ++
+      Seq.tabulate(30)(i => (100L + i, "zeta omega psi chi")))
+      .toDF("doc_id", "text")
+    def draw() = CorpusOps.dsirResample(raw, "doc_id", "text",
+      target, "text", k = 10, buckets = 1 << 16)
+      .collect().map(_.getLong(0)).toSet
+    val s1 = draw()
+    assert(s1 == draw()) // deterministic across runs
+    assert(s1.size == 10)
+    assert(s1.count(_ < 100L) >= 8, s1.toString) // target-like dominates
+  }
+
+  test("dsir: bucket-ratio side rides a broadcast; rejects bad params") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = CorpusOps.dsirLogWeights(docs, "doc_id", "text",
+        docs.filter($"lang" === "en"), "text", buckets = 4096)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirLogWeights(docs, "doc_id", "text", docs, "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirResample(docs, "doc_id", "text", docs, "text", 0)
+    }
+  }
 }
