@@ -1414,6 +1414,33 @@ object QueryCatalog {
              |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
              |  FROM documents) WHERE cum_toks <= 2000""".stripMargin)),
 
+    Q("q_domain_mix", // mixture materialization: per-source token
+      // budgets proportional to a mixture spec (web:code:wiki-style
+      // weights 2:1:1 over three sources, 2400 total tokens ->
+      // 1200/600/600 — dyadic ratios, so the driver-side floor is
+      // exact and the oracle embeds the derived budgets as integer
+      // constants); sources outside the spec contribute nothing
+      (s, d) => CorpusOps.mixtureSelect(
+        t(s, d, "documents"), "source", "doc_id", "text",
+        weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0),
+        totalBudgetTokens = 2400L)
+        .select(col("doc_id"), col("source"), col("budget_toks"),
+          col("n_toks"), col("cum_toks")),
+      Some("""SELECT doc_id, source, budget_toks, n_toks, cum_toks FROM (
+             |  SELECT doc_id, source,
+             |    CAST(CASE source WHEN 'src0' THEN 1200 ELSE 600 END
+             |      AS BIGINT) AS budget_toks,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END
+             |      AS BIGINT) AS n_toks,
+             |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+             |      OVER (PARTITION BY source ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+             |  FROM documents
+             |  WHERE source IN ('src0', 'src1', 'src2'))
+             |WHERE cum_toks <= budget_toks""".stripMargin)),
+
     Q("q_token_budget_bucketed", // the skew-safe twin of
       // q_token_budget: distributed two-phase prefix sum (range-sliced
       // per group, per-slice offsets reconciled by a tiny window) must

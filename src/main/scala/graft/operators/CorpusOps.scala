@@ -151,7 +151,19 @@ object CorpusOps {
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         textCol: String, budgetTokens: Long,
                         priority: Seq[Column] = Seq.empty,
-                        maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+                        maxGroupRows: Long = 50L * 1000 * 1000): DataFrame =
+    budgetPrefixSelect(df, groupCol, idCol, textCol, lit(budgetTokens),
+      priority, maxGroupRows)
+
+  /** Shared prefix-sum budget core: keep each group's id/priority-
+    * ordered prefix while the running token sum stays within
+    * `budgetCol` (a per-row column, so callers can vary the budget by
+    * group). Scale shape and in-pass guard as documented on
+    * [[tokenBudgetSelect]]. */
+  private def budgetPrefixSelect(df: DataFrame, groupCol: String,
+                                 idCol: String, textCol: String,
+                                 budgetCol: Column, priority: Seq[Column],
+                                 maxGroupRows: Long): DataFrame = {
     val ord = if (priority.nonEmpty) priority :+ col(idCol)
               else Seq(col(idCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
@@ -179,7 +191,48 @@ object CorpusOps {
       }
     df.withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
       .withColumn("cum_toks", guarded)
-      .filter(col("cum_toks") <= budgetTokens)
+      .filter(col("cum_toks") <= budgetCol)
+  }
+
+  /** Domain-mixture selection — materialize a training mix from a
+    * mixture spec (the public LLM-recipe shape: "X% web, Y% code, Z%
+    * wiki ..."): each group in `weights` receives a token budget
+    * proportional to its weight out of `totalBudgetTokens`, and
+    * contributes its id/priority-ordered document prefix up to that
+    * budget. Groups absent from the spec contribute nothing. Returns
+    * the selected rows plus `n_toks` / `cum_toks` / `budget_toks`
+    * accounting columns.
+    *
+    * Per-group budgets are derived ON THE DRIVER as
+    * floor(total * w / sum(w)) — weights need not be normalized.
+    * Dyadic weights (1, 0.5, 0.25 ...) divide exactly; non-dyadic
+    * weights are subject to one token of IEEE floor jitter, which is
+    * part of the operator's deterministic contract (the derivation is
+    * a fixed double expression, identical on every driver).
+    *
+    * Scale shape: the budget map is `|weights|` rows riding a
+    * broadcast; everything else is [[tokenBudgetSelect]]'s one-shuffle
+    * prefix sum with the same in-pass `maxGroupRows` guard. */
+  def mixtureSelect(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, weights: Map[String, Double],
+                    totalBudgetTokens: Long,
+                    priority: Seq[Column] = Seq.empty,
+                    maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+    require(weights.nonEmpty, "mixtureSelect: empty mixture spec")
+    require(weights.values.forall(w =>
+      !w.isNaN && !w.isInfinite && w >= 0),
+      s"mixtureSelect: weights must be finite and >= 0: $weights")
+    require(totalBudgetTokens >= 0,
+      s"mixtureSelect: negative budget: $totalBudgetTokens")
+    val wsum = weights.values.sum
+    require(wsum > 0, s"mixtureSelect: weights sum to zero: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = weights.toSeq.sortBy(_._1).map { case (g, w) =>
+      (g, math.floor(totalBudgetTokens.toDouble * (w / wsum)).toLong)
+    }.toDF(groupCol, "budget_toks")
+    budgetPrefixSelect(df.join(broadcast(budgets), Seq(groupCol)),
+      groupCol, idCol, textCol, col("budget_toks"), priority, maxGroupRows)
   }
 
   /** [[tokenBudgetSelect]] for SKEWED group keys: same semantics (id

@@ -608,6 +608,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("mixtureSelect: budgets split by weight, off-spec groups drop") {
+    // 6 docs of 10 tokens each per source; weights 2:1 over a 60-token
+    // total -> budgets 40/20 -> 4 docs from a, 2 from b, none from c
+    val ten = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = (for {
+      src <- Seq("a", "b", "c"); i <- 0 until 6
+    } yield (s"$src$i", src, ten)).toDF("doc_id", "source", "text")
+    val out = CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+        weights = Map("a" -> 2.0, "b" -> 1.0), totalBudgetTokens = 60L)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("budget_toks"),
+        r.getAs[Long]("cum_toks")))
+    assert(out.count(_._2 == "a") == 4)
+    assert(out.count(_._2 == "b") == 2)
+    assert(!out.exists(_._2 == "c"))
+    // budgets derived from the spec; running sums never exceed them
+    assert(out.forall(r => r._4 <= r._3))
+    assert(out.filter(_._2 == "a").forall(_._3 == 40L))
+    assert(out.filter(_._2 == "b").forall(_._3 == 20L))
+    // prefix semantics: the kept docs are each group's id-ordered head
+    assert(out.filter(_._2 == "a").map(_._1).sorted.toSeq ==
+      Seq("a0", "a1", "a2", "a3"))
+  }
+
+  test("mixtureSelect: unnormalized weights, broadcast budget map, params") {
+    val ten = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val docs = Seq.tabulate(8)(i => (i.toLong, if (i < 4) "a" else "b", ten))
+      .toDF("doc_id", "source", "text")
+    // weights 6:3 behave exactly like 2:1
+    val a = CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+      Map("a" -> 6.0, "b" -> 3.0), 30L).collect().map(_.getLong(1)).sorted
+    val b = CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+      Map("a" -> 2.0, "b" -> 1.0), 30L).collect().map(_.getLong(1)).sorted
+    assert(a.sameElements(b))
+    val plan = CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+      Map("a" -> 1.0), 10L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+        Map.empty[String, Double], 10L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+        Map("a" -> 0.0), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixtureSelect(docs, "source", "doc_id", "text",
+        Map("a" -> -1.0), 10L)
+    }
+  }
+
   test("dsirLogWeights: target-like docs score above off-target docs") {
     // target distribution is pure "alpha beta" text; raw corpus holds
     // one doc from that distribution and one from a disjoint one
