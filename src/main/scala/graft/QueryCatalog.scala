@@ -2552,6 +2552,36 @@ object QueryCatalog {
              |  id_b AS neighbor_id, cos_sim
              |FROM r WHERE rank <= 3""".stripMargin)),
 
+    Q("q_semantic_decontaminate", // embedding-side decontamination:
+      // flag corpus vectors within cosine 0.8 of ANY benchmark vector
+      // (the paraphrase-leakage check n-gram decontamination misses;
+      // q_decontaminate is the verbatim twin). Benchmark = the first
+      // 20 vectors, so the 20 self-matches are the planted positives;
+      // threshold compares the 6-rounded cosine (house float rule)
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticContaminationFlags(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "embedding", minCos = 0.8)
+      },
+      Some("""WITH b AS (SELECT embedding AS bv FROM embeddings
+             |  WHERE vec_id < 20),
+             |s AS (SELECT e.vec_id, round(
+             |    list_aggregate(list_transform(e.embedding,
+             |      (x, i) -> CAST(x AS DOUBLE) * CAST(b.bv[i] AS DOUBLE)),
+             |      'sum')
+             |    / (sqrt(list_aggregate(list_transform(e.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |     * sqrt(list_aggregate(list_transform(b.bv,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             |  , 6) AS c6
+             |  FROM embeddings e CROSS JOIN b)
+             |SELECT vec_id, max(c6) + 0 AS max_cos,
+             |  CAST(sum(CASE WHEN c6 >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hits,
+             |  (sum(CASE WHEN c6 >= 0.8 THEN 1 ELSE 0 END) > 0)
+             |    AS contaminated
+             |FROM s GROUP BY 1""".stripMargin)),
+
     Q("q_embed_neardup", // embedding-cosine near-dup, exact baseline:
       // O(n^2) all-pairs — the correctness spec for the SRP-blocked
       // variant below, and directly oracle-able

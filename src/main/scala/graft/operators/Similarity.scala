@@ -467,6 +467,45 @@ object Similarity {
     df.join(removed, col(idCol) === col("__rm"), "left_anti")
   }
 
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * against ANY benchmark vector reaches `minCos` — the embedding
+    * twin of [[CorpusOps.contaminationFlags]]'s n-gram check (published
+    * eval-leakage audits run both: verbatim n-gram overlap AND
+    * embedding similarity, which catches paraphrased leakage n-grams
+    * miss). Returns one row per corpus vector: (`idCol`, `max_cos` =
+    * highest benchmark cosine rounded to 6, `n_hits` = number of
+    * benchmark vectors at/above `minCos`, `contaminated`). Corpus rows
+    * with a NULL vector carry NULL max_cos and are never flagged.
+    *
+    * The threshold compares the ROUNDED cosine (house float rule: the
+    * engine-boundary surface shrinks to values within an ulp of the
+    * .xxxxxx5 rounding edge, same as [[cosineNeighborPairs]]).
+    *
+    * Scale shape: the benchmark side is an eval suite — small by
+    * definition — so it rides a broadcast nested-loop (`lit(true)`
+    * left join keeps corpus rows even against an empty benchmark); the
+    * corpus side streams through one pass + one per-id aggregation,
+    * no shuffle proportional to corpus x benchmark. A benchmark too
+    * large to broadcast is not decontamination, it's [[knnJoin]]. */
+  def semanticContaminationFlags(corpus: DataFrame, idCol: String,
+                                 vecCol: String, bench: DataFrame,
+                                 benchVecCol: String,
+                                 minCos: Double): DataFrame = {
+    // cosine()'s zero-denominator guard maps a NULL vector to 0.0;
+    // here a missing vector must stay unscored, not "orthogonal"
+    val c6 = when(col("__cv").isNotNull && col("__bv").isNotNull,
+      round(cosine(col("__cv"), col("__bv")), 6))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(bench.select(col(benchVecCol).as("__bv"))),
+        lit(true), "left_outer")
+      .select(col(idCol), c6.as("__c6"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c6")).as("max_cos"),
+        sum(when(col("__c6") >= minCos, 1L).otherwise(0L)).as("n_hits"),
+        (sum(when(col("__c6") >= minCos, 1L).otherwise(0L)) > 0L)
+          .as("contaminated"))
+  }
+
   /** All-pairs embedding near-duplicates, brute force: every (id_a <
     * id_b) pair scored exactly, kept at `minCos` and above. O(n^2) —
     * the correctness BASELINE for embedding-cosine dedup (and the shape

@@ -808,4 +808,38 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = knn.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
+
+  test("semanticContaminationFlags: copies flag, orthogonal don't, nulls safe") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)), // exact copy of bench vector
+      (2L, Array(0.99f, 0.14f, 0f)), // near-copy (cos ~ 0.99)
+      (3L, Array(0f, 0f, 1f)), // orthogonal to both bench vectors
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((10L, Array(1f, 0f, 0f)), (11L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContaminationFlags(corpus, "vec_id",
+        "embedding", bench, "embedding", minCos = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._2 == 1L && out(1L)._3)
+    assert(out(1L)._1.contains(1.0d))
+    assert(out(2L)._2 == 1L && out(2L)._3)
+    assert(out(3L)._2 == 0L && !out(3L)._3)
+    assert(out(3L)._1.exists(c => math.abs(c.asInstanceOf[Double]) < 1e-9))
+    assert(out(4L)._1.isEmpty && out(4L)._2 == 0L && !out(4L)._3)
+    assert(out.size == 4) // every corpus row reported, null vec included
+  }
+
+  test("semanticContaminationFlags: empty benchmark flags nothing, bench broadcasts") {
+    val corpus = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val bench = corpus.filter($"vec_id" < 0)
+    val out = Similarity.semanticContaminationFlags(corpus, "vec_id",
+      "embedding", bench, "embedding", minCos = 0.9).collect()
+    assert(out.length == 1 && !out.head.getBoolean(3))
+    val plan = Similarity.semanticContaminationFlags(corpus, "vec_id",
+        "embedding", corpus, "embedding", minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
