@@ -4028,6 +4028,42 @@ object QueryCatalog {
               |LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
               |WHERE c.id IS NULL OR c.id = c.cluster_id""".stripMargin)),
 
+    Q("q_leakage_split", // cluster-aware train/val/test split: hash the
+      // near-dup CLUSTER, not the row, so duplicates never straddle the
+      // split (weights 0.75/0.125/0.125 — exact doubles, so the
+      // cumulative boundaries 0.75/0.875 are bit-identical per engine).
+      // Oracle extends the q_dup_clusters recursive closure with the
+      // singleton coalesce + the md5-uniform CASE.
+      (s, d) => {
+        val docs = plantedDocs(s, d)
+        CorpusOps.leakageSafeSplit(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      },
+      Some(s"""WITH RECURSIVE $ngramPairsCtes,
+              |np8 AS (SELECT id_a, id_b FROM np WHERE jac >= 0.8),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM np8
+              |          UNION SELECT id_b, id_a FROM np8),
+              |walk AS (
+              |  SELECT a AS id, a AS label FROM edges
+              |  UNION
+              |  SELECT w.id, e.b AS label
+              |  FROM walk w JOIN edges e ON e.a = w.label),
+              |comp AS (SELECT id, min(label) AS cluster_id
+              |         FROM walk GROUP BY id),
+              |lab AS (SELECT d.doc_id,
+              |          COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+              |        FROM docs d LEFT JOIN comp c ON c.id = d.doc_id),
+              |uu AS (SELECT doc_id, cluster_id,
+              |        (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+              |            1, 8))::UBIGINT + 0.5) / 4294967296.0 AS u
+              |       FROM lab)
+              |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+              |  CASE WHEN u < 0.75 THEN 'train'
+              |       WHEN u < 0.875 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM uu""".stripMargin)),
+
     Q("q_weighted_avg", // extendedprice-weighted average discount
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -235,6 +235,69 @@ object CorpusOps {
       groupCol, idCol, textCol, col("budget_toks"), priority, maxGroupRows)
   }
 
+  /** Leakage-safe train/val/test split: assign every document to a
+    * split by the deterministic hash of its near-duplicate CLUSTER, so
+    * two near-duplicates can never land on opposite sides of the split
+    * (the train/test-contamination failure mode plain row-hash splits
+    * have — published dedup audits find eval twins of training docs
+    * precisely because splits ignored duplicate structure).
+    *
+    * `pairs` is any near-duplicate pair relation (`idACol`, `idBCol`)
+    * — exact n-gram Jaccard, MinHash, SimHash or embedding pairs all
+    * fit. Pairs run through [[Dedup.clusterPairs]] (iterative min-label
+    * connected components); documents with no pair are their own
+    * singleton cluster. The cluster's min-id is md5-hashed to a uniform
+    * in (0,1) (the house engine-portable draw: both engines parse the
+    * same 8 hex chars) and mapped onto cumulative `splits` weight
+    * intervals in declaration order; the LAST split takes the open
+    * remainder, so weight normalization drift can never drop a row.
+    * Returns one row per document: (`idCol`, `cluster_id`, `split`).
+    *
+    * Scale shape: [[Dedup.clusterPairs]]'s label propagation runs over
+    * the EDGE LIST (tiny next to the corpus — near-dup edges are rare
+    * by definition); the corpus itself sees one left join against the
+    * label relation plus a per-row hash — no extra shuffle beyond the
+    * join. Split assignment is pure column math, codegen'd.
+    *
+    * Documented float hazard (house register): u-vs-boundary is a
+    * double comparison, but both engines derive u from the same md5
+    * hex parse and the boundaries by the same IEEE cumulative sums, so
+    * the surface is only a u within 1 ulp of a boundary — never
+    * observed; same class as [[weightedSampleK]]'s ordering note. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       idACol: String = "id_a", idBCol: String = "id_b",
+                       maxIter: Int = 10): DataFrame = {
+    require(splits.nonEmpty, "leakageSafeSplit: empty split spec")
+    require(splits.forall { case (_, w) =>
+      !w.isNaN && !w.isInfinite && w > 0 },
+      s"leakageSafeSplit: weights must be finite and > 0: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"leakageSafeSplit: duplicate split names: $splits")
+    val clusters = Dedup.clusterPairs(pairs, idACol, idBCol, maxIter)
+      .withColumnRenamed("id", "__cid")
+    val labeled = df.select(col(idCol))
+      .join(clusters, col(idCol) === col("__cid"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val u = (conv(substring(md5(col("cluster_id").cast("string")), 1, 8),
+      16, 10).cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val total = splits.map(_._2).sum
+    // cumulative UPPER boundaries in declaration order (left-fold, so
+    // an oracle can reproduce them with the same literal additions)
+    val cums = splits.map(_._2).scanLeft(0.0d)(_ + _).tail.map(_ / total)
+    val splitCol =
+      if (splits.size == 1) lit(splits.head._1)
+      else {
+        val nonLast = splits.init.map(_._1).zip(cums.init)
+        val first = when(u < lit(nonLast.head._2), lit(nonLast.head._1))
+        nonLast.tail.foldLeft(first) { case (acc, (name, cum)) =>
+          acc.when(u < lit(cum), lit(name))
+        }.otherwise(lit(splits.last._1))
+      }
+    labeled.select(col(idCol), col("cluster_id"), splitCol.as("split"))
+  }
+
   /** [[tokenBudgetSelect]] for SKEWED group keys: same semantics (id
     * order, no priority columns), but the per-group running sum is
     * computed as a distributed two-phase prefix sum, so a group's work

@@ -721,4 +721,49 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.dsirResample(docs, "doc_id", "text", docs, "text", 0)
     }
   }
+
+  test("leakageSafeSplit: a near-dup cluster never straddles the split") {
+    val docs = Seq.tabulate(6)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    // chain 0-1-2 is one component; 3, 4, 5 are singletons
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = CorpusOps.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 6) // every doc assigned exactly once
+    val byDoc = out.map(r => r._1 -> (r._2, r._3)).toMap
+    // the component carries min-id cluster 0 and ONE split for all members
+    assert(Seq(0L, 1L, 2L).map(byDoc(_)._1).toSet == Set(0L))
+    assert(Seq(0L, 1L, 2L).map(byDoc(_)._2).toSet.size == 1)
+    // singletons are their own cluster
+    assert(Seq(3L, 4L, 5L).forall(i => byDoc(i)._1 == i))
+  }
+
+  test("leakageSafeSplit: deterministic, covers all splits, rejects bad specs") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    def run() = CorpusOps.leakageSafeSplit(docs, "doc_id", noPairs,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s1 = run()
+    assert(s1 == run()) // md5 draw: identical across runs
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    // uniform hash: train ~225 of 300; loose band to stay flake-free
+    assert(counts("train") > 180 && counts("train") < 270, counts.toString)
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakageSafeSplit(docs, "doc_id", noPairs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakageSafeSplit(docs, "doc_id", noPairs,
+        Seq("a" -> 1.0, "b" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakageSafeSplit(docs, "doc_id", noPairs,
+        Seq("a" -> 1.0, "a" -> 1.0))
+    }
+    // single split: everything lands there
+    val one = CorpusOps.leakageSafeSplit(docs, "doc_id", noPairs,
+      Seq("all" -> 1.0)).collect()
+    assert(one.forall(_.getString(2) == "all") && one.length == 300)
+  }
 }
