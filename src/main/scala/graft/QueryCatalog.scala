@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,69 @@ object QueryCatalog {
       |          'sum') / (a.nv * b.nv), 6) AS cos_sim
       |      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.99""".stripMargin
+
+  /** Synthesized URL per document exercising every [[CorpusOps
+    * .canonicalUrl]] path: scheme/host case, trailing host dot +
+    * default port, trailing path slash, param order, tracking params,
+    * fragments, and a malformed residue class. The Spark column and
+    * this SQL build the IDENTICAL string. */
+  private def syntheticUrl: Column = {
+    val id = col("doc_id")
+    when(id % 13 === 0, concat(lit("doc-"), id, lit(".bad")))
+      .otherwise(concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://WWW."), upper(col("source")), lit(".ORG"),
+        when(id % 3 === 0, lit(".:443")).otherwise(lit("")),
+        lit("/Cat/"), id % 5,
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 2 === 0,
+          concat(lit("?b="), id % 7, lit("&utm_source=feed&a=1")))
+          .otherwise(concat(lit("?a=1&b="), id % 7)),
+        when(id % 6 === 0, lit("#sec")).otherwise(lit(""))))
+  }
+
+  /** DuckDB CTEs: `u(doc_id, url)` = [[syntheticUrl]] over documents;
+    * `c(doc_id, url, canonical_url)` = the canonicalization replica. */
+  private val urlCanonCtes =
+    """u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'doc-' || doc_id || '.bad'
+      |  ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+      |    '://WWW.' || upper(source) || '.ORG' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '.:443' ELSE '' END) ||
+      |    '/Cat/' || (doc_id % 5) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |        THEN '?b=' || (doc_id % 7) || '&utm_source=feed&a=1'
+      |        ELSE '?a=1&b=' || (doc_id % 7) END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+      |  END AS url FROM documents),
+      |pp AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  rtrim(lower(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)), '.')
+      |    AS host,
+      |  regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1)
+      |    AS port,
+      |  regexp_replace(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+      |    AS p1,
+      |  regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q FROM u),
+      |ps AS (SELECT *, list_sort(list_filter(string_split(q, '&'),
+      |    x -> x <> '' AND NOT regexp_matches(x,
+      |      '^(?:utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(?:=.*)?$')))
+      |    AS prm FROM pp),
+      |c AS (SELECT doc_id, url,
+      |  CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR
+      |       (scheme = 'https' AND port = '443')
+      |     THEN '' ELSE ':' || port END) ||
+      |    (CASE WHEN p1 = '' THEN '/' ELSE p1 END) ||
+      |    (CASE WHEN len(prm) = 0 THEN ''
+      |     ELSE '?' || array_to_string(prm, '&') END)
+      |  END AS canonical_url FROM ps)""".stripMargin
 
   /** DuckDB CTE chain replicating [[Dedup.ngramJaccardPairs]] over
     * [[plantedDocs]]: ends in `np(id_a, id_b, jac)` — exact Jaccard over
@@ -4350,6 +4413,30 @@ object QueryCatalog {
              |    b(domain)
              |  WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain)"""
         .stripMargin)),
+
+    Q("q_url_canonical", // URL canonicalization: case/port/fragment/
+      // tracking-param/param-order variation collapses to one form;
+      // malformed URLs canonicalize to NULL. The synthesized URL
+      // column exercises every normalization path (see syntheticUrl).
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), syntheticUrl.as("url"))
+        .withColumn("canonical_url", CorpusOps.canonicalUrl(col("url"))),
+      Some(s"""WITH $urlCanonCtes
+              |SELECT doc_id, url, canonical_url FROM c""".stripMargin)),
+
+    Q("q_url_dedup", // URL-level dedup (the pre-text-dedup crawl pass):
+      // one row per canonical URL (min doc_id), with the absorbed crawl
+      // count; unparseable URLs each survive (no evidence of duplication).
+      (s, d) => CorpusOps.urlDedup(
+        t(s, d, "documents").select(col("doc_id"), syntheticUrl.as("url")),
+        "doc_id", "url"),
+      Some(s"""WITH $urlCanonCtes
+              |SELECT min(doc_id) AS doc_id, canonical_url,
+              |  CAST(count(*) AS BIGINT) AS n_urls
+              |FROM c WHERE canonical_url IS NOT NULL GROUP BY canonical_url
+              |UNION ALL
+              |SELECT doc_id, canonical_url, CAST(1 AS BIGINT) AS n_urls
+              |FROM c WHERE canonical_url IS NULL""".stripMargin)),
 
     Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
       // incremental engine: the staged archive directory drains through

@@ -958,6 +958,71 @@ object CorpusOps {
     lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
 
+  /** Tracking query-params dropped by [[canonicalUrl]]: the analytics
+    * attribution keys that vary per click without changing the
+    * resource (the reason one page yields thousands of "distinct"
+    * crawl URLs). */
+  val trackingParamPattern: String =
+    "^(?:utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(?:=.*)?$"
+
+  /** Canonical form of a URL column — the normalization web-crawl
+    * pipelines apply BEFORE URL-level dedup, so casing, default ports,
+    * fragments, tracking params and param order don't fan one resource
+    * out into many "distinct" URLs. Steps, in order: lowercase scheme
+    * and host (trailing host dot trimmed), drop userinfo, drop the
+    * default port (http:80 / https:443; explicit others kept), strip
+    * any trailing path slash (empty path becomes "/"), drop the
+    * fragment, drop [[trackingParamPattern]] params, and sort the
+    * surviving query params bytewise. Malformed URLs (no scheme://host)
+    * canonicalize to NULL — visible, never silently passed through as
+    * if normalized. Pure codegen'd built-ins (regexps + array ops), no
+    * UDF; DuckDB replicates every step, so the form is oracle-portable.
+    *
+    * Deliberately NOT done: www-stripping and percent-decoding —
+    * both merge URLs that can serve different content; this canonical
+    * form only removes variation that provably cannot change the
+    * resource. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = rtrim(urlHost(url), ".")
+    val port = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1)
+    val portPart = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val rawQuery = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+    val params = filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern))
+    val queryPart = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** URL-level dedup — the first dedup pass of a web-corpus pipeline
+    * (cheaper than any text comparison: one hash shuffle on the
+    * canonical string): keep ONE row per [[canonicalUrl]] value (the
+    * min `idCol`, deterministic), and report how many crawl URLs each
+    * canonical absorbed. Rows whose URL fails to canonicalize (NULL)
+    * are each kept — an unparseable URL is no evidence of duplication.
+    * Returns (`idCol`, `canonical_url`, `n_urls`). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.select(col(idCol), canonicalUrl(col(urlCol))
+      .as("canonical_url"))
+    val grouped = canon.filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_urls"))
+      .select(col(idCol), col("canonical_url"), col("n_urls"))
+    canon.filter(col("canonical_url").isNull)
+      .select(col(idCol), col("canonical_url"), lit(1L).as("n_urls"))
+      .unionByName(grouped)
+  }
+
   /** Every label-suffix of a host that a domain blocklist entry could
     * match: `a.b.c.org` -> `[a.b.c.org, b.c.org, c.org, org]`, capped
     * at the LAST `maxLabels` suffixes (the shallow ones near the TLD).

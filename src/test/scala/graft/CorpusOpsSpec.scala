@@ -766,4 +766,49 @@ class CorpusOpsSpec extends SparkSpec {
       Seq("all" -> 1.0)).collect()
     assert(one.forall(_.getString(2) == "all") && one.length == 300)
   }
+
+  test("canonicalUrl: every normalization path, hand-checked") {
+    val cases = Seq(
+      // case fold + trailing host dot + default port + trailing slash
+      // + tracking param + param sort + fragment
+      "HTTPS://WWW.Src3.ORG.:443/Cat/2/?b=5&utm_source=f&a=1#frag" ->
+        "https://www.src3.org/Cat/2?a=1&b=5",
+      // non-default port kept; duplicate trailing slashes -> root
+      "http://h.org:8080//" -> "http://h.org:8080/",
+      // default http port dropped; empty path -> "/"
+      "http://h.org:80" -> "http://h.org/",
+      // userinfo dropped; path case preserved
+      "https://user:pw@H.org/A/B" -> "https://h.org/A/B",
+      // all params are tracking -> query dropped entirely
+      "https://h.org/p?utm_campaign=x&gclid=1&fbclid=2&ref=z" ->
+        "https://h.org/p",
+      // malformed: no scheme
+      "no-scheme.example/x" -> null,
+      // malformed: scheme but empty host
+      "https:///path" -> null)
+    val out = cases.zipWithIndex
+      .map { case ((u, _), i) => (i.toLong, u) }.toDF("id", "url")
+      .select(col("id"), CorpusOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).orNull).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(out(i.toLong) == want, s"url $u: got ${out(i.toLong)}")
+    }
+  }
+
+  test("urlDedup: min-id canonical survives with count; nulls each kept") {
+    val rows = Seq(
+      (7L, "https://h.org/a?x=1&y=2"),
+      (3L, "HTTPS://h.org:443/a/?y=2&x=1&utm_source=z"), // same canonical
+      (5L, "https://h.org/b"),
+      (9L, "not a url"),
+      (11L, "also-bad")).toDF("doc_id", "url")
+    val out = CorpusOps.urlDedup(rows, "doc_id", "url")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).orNull, r.getLong(2)))
+    assert(out.length == 4) // 2 canonicals + 2 null rows
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(3L)._2 == "https://h.org/a?x=1&y=2" && byId(3L)._3 == 2L)
+    assert(byId(5L)._3 == 1L)
+    assert(byId(9L)._2 == null && byId(11L)._2 == null)
+    assert(!byId.contains(7L)) // absorbed by min-id 3
+  }
 }
