@@ -2615,6 +2615,35 @@ object QueryCatalog {
              |  id_b AS neighbor_id, cos_sim
              |FROM r WHERE rank <= 3""".stripMargin)),
 
+    Q("q_hard_negatives", // contrastive hard-negative mining: per
+      // anchor, the top-2 most-similar DIFFERENT-label vectors, with
+      // cos > 0.9 excluded as probable dups/mislabels (the
+      // false-negative guard). Same 200-vector slice + WindowGroupLimit
+      // shape as q_knn_join.
+      (s, d) => Similarity.hardNegatives(
+        t(s, d, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", "label", k = 2, maxCos = 0.9),
+      Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+             |  WHERE vec_id < 200),
+             |pairs AS (SELECT a.vec_id AS id, a.label AS label,
+             |  b.vec_id AS id_b, b.label AS neighbor_label,
+             |  round(
+             |    list_aggregate(list_transform(a.embedding,
+             |      (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             |      'sum')
+             |    / (sqrt(list_aggregate(list_transform(a.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |     * sqrt(list_aggregate(list_transform(b.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+             |  , 6) + 0 AS cos_sim
+             |  FROM e a JOIN e b ON a.label <> b.label),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY id ORDER BY cos_sim DESC, id_b) AS rank
+             |  FROM pairs WHERE cos_sim <= 0.9)
+             |SELECT id, label, CAST(rank AS BIGINT) AS rank,
+             |  id_b AS neighbor_id, neighbor_label, cos_sim
+             |FROM r WHERE rank <= 2""".stripMargin)),
+
     Q("q_semantic_decontaminate", // embedding-side decontamination:
       // flag corpus vectors within cosine 0.8 of ANY benchmark vector
       // (the paraphrase-leakage check n-gram decontamination misses;

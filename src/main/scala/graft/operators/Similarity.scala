@@ -548,6 +548,47 @@ object Similarity {
         col("id_b").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for
+    * every anchor vector, the `k` MOST-similar vectors carrying a
+    * DIFFERENT `labelCol` (the negatives that actually teach a
+    * retriever/classifier a boundary; random negatives are mostly
+    * trivial). Candidates with rounded cosine ABOVE `maxCos` are
+    * excluded first — at that similarity a cross-label "negative" is
+    * far likelier a duplicate or a mislabel than a hard negative, and
+    * training on it injects label noise (the standard false-negative
+    * guard). Returns (`id`, `label`, `rank`, `neighbor_id`,
+    * `neighbor_label`, `cos_sim`).
+    *
+    * This is the exact baseline (self-join + per-anchor top-k): the
+    * per-row cap compiles to WindowGroupLimit, so shuffle volume is
+    * O(n x k), not O(n²) — same shape as [[knnJoin]]. At corpus scale,
+    * generate candidates with [[srpNeighborPairs]] blocking or
+    * [[ivfPqTopK]] probes and apply the same label-and-`maxCos` filter
+    * before the top-k; this brute form is the correctness spec.
+    *
+    * The `maxCos` cut compares the ROUNDED cosine (house float rule:
+    * the engine-boundary surface shrinks to values within an ulp of
+    * the .xxxxxx5 rounding edge). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int,
+                    maxCos: Double = 0.95): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val a = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+      col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("id_b"))
+    a.join(b, col("label") =!= col("neighbor_label"))
+      .select(col("id"), col("label"), col("id_b"), col("neighbor_label"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") <= maxCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("label"), col("rank").cast("long").as("rank"),
+        col("id_b").as("neighbor_id"), col("neighbor_label"), col("cos_sim"))
+  }
+
   /** All-pairs near-neighbors above a similarity floor, SRP-blocked:
     * join on cell, exact cosine within the block. Misses pairs whose
     * members land in different cells (per-bit miss probability θ/π for

@@ -842,4 +842,35 @@ class DedupSimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("hardNegatives: cross-label top-k, near-dup guard, WindowGroupLimit") {
+    // label 0: two near-identical vectors (1, 2) + an anchor (0);
+    // label 1: a hard negative near the anchor (10), a far one (11),
+    // and a too-similar impostor (12, cos ~ 1 vs anchor -> excluded)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f), 0),
+      (2L, Array(0.9f, 0.11f, 0f), 0),
+      (10L, Array(0.8f, 0.6f, 0f), 1), // cos(anchor)=0.8
+      (11L, Array(0f, 0f, 1f), 1), // orthogonal
+      (12L, Array(0.999f, 0.001f, 0f), 1) // cos(anchor)~1 -> guarded out
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        "label", k = 2, maxCos = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val anchor0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // rank 1 = the hard negative 10, never the near-dup impostor 12
+    assert(anchor0.head._3 == 10L, anchor0.mkString(","))
+    assert(!anchor0.exists(_._3 == 12L), anchor0.mkString(","))
+    // neighbors all carry the other label
+    assert(out.filter(_._1 == 0L).forall(_._4 == 1))
+    assert(out.filter(_._1 == 10L).forall(_._4 == 0))
+    val plan = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+      "label", k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vecs, "vec_id", "embedding", "label", 0)
+    }
+  }
 }
