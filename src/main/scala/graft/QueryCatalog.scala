@@ -1424,6 +1424,54 @@ object QueryCatalog {
              |LEFT JOIN hits ON hits.doc_id = p.doc_id""".stripMargin),
       headline = true),
 
+    Q("q_epoch_shuffle", // deterministic epoch shuffle: shard + in-shard
+      // position as pure functions of (epoch, doc_id) — reproducible
+      // training order, no rand(); the oracle derives the identical
+      // layout from the same md5.
+      (s, d) => CorpusOps.epochShuffle(t(s, d, "documents"), "doc_id",
+        epoch = 3, numShards = 8),
+      Some("""WITH k AS (SELECT doc_id, md5('3:' || doc_id) AS kk
+             |          FROM documents)
+             |SELECT doc_id,
+             |  CAST(('0x' || substr(kk, 1, 8))::UBIGINT % 8 AS BIGINT)
+             |    AS shard,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY ('0x' || substr(kk, 1, 8))::UBIGINT % 8
+             |    ORDER BY kk, doc_id) AS BIGINT) AS pos
+             |FROM k""".stripMargin)),
+
+    Q("q_mixture_plan", // data-constrained mixture plan (Muennighoff et
+      // al. 2023): per-domain token draw capped at maxRepeats=2 epochs
+      // of the available data; src_missing exercises the absent-domain
+      // row (0 available, NULL epochs). Desired shares are floor(30000
+      // * w / sum w) — hard-coded in the oracle (21000/6000/3000).
+      (s, d) => CorpusOps.mixturePlan(t(s, d, "documents"), "source",
+        "text", Map("src1" -> 0.7, "src2" -> 0.2, "src_missing" -> 0.1),
+        totalBudgetTokens = 30000, maxRepeats = 2.0),
+      Some("""WITH avail AS (SELECT source,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+             |      AS BIGINT) AS available_toks
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+             |  GROUP BY 1),
+             |w AS (SELECT * FROM (VALUES
+             |    ('src1', CAST(21000 AS BIGINT)),
+             |    ('src2', CAST(6000 AS BIGINT)),
+             |    ('src_missing', CAST(3000 AS BIGINT)))
+             |  t(source, desired_toks)),
+             |j AS (SELECT w.source,
+             |    COALESCE(a.available_toks, 0) AS available_toks,
+             |    w.desired_toks,
+             |    least(w.desired_toks, CAST(floor(
+             |      CAST(COALESCE(a.available_toks, 0) AS DOUBLE) * 2.0)
+             |      AS BIGINT)) AS planned_toks
+             |  FROM w LEFT JOIN avail a USING (source))
+             |SELECT source, available_toks, desired_toks, planned_toks,
+             |  CASE WHEN available_toks > 0 THEN
+             |    round(CAST(planned_toks AS DOUBLE)
+             |      / CAST(available_toks AS DOUBLE), 4) + 0 END AS epochs,
+             |  planned_toks < desired_toks AS capped
+             |FROM j""".stripMargin)),
+
     Q("q_stratified_sample", // deterministic stratified sample: k docs
       // per source by md5-hash order — reproducible across runs/engines
       // (no rand()), so the oracle draws the identical sample

@@ -343,6 +343,90 @@ object CorpusOps {
       .drop("__slice", "__off")
   }
 
+  /** Deterministic epoch shuffle — the reproducible global reorder a
+    * training pipeline needs between epochs: every row gets a shard
+    * and a position within it, both pure functions of (`epoch`,
+    * `idCol`), so any run, any engine, and any retry derive the
+    * identical order (no `rand()`, no partitioning sensitivity —
+    * md5 over the epoch-salted id, the house portable draw). Different
+    * epochs produce unrelated orders (the salt changes every hash).
+    * Returns (`idCol`, `shard`, `pos`) with `pos` 1-based within the
+    * shard.
+    *
+    * Scale shape: one hash shuffle on `shard` + a per-shard sort (the
+    * window compiles to a single Exchange + Sort). Position is defined
+    * WITHIN shards precisely so no global total order — and no
+    * single-partition window — is ever computed; a writer lays out
+    * shard files independently in parallel. Pick `numShards` ≈ the
+    * write parallelism you want (a power of two keeps re-bucketing
+    * cheap downstream). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val key = md5(concat(lit(s"$epoch:"), col(idCol).cast("string")))
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long")
+      % numShards).as("shard")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__k"), col(idCol))
+    df.select(col(idCol), shard, key.as("__k"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
+
+  /** Data-constrained mixture plan (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given target mixture `weights`
+    * and a total token budget, how many tokens to DRAW per domain when
+    * domains can repeat data at most `maxRepeats` epochs (the paper's
+    * empirical result: up to ~4 epochs of repetition is nearly as good
+    * as fresh data; beyond that, returns decay fast). Each domain's
+    * desired share `floor(budget * w / Σw)` is capped at
+    * `floor(available_toks * maxRepeats)`; the plan reports the cap
+    * honestly instead of silently rebalancing (re-weighting spare
+    * budget is a POLICY choice — run the plan, inspect, re-weight,
+    * re-plan). Returns one row per weighted domain: (`groupCol`,
+    * `available_toks`, `desired_toks`, `planned_toks`, `epochs`
+    * rounded to 4, `capped`). Domains present in `weights` but absent
+    * from the corpus plan 0 available / epochs NULL — visible, not
+    * dropped.
+    *
+    * Scale shape: one partial-agg count per domain (map-side combined)
+    * joined to a broadcast weight table; everything after is per-group
+    * arithmetic on a relation the size of the mixture spec. */
+  def mixturePlan(df: DataFrame, groupCol: String, textCol: String,
+                  weights: Map[String, Double], totalBudgetTokens: Long,
+                  maxRepeats: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "mixturePlan: empty mixture spec")
+    require(weights.values.forall(w => !w.isNaN && !w.isInfinite && w >= 0),
+      s"mixturePlan: weights must be finite and >= 0: $weights")
+    require(totalBudgetTokens >= 0,
+      s"mixturePlan: negative budget: $totalBudgetTokens")
+    require(maxRepeats > 0 && !maxRepeats.isInfinite,
+      s"mixturePlan: maxRepeats must be positive and finite: $maxRepeats")
+    val wsum = weights.values.sum
+    require(wsum > 0, s"mixturePlan: weights sum to zero: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).map { case (g, w) =>
+      (g, math.floor(totalBudgetTokens.toDouble * (w / wsum)).toLong)
+    }.toDF(groupCol, "desired_toks")
+    val avail = df.groupBy(col(groupCol))
+      .agg(sum(size(tokens(col(textCol))).cast("long"))
+        .as("available_toks"))
+    wdf.join(avail, Seq(groupCol), "left_outer")
+      .select(col(groupCol),
+        coalesce(col("available_toks"), lit(0L)).as("available_toks"),
+        col("desired_toks"))
+      .withColumn("planned_toks",
+        least(col("desired_toks"),
+          floor(col("available_toks").cast("double") * maxRepeats)
+            .cast("long")))
+      .withColumn("epochs",
+        when(col("available_toks") > 0,
+          round(col("planned_toks").cast("double")
+            / col("available_toks").cast("double"), 4) + lit(0.0d)))
+      .withColumn("capped", col("planned_toks") < col("desired_toks"))
+  }
+
   /** Fixed-window document chunking — the step between curation and
     * training that cuts each document into `maxTokens`-token windows
     * advancing by `stride` tokens (overlap = `maxTokens - stride`), so

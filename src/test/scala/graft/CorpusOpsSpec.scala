@@ -795,6 +795,53 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: deterministic, epoch-sensitive, complete, one window pass") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    def order(e: Int) = CorpusOps.epochShuffle(docs, "doc_id", e, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e1 = order(1)
+    assert(e1 == order(1)) // pure function of (epoch, id)
+    assert(e1.keySet == (0L until 100L).toSet) // every row placed once
+    assert(e1.values.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    // per-shard positions are 1..n with no gaps
+    e1.values.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).toSeq.sorted == (1L to ps.size).toSeq)
+    }
+    assert(e1 != order(2)) // epochs reorder
+    val plan = CorpusOps.epochShuffle(docs, "doc_id", 1, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(600))
+    intercept[IllegalArgumentException] {
+      CorpusOps.epochShuffle(docs, "doc_id", 1, 0)
+    }
+  }
+
+  test("mixturePlan: caps at maxRepeats, reports absent domains, no silent rebalance") {
+    // srcA: 10 tokens available; srcB: 100; srcC absent from the corpus
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "a b", "srcA")) ++
+      Seq.tabulate(10)(i => (100L + i, (1 to 10).map(_ => "w").mkString(" "), "srcB")))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.mixturePlan(docs, "source", "text",
+        Map("srcA" -> 0.5, "srcB" -> 0.25, "srcC" -> 0.25),
+        totalBudgetTokens = 400, maxRepeats = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), r.getBoolean(5))).toMap
+    // srcA: desired 200, available 10, cap 30 -> capped, 3 epochs
+    assert(out("srcA") == ((10L, 200L, 30L, Some(3.0d), true)), out.toString)
+    // srcB: desired 100, available 100, cap 300 -> uncapped, 1 epoch
+    assert(out("srcB") == ((100L, 100L, 100L, Some(1.0d), false)), out.toString)
+    // srcC: absent -> 0 available, planned 0, NULL epochs, capped
+    assert(out("srcC") == ((0L, 100L, 0L, None, true)), out.toString)
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixturePlan(docs, "source", "text", Map.empty, 100)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixturePlan(docs, "source", "text",
+        Map("srcA" -> 1.0), 100, maxRepeats = 0.0)
+    }
+  }
+
   test("urlDedup: min-id canonical survives with count; nulls each kept") {
     val rows = Seq(
       (7L, "https://h.org/a?x=1&y=2"),
