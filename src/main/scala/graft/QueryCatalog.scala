@@ -1593,6 +1593,38 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_bigram_logprob", // interpolated bigram LM score per doc (the
+      // next rung of the CCNet-style LM-quality ladder): mean over
+      // adjacent token pairs of ln(0.7*c(v,w)/c(v) + 0.3*c(w)/total),
+      // model = the corpus itself. Parallel unnest zips the two slice
+      // lists in DuckDB; round-4 absorbs the libm/avg-order hazards.
+      (s, d) => CorpusOps.bigramLogProb(
+        t(s, d, "documents"), "doc_id", "text", lambda = 0.7),
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |u AS (SELECT tok, count(*) AS cu FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM u),
+             |bg AS (SELECT doc_id,
+             |    unnest(list_slice(toks, 1, len(toks) - 1)) AS v,
+             |    unnest(list_slice(toks, 2, len(toks))) AS w
+             |  FROM d WHERE len(toks) >= 2),
+             |bc AS (SELECT v, w, count(*) AS cvw FROM bg GROUP BY 1, 2),
+             |lp AS (SELECT v, w,
+             |    ln(CAST(0.7 AS DOUBLE) * cvw / uv.cu
+             |       + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+             |         * uw.cu / total) AS lp
+             |  FROM bc
+             |  JOIN u uv ON uv.tok = v
+             |  JOIN u uw ON uw.tok = w
+             |  CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(avg(lp), 4) + 0 AS avg_logprob
+             |FROM bg JOIN lp USING (v, w)
+             |GROUP BY doc_id""".stripMargin)),
+
     Q("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
       // per-doc sum of ln p_target(bucket) - ln p_raw(bucket) over
       // hashed unigram+bigram features (add-one smoothing, 4096

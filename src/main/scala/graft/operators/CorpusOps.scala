@@ -1188,6 +1188,79 @@ object CorpusOps {
           .as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM score per document — one step up from
+    * [[unigramLogProb]] toward the CCNet recipe (CCNet ranks by a
+    * 5-gram KenLM; a corpus-trained interpolated bigram is the
+    * dependency-free, oracle-portable member of the same family and
+    * separates shuffled-word gibberish that unigram frequencies cannot
+    * see). Per document: mean over adjacent token pairs of
+    * `ln(lambda * c(v,w)/c(v) + (1-lambda) * c(w)/total)` — bigram MLE
+    * interpolated with the unigram model, so unseen-in-corpus bigrams
+    * of seen words stay finite (within one corpus every bigram is seen
+    * at least once by construction; the interpolation matters when
+    * scoring a delta AGAINST a reference corpus via `model`). Returns
+    * (`idCol`, `n_bigrams`, `avg_logprob` rounded to 4); documents
+    * with fewer than two tokens are excluded (no bigram evidence —
+    * absent rather than fake-scored), and when scoring against an
+    * external `model`, bigrams containing an out-of-model WORD are
+    * excluded from the mean (no evidence either way), while in-model
+    * words in an unseen pairing get the backoff leg.
+    *
+    * `c(v)` is v's unigram count (the standard MLE denominator
+    * approximation; exact context counts differ only by per-document
+    * final tokens). `model` defaults to the corpus itself; pass a
+    * reference corpus to score typicality against it instead.
+    *
+    * Scale shape: the per-(v,w) log-probability is computed on the
+    * DISTINCT bigram relation (distinct bigrams ≪ instances), which
+    * joins unigram counts twice while small, then rejoins instances
+    * once on (v,w) — three hash aggregations and two joins, all keyed
+    * on tokens/bigrams, no window, no collect; the 1-row total rides a
+    * broadcast. Same float register as [[unigramLogProb]]: ln is libm
+    * (1-ulp cross-engine), avg order varies — round-4 absorbs both. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7,
+                    model: Option[DataFrame] = None): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    def bigrams(df: DataFrame, text: String, keep: Seq[Column]): DataFrame = {
+      val tk = tokens(col(text))
+      df.filter(col(text).isNotNull && trim(col(text)) =!= "")
+        .select(keep :+ tk.as("__tk"): _*)
+        .filter(size(col("__tk")) >= 2)
+        .select(keep :+ explode(zip_with(
+          slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+          slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+          (a, b) => struct(a.as("v"), b.as("w")))).as("__bg"): _*)
+        .select(keep :+ col("__bg.v").as("v") :+ col("__bg.w").as("w"): _*)
+    }
+    val m = model.getOrElse(docs)
+    val mToks = m.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("tok"))
+    val uni = mToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("total"))
+    val bi = bigrams(m, textCol, Seq.empty)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val docBi = bigrams(docs, textCol, Seq(col(idCol)))
+    // log-prob per DISTINCT scored bigram: both words must be in-model
+    // (inner unigram joins — OOV-word bigrams carry no model evidence
+    // and are excluded from the mean, documented); a bigram of seen
+    // words UNSEEN as a pair gets the pure backoff leg (cvw -> 0).
+    val lp = docBi.select(col("v"), col("w")).distinct()
+      .join(uni.select(col("tok").as("v"), col("cu").as("cv")), Seq("v"))
+      .join(uni.select(col("tok").as("w"), col("cu").as("cw")), Seq("w"))
+      .join(bi, Seq("v", "w"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("v"), col("w"),
+        log(lit(lambda) * coalesce(col("cvw"), lit(0L)).cast("double")
+          / col("cv").cast("double")
+          + lit(1.0d - lambda) * col("cw").cast("double") / col("total"))
+          .as("__lp"))
+    docBi.join(lp, Seq("v", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(col("__lp")), 4) + lit(0.0d)).as("avg_logprob"))
+  }
+
   /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed n-gram profile is. Features

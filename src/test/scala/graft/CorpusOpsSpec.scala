@@ -795,6 +795,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb: word order matters, short docs excluded, model backoff") {
+    // docs 1 and 2 hold the SAME unigram bag; 1 follows the corpus's
+    // dominant bigram pattern, 2 scrambles it — a unigram model cannot
+    // separate them, the bigram model must
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "cat the sat cat the sat cat the sat"),
+      (3L, "the cat sat the cat sat"),
+      (4L, "single")).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L)) // one token -> no bigram evidence
+    assert(out(1L)._1 == 8L) // 9 tokens -> 8 bigrams
+    assert(out(1L)._2 > out(2L)._2, out.toString) // order-typical wins
+    // uniform unigram check fails to separate them
+    val uni = CorpusOps.unigramLogProb(docs.filter($"doc_id" <= 2),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L))
+    // external model: OOV-word bigrams are excluded, unseen pairings
+    // of seen words survive on the backoff leg
+    val model = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val ext = CorpusOps.bigramLogProb(
+        Seq((1L, "beta alpha zz beta")).toDF("doc_id", "text"),
+        "doc_id", "text", model = Some(model))
+      .collect()
+    // pairs: (beta,alpha)=seen-words (unseen pair in model? beta alpha IS
+    // in model), (alpha,zz)+(zz,beta) dropped for OOV zz -> 1 scored
+    assert(ext.length == 1 && ext.head.getLong(1) == 1L, ext.mkString(","))
+    intercept[IllegalArgumentException] {
+      CorpusOps.bigramLogProb(docs, "doc_id", "text", lambda = 1.5)
+    }
+  }
+
   test("epochShuffle: deterministic, epoch-sensitive, complete, one window pass") {
     val docs = Seq.tabulate(100)(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
     def order(e: Int) = CorpusOps.epochShuffle(docs, "doc_id", e, 4)
