@@ -1006,6 +1006,58 @@ object QueryCatalog {
       (s, d) => TextAnalysis.languageId(s, t(s, d, "documents"), "doc_id", "text"),
       Some(langIdOracleSql), headline = true),
 
+    Q("q_script_profile", // Unicode-script profile (the pre-language-ID
+      // writing-system check). Corpus text is ASCII, so Cyrillic/Han
+      // runs are planted on doc_id-keyed subsets from codepoints built
+      // IDENTICALLY on both sides (Scala \u escapes, DuckDB chr());
+      // doc_id%4==3 exercises the no-letters NULL path. Java spells
+      // the script property \p{script=X}, RE2 spells it \p{X} — same
+      // Unicode property.
+      (s, d) => {
+        val id = col("doc_id")
+        val cyr = "привет" // 6 Cyrillic letters
+        val han = "中文字" // 3 Han letters
+        val planted = t(s, d, "documents").select(id,
+          when(id % 4 === 1, concat(col("text"), repeat(lit(" " + cyr), 60)))
+            .when(id % 4 === 2, concat(col("text"), repeat(lit(" " + han), 60)))
+            .when(id % 4 === 3, lit("123 456 !!"))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.scriptProfile(planted, "doc_id", "text")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 4 = 1 THEN text || repeat(' ' ||
+             |      chr(1087)||chr(1088)||chr(1080)||chr(1074)||
+             |      chr(1077)||chr(1090), 60)
+             |    WHEN doc_id % 4 = 2 THEN text || repeat(' ' ||
+             |      chr(20013)||chr(25991)||chr(23383), 60)
+             |    WHEN doc_id % 4 = 3 THEN '123 456 !!'
+             |    ELSE text END AS t
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT) AS n_latin,
+             |  CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+             |  CAST(len(regexp_extract_all(t, '\p{Greek}')) AS BIGINT) AS n_greek,
+             |  CAST(len(regexp_extract_all(t, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+             |  CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT) AS n_han,
+             |  CAST(len(regexp_extract_all(t, '\p{Hangul}')) AS BIGINT) AS n_hangul,
+             |  CAST(len(regexp_extract_all(t, '\p{L}')) AS BIGINT) AS n_letters
+             |  FROM u),
+             |m AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek,
+             |    n_arabic, n_han, n_hangul) AS mx FROM c)
+             |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+             |  n_han, n_hangul, n_letters,
+             |  CASE WHEN mx = 0 THEN NULL
+             |    WHEN n_latin = mx THEN 'Latin'
+             |    WHEN n_cyrillic = mx THEN 'Cyrillic'
+             |    WHEN n_greek = mx THEN 'Greek'
+             |    WHEN n_arabic = mx THEN 'Arabic'
+             |    WHEN n_han = mx THEN 'Han'
+             |    WHEN n_hangul = mx THEN 'Hangul' END AS dominant_script,
+             |  CASE WHEN n_letters > 0 AND mx > 0 THEN
+             |    round(CAST(mx AS DOUBLE) / n_letters, 6) + 0 END
+             |    AS script_ratio
+             |FROM m""".stripMargin)),
+
     Q("q_fingerprint", // rolling-hash document fingerprint
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),

@@ -288,4 +288,48 @@ object TextAnalysis {
       .select(col(idCol), (col("__i") + 1).cast("long").as("sent_id"),
         trim(col("__s")).as("sentence"))
       .filter(length(col("sentence")) > 0)
+
+  /** The writing systems [[scriptProfile]] distinguishes, in the
+    * PRIORITY order ties resolve to (fixed and documented, so the
+    * label is deterministic). Java regex names the script property
+    * `\p{script=X}`; RE2 (the DuckDB oracle side) spells the same
+    * Unicode property `\p{X}`. */
+  val scripts: Seq[String] =
+    Seq("Latin", "Cyrillic", "Greek", "Arabic", "Han", "Hangul")
+
+  /** Unicode-script profile per document — the writing-system check
+    * that runs BEFORE language-ID in a web pipeline (char-bigram
+    * language models assume you already know the script; mixed-script
+    * text is its own signal, usually spam or markup soup). Counts
+    * LETTERS per script over the [[scripts]] menu via per-script
+    * `regexp_count` (codegen'd, one pass per script over the value —
+    * no explode, no shuffle beyond none at all: this is a pure
+    * projection), plus `n_letters` = all Unicode letters. The dominant
+    * script is the menu maximum with ties to [[scripts]] order;
+    * `script_ratio` = dominant / n_letters (NULL when the document has
+    * no letters — "no script" stays distinguishable from "weakly
+    * Latin"). Letters outside the menu count toward `n_letters` only,
+    * lowering every menu ratio honestly. */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = scripts.map { s =>
+      regexp_count(t, lit(s"\\p{script=$s}")).cast("long")
+        .as(s"n_${s.toLowerCase}")
+    }
+    val nLetters = regexp_count(t, lit("\\p{L}")).cast("long")
+      .as("n_letters")
+    val base = docs.filter(t.isNotNull)
+      .select(col(idCol) +: counts :+ nLetters: _*)
+    val maxc = greatest(scripts.map(s => col(s"n_${s.toLowerCase}")): _*)
+    val dominant = scripts.foldRight(lit(null).cast("string")) {
+      case (s, acc) =>
+        when(maxc > 0 && col(s"n_${s.toLowerCase}") === maxc, s)
+          .otherwise(acc)
+    }
+    base.withColumn("dominant_script", dominant)
+      .withColumn("script_ratio",
+        when(col("n_letters") > 0 && col("dominant_script").isNotNull,
+          round(maxc.cast("double") / col("n_letters").cast("double"), 6)))
+  }
 }

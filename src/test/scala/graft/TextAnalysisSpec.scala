@@ -155,4 +155,30 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
   }
+
+  test("scriptProfile: counts, dominance, tie priority, no-letter NULL") {
+    val docs = Seq(
+      (1L, "hello world"), // pure Latin: 10 letters
+      (2L, "ok привет привет"), // Cyrillic 12 > Latin 2
+      (3L, "中文字 plus latin here"), // Latin 13 > Han 3
+      (4L, "123 !?"), // no letters at all
+      (5L, "ab пв") // tie Latin 2 = Cyrillic 2 -> Latin (priority)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5),
+          r.getLong(7), Option(r.getString(8)),
+          Option(r.get(9)).map(_.asInstanceOf[Double]))
+      }.toMap
+    assert(out(1L) == ((10L, 0L, 0L, 10L, Some("Latin"), Some(1.0))))
+    assert(out(2L)._2 == 12L && out(2L)._5.contains("Cyrillic"))
+    assert(out(2L)._6.contains(math.rint(12.0 / 14.0 * 1e6) / 1e6))
+    assert(out(3L)._3 == 3L && out(3L)._5.contains("Latin"))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, None, None)))
+    assert(out(5L)._5.contains("Latin")) // menu-order tie-break
+    // pure projection: no shuffle
+    val plan = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
 }
