@@ -4599,6 +4599,18 @@ object QueryCatalog {
               |SELECT doc_id, canonical_url, CAST(1 AS BIGINT) AS n_urls
               |FROM c WHERE canonical_url IS NULL""".stripMargin)),
 
+    Q("q_url_dedup_stream_exec", // STREAMING EXECUTION gate: the crawl
+      // frontier — canonicalize + dropDuplicates on arrival through the
+      // incremental engine; drained output is exactly the DISTINCT
+      // canonical set (NULL canonicals passed over — a frontier can't
+      // key on unparseable).
+      (s, d) => graft.streaming.EventStreams.urlDedupAvailableNow(
+        s, s"$d/documents.parquet", syntheticUrl,
+        scratchDir("graft-stream-urldedup-ckpt")),
+      Some(s"""WITH $urlCanonCtes
+              |SELECT DISTINCT canonical_url FROM c
+              |WHERE canonical_url IS NOT NULL""".stripMargin)),
+
     Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
       // incremental engine: the staged archive directory drains through
       // readStream (file-stream source over binaryFile, same parser as

@@ -311,7 +311,19 @@ object EventStreams {
     * JVM-exit deletion. */
   def rawEventSource(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val f = new java.io.File(eventsPath)
+    val (src, probed) = fileSource(spark, eventsPath)
+    src.withColumn("ts", graft.Tables.normalizedTs(probed("ts").dataType))
+  }
+
+  /** Schema-probed file-stream source over a parquet file or directory
+    * (the file-source API wants a directory; a single file is staged
+    * into a scratch dir by hard link, copy as the cross-device
+    * fallback). Returns the streaming frame plus the probed schema —
+    * a hard-coded stream schema silently MISREADS re-encoded data (the
+    * r9 events lesson), so every streaming face probes. */
+  private[graft] def fileSource(spark: SparkSession,
+                                path: String): (DataFrame, StructType) = {
+    val f = new java.io.File(path)
     val srcDir = if (f.isFile) {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
       graft.TempDirs.deleteOnExit(dir.toFile)
@@ -321,10 +333,9 @@ object EventStreams {
         java.nio.file.Files.copy(f.toPath, staged); ()
       }
       dir.toString
-    } else eventsPath
+    } else path
     val probed = spark.read.parquet(srcDir).schema
-    spark.readStream.schema(probed).parquet(srcDir)
-      .withColumn("ts", graft.Tables.normalizedTs(probed("ts").dataType))
+    (spark.readStream.schema(probed).parquet(srcDir), probed)
   }
 
   /** Runs [[eventTimeWindow]] as a REAL Structured Streaming query over
@@ -418,6 +429,36 @@ object EventStreams {
       dedupStream(rawEventSource(spark, eventsPath), keys = keys)
         .select(keys.map(col): _*),
       checkpointDir, sinkName, OutputMode.Append())
+
+  /** STREAMING URL-level dedup through the incremental engine — the
+    * crawl-frontier shape: URLs canonicalize and dedup AS THEY ARRIVE,
+    * so a fetcher fed from this stream never re-downloads a resource
+    * already seen under another spelling. `urlExpr` derives the raw
+    * URL from the source's columns; rows whose URL fails to
+    * canonicalize are passed over (a frontier cannot key on NULL —
+    * batch [[graft.operators.CorpusOps.urlDedup]] keeps them, which is
+    * the right call when ACCOUNTING rather than fetching). Emits the
+    * canonical only: which physical row survives a canonical is a
+    * partition race, exactly-one-per-canonical is the contract (same
+    * rule as [[dedupAvailableNow]]).
+    *
+    * State = one entry per distinct canonical — a production frontier
+    * bounds it with `withWatermark` on crawl time + dropDuplicates
+    * within the watermark; this AvailableNow drain over a staged
+    * snapshot has no time column, and its state is bounded by the
+    * snapshot's distinct count. */
+  def urlDedupAvailableNow(spark: SparkSession, docsPath: String,
+                           urlExpr: org.apache.spark.sql.Column,
+                           checkpointDir: String,
+                           sinkName: String = "graft_stream_urldedup"): DataFrame = {
+    val (src, _) = fileSource(spark, docsPath)
+    drainToMemory(spark,
+      src.select(graft.operators.CorpusOps.canonicalUrl(urlExpr)
+          .as("canonical_url"))
+        .filter(col("canonical_url").isNotNull)
+        .dropDuplicates("canonical_url"),
+      checkpointDir, sinkName, OutputMode.Append())
+  }
 
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
