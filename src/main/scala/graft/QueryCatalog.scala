@@ -1675,7 +1675,8 @@ object QueryCatalog {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  round(avg(lp), 4) + 0 AS avg_logprob
              |FROM bg JOIN lp USING (v, w)
-             |GROUP BY doc_id""".stripMargin)),
+             |GROUP BY doc_id""".stripMargin),
+      headline = true),
 
     Q("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
       // per-doc sum of ln p_target(bucket) - ln p_raw(bucket) over
@@ -1765,6 +1766,42 @@ object QueryCatalog {
              |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
              |      ::UBIGINT + 0.5) / 4294967296.0))) DESC, doc_id
              |LIMIT 100""".stripMargin)),
+
+    Q("q_para_dedup", // keep-FIRST paragraph dedup (the RefinedWeb
+      // line pass; q_boilerplate's C4 recipe drops EVERY occurrence of
+      // frequent lines — this keeps exactly one, at the lexicographic
+      // min (doc, pos)). Same derived multi-line corpus as
+      // q_boilerplate: ' the ' becomes a line break, so short repeated
+      // lines exist naturally.
+      (s, d) => CorpusOps.dropRepeatedParagraphs(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " the ", "\n").as("text")),
+        "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    replace(text, ' the ', chr(10)) AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |l AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS p,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
+             |      AS pos
+             |  FROM d),
+             |fd AS (SELECT p, min(doc_id) AS f_doc FROM l
+             |       WHERE trim(p) <> '' GROUP BY 1),
+             |fp AS (SELECT l.p, f_doc, min(l.pos) AS f_pos
+             |       FROM l JOIN fd ON l.p = fd.p AND l.doc_id = fd.f_doc
+             |       GROUP BY 1, 2),
+             |m AS (SELECT l.doc_id, l.pos, l.p,
+             |        (fp.p IS NULL OR (l.doc_id = fp.f_doc
+             |          AND l.pos = fp.f_pos)) AS keep
+             |      FROM l LEFT JOIN fp ON l.p = fp.p)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN keep THEN p END,
+             |    chr(10) ORDER BY pos), '') AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_paras,
+             |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed
+             |FROM m GROUP BY doc_id""".stripMargin)),
 
     Q("q_boilerplate", // corpus-frequency boilerplate line removal (the
       // C4 recipe: drop lines occurring verbatim in >= minDocs distinct
@@ -4597,7 +4634,8 @@ object QueryCatalog {
               |FROM c WHERE canonical_url IS NOT NULL GROUP BY canonical_url
               |UNION ALL
               |SELECT doc_id, canonical_url, CAST(1 AS BIGINT) AS n_urls
-              |FROM c WHERE canonical_url IS NULL""".stripMargin)),
+              |FROM c WHERE canonical_url IS NULL""".stripMargin),
+      headline = true),
 
     Q("q_url_dedup_stream_exec", // STREAMING EXECUTION gate: the crawl
       // frontier — canonicalize + dropDuplicates on arrival through the

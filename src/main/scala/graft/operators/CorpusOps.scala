@@ -658,6 +658,57 @@ object CorpusOps {
       .select(col(idCol), col("clean_text"), col("n_lines"), col("n_removed"))
   }
 
+  /** Corpus-wide keep-FIRST paragraph dedup (the RefinedWeb recipe's
+    * line/paragraph pass — distinct from [[removeBoilerplateLines]],
+    * which drops EVERY occurrence of a frequent line): each distinct
+    * non-blank paragraph survives exactly once, at its first occurrence
+    * in (`idCol`, position) order, and later occurrences are cut; docs
+    * rebuild from surviving paragraphs in original order. Blank
+    * paragraphs are document structure, not dedup targets — they
+    * always survive. Returns (`idCol`, `clean_text`, `n_paras`,
+    * `n_removed`).
+    *
+    * "First" is the lexicographic minimum of (doc, pos) — a total
+    * order, so the survivor is deterministic under any partitioning
+    * (contrast a streaming frontier, where first-ARRIVAL wins).
+    *
+    * Scale shape: the first-occurrence table is a groupBy-min over
+    * (hash, paragraph) — partial-aggregated map-side, so a paragraph
+    * duplicated a million times combines before the shuffle rather
+    * than sorting in one task (the reason this is NOT a window
+    * row_number) — then one equi-join back and the per-doc rebuild.
+    * Join and df-count key on (hash, STRING): a 64-bit collision can
+    * never merge two distinct paragraphs (same defense as
+    * [[removeBoilerplateLines]]). */
+  def dropRepeatedParagraphs(docs: DataFrame, idCol: String,
+                             textCol: String,
+                             delim: String = "\n"): DataFrame = {
+    val paras = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__p")))
+    val firsts = paras
+      .filter(trim(col("__p")) =!= "")
+      .groupBy(xxhash64(col("__p")).as("__ph"), col("__p"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col("__ph"), col("__p").as("__fp"), col("__first"))
+    paras
+      .join(firsts, xxhash64(col("__p")) === col("__ph") &&
+        col("__p") === col("__fp"), "left_outer")
+      .withColumn("__keep", col("__first").isNull ||
+        (col("__first") === struct(col(idCol), col("__pos"))))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__p"))))),
+          s => s.getField("__p")), delim).as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col(idCol), col("clean_text"), col("n_paras"),
+        col("n_removed"))
+  }
+
   /** Cross-document exact duplicated-span statistics — the posting-list
     * reading of substring dedup ("Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2021: their suffix array finds

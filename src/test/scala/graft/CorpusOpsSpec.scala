@@ -795,6 +795,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dropRepeatedParagraphs: keep-first wins, blanks survive, within-doc repeats cut") {
+    val docs = Seq(
+      (1L, "shared para\nunique one"),
+      (2L, "prefix two\nshared para\nshared para"), // cross-doc + within-doc repeat
+      (3L, "\nshared para\n"), // leading/trailing blanks survive
+      (4L, "unique four")).toDF("doc_id", "text")
+    val out = CorpusOps.dropRepeatedParagraphs(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 holds the first occurrence -> keeps everything
+    assert(out(1L) == (("shared para\nunique one", 2L, 0L)))
+    // doc 2 loses BOTH its copies (doc 1 was first)
+    assert(out(2L) == (("prefix two", 3L, 2L)))
+    // doc 3: blanks always survive, the shared para is cut
+    assert(out(3L) == (("\n", 3L, 1L)), out(3L).toString)
+    assert(out(4L) == (("unique four", 1L, 0L)))
+    // deterministic under repartitioning: same survivors any layout
+    val re = CorpusOps.dropRepeatedParagraphs(docs.repartition(7), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(re == out)
+  }
+
   test("bigramLogProb: word order matters, short docs excluded, model backoff") {
     // docs 1 and 2 hold the SAME unigram bag; 1 follows the corpus's
     // dominant bigram pattern, 2 scrambles it — a unigram model cannot
