@@ -4289,6 +4289,43 @@ object QueryCatalog {
               |LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
               |WHERE c.id IS NULL OR c.id = c.cluster_id""".stripMargin)),
 
+    Q("q_neardup_quality", // quality-keeper near-dedup: each cluster
+      // keeps its LONGEST member (ties to smaller id) instead of the
+      // min-id — the curation-grade representative rule. Oracle ranks
+      // members with a window over the same recursive closure.
+      (s, d) => {
+        val docs = plantedDocs(s, d)
+        Dedup.nearDedupByQuality(docs, "doc_id", "text",
+          length(col("text")).cast("long"), minJaccard = 0.8)
+      },
+      Some(s"""WITH RECURSIVE $ngramPairsCtes,
+              |np8 AS (SELECT id_a, id_b FROM np WHERE jac >= 0.8),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM np8
+              |          UNION SELECT id_b, id_a FROM np8),
+              |walk AS (
+              |  SELECT a AS id, a AS label FROM edges
+              |  UNION
+              |  SELECT w.id, e.b AS label
+              |  FROM walk w JOIN edges e ON e.a = w.label),
+              |comp AS (SELECT id, min(label) AS cluster_id
+              |         FROM walk GROUP BY id),
+              |scored AS (SELECT c.id, c.cluster_id, length(d.text) AS q
+              |           FROM comp c JOIN docs d ON d.doc_id = c.id),
+              |k AS (SELECT *, row_number() OVER (
+              |        PARTITION BY cluster_id ORDER BY q DESC, id) AS rn,
+              |      count(*) OVER (PARTITION BY cluster_id) AS n
+              |      FROM scored),
+              |keepers AS (SELECT id, CAST(n AS BIGINT) AS n_members
+              |            FROM k WHERE rn = 1),
+              |dropped AS (SELECT id FROM k WHERE rn > 1)
+              |SELECT d.doc_id,
+              |  CAST(COALESCE(kp.n_members, 1) AS BIGINT) AS n_members
+              |FROM docs d
+              |LEFT JOIN keepers kp ON kp.id = d.doc_id
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM dropped x WHERE x.id = d.doc_id)"""
+        .stripMargin)),
+
     Q("q_leakage_split", // cluster-aware train/val/test split: hash the
       // near-dup CLUSTER, not the row, so duplicates never straddle the
       // split (weights 0.75/0.125/0.125 — exact doubles, so the

@@ -958,6 +958,49 @@ object Dedup {
       .select(col(idCol), coalesce(col("n_members"), lit(1L)).as("n_members"))
   }
 
+  /** [[nearDedup]] with a QUALITY keeper: each near-dup cluster keeps
+    * its highest-`qualityCol` member (ties to the smaller id) instead
+    * of the arbitrary min-id — the curation-grade form: when a page
+    * exists as a clean original and a boilerplate-wrapped mirror, the
+    * min-id rule keeps whichever crawled first; this rule keeps the
+    * better document (SemDeDup and the RefinedWeb pipeline both pick
+    * per-cluster representatives by quality, not by id).
+    *
+    * `quality` is any per-row Column evaluated against `df` (a stored
+    * score, [[graft.operators.TextAnalysis.gopherRules]] output joined
+    * beforehand, a length prior...). NULL quality ranks below every
+    * non-NULL (nulls-last), so an unscored member never beats a scored
+    * one. Returns `(idCol, n_members)` like [[nearDedup]].
+    *
+    * Scale shape: identical to [[nearDedup]] plus one extra join of
+    * the (tiny) cluster relation against the corpus to fetch member
+    * quality, and a per-cluster max — aggregation over the cluster
+    * relation, never the corpus. */
+  def nearDedupByQuality(df: DataFrame, idCol: String, textCol: String,
+                         quality: Column,
+                         shingleN: Int = 3, minJaccard: Double = 0.8,
+                         maxDocFreq: Int = 20): DataFrame = {
+    val clusters = clusterPairs(
+      ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard, maxDocFreq))
+    val scored = clusters
+      .join(df.select(col(idCol).as("id"), quality.as("__q")), Seq("id"))
+    // keeper = max (quality, -id): nulls-last via the struct trick —
+    // a null quality sorts below any non-null under max_by semantics
+    val keeper = scored
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("id"), struct(col("__q").isNotNull, col("__q"),
+          -col("id"))).as("__keep"))
+    val canon = keeper.select(col("__keep").as(idCol), col("n_members"))
+    val dropIds = scored.join(keeper, Seq("cluster_id"))
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id").as(idCol))
+    df.select(col(idCol))
+      .join(dropIds, Seq(idCol), "left_anti")
+      .join(canon, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_members"), lit(1L)).as("n_members"))
+  }
+
   /** Blocked fuzzy-match join — the entity-resolution primitive: find
     * pairs of DISTINCT `nameCol` values within `maxDist` Levenshtein
     * edits, generating candidates by BLOCKING (equal lowercased

@@ -690,6 +690,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("nearDedupByQuality keeps the best-quality member, ties to smaller id") {
+    val base = "the quick brown fox jumps over the lazy dog by the river"
+    val docs = Seq(
+      (1L, base), // near-dup cluster {1,2,3}; 2 is the LONGEST
+      (2L, base + " extra trailing context words here"),
+      (3L, base),
+      (4L, "completely different text about spark query engines and shuffles"))
+      .toDF("id", "text")
+    val byLen = Dedup.nearDedupByQuality(docs, "id", "text",
+        length($"text").cast("long"), minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(byLen == Map(2L -> 3L, 4L -> 1L), byLen.toString) // quality wins over min-id
+    // constant quality: tie-break keeps the smaller id (= nearDedup)
+    val tied = Dedup.nearDedupByQuality(docs, "id", "text",
+        lit(1L), minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(tied == Map(1L -> 3L, 4L -> 1L), tied.toString)
+    // NULL quality never beats a scored member
+    val nullQ = Dedup.nearDedupByQuality(docs, "id", "text",
+        when($"id" === 2L, lit(null).cast("long")).otherwise(length($"text").cast("long")),
+        minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(!nullQ.contains(2L) && nullQ(4L) == 1L, nullQ.toString)
+  }
+
   test("bucket-cap observation counts dropped candidates on a hot bucket") {
     import org.apache.spark.sql.Observation
     // 40 identical docs: every band bucket holds all 40, so a cap of 8
