@@ -1058,6 +1058,26 @@ object QueryCatalog {
              |    AS script_ratio
              |FROM m""".stripMargin)),
 
+    Q("q_char_entropy", // char-entropy quality signal (compressibility
+      // proxy): native codegen'd expression vs an explicit char-
+      // histogram oracle; round-4 absorbs the libm/sum-order low bits.
+      (s, d) => t(s, d, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          (round(TextAnalysis.charEntropy(col("text")), 4) + lit(0.0d))
+            .as("entropy_bits")),
+      Some("""WITH ch AS (SELECT doc_id,
+             |    unnest(string_split(text, '')) AS ch
+             |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+             |c AS (SELECT doc_id, ch, count(*) AS k FROM ch GROUP BY 1, 2),
+             |n AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n
+             |      FROM c GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+             |  round(-sum((k / n) * ln(k / n) / ln(2)), 4) + 0
+             |    AS entropy_bits
+             |FROM c JOIN n USING (doc_id)
+             |GROUP BY doc_id, n""".stripMargin)),
+
     Q("q_fingerprint", // rolling-hash document fingerprint
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),

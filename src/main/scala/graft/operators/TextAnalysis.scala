@@ -89,6 +89,13 @@ object TextAnalysis {
   def charBigrams(c: Column): Column =
     graft.plans.TextExpressions.char_bigrams(c)
 
+  /** Shannon entropy of the text's characters in bits/char — the
+    * compressibility proxy (gibberish ≈ log2(alphabet), degenerate
+    * repetition ≈ 0, natural language in a stable band). Native
+    * codegen'd expression; one sorted pass per row. */
+  def charEntropy(c: Column): Column =
+    graft.plans.TextExpressions.char_entropy(c)
+
   /** Built-ins-only formulation, kept as the semantic spec. */
   private[graft] def charBigramsDeclarative(c: Column): Column = {
     val s = regexp_replace(lower(c), "[^a-z ]", "")

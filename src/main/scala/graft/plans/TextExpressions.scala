@@ -53,6 +53,9 @@ object TextExpressions {
   def char_bigrams(c: Column): Column =
     GraftBridge.column(CharBigrams(GraftBridge.expression(c)))
 
+  def char_entropy(c: Column): Column =
+    GraftBridge.column(CharEntropy(GraftBridge.expression(c)))
+
   def word_shingle_offsets(c: Column, n: Int): Column =
     GraftBridge.column(WordShingleOffsets(GraftBridge.expression(c), n))
 
@@ -88,6 +91,8 @@ object TextExpressions {
       "scala_udf")
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "char_bigrams", exprs => CharBigrams(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "scala_udf")
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "srp_signature",
       exprs => SrpSignature(exprs.head,
@@ -329,6 +334,56 @@ case class CharBigrams(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): CharBigrams =
+    copy(child = c)
+}
+
+/** Shannon entropy of a string's characters, in bits per character —
+  * the compressibility proxy quality filters use to catch gibberish
+  * (entropy near log2(alphabet): random noise) and degenerate repetition
+  * (entropy near 0: one char dominates) in a single cheap scalar.
+  * Natural language sits in a stable band between the two.
+  *
+  * One JIT'd pass per row: sort the char array, run-length the sorted
+  * runs, accumulate -p*log2(p) in CHARACTER order (a fixed summation
+  * order, so the value is partition-independent; a differential oracle
+  * summing in its own order differs only in low bits — round at the
+  * query site, the house register's class). Empty string -> 0.0. No
+  * per-row histogram allocation beyond the char array itself. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public: called from generated code. */
+  def compute(input: UTF8String): Double = {
+    val cs = input.toString.toCharArray
+    if (cs.length == 0) return 0.0d
+    java.util.Arrays.sort(cs)
+    val n = cs.length.toDouble
+    val ln2 = math.log(2.0d)
+    var h = 0.0d
+    var i = 0
+    while (i < cs.length) {
+      var j = i
+      while (j < cs.length && cs(j) == cs(i)) j += 1
+      val p = (j - i) / n
+      h -= p * math.log(p) / ln2
+      i = j
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropy].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
     copy(child = c)
 }
 

@@ -156,6 +156,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("charEntropy: hand values, empty/null, codegen survives projection") {
+    val rows = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = rows.select($"id", TextAnalysis.charEntropy($"t").as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(1.0d)) // two symbols, equal mass
+    assert(out(2L).contains(0.0d)) // degenerate repetition
+    assert(out(3L).contains(2.0d)) // four equal symbols
+    assert(out(4L).contains(0.0d)) // empty -> 0, not null
+    assert(out(5L).isEmpty) // null in, null out
+    // stays inside whole-stage codegen (no CodegenFallback) — asserted
+    // over the parquet scan (a local relation constant-folds away)
+    val plan = Tables.documents(spark, sfDir)
+      .select(TextAnalysis.charEntropy($"text"))
+      .queryExecution.executedPlan.toString
+    // the star prefix marks the projection as INSIDE WholeStageCodegen;
+    // a CodegenFallback expression would strip it
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[char_entropy.*"),
+      plan.take(400))
+    // SQL registration
+    graft.plans.TextExpressions.registerAll(spark)
+    rows.createOrReplaceTempView("ce_rows")
+    val sq = spark.sql("SELECT char_entropy(t) FROM ce_rows WHERE id = 1")
+      .collect().head.getDouble(0)
+    assert(sq == 1.0d)
+  }
+
   test("scriptProfile: counts, dominance, tie priority, no-letter NULL") {
     val docs = Seq(
       (1L, "hello world"), // pure Latin: 10 letters
