@@ -2880,6 +2880,45 @@ object QueryCatalog {
         "vec_id", "embedding", minCos = 0.99, nBits = 8),
       Some(embedNeardupOracleSql), headline = true),
 
+    Q("q_hard_negatives_blocked", // the corpus-scale hard-negative path:
+      // SRP cell-blocked candidates + cross-label top-k. Same recall
+      // trick as q_srp_neighbors: at minCos 0.99 only the planted exact
+      // copies qualify, exact copies always co-bucket, and labels
+      // vec_id % 3 guarantee every planted pair is cross-label
+      // (1000000 % 3 = 1 shifts the copy's class) — so blocked equals
+      // the exact all-pairs oracle, which doubles as the recall gate.
+      (s, d) => Similarity.hardNegativesBlocked(
+        plantedEmbeddings(s, d)
+          .withColumn("label", col("vec_id") % 3),
+        "vec_id", "embedding", "label", k = 2, minCos = 0.99,
+        maxCos = 1.0),
+      Some("""WITH emb AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, embedding FROM embeddings
+             |  WHERE vec_id < 10),
+             |e AS (SELECT vec_id,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |      FROM emb),
+             |nrm AS (SELECT vec_id, v,
+             |          sqrt(list_aggregate(list_transform(v, x -> x * x),
+             |            'sum')) AS nv
+             |        FROM e),
+             |p AS (SELECT a.vec_id AS id, a.vec_id % 3 AS label,
+             |        b.vec_id AS neighbor_id, b.vec_id % 3 AS neighbor_label,
+             |        round(list_aggregate(
+             |          list_transform(a.v, (x, i) -> x * b.v[i]), 'sum')
+             |          / (a.nv * b.nv), 6) + 0 AS cos_sim
+             |      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank
+             |      FROM p WHERE label <> neighbor_label
+             |        AND cos_sim >= 0.99 AND cos_sim <= 1.0)
+             |SELECT id, label, CAST(rank AS BIGINT) AS rank,
+             |  neighbor_id, neighbor_label, cos_sim
+             |FROM r WHERE rank <= 2""".stripMargin)),
+
     Q("q_media_meta", // multimodal binary-column metadata path
       (s, d) => {
         val media = Multimodal.asMediaTable(t(s, d, "documents"),

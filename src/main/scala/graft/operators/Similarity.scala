@@ -589,6 +589,44 @@ object Similarity {
         col("id_b").as("neighbor_id"), col("neighbor_label"), col("cos_sim"))
   }
 
+  /** [[hardNegatives]] at corpus scale: candidates come from
+    * [[srpNeighborPairs]]' cell-blocked pair generation instead of the
+    * exact self-join, then the same cross-label filter, `maxCos`
+    * false-negative guard, and per-anchor top-k. `minCos` is the
+    * candidate floor (mining wants NEAR negatives anyway — a low-cosine
+    * pair teaches nothing, so the floor is semantics, not just
+    * pruning). Output schema matches [[hardNegatives]] exactly.
+    *
+    * Recall contract inherited from [[srpNeighborPairs]]: pairs in
+    * different SRP cells are missed with per-bit probability θ/π;
+    * exact duplicates always co-bucket. The exact form is the
+    * correctness spec; this is the 100 TB path. */
+  def hardNegativesBlocked(df: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, k: Int, minCos: Double,
+                           maxCos: Double = 0.95, nBits: Int = 8,
+                           maxBucketSize: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pairs = srpNeighborPairs(df, idCol, vecCol, minCos, nBits,
+      maxBucketSize)
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("neighbor_id"),
+        col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("neighbor_id"), col("cos_sim")))
+    val lab = df.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val labN = df.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sym.join(lab, Seq("id")).join(labN, Seq("neighbor_id"))
+      .filter(col("label") =!= col("neighbor_label") &&
+        col("cos_sim") <= maxCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("label"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cos_sim"))
+  }
+
   /** All-pairs near-neighbors above a similarity floor, SRP-blocked:
     * join on cell, exact cosine within the block. Misses pairs whose
     * members land in different cells (per-bit miss probability θ/π for

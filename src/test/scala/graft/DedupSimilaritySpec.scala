@@ -868,6 +868,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("hardNegativesBlocked equals the exact form on co-bucketing dups") {
+    // planted exact copies with shifted labels: the only >= 0.99 pairs,
+    // and exact duplicates always co-bucket, so blocked == exact
+    val e = Tables.embeddings(spark, sfDir)
+    val planted = e.select($"vec_id", $"embedding").unionByName(
+        e.filter($"vec_id" < 10)
+          .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+      .withColumn("label", $"vec_id" % 3)
+    val blocked = Similarity.hardNegativesBlocked(planted, "vec_id",
+        "embedding", "label", k = 2, minCos = 0.99, maxCos = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val exact = Similarity.hardNegatives(planted, "vec_id", "embedding",
+        "label", k = 2, maxCos = 1.0)
+      .filter($"cos_sim" >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(blocked == exact, s"blocked ${blocked.size} vs exact ${exact.size}")
+    assert(blocked.nonEmpty) // the planted pairs actually qualified
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegativesBlocked(planted, "vec_id", "embedding",
+        "label", 0, 0.99)
+    }
+  }
+
   test("hardNegatives: cross-label top-k, near-dup guard, WindowGroupLimit") {
     // label 0: two near-identical vectors (1, 2) + an anchor (0);
     // label 1: a hard negative near the anchor (10), a far one (11),
