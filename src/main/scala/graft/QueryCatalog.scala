@@ -2880,6 +2880,34 @@ object QueryCatalog {
         "vec_id", "embedding", minCos = 0.99, nBits = 8),
       Some(embedNeardupOracleSql), headline = true),
 
+    Q("q_center_normalize", // embedding centering + L2 re-normalization
+      // (the cosine-ANN prep): per-dim corpus mean rounded FIRST so
+      // everything downstream is IEEE-deterministic from identical
+      // inputs; the mean rides a broadcast single-row array, the norm
+      // fold is bound to a column (nested-lambda pitfall).
+      (s, d) => Similarity.centerAndNormalize(
+        t(s, d, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH x AS (SELECT vec_id, embedding FROM embeddings),
+             |d AS (SELECT vec_id,
+             |        generate_subscripts(embedding, 1) AS pos,
+             |        unnest(embedding) AS v
+             |      FROM x),
+             |m AS (SELECT pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+             |      FROM d GROUP BY 1),
+             |ml AS (SELECT list(m ORDER BY pos) AS mean FROM m),
+             |c AS (SELECT vec_id,
+             |        list_transform(embedding,
+             |          (e, i) -> CAST(e AS DOUBLE) - mean[i]) AS c
+             |      FROM x CROSS JOIN ml),
+             |n AS (SELECT vec_id, c,
+             |        sqrt(list_aggregate(list_transform(c, y -> y * y),
+             |          'sum')) AS n
+             |      FROM c)
+             |SELECT vec_id,
+             |  CASE WHEN n > 0 THEN
+             |    list_transform(c, y -> round(y / n, 6)) END AS centered
+             |FROM n""".stripMargin)),
+
     Q("q_hard_negatives_blocked", // the corpus-scale hard-negative path:
       // SRP cell-blocked candidates + cross-label top-k. Same recall
       // trick as q_srp_neighbors: at minCos 0.99 only the planted exact

@@ -548,6 +548,53 @@ object Similarity {
         col("id_b").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Center-and-normalize an embedding corpus — the standard prep
+    * before cosine ANN (a nonzero corpus mean makes every cosine
+    * artificially positive and compresses the score range; centering
+    * then re-normalizing restores the spread, measurably lifting
+    * IVF/LSH recall at a fixed probe budget). Returns (`idCol`,
+    * `centered` = (v - mean)/|v - mean| as array<double>, elements
+    * rounded to `roundTo`).
+    *
+    * Determinism note (house float register): the per-dim corpus mean
+    * is an `avg` whose partial-sum ORDER varies with partitioning, so
+    * the mean itself is rounded to `roundTo` FIRST; everything
+    * downstream (subtract, fixed-order fold for the norm, divide,
+    * final round) is then IEEE-deterministic from identical inputs —
+    * the hazard surface shrinks to means within an ulp of a rounding
+    * edge, not every element of every vector. An all-zero centered
+    * vector (a vector equal to the mean) yields NULL, never a
+    * divide-by-zero Inf.
+    *
+    * Scale shape: one posexplode + per-dim aggregate (dims x 1 rows),
+    * the mean rides back as a BROADCAST single-row array (built with
+    * array_agg over <= dims rows, not a driver collect), and the
+    * rewrite is a per-row zip_with projection. */
+  def centerAndNormalize(df: DataFrame, idCol: String, vecCol: String,
+                         roundTo: Int = 6): DataFrame = {
+    val means = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("v").cast("double")), roundTo).as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("__ms"))
+      .select(transform(col("__ms"), s => s.getField("m")).as("__mean"))
+    val centered = zip_with(col(vecCol), col("__mean"),
+      (x, m) => x.cast("double") - m)
+    val norm = sqrt(aggregate(col("__c"), lit(0.0d),
+      (acc: Column, x: Column) => acc + x * x))
+    // the centered array and its norm are BOUND to columns before the
+    // per-element lambda divides by them — inlined, the O(d) norm fold
+    // would re-evaluate once per element (the nested-lambda pitfall)
+    df.crossJoin(broadcast(means))
+      .select(col(idCol), centered.as("__c"))
+      .select(col(idCol), col("__c"), norm.as("__n"))
+      .select(col(idCol),
+        when(col("__c").isNotNull && col("__n") > 0,
+          transform(col("__c"), x => round(x / col("__n"), roundTo)))
+          .as("centered"))
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for
     * every anchor vector, the `k` MOST-similar vectors carrying a
     * DIFFERENT `labelCol` (the negatives that actually teach a

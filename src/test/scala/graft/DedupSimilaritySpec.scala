@@ -868,6 +868,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("centerAndNormalize: unit norms, zero-mean corpus, null/degenerate laws") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(-1f, 0f)), // mean (0,0): already centered
+      (3L, Array(0f, 2f)), (4L, Array(0f, -2f)),
+      (5L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Similarity.centerAndNormalize(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))
+        .map(_.asInstanceOf[scala.collection.Seq[Double]])).toMap
+    assert(out(5L).isEmpty) // null vector stays null
+    // every centered vector is unit-norm
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val v = out(id).get
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, s"$id: $v")
+    }
+    assert(out(1L).get == Seq(1.0d, 0.0d)) // zero mean -> direction kept
+    // a vector equal to the corpus mean degenerates to NULL, not Inf
+    val same = Seq((1L, Array(3f, 3f)), (2L, Array(3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val deg = Similarity.centerAndNormalize(same, "vec_id", "embedding")
+      .collect().map(r => Option(r.get(1)))
+    assert(deg.forall(_.isEmpty))
+    // corpus mean of the CENTERED output is ~zero per dim
+    val e = Tables.embeddings(spark, sfDir)
+    val centered = Similarity.centerAndNormalize(e, "vec_id", "embedding")
+    val dimMeans = centered.select(posexplode($"centered").as(Seq("pos", "v")))
+      .groupBy($"pos").agg(avg($"v").as("m"))
+      .agg(max(abs($"m"))).collect().head.getDouble(0)
+    assert(dimMeans < 0.05, dimMeans.toString) // centered, up to norm rescale
+  }
+
   test("hardNegativesBlocked equals the exact form on co-bucketing dups") {
     // planted exact copies with shifted labels: the only >= 0.99 pairs,
     // and exact duplicates always co-bucket, so blocked == exact
