@@ -1496,6 +1496,29 @@ object QueryCatalog {
              |LEFT JOIN hits ON hits.doc_id = p.doc_id""".stripMargin),
       headline = true),
 
+    Q("q_pack_offsets", // GPT-style concatenated packing: global token
+      // offsets (docs + one separator each, id order) -> which
+      // seqLen=512 sequences hold each doc. The two-phase bucketed
+      // prefix sum must equal the sequential window definition the
+      // oracle computes — all-integer arithmetic, bit-equal.
+      (s, d) => CorpusOps.packOffsets(t(s, d, "documents"), "doc_id",
+        "text", seqLen = 512),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+'))
+             |      AS BIGINT) AS n_toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |o AS (SELECT doc_id, n_toks,
+             |    CAST(coalesce(sum(n_toks + 1) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) AS global_off
+             |  FROM d)
+             |SELECT doc_id, n_toks, global_off,
+             |  global_off // 512 AS start_seq,
+             |  (global_off + n_toks - 1) // 512 AS end_seq,
+             |  global_off % 512 AS off_in_seq
+             |FROM o""".stripMargin)),
+
     Q("q_epoch_shuffle", // deterministic epoch shuffle: shard + in-shard
       // position as pure functions of (epoch, doc_id) — reproducible
       // training order, no rand(); the oracle derives the identical
@@ -1543,6 +1566,20 @@ object QueryCatalog {
              |      / CAST(available_toks AS DOUBLE), 4) + 0 END AS epochs,
              |  planned_toks < desired_toks AS capped
              |FROM j""".stripMargin)),
+
+    Q("q_pct_normalize", // per-domain percentile-rank score
+      // normalization (cross-domain quality mixing): percent_rank
+      // within source over n_chars, id tie-break for determinism.
+      (s, d) => CorpusOps.percentileNormalize(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars"),
+      Some("""SELECT doc_id, source, n_chars,
+             |  round(percent_rank() OVER (
+             |    PARTITION BY source
+             |    ORDER BY n_chars NULLS FIRST, doc_id), 6) + 0
+             |    AS pct_rank
+             |FROM documents""".stripMargin)),
 
     Q("q_stratified_sample", // deterministic stratified sample: k docs
       // per source by md5-hash order — reproducible across runs/engines

@@ -71,6 +71,32 @@ object CorpusOps {
     * compiles to WindowGroupLimit (Spark 3.5+), which keeps a per-map-
     * partition top-k heap BEFORE the exchange, so shuffle volume is
     * O(partitions x k) per stratum, not the stratum size. */
+  /** Percentile-rank normalization of a score WITHIN each group — the
+    * step that makes quality scores comparable ACROSS domains before a
+    * global cut (a raw quality threshold keeps 90% of one domain and
+    * 4% of another because the score distributions differ; ranking
+    * within the domain first makes "top 30% of each domain" a
+    * one-predicate filter). Emits `pct_rank` in [0, 1] =
+    * `percent_rank()` over (`groupCol` ordered by score, ties broken
+    * by `idCol` so the rank is deterministic and engine-portable —
+    * tied scores get distinct ranks by id, the documented trade for
+    * determinism). NULL scores rank lowest (nulls-first ordering),
+    * never NULL out.
+    *
+    * Scale shape: one window = one hash shuffle on the group + a
+    * per-group sort; rank math is codegen'd. A group is one
+    * partition's sort — quality-score groups are domains (hundreds,
+    * not millions of rows each? no: rows per domain can be huge, but
+    * sort spills; for truly enormous single domains pre-bucket by
+    * (group, score range) as with the prefix-sum family). */
+  def percentileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                          scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc_nulls_first, col(idCol))
+    df.withColumn("pct_rank",
+      (round(percent_rank().over(w), 6) + lit(0.0d)).as("pct_rank"))
+  }
+
   def stratifiedSampleK(df: DataFrame, strataCol: String, idCol: String,
                         k: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
@@ -469,6 +495,57 @@ object CorpusOps {
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         array_join(col("__ctoks"), " ").as("chunk_text"),
         size(col("__ctoks")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Concatenated-packing offset map — the GPT-style pretraining
+    * layout ([[packSequences]] is the BIN-packed alternative that never
+    * splits a document; this is the split-everywhere recipe): all docs
+    * are conceptually concatenated in `idCol` order with ONE separator
+    * token after each, and the stream is cut into `seqLen`-token
+    * sequences. Emits, per non-blank document: `n_toks`, `global_off`
+    * (0-based token offset where the doc starts in the stream),
+    * `start_seq`/`end_seq` (which sequences hold any of its tokens),
+    * and `off_in_seq` (position within the first). A writer groups by
+    * sequence range to materialize shards; the map is the hard
+    * distributed part — the rest is slicing.
+    *
+    * Scale shape: a GLOBAL prefix sum in id order, computed two-phase
+    * exactly like [[tokenBudgetSelectBucketed]]: range-repartition by
+    * id into `buckets` contiguous slices, per-slice token totals (≤
+    * `buckets` rows — the only unpartitioned window runs over THAT
+    * relation, never the corpus), broadcast the slice offsets back,
+    * and each slice computes its own exclusive running sum in
+    * parallel. All-integer arithmetic, so the two-phase result is
+    * bit-equal to the sequential definition (spec-pinned). */
+  def packOffsets(docs: DataFrame, idCol: String, textCol: String,
+                  seqLen: Int, buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, s"packOffsets: seqLen must be positive: $seqLen")
+    require(buckets > 0, s"packOffsets: buckets must be positive: $buckets")
+    val sliced = Materialize(
+      docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+        .withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
+        .repartitionByRange(buckets, col(idCol))
+        .withColumn("__slice", spark_partition_id()),
+      eager = false)
+    val wOff = Window.orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("__slice"))
+      .agg(sum(col("n_toks") + lit(1L)).as("__stoks"))
+      .withColumn("__off", coalesce(sum(col("__stoks")).over(wOff), lit(0L)))
+      .select(col("__slice"), col("__off"))
+    val wIn = Window.partitionBy(col("__slice")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // integer division via cast: offsets are non-negative and exact as
+    // doubles below 2^52, so the truncation IS the floor
+    val len = lit(seqLen.toLong)
+    sliced.join(broadcast(offsets), Seq("__slice"))
+      .withColumn("global_off", col("__off") +
+        coalesce(sum(col("n_toks") + lit(1L)).over(wIn), lit(0L)))
+      .select(col(idCol), col("n_toks"), col("global_off"),
+        (col("global_off") / len).cast("long").as("start_seq"),
+        ((col("global_off") + col("n_toks") - 1) / len).cast("long")
+          .as("end_seq"),
+        (col("global_off") % len).as("off_in_seq"))
   }
 
   /** Distributed sequence packing — assign token-counted items (chunks,

@@ -795,6 +795,51 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packOffsets: hand offsets, straddle math, two-phase == sequential") {
+    // doc 1: 3 toks at off 0 (seq 0); sep at 3; doc 2: 510 toks at off 4
+    // (ends at 513 -> straddles seqs 0 and 1); doc 3 at off 515
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, (1 to 510).map(_ => "w").mkString(" ")),
+      (3L, "x y"),
+      (4L, "   "), // blank: excluded
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = CorpusOps.packOffsets(docs, "doc_id", "text", seqLen = 512)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(out(2L) == ((510L, 4L, 0L, 1L, 4L))) // straddles the cut at 512
+    assert(out(3L) == ((2L, 515L, 1L, 1L, 3L)))
+    // two-phase == sequential under any bucket count (integer-exact)
+    val big = Seq.tabulate(200)(i => (i.toLong, s"t${i} " * (i % 7 + 1)))
+      .toDF("doc_id", "text")
+    def run(b: Int) = CorpusOps.packOffsets(big, "doc_id", "text", 64, b)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(1) == run(17), "bucketing changed the offsets")
+    intercept[IllegalArgumentException] {
+      CorpusOps.packOffsets(docs, "doc_id", "text", 0)
+    }
+  }
+
+  test("percentileNormalize: per-group ranks, null scores lowest, cross-domain cut") {
+    val rows = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", Some(30L)),
+      (4L, "b", Some(1000L)), (5L, "b", Some(2000L)), (6L, "b", Some(3000L)),
+      (7L, "b", Option.empty[Long]))
+      .toDF("id", "dom", "score")
+    val out = CorpusOps.percentileNormalize(rows, "dom", "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.5 && out(3L) == 1.0)
+    // raw thresholds diverge across domains; pct_rank aligns them:
+    // top third of each domain = pct_rank == 1.0 picks 3 and 6
+    assert(out(7L) == 0.0) // null score ranks lowest, stays a row
+    assert(out(4L) > 0.0 && out(6L) == 1.0)
+    val top = out.filter(_._2 >= 1.0).keySet
+    assert(top == Set(3L, 6L), top.toString)
+  }
+
   test("dropRepeatedParagraphs: keep-first wins, blanks survive, within-doc repeats cut") {
     val docs = Seq(
       (1L, "shared para\nunique one"),
