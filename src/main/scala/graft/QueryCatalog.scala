@@ -1567,6 +1567,46 @@ object QueryCatalog {
              |  planned_toks < desired_toks AS capped
              |FROM j""".stripMargin)),
 
+    Q("q_corpus_report", // one-call corpus data card: long-format
+      // (metric, value) — sizes, token stats, exact percentiles,
+      // source spread, top-language share, exact-dup fraction.
+      (s, d) => CorpusOps.corpusReport(t(s, d, "documents"),
+        "doc_id", "text", "lang", "source"),
+      Some("""WITH b AS (SELECT doc_id, text, lang, source,
+             |    (text IS NULL OR trim(text) = '') AS blank,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+'))
+             |    END AS nt,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |         ELSE length(text) END AS nc
+             |  FROM documents)
+             |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value
+             |  FROM b
+             |UNION ALL SELECT 'n_blank', CAST(sum(CASE WHEN blank
+             |  THEN 1 ELSE 0 END) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'n_tokens', CAST(sum(nt) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'n_chars', CAST(sum(nc) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'avg_toks',
+             |  round(avg(CASE WHEN NOT blank THEN nt END), 4) FROM b
+             |UNION ALL SELECT 'p50_toks',
+             |  round(percentile_cont(0.5) WITHIN GROUP (
+             |    ORDER BY CASE WHEN NOT blank THEN nt END), 4) FROM b
+             |UNION ALL SELECT 'p90_toks',
+             |  round(percentile_cont(0.9) WITHIN GROUP (
+             |    ORDER BY CASE WHEN NOT blank THEN nt END), 4) FROM b
+             |UNION ALL SELECT 'n_sources',
+             |  CAST(count(DISTINCT source) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'exact_dup_frac',
+             |  round(CAST(1.0 AS DOUBLE)
+             |    - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+             |  FROM b WHERE NOT blank
+             |UNION ALL
+             |SELECT 'pct_' || lang,
+             |  round(CAST(n AS DOUBLE) / (SELECT count(*) FROM b), 6)
+             |FROM (SELECT lang, count(*) AS n FROM b WHERE NOT blank
+             |      GROUP BY 1 ORDER BY n DESC, lang LIMIT 1)"""
+        .stripMargin)),
+
     Q("q_pct_normalize", // per-domain percentile-rank score
       // normalization (cross-domain quality mixing): percent_rank
       // within source over n_chars, id tie-break for determinism.

@@ -71,6 +71,75 @@ object CorpusOps {
     * compiles to WindowGroupLimit (Spark 3.5+), which keeps a per-map-
     * partition top-k heap BEFORE the exchange, so shuffle volume is
     * O(partitions x k) per stratum, not the stratum size. */
+  /** One-call corpus data card — the summary table a training-data
+    * release ships with (size, token volume, language mix, source
+    * spread, duplication, length distribution), as one long-format
+    * DataFrame of (`metric`, `value`) rows so it lands in a report or
+    * a tracking table without reshaping. Metrics: `n_docs`, `n_blank`
+    * (null/whitespace-only), `n_tokens`, `n_chars`, `avg_toks`
+    * (round 4), `p50_toks` / `p90_toks` (exact interpolated
+    * percentiles over non-blank docs, round 4), `n_sources`,
+    * `pct_<lang>` for the top language by doc count (round 6, blank
+    * docs included in the denominator — the card describes the corpus
+    * as it is), and `exact_dup_frac` (1 - distinct texts / non-blank
+    * docs, round 6 — the cheapest honest duplication signal; near-dup
+    * rates come from the dedup family, not a summary card).
+    *
+    * Scale shape: one pass of per-doc projections feeding one global
+    * aggregate (count/sum/avg/percentile partial-agg), one distinct
+    * count over text hashes (the one extra shuffle, keyed wide), one
+    * tiny groupBy over `langCol`. No collects; the card itself is a
+    * dozen rows. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blank = col(textCol).isNull || trim(col(textCol)) === ""
+    val base = docs.select(col(idCol), col(textCol), col(langCol),
+      col(sourceCol),
+      when(blank, lit(0L)).otherwise(size(tokens(col(textCol))).cast("long"))
+        .as("__nt"),
+      when(blank, lit(0L)).otherwise(length(col(textCol)).cast("long"))
+        .as("__nc"),
+      blank.as("__blank"))
+    val agg = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__blank"), 1L).otherwise(0L)).as("n_blank"),
+      sum(col("__nt")).as("n_tokens"),
+      sum(col("__nc")).as("n_chars"),
+      round(avg(when(!col("__blank"), col("__nt"))), 4).as("avg_toks"),
+      round(expr("percentile(CASE WHEN NOT __blank THEN __nt END, 0.5)"), 4)
+        .as("p50_toks"),
+      round(expr("percentile(CASE WHEN NOT __blank THEN __nt END, 0.9)"), 4)
+        .as("p90_toks"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+    val dups = base.filter(!col("__blank"))
+      .agg((lit(1.0d) - countDistinct(col(textCol)).cast("double")
+        / count(lit(1)).cast("double")).as("__f"))
+      .select(round(col("__f"), 6).as("exact_dup_frac"))
+    val topLang = base.filter(!col("__blank"))
+      .groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col(langCol))
+      .limit(1)
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__all"))))
+      .select(concat(lit("pct_"), col(langCol)).as("metric"),
+        round(col("__n").cast("double") / col("__all").cast("double"), 6)
+          .as("value"))
+    val longForm = agg.selectExpr("stack(8, " +
+      "'n_docs', CAST(n_docs AS DOUBLE), " +
+      "'n_blank', CAST(n_blank AS DOUBLE), " +
+      "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+      "'n_chars', CAST(n_chars AS DOUBLE), " +
+      "'avg_toks', avg_toks, " +
+      "'p50_toks', p50_toks, " +
+      "'p90_toks', p90_toks, " +
+      "'n_sources', CAST(n_sources AS DOUBLE)) AS (metric, value)")
+    longForm
+      .unionByName(dups.select(lit("exact_dup_frac").as("metric"),
+        col("exact_dup_frac").as("value")))
+      .unionByName(topLang)
+  }
+
   /** Percentile-rank normalization of a score WITHIN each group — the
     * step that makes quality scores comparable ACROSS domains before a
     * global cut (a raw quality threshold keeps 90% of one domain and

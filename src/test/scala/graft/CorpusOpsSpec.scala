@@ -795,6 +795,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpusReport: hand-checked card over a tiny corpus") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c d", "en", "s1"), // exact dup of 1
+      (3L, "x y", "de", "s2"),
+      (4L, "  ", "en", "s2"), // blank
+      (5L, null.asInstanceOf[String], "de", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = CorpusOps.corpusReport(docs, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 5.0 && card("n_blank") == 2.0)
+    assert(card("n_tokens") == 10.0) // 4 + 4 + 2
+    assert(card("n_sources") == 3.0)
+    assert(card("avg_toks") == math.rint(10.0 / 3.0 * 1e4) / 1e4)
+    assert(card("p50_toks") == 4.0) // of (2, 4, 4)
+    // 3 non-blank docs, 2 distinct texts
+    assert(card("exact_dup_frac") == math.rint((1 - 2.0 / 3.0) * 1e6) / 1e6)
+    // top lang among non-blank = en (2 docs), share over ALL 5
+    assert(card("pct_en") == 0.4, card.toString)
+    assert(card.size == 10)
+  }
+
   test("packOffsets: hand offsets, straddle math, two-phase == sequential") {
     // doc 1: 3 toks at off 0 (seq 0); sep at 3; doc 2: 510 toks at off 4
     // (ends at 513 -> straddles seqs 0 and 1); doc 3 at off 515
