@@ -1898,7 +1898,8 @@ object QueryCatalog {
              |  CAST(count(*) AS BIGINT) AS n_paras,
              |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_removed
-             |FROM m GROUP BY doc_id""".stripMargin)),
+             |FROM m GROUP BY doc_id""".stripMargin),
+      headline = true),
 
     Q("q_boilerplate", // corpus-frequency boilerplate line removal (the
       // C4 recipe: drop lines occurring verbatim in >= minDocs distinct

@@ -112,6 +112,29 @@ object CorpusScale {
     println(f"remove_s=$tRemove%.2f rewritten=${remStats._1}%d " +
       f"tokens_removed=${remStats._2}%d " +
       f"remove_Mtok_per_s=${nTokens / 1e6 / tRemove}%.1f")
+
+    // keep-first paragraph dedup on the replicated corpus is ALSO its
+    // worst case: every paragraph repeats `mult` times, so the
+    // first-occurrence table is corpus-of-paragraphs-sized and every
+    // doc except the originals gets rewritten
+    val (nParaKept, tPara) = time {
+      CorpusOps.dropRepeatedParagraphs(
+          docs.select(col("doc_id"),
+            regexp_replace(col("text"), " the ", "\n").as("text")),
+          "doc_id", "text")
+        .filter(col("n_removed") === 0).count()
+    }
+    println(f"para_s=$tPara%.2f untouched=$nParaKept%d " +
+      f"para_Mtok_per_s=${nTokens / 1e6 / tPara}%.1f")
+
+    // global concatenated-packing offsets: the two-phase prefix sum
+    // over the whole corpus (one range exchange + slice-local windows)
+    val (nSeqs, tOff) = time {
+      CorpusOps.packOffsets(docs, "doc_id", "text", seqLen = 512)
+        .select(max(col("end_seq"))).collect()(0).getLong(0) + 1
+    }
+    println(f"offsets_s=$tOff%.2f sequences=$nSeqs%d " +
+      f"offsets_Mtok_per_s=${nTokens / 1e6 / tOff}%.1f")
     spark.stop()
   }
 }
