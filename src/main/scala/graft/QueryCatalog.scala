@@ -1239,7 +1239,7 @@ object QueryCatalog {
              |  round(CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0
              |    END) AS DOUBLE) / count(*), 6) AS dup_frac
              |FROM sp s LEFT JOIN df d ON s.span = d.span
-             |GROUP BY s.doc_id""".stripMargin)),
+             |GROUP BY s.doc_id""".stripMargin), headline = true),
 
     Q("q_dup_spans_merged", // variable-length exact substring dedup
       // (Lee et al. 2021's actionable form): duplicated fixed-8 spans
@@ -2962,9 +2962,18 @@ object QueryCatalog {
       // (the cosine-ANN prep): per-dim corpus mean rounded FIRST so
       // everything downstream is IEEE-deterministic from identical
       // inputs; the mean rides a broadcast single-row array, the norm
-      // fold is bound to a column (nested-lambda pitfall).
+      // fold is bound to a column (nested-lambda pitfall). The vector
+      // is serialized to a fixed "%.6f" CSV string (house rule: gate
+      // outputs are atomic columns only — the r13 raw-array red row);
+      // `x + 0.0` folds IEEE -0.0 to +0.0 on BOTH engines before
+      // formatting, so a tiny negative residue can't print "-0.000000"
+      // on one side and "0.000000" on the other.
       (s, d) => Similarity.centerAndNormalize(
-        t(s, d, "embeddings"), "vec_id", "embedding"),
+        t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(transform(col("centered"),
+            x => format_string("%.6f", x + lit(0.0d))), ",")
+            .as("centered")),
       Some("""WITH x AS (SELECT vec_id, embedding FROM embeddings),
              |d AS (SELECT vec_id,
              |        generate_subscripts(embedding, 1) AS pos,
@@ -2983,7 +2992,9 @@ object QueryCatalog {
              |      FROM c)
              |SELECT vec_id,
              |  CASE WHEN n > 0 THEN
-             |    list_transform(c, y -> round(y / n, 6)) END AS centered
+             |    array_to_string(list_transform(c,
+             |      y -> printf('%.6f', round(y / n, 6) + 0)), ',')
+             |  END AS centered
              |FROM n""".stripMargin)),
 
     Q("q_hard_negatives_blocked", // the corpus-scale hard-negative path:
@@ -5157,6 +5168,40 @@ object QueryCatalog {
     "duplicate query names in QueryCatalog.all: " +
       all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
         .mkString(", "))
+
+  /** House output contract: a gated query's result schema is ATOMIC
+    * columns only (string/numeric/bool/date/timestamp/binary). The
+    * driver's pandas-based canonicalizer sorts result frames and dies
+    * on unhashable complex values (the r13 `q_center_normalize` red
+    * row: a raw `array<double>` → `TypeError: unhashable type:
+    * 'numpy.ndarray'`). Complex values must be serialized in the query
+    * projection — `to_json` or `array_join` of fixed-format elements —
+    * with the matching DuckDB-side serialization.
+    *
+    * Schema-only (analysis, no job), so [[SparkEntry.queries]] wraps
+    * every entry with it: a violating query fails EVERY run (Verify,
+    * bench, smoke spec), not just the driver's gate. It can't live in
+    * the construction-time `require` above because a schema needs a
+    * live session; the SparkEntry wrap is the earliest session-bound
+    * choke point every consumer shares. */
+  def requireAtomicOutput(name: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    // Spark's AtomicType marker is `protected[sql]`, so enumerate the
+    // hazards: nested containers plus the never-canonicalizable NullType
+    // (an all-NULL untyped literal column hashes differently everywhere).
+    def complex(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType | NullType => true
+      case _ => false
+    }
+    val bad = df.schema.fields.collect {
+      case f if complex(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(bad.isEmpty,
+      s"query '$name' violates the atomic-output contract (the driver " +
+        "canonicalizer can't hash complex values — serialize with " +
+        s"to_json/array_join in the projection): ${bad.mkString(", ")}")
+    df
+  }
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

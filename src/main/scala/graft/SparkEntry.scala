@@ -13,9 +13,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     QueryCatalog.byName("q_join5_revenue").run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every entry
+    * is wrapped in [[QueryCatalog.requireAtomicOutput]] — a query whose
+    * result schema carries a complex type (the r13 q_center_normalize
+    * raw-array incident) fails loudly on EVERY run instead of only in
+    * the driver's canonicalizer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.all.map(q => q.name -> q.run).toMap
+    QueryCatalog.all.map { q =>
+      q.name -> { (s: SparkSession, d: String) =>
+        QueryCatalog.requireAtomicOutput(q.name, q.run(s, d))
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every catalog entry declares one (enforced

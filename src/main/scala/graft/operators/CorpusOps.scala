@@ -85,6 +85,12 @@ object CorpusOps {
     * docs, round 6 — the cheapest honest duplication signal; near-dup
     * rates come from the dedup family, not a summary card).
     *
+    * The metric SET is schema-stable, never data-dependent: an
+    * all-blank corpus reports `exact_dup_frac` 0.0 (not NULL) and
+    * `pct_unknown` 0.0 (not a missing row), and a NULL `langCol` in
+    * the top group folds into the fixed `pct_unknown` label instead of
+    * a NULL metric name.
+    *
     * Scale shape: one pass of per-doc projections feeding one global
     * aggregate (count/sum/avg/percentile partial-agg), one distinct
     * count over text hashes (the one extra shuffle, keyed wide), one
@@ -113,18 +119,30 @@ object CorpusOps {
       round(expr("percentile(CASE WHEN NOT __blank THEN __nt END, 0.9)"), 4)
         .as("p90_toks"),
       countDistinct(col(sourceCol)).as("n_sources"))
+    // stable-schema guards: with ZERO non-blank docs the dup fraction's
+    // 0/0 division is coalesced to 0.0 (no duplicates in an empty
+    // corpus), a NULL langCol folds into the fixed 'unknown' label, and
+    // a zero-count sentinel row keeps exactly one pct_* row alive even
+    // over an all-blank corpus — the card's metric set is never
+    // data-dependent
     val dups = base.filter(!col("__blank"))
-      .agg((lit(1.0d) - countDistinct(col(textCol)).cast("double")
-        / count(lit(1)).cast("double")).as("__f"))
-      .select(round(col("__f"), 6).as("exact_dup_frac"))
-    val topLang = base.filter(!col("__blank"))
-      .groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
-      .orderBy(col("__n").desc, col(langCol))
+      .agg((lit(1.0d) - try_divide(
+        countDistinct(col(textCol)).cast("double"),
+        count(lit(1)).cast("double"))).as("__f"))
+      .select(coalesce(round(col("__f"), 6), lit(0.0d))
+        .as("exact_dup_frac"))
+    val langCounts = base.filter(!col("__blank"))
+      .groupBy(coalesce(col(langCol), lit("unknown")).as("__lang"))
+      .agg(count(lit(1)).as("__n"))
+    val sentinel = spark.range(1)
+      .select(lit("unknown").as("__lang"), lit(0L).as("__n"))
+    val topLang = langCounts.unionByName(sentinel)
+      .orderBy(col("__n").desc, col("__lang"))
       .limit(1)
       .crossJoin(broadcast(base.agg(count(lit(1)).as("__all"))))
-      .select(concat(lit("pct_"), col(langCol)).as("metric"),
-        round(col("__n").cast("double") / col("__all").cast("double"), 6)
-          .as("value"))
+      .select(concat(lit("pct_"), col("__lang")).as("metric"),
+        coalesce(round(try_divide(col("__n").cast("double"),
+          col("__all").cast("double")), 6), lit(0.0d)).as("value"))
     val longForm = agg.selectExpr("stack(8, " +
       "'n_docs', CAST(n_docs AS DOUBLE), " +
       "'n_blank', CAST(n_blank AS DOUBLE), " +

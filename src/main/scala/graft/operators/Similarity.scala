@@ -615,14 +615,24 @@ object Similarity {
     *
     * The `maxCos` cut compares the ROUNDED cosine (house float rule:
     * the engine-boundary surface shrinks to values within an ulp of
-    * the .xxxxxx5 rounding edge). */
+    * the .xxxxxx5 rounding edge).
+    *
+    * NULL policy (explicit, not emergent): rows with a NULL vector or
+    * NULL label are dropped up front on BOTH sides. Left implicit, a
+    * NULL vector would ride cosine()'s zero-denominator guard into a
+    * fake "orthogonal" negative (cos_sim 0.0), and a NULL label would
+    * vanish through the null-rejecting `=!=` join — same contract as
+    * [[semanticContaminationFlags]], which keeps NULL vectors unscored
+    * rather than mis-scored. */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int,
                     maxCos: Double = 0.95): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val a = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+    val clean =
+      df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val a = clean.select(col(idCol).as("id"), col(labelCol).as("label"),
       col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"),
+    val b = clean.select(col(idCol).as("id_b"),
       col(labelCol).as("neighbor_label"), col(vecCol).as("__vb"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cos_sim").desc, col("id_b"))
@@ -647,21 +657,27 @@ object Similarity {
     * Recall contract inherited from [[srpNeighborPairs]]: pairs in
     * different SRP cells are missed with per-bit probability θ/π;
     * exact duplicates always co-bucket. The exact form is the
-    * correctness spec; this is the 100 TB path. */
+    * correctness spec; this is the 100 TB path.
+    *
+    * NULL policy: same as [[hardNegatives]] — NULL-vector and
+    * NULL-label rows are dropped up front (a NULL vector would
+    * otherwise hash to a junk SRP cell and score cos_sim 0.0). */
   def hardNegativesBlocked(df: DataFrame, idCol: String, vecCol: String,
                            labelCol: String, k: Int, minCos: Double,
                            maxCos: Double = 0.95, nBits: Int = 8,
                            maxBucketSize: Int = 256): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val pairs = srpNeighborPairs(df, idCol, vecCol, minCos, nBits,
+    val clean =
+      df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val pairs = srpNeighborPairs(clean, idCol, vecCol, minCos, nBits,
       maxBucketSize)
     val sym = pairs
       .select(col("id_a").as("id"), col("id_b").as("neighbor_id"),
         col("cos_sim"))
       .unionByName(pairs.select(col("id_b").as("id"),
         col("id_a").as("neighbor_id"), col("cos_sim")))
-    val lab = df.select(col(idCol).as("id"), col(labelCol).as("label"))
-    val labN = df.select(col(idCol).as("neighbor_id"),
+    val lab = clean.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val labN = clean.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("neighbor_label"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

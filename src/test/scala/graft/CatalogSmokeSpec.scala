@@ -30,9 +30,42 @@ class CatalogSmokeSpec extends SparkSpec {
 
   QueryCatalog.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
-      q.run(spark, sfDir).count()
+      // the atomic-output wrap is the SparkEntry contract the driver
+      // runs through — enforcing it here makes a complex-typed result
+      // schema (the r13 q_center_normalize raw array<double>) fail in
+      // the smoke suite, not first in the driver's canonicalizer
+      QueryCatalog.requireAtomicOutput(q.name, q.run(spark, sfDir)).count()
       ()
     }
+  }
+
+  test("COVERAGE.md catalog count matches QueryCatalog.all.size") {
+    // the documented gate count drifted mid-round in r13; parse the
+    // canonical sentence so a stale COVERAGE.md fails the suite
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """Catalog size: (\d+) gated queries""".r.findFirstMatchIn(text)
+    assert(m.nonEmpty,
+      "COVERAGE.md lost its 'Catalog size: N gated queries' sentence")
+    assert(m.get.group(1).toInt == QueryCatalog.all.size,
+      s"COVERAGE.md says ${m.get.group(1)} gated queries but " +
+        s"QueryCatalog.all.size is ${QueryCatalog.all.size} — update the " +
+        "Catalog size sentence")
+  }
+
+  test("atomic-output contract rejects a planted array-typed query") {
+    import org.apache.spark.sql.functions._
+    val arrayDf = spark.range(3).select(array(col("id")).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      QueryCatalog.requireAtomicOutput("planted_array", arrayDf)
+    }
+    assert(e.getMessage.contains("planted_array") &&
+      e.getMessage.contains("v: array<bigint>"))
+    // and a fully-atomic frame passes through unchanged
+    val ok = spark.range(3).selectExpr("id", "cast(id as string) s",
+      "cast(id as double) d", "id > 1 b")
+    assert(QueryCatalog.requireAtomicOutput("ok", ok).count() == 3)
   }
 
   test("bench staging rebuilds over a partial (no-_SUCCESS) directory") {

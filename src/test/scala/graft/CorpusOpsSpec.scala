@@ -817,6 +817,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(card.size == 10)
   }
 
+  test("corpusReport: schema-stable on all-blank corpus and NULL lang") {
+    // all-blank: every metric still present, dup frac and pct are 0.0
+    // (not NULL / not a missing row)
+    val blank = Seq(
+      (1L, "  ", "en", "s1"),
+      (2L, null.asInstanceOf[String], null.asInstanceOf[String], "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = CorpusOps.corpusReport(blank, "doc_id", "text", "lang",
+      "source").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(card.size == 10, card.toString)
+    assert(card("exact_dup_frac") == 0.0, card.toString)
+    assert(card("pct_unknown") == 0.0, card.toString)
+    assert(!card.keySet.exists(_ == null), card.toString)
+    // NULL langCol in the winning group folds into the fixed label
+    val nullLang = Seq(
+      (1L, "a b", null.asInstanceOf[String], "s1"),
+      (2L, "c d", null.asInstanceOf[String], "s1"),
+      (3L, "e f", "de", "s1")).toDF("doc_id", "text", "lang", "source")
+    val card2 = CorpusOps.corpusReport(nullLang, "doc_id", "text", "lang",
+      "source").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card2("pct_unknown") == math.rint(2.0 / 3.0 * 1e6) / 1e6,
+      card2.toString)
+  }
+
   test("packOffsets: hand offsets, straddle math, two-phase == sequential") {
     // doc 1: 3 toks at off 0 (seq 0); sep at 3; doc 2: 510 toks at off 4
     // (ends at 513 -> straddles seqs 0 and 1); doc 3 at off 515

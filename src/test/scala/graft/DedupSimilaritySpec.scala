@@ -951,4 +951,32 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.hardNegatives(vecs, "vec_id", "embedding", "label", 0)
     }
   }
+
+  test("hardNegatives: NULL vectors/labels dropped, no fake-orthogonal") {
+    // a NULL vector must never surface as a cos_sim 0.0 "orthogonal"
+    // negative (cosine()'s zero-denominator guard), and a NULL label
+    // must drop the row explicitly, not emergently via the =!= join
+    val vecs = Seq(
+      (0L, Array(1f, 0f), Some(0)),
+      (1L, Array(0f, 1f), Some(1)), // the one real cross-label negative
+      (2L, null.asInstanceOf[Array[Float]], Some(1)), // NULL vector
+      (3L, Array(0.9f, 0.1f), None) // NULL label
+    ).toDF("vec_id", "embedding", "label")
+    val exact = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+      "label", k = 3, maxCos = 1.0)
+    // blocked: SRP cells may or may not co-bucket the survivors (that's
+    // its recall contract) — only the NULL-drop property is asserted
+    val blocked = Similarity.hardNegativesBlocked(vecs, "vec_id",
+      "embedding", "label", k = 3, minCos = -1.0, maxCos = 1.0, nBits = 1)
+    for (out <- Seq(exact, blocked)) {
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      // anchors and neighbors never include the NULL-vector/-label rows
+      assert(rows.flatMap(p => Set(p._1, p._2)).intersect(Set(2L, 3L))
+        .isEmpty, rows.toString)
+    }
+    val exactRows = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(exactRows == Set((0L, 1L), (1L, 0L)), exactRows.toString)
+  }
 }

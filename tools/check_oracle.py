@@ -19,6 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
+    # The driver's pandas canonicalizer dies on complex values (the r13
+    # q_center_normalize err: unhashable numpy.ndarray). str()-ing them
+    # here made this local gate WEAKER than the driver's — reject loudly
+    # instead so an array/struct/map column can never pass locally.
+    if isinstance(v, (list, tuple, dict, set)):
+        raise ValueError(
+            f"non-scalar value {type(v).__name__} — serialize complex "
+            "columns with to_json/array_join in the query projection")
     if isinstance(v, float):
         if v != v:
             return "NaN"
@@ -90,8 +98,13 @@ def main():
             continue
         ok_cols = sorted(got_cols) == sorted(exp_cols)
         ok_rows = len(got) == len(exp)
-        gh = table_hash(got, got_cols)
-        eh = table_hash(exp, exp_cols)
+        try:
+            gh = table_hash(got, got_cols)
+            eh = table_hash(exp, exp_cols)
+        except ValueError as e:
+            results[name] = {"check": "non_scalar", "ok": False,
+                             "error": str(e)[:300]}
+            continue
         results[name] = {
             "check": "oracle", "rows": len(got), "exp_rows": len(exp),
             "cols_ok": ok_cols, "rows_ok": ok_rows, "hash_ok": gh == eh,
