@@ -1775,6 +1775,75 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
+      // trained model-based quality/domain filter (DCLM / fastText
+      // recipe member). Closed-form training makes the MODEL itself
+      // oracle-reproducible: train on the even-doc_id half (lang as
+      // the class label), score the held-out odd half, emit the argmax
+      // class + its log-joint. md5-bucket hashing (the DSIR feature
+      // convention) so DuckDB buckets identically; scores round-4
+      // BEFORE the argmax so the winner is decided over identical
+      // numbers on both engines (ties break to the smaller label).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = CorpusOps.trainNbQuality(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang",
+          numBuckets = 4096, alpha = 1.0)
+        CorpusOps.nbScore(docs.filter(col("doc_id") % 2 === 1), model,
+          "doc_id", "text")
+      },
+      Some("""WITH tr AS (SELECT lang AS label,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+             |    AND text IS NOT NULL AND trim(text) <> ''),
+             |f AS (SELECT label, unnest(toks) AS tok FROM tr),
+             |fb AS (SELECT label,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b
+             |  FROM f),
+             |cnt AS (SELECT label, b, count(*) AS n FROM fb GROUP BY 1, 2),
+             |ct AS (SELECT label, count(*) AS nc FROM fb GROUP BY 1),
+             |dc AS (SELECT label, count(*) AS dcnt FROM tr GROUP BY 1),
+             |dall AS (SELECT CAST(sum(dcnt) AS DOUBLE) AS dall FROM dc),
+             |model AS (SELECT c.label, c.b,
+             |    ln((c.n + CAST(1.0 AS DOUBLE))
+             |       / (ct.nc + CAST(4096.0 AS DOUBLE))) AS log_cond,
+             |    ln(CAST(dc.dcnt AS DOUBLE) / dall.dall) AS log_prior,
+             |    ln(CAST(1.0 AS DOUBLE)
+             |       / (ct.nc + CAST(4096.0 AS DOUBLE))) AS log_default
+             |  FROM cnt c JOIN ct USING (label) JOIN dc USING (label)
+             |  CROSS JOIN dall),
+             |te AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE doc_id % 2 = 1
+             |    AND text IS NOT NULL AND trim(text) <> ''),
+             |tf AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+             |tb AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b,
+             |    count(*) AS cnt
+             |  FROM tf GROUP BY 1, 2),
+             |tt AS (SELECT doc_id, sum(cnt) AS tcount FROM tb GROUP BY 1),
+             |cls AS (SELECT DISTINCT label, log_prior, log_default
+             |  FROM model),
+             |seen AS (SELECT tb.doc_id, m.label,
+             |    sum(tb.cnt * (m.log_cond - m.log_default)) AS adj
+             |  FROM tb JOIN model m ON m.b = tb.b GROUP BY 1, 2),
+             |sc AS (SELECT tt.doc_id, c.label,
+             |    round(c.log_prior
+             |      + CAST(tt.tcount AS DOUBLE) * c.log_default
+             |      + coalesce(s.adj, CAST(0 AS DOUBLE)), 4) + 0 AS score
+             |  FROM tt CROSS JOIN cls c
+             |  LEFT JOIN seen s
+             |    ON s.doc_id = tt.doc_id AND s.label = c.label),
+             |top AS (SELECT doc_id, label, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, label) AS rn
+             |  FROM sc)
+             |SELECT doc_id, label AS pred_label, score AS nb_log_score
+             |FROM top WHERE rn = 1""".stripMargin),
+      headline = true),
+
     Q("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
       // per-doc sum of ln p_target(bucket) - ln p_raw(bucket) over
       // hashed unigram+bigram features (add-one smoothing, 4096

@@ -1476,6 +1476,149 @@ object CorpusOps {
         (round(avg(col("__lp")), 4) + lit(0.0d)).as("avg_logprob"))
   }
 
+  /** Engine-portable hashed-feature bucket: the first 8 hex chars of
+    * md5 over the RAW token (no case folding — engines' unicode case
+    * maps disagree on exotic codepoints, and a hashed feature space
+    * doesn't need the normalization), mod the bucket count. Same
+    * construction as the span winnow dial, so a DuckDB oracle computes
+    * the identical bucket. */
+  private def nbBucket(tok: Column, numBuckets: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % numBuckets
+
+  /** Train a hashed-feature multinomial Naive Bayes text classifier —
+    * the model-based quality/domain filter of the DCLM / fastText
+    * curation recipe (train on a labeled seed set — "good" reference
+    * text vs raw crawl, or domain labels — then score the corpus and
+    * keep by predicted class or log-odds). NB over hashed token
+    * counts is CLOSED-FORM — per-class counts, no iterative fit — so
+    * the trained model is exactly reproducible in a SQL oracle, which
+    * is what makes this the gateable member of the classifier family.
+    *
+    * Features are whitespace tokens hashed into `numBuckets` (hashing
+    * trick: fixed-width feature space, no vocabulary to build or
+    * broadcast). With Laplace smoothing `alpha`, per class c and
+    * bucket b: `log_cond = ln((n_cb + alpha) / (n_c + alpha*B))`,
+    * `log_default` the same at n_cb = 0 (the unseen-bucket mass), and
+    * `log_prior = ln(docs_c / docs_total)`. Training rows with a NULL
+    * label or no tokens are excluded.
+    *
+    * Returns the model as one SELF-DESCRIBING DataFrame — a row per
+    * (class, SEEN bucket): (`label`, `bucket`, `log_cond`,
+    * `log_prior`, `log_default`, `n_buckets`), the per-class scalars
+    * and the bucket width repeated per row so [[nbScore]] can never
+    * hash at a different width than training did. Bounded by
+    * classes x numBuckets rows regardless of corpus size —
+    * broadcastable by construction (the 100 TB contract: the corpus
+    * never rides the model side of any join), and writable to parquet
+    * as-is (train once, score many).
+    *
+    * Scale shape: one explode + one (label, bucket) hash aggregation
+    * (map-side combined, at most classes x B groups), one per-class
+    * rollup, one single-row total on a broadcast — no window, no
+    * collect, no driver-side fit (contrast [[graft.operators
+    * .Similarity.kmeansCentroids]], which is iterative and samples). */
+  def trainNbQuality(labeled: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, numBuckets: Int = 4096,
+                     alpha: Double = 1.0): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(alpha > 0, s"alpha must be positive (Laplace): $alpha")
+    val clean = labeled.filter(col(labelCol).isNotNull &&
+      hasMinTokens(col(textCol), 1))
+    val toks = clean
+      .select(col(labelCol).as("label"),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col("label"),
+        nbBucket(col("__t"), lit(numBuckets.toLong)).as("bucket"))
+    val counts = toks.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val classTotals = toks.groupBy(col("label"))
+      .agg(count(lit(1)).as("__nc"))
+    val docCounts = clean.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__dc"))
+    val allDocs = docCounts.agg(sum(col("__dc")).cast("double").as("__dall"))
+    counts
+      .join(classTotals, Seq("label"))
+      .join(docCounts, Seq("label"))
+      .crossJoin(broadcast(allDocs))
+      .select(col("label"), col("bucket"),
+        log((col("__n").cast("double") + lit(alpha))
+          / (col("__nc").cast("double") + lit(alpha * numBuckets)))
+          .as("log_cond"),
+        log(col("__dc").cast("double") / col("__dall")).as("log_prior"),
+        log(lit(alpha)
+          / (col("__nc").cast("double") + lit(alpha * numBuckets)))
+          .as("log_default"),
+        lit(numBuckets.toLong).as("n_buckets"))
+  }
+
+  /** Score documents with a [[trainNbQuality]] model: per doc, the
+    * argmax class of `log_prior + sum_tokens log P(bucket | class)`,
+    * returned as (`idCol`, `pred_label`, `nb_log_score` — the winning
+    * class's log-joint, rounded to 4; ties on the ROUNDED score break
+    * to the lexicographically smallest label, the deterministic
+    * cross-engine rule). Docs with no tokens are excluded (no
+    * evidence — absent rather than prior-only-scored, the
+    * [[bigramLogProb]] convention). The final argmax compiles to a
+    * WindowGroupLimit top-1 per doc over [[nbScoreAll]]'s long form. */
+  def nbScore(docs: DataFrame, model: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("nb_log_score").desc, col("label"))
+    nbScoreAll(docs, model, idCol, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        col("nb_log_score"))
+  }
+
+  /** Long-format NB scores: one row per (document, model class) with
+    * the rounded log-joint — the raw surface for log-odds filters
+    * (binary quality: keep where `score(good) - score(bad) > t`).
+    *
+    * The per-class sum is decomposed so only SEEN (doc-bucket, class)
+    * pairs ever join: `score = log_prior + T * log_default +
+    * sum_seen cnt * (log_cond - log_default)` where T is the doc's
+    * token count — the unseen-bucket mass is algebra, not a join
+    * against all B buckets. The bucket width rides IN the model
+    * (`n_buckets`), so score-time hashing can never drift from
+    * training. The model rides BROADCAST on both legs; the corpus
+    * side is one explode + one (doc, bucket) aggregation + one
+    * per-(doc, class) aggregation — no window, no collect. */
+  def nbScoreAll(docs: DataFrame, model: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val bRow = model.agg(max(col("n_buckets")).as("__b"),
+      (min(col("n_buckets")) === max(col("n_buckets"))).as("__one"))
+    val db = docs.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .crossJoin(broadcast(bRow))
+      .select(col(idCol),
+        when(col("__one"), nbBucket(col("__t"), col("__b")))
+          .otherwise(raise_error(lit(
+            "nbScoreAll: model carries mixed n_buckets values — not a " +
+              "trainNbQuality model"))).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val docTotals = db.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("__T"))
+    val classes = model
+      .select(col("label"), col("log_prior"), col("log_default"))
+      .distinct()
+    val seen = db
+      .join(broadcast(model.select(col("bucket"), col("label"),
+        col("log_cond"), col("log_default"))), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__cnt").cast("double")
+        * (col("log_cond") - col("log_default"))).as("__adj"))
+    docTotals
+      .crossJoin(broadcast(classes))
+      .join(seen, Seq(idCol, "label"), "left_outer")
+      .select(col(idCol), col("label"),
+        (round(col("log_prior")
+          + col("__T").cast("double") * col("log_default")
+          + coalesce(col("__adj"), lit(0.0d)), 4) + lit(0.0d))
+          .as("nb_log_score"))
+  }
+
   /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed n-gram profile is. Features

@@ -841,6 +841,79 @@ class CorpusOpsSpec extends SparkSpec {
       card2.toString)
   }
 
+  test("trainNbQuality/nbScore: hand math, separable classes, broadcast") {
+    // same md5-prefix bucket the engine computes, for collision checks
+    def bucket(tok: String, b: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(x => f"$x%02x").mkString, 16) % b
+    }
+    // hand case: class x trains on "a a", class y on "b"; B=2048, α=1
+    // (2048 ≠ the default 4096 so the mixed-width guard case below has
+    // two genuinely different widths)
+    assert(bucket("a", 2048) != bucket("b", 2048)) // hand math needs it
+    val train = Seq((1L, "a a", "x"), (2L, "b", "y"))
+      .toDF("doc_id", "text", "label")
+    val model = CorpusOps.trainNbQuality(train, "doc_id", "text",
+      "label", numBuckets = 2048, alpha = 1.0)
+    val mrows = model.collect()
+    assert(mrows.length == 2 && mrows.forall(_.getLong(5) == 2048L))
+    // score "a": x gets ln(.5)+ln(3/2050), y gets ln(.5)+ln(1/2049)
+    val scored = CorpusOps.nbScore(
+      Seq((10L, "a")).toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(scored.toSeq == Seq(
+      (10L, "x", r4(math.log(0.5) + math.log(3.0 / 2050.0)))),
+      scored.mkString(","))
+    val all = CorpusOps.nbScoreAll(
+      Seq((10L, "a")).toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(all("y") == r4(math.log(0.5) + math.log(1.0 / 2049.0)), all)
+    // separable corpus: disjoint vocabularies, held-out docs all land
+    // in their class
+    val wordsG = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val wordsB = Array("buy", "cheap", "pills", "click", "now")
+    def doc(ws: Array[String], i: Int) =
+      (0 to 6).map(j => ws((i + j) % ws.length)).mkString(" ")
+    val labeled = (Seq.tabulate(10)(i => (i.toLong, doc(wordsG, i), "good"))
+      ++ Seq.tabulate(10)(i => (100L + i, doc(wordsB, i), "bad")))
+      .toDF("doc_id", "text", "label")
+    val m2 = CorpusOps.trainNbQuality(labeled, "doc_id", "text", "label")
+    val held = Seq((500L, doc(wordsG, 3)), (501L, doc(wordsB, 4)))
+      .toDF("doc_id", "text")
+    val preds = CorpusOps.nbScore(held, m2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(500L -> "good", 501L -> "bad"), preds.toString)
+    // the model rides broadcast on the scoring path
+    val plan = CorpusOps.nbScoreAll(held, m2, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // NULL-label and blank-text training rows are excluded
+    val m3 = CorpusOps.trainNbQuality(labeled.unionByName(Seq(
+      (900L, "alpha beta", null.asInstanceOf[String]),
+      (901L, "   ", "good")).toDF("doc_id", "text", "label")),
+      "doc_id", "text", "label")
+    assert(m3.select("label").distinct().collect().map(_.getString(0))
+      .toSet == Set("good", "bad"))
+    assert(m3.count() == m2.count())
+    // guards
+    intercept[IllegalArgumentException] {
+      CorpusOps.trainNbQuality(train, "doc_id", "text", "label",
+        numBuckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.trainNbQuality(train, "doc_id", "text", "label",
+        alpha = 0.0)
+    }
+    // a frankenstein model with mixed bucket widths fails LOUDLY
+    interceptGuard("mixed n_buckets") {
+      CorpusOps.nbScore(held,
+        model.unionByName(m2), "doc_id", "text").collect()
+    }
+  }
+
   test("packOffsets: hand offsets, straddle math, two-phase == sequential") {
     // doc 1: 3 toks at off 0 (seq 0); sep at 3; doc 2: 510 toks at off 4
     // (ends at 513 -> straddles seqs 0 and 1); doc 3 at off 515
