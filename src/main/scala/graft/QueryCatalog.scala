@@ -5163,6 +5163,52 @@ object QueryCatalog {
              |  CAST(1.0 AS DOUBLE) AS top1_cos,
              |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
 
+    Q("q_ivf_append", // incremental ANN index maintenance: build the
+      // centroid index on the raw corpus, then APPEND the planted +1M
+      // copies of vec 0..9 assigned by the PERSISTED model (pure
+      // append, no rebuild — the ingest contract the exact-dedup and
+      // span indexes already have). Assignment is a pure function of
+      // (vector, model), so the appended copy of query vector 0 lands
+      // in the query's own cell and must be the single-probe rank-1 at
+      // cos 1.0 with all k slots filled; idx_rows checks the append
+      // added exactly the delta; drift_sane bounds the post-append
+      // ivfDriftSummary (skew >= 1, residual in [0, 2]).
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfa_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+          k = 8, iters = 3)
+        Similarity.ivfAppend(
+          emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val probe = Similarity.ivfCentroidTopK(s, dir, qVec, k = 21,
+            probes = 1)
+          .filter(col("id") =!= 0L)
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+        val summary = Similarity.ivfDriftSummary(s, dir)
+          .select(col("n_vecs").as("idx_rows"),
+            (col("count_skew") >= 1.0 && col("mean_residual") >= 0.0 &&
+              col("mean_residual") <= 2.0).as("drift_sane"))
+        probe.crossJoin(summary)
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  CAST(20 AS BIGINT) AS n_rows,
+             |  (SELECT CAST(count(*) + 10 AS BIGINT) FROM embeddings)
+             |    AS idx_rows,
+             |  true AS drift_sane""".stripMargin)),
+
     Q("q_ivfpq_topk", // the composed IVF-PQ index (FAISS IVFADC
       // shape): centroid cells prune the scan to probes/nCells of the
       // corpus AND each surviving row is an 8-byte residual code —

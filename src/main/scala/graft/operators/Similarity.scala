@@ -306,6 +306,93 @@ object Similarity {
       .limit(k)
   }
 
+  /** The persisted centroid model of a [[buildIvfCentroidIndex]]
+    * layout, as (cell index -> unit centroid). Index METADATA (k x dim
+    * doubles), loaded driver-side like every probe does. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Seq[Seq[Double]] = {
+    val m = spark.read.parquet(indexPath + ".centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    require(m.nonEmpty, s"no centroid model at $indexPath.centroids")
+    (0 until m.size).map(i => m.getOrElse(i,
+      sys.error(s"centroid model at $indexPath.centroids is missing " +
+        s"cell $i — not a buildIvfCentroidIndex layout")))
+  }
+
+  /** Incremental maintenance of a [[buildIvfCentroidIndex]] layout:
+    * assign `newVecs` to the EXISTING persisted centroids and APPEND
+    * their cell partitions — no read-modify-write of the index, ever
+    * (the at-scale ingest property, same contract as
+    * [[graft.operators.Dedup.buildExactIndex]] /
+    * [[graft.operators.CorpusOps.buildSpanIndex]]). Because cell
+    * assignment is a pure function of (vector, centroid model), an
+    * appended index is row-for-row IDENTICAL to one built in a single
+    * pass with the same model (law pinned in DedupSimilaritySpec), so
+    * [[ivfCentroidTopK]] probes need no append-awareness.
+    *
+    * What appending does NOT do is re-fit: centroids age as the
+    * vector distribution drifts, recall decays silently. That is a
+    * MEASURED condition, not a guess — watch [[ivfDriftSummary]] and
+    * retrain when occupancy skew or the residual mean crosses the
+    * thresholds you tuned at build time. */
+  def ivfAppend(newVecs: DataFrame, idCol: String, vecCol: String,
+                indexPath: String): Unit = {
+    val centroids = readCentroids(newVecs.sparkSession, indexPath)
+    newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+  }
+
+  /** Per-cell health of a centroid index: (`cell`, `n_vecs`,
+    * `mean_residual`) where the residual is `1 - dot(vn, centroid)` of
+    * each vector against its ASSIGNED unit centroid (0 = the cell is
+    * its centroid; growth means the cell's members no longer look like
+    * the model that placed them). One partition-pruned-free full scan
+    * + one broadcast join against the k-row model + one aggregation —
+    * run it after appends, not per query. */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): DataFrame = {
+    import spark.implicits._
+    val centroids = readCentroids(spark, indexPath)
+      .zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "__centroid")
+    spark.read.parquet(indexPath)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("cell"),
+        (lit(1.0d) - aggregate(
+          zip_with(l2normalize(col("v")), col("__centroid"),
+            (x, c) => x * c),
+          lit(0.0d), (acc, x) => acc + x)).as("__res"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("__res")), 6).as("mean_residual"))
+  }
+
+  /** One-row retrain recommendation over [[ivfDriftStats]]:
+    * (`n_cells`, `n_vecs`, `count_skew` = max cell occupancy / mean
+    * occupancy (1.0 = perfectly balanced; pruning a probe to 1/k of
+    * the corpus assumes occupancy stays near 1), `mean_residual`
+    * (index-wide vector-weighted), and `retrain_recommended` = skew or
+    * residual past the caller's thresholds). Compare against the same
+    * summary snapshotted at build time to read GROWTH rather than
+    * absolute level — a corpus can be legitimately skewed/spread at
+    * build; what signals model aging is movement (the SCALE.md drift
+    * table shows both numbers moving under a planted shift). */
+  def ivfDriftSummary(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, maxSkew: Double = 4.0,
+                      maxResidual: Double = 0.5): DataFrame =
+    ivfDriftStats(spark, indexPath)
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_vecs")).as("n_vecs"),
+        round(max(col("n_vecs")).cast("double")
+          / avg(col("n_vecs")), 6).as("count_skew"),
+        round(sum(col("mean_residual") * col("n_vecs"))
+          / sum(col("n_vecs")), 6).as("mean_residual"))
+      .select(col("n_cells"), col("n_vecs"), col("count_skew"),
+        col("mean_residual"),
+        (col("count_skew") > maxSkew ||
+          col("mean_residual") > maxResidual).as("retrain_recommended"))
+
   // ------------------------------------------------------- int8 quantization
 
   /** Adds symmetric per-vector int8 quantization columns for `vecCol`:

@@ -952,6 +952,67 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend: append == one-shot assignment; drift summary moves") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfa_spec").toString + "/idx"
+    // two tight clusters, 10 vectors each, around e1 and e2
+    def jig(i: Int) = 0.02f * (i % 5)
+    val base = (0 until 10).map(i =>
+      (i.toLong, Array(1f, jig(i), 0f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(jig(i), 1f, 0f, 0f)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    Similarity.buildIvfCentroidIndex(baseDf, "vec_id", "embedding", dir,
+      k = 2, iters = 4)
+    val before = Similarity.ivfDriftSummary(spark, dir).collect()(0)
+    assert(before.getLong(0) == 2 && before.getLong(1) == 20, before)
+    // delta: two more cluster members + two off-model vectors between
+    // the clusters (high residual wherever they land)
+    val delta = Seq(
+      (100L, Array(1f, 0.01f, 0f, 0f)), (101L, Array(0.01f, 1f, 0f, 0f)),
+      (102L, Array(0.7f, 0.7f, 0.1f, 0f)),
+      (103L, Array(0.7f, 0.72f, 0f, 0.1f))).toDF("vec_id", "embedding")
+    Similarity.ivfAppend(delta, "vec_id", "embedding", dir)
+    // law: every row's cell == the argmax-dot assignment against the
+    // PERSISTED model, computed independently here — append is
+    // indistinguishable from a one-shot build with the same model
+    val centroids = spark.read.parquet(dir + ".centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def assign(v: Array[Float]): Int = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val vn = v.map(_ / n)
+      centroids.toSeq.sortBy(_._1)
+        .map { case (ci, c) => ci -> c.zip(vn.map(_.toDouble))
+          .map { case (a, b) => a * b }.sum }
+        .maxBy { case (ci, s) => (s, -ci) }._1
+    }
+    val got = spark.read.parquet(dir)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val allVecs = base ++ Seq(
+      (100L, Array(1f, 0.01f, 0f, 0f)), (101L, Array(0.01f, 1f, 0f, 0f)),
+      (102L, Array(0.7f, 0.7f, 0.1f, 0f)),
+      (103L, Array(0.7f, 0.72f, 0f, 0.1f)))
+    assert(got.size == 24)
+    allVecs.foreach { case (id, v) =>
+      assert(got(id) == assign(v), s"id $id: ${got(id)} != ${assign(v)}")
+    }
+    // drift: the off-model vectors raise the index-wide residual, and
+    // tight thresholds flip the retrain flag
+    val after = Similarity.ivfDriftSummary(spark, dir).collect()(0)
+    assert(after.getLong(1) == 24, after)
+    assert(after.getDouble(3) > before.getDouble(3),
+      s"residual did not grow: $before -> $after")
+    val flagged = Similarity.ivfDriftSummary(spark, dir,
+      maxSkew = 1.0, maxResidual = 0.0).collect()(0)
+    assert(flagged.getBoolean(4), flagged.toString)
+    assert(!before.getBoolean(4), before.toString) // defaults: healthy
+    // probes see appended members: 100 is in 0's cell at cos ~1
+    val q = Similarity.ivfCentroidTopK(spark, dir,
+      Array(1f, 0f, 0f, 0f), k = 3, probes = 1)
+      .collect().map(_.getLong(0))
+    assert(q.contains(100L), q.mkString(","))
+  }
+
   test("hardNegatives: NULL vectors/labels dropped, no fake-orthogonal") {
     // a NULL vector must never surface as a cos_sim 0.0 "orthogonal"
     // negative (cosine()'s zero-denominator guard), and a NULL label
