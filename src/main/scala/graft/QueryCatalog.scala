@@ -4931,6 +4931,45 @@ object QueryCatalog {
               |SELECT DISTINCT canonical_url FROM c
               |WHERE canonical_url IS NOT NULL""".stripMargin)),
 
+    Q("q_para_dedup_stream_exec", // STREAMING EXECUTION gate: keep-first
+      // paragraph dedup at ingest — foreachBatch increments against a
+      // persisted first-occurrence table (the crawl-frontier pattern
+      // with durable state). One AvailableNow drain over a fresh seen
+      // table must reproduce the batch operator exactly, so the oracle
+      // is q_para_dedup's, byte for byte; cross-drain suppression is
+      // spec-pinned in EventStreamsSpec.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-paradedup")
+        graft.streaming.EventStreams.paraDedupAvailableNow(
+          s, s"$d/documents.parquet", "doc_id",
+          regexp_replace(col("text"), " the ", "\n"),
+          s"$dir/seen", s"$dir/out", s"$dir/ckpt")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    replace(text, ' the ', chr(10)) AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |l AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS p,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
+             |      AS pos
+             |  FROM d),
+             |fd AS (SELECT p, min(doc_id) AS f_doc FROM l
+             |       WHERE trim(p) <> '' GROUP BY 1),
+             |fp AS (SELECT l.p, f_doc, min(l.pos) AS f_pos
+             |       FROM l JOIN fd ON l.p = fd.p AND l.doc_id = fd.f_doc
+             |       GROUP BY 1, 2),
+             |m AS (SELECT l.doc_id, l.pos, l.p,
+             |        (fp.p IS NULL OR (l.doc_id = fp.f_doc
+             |          AND l.pos = fp.f_pos)) AS keep
+             |      FROM l LEFT JOIN fp ON l.p = fp.p)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN keep THEN p END,
+             |    chr(10) ORDER BY pos), '') AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_paras,
+             |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed
+             |FROM m GROUP BY doc_id""".stripMargin)),
+
     Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
       // incremental engine: the staged archive directory drains through
       // readStream (file-stream source over binaryFile, same parser as

@@ -873,6 +873,81 @@ object CorpusOps {
         col("n_removed"))
   }
 
+  /** One micro-batch increment of keep-first paragraph dedup against a
+    * PERSISTED first-occurrence table — the streaming face of
+    * [[dropRepeatedParagraphs]] (same pattern as the URL crawl
+    * frontier, with the state table on disk instead of in streaming
+    * state so it outlives the query and is append-only, the
+    * [[buildSpanIndex]] ingest contract: appends, never rewrites).
+    *
+    * Per batch: paragraphs already in `seenPath` drop EVERYWHERE in
+    * the batch; paragraphs new to the corpus keep exactly their
+    * batch-local first occurrence (min (doc, pos)) and drop the rest;
+    * blanks always survive (the batch op's rule). Cleaned docs append
+    * to `outPath` (same output schema as [[dropRepeatedParagraphs]]),
+    * then — strictly AFTER the cleaned write, and from a materialized
+    * cache so the append can't re-read the table it is mutating — the
+    * batch's newly-seen (hash, paragraph) pairs append to `seenPath`.
+    * On an empty seen table a single batch reproduces the batch
+    * operator exactly (the `q_para_dedup_stream_exec` gate); a second
+    * batch drops everything the first batch saw (spec-pinned).
+    *
+    * Scale shape: the anti-join and the occurrence rejoin are both
+    * keyed on (xxhash64, string) — linear shuffles of batch paragraphs
+    * against the seen table. At 100 TB the seen table is the big side:
+    * hive-partition it by hash mod (the [[SpanIndexMods]] layout) so
+    * each batch's probe prunes to matching leaves; the append-only
+    * contract already matches that layout. */
+  def dropRepeatedParagraphsIncrement(batch: DataFrame, idCol: String,
+                                      textCol: String, seenPath: String,
+                                      outPath: String,
+                                      delim: String = "\n"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val paras = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__p")))
+    val seenDir = new java.io.File(seenPath)
+    val seen =
+      if (seenDir.isDirectory &&
+        Option(seenDir.list()).exists(_.nonEmpty))
+        spark.read.parquet(seenPath)
+      else Seq.empty[(Long, String)].toDF("__ph", "__fp")
+    val firsts = paras
+      .filter(trim(col("__p")) =!= "")
+      .groupBy(xxhash64(col("__p")).as("__ph"), col("__p"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val newFirsts = firsts
+      .join(seen.select(col("__ph"), col("__fp")),
+        firsts("__ph") === seen("__ph") && col("__p") === col("__fp"),
+        "left_anti")
+      .select(col("__ph"), col("__p").as("__fp"), col("__first"))
+      .persist()
+    newFirsts.count() // materialize BEFORE seenPath is ever written
+    val cleaned = paras
+      .join(newFirsts, xxhash64(col("__p")) === col("__ph") &&
+        col("__p") === col("__fp"), "left_outer")
+      .withColumn("__keep", trim(col("__p")) === "" ||
+        (col("__first").isNotNull &&
+          col("__first") === struct(col(idCol), col("__pos"))))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__p"))))),
+          s => s.getField("__p")), delim).as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col(idCol), col("clean_text"), col("n_paras"),
+        col("n_removed"))
+    cleaned.write.mode("append").parquet(outPath)
+    newFirsts.select(col("__ph"), col("__fp"))
+      .write.mode("append").parquet(seenPath)
+    newFirsts.unpersist()
+    ()
+  }
+
   /** Cross-document exact duplicated-span statistics — the posting-list
     * reading of substring dedup ("Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2021: their suffix array finds

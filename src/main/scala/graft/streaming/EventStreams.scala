@@ -460,6 +460,38 @@ object EventStreams {
       checkpointDir, sinkName, OutputMode.Append())
   }
 
+  /** Streaming keep-first paragraph dedup — the ingest-time face of
+    * [[graft.operators.CorpusOps.dropRepeatedParagraphs]], built like
+    * the URL crawl frontier but with DURABLE state: each micro-batch
+    * runs [[graft.operators.CorpusOps.dropRepeatedParagraphsIncrement]]
+    * via foreachBatch, anti-joining against the persisted
+    * first-occurrence table at `seenPath` and appending cleaned docs to
+    * `outPath` (disk state rather than dropDuplicates streaming state
+    * because the table must outlive the query — a crawl ingests for
+    * months — and stay probe-able by the BATCH pipeline too). One
+    * AvailableNow drain over a fresh seen table reproduces the batch
+    * operator exactly (the execution gate); later drains see only new
+    * files and drop every paragraph earlier drains recorded. Returns a
+    * batch read of `outPath` after the drain. */
+  def paraDedupAvailableNow(spark: SparkSession, docsPath: String,
+                            idCol: String,
+                            textExpr: org.apache.spark.sql.Column,
+                            seenPath: String, outPath: String,
+                            checkpointDir: String): DataFrame = {
+    val (src, _) = fileSource(spark, docsPath)
+    val q = src.select(col(idCol), textExpr.as("__text"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CorpusOps.dropRepeatedParagraphsIncrement(
+          batch, idCol, "__text", seenPath, outPath)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

@@ -387,4 +387,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(v4 == 2L)
     assert(spark.read.parquet(s"$dimPath/v=$v4").count() == hist.size)
   }
+
+  test("paraDedupAvailableNow: drain == batch op; 2nd drain suppresses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_paradedup_stream").toString
+    val docs1 = Seq((1L, "A\nB"), (2L, "B\nC")).toDF("doc_id", "text")
+    docs1.coalesce(1).write.parquet(s"$root/in")
+    def collectOut(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val out1 = collectOut(EventStreams.paraDedupAvailableNow(spark,
+      s"$root/in", "doc_id", col("text"),
+      s"$root/seen", s"$root/out", s"$root/ckpt"))
+    // single drain over a fresh seen table == the batch operator
+    val batchRes = collectOut(graft.operators.CorpusOps
+      .dropRepeatedParagraphs(docs1, "doc_id", "text"))
+    assert(out1 == batchRes, s"$out1 vs $batchRes")
+    assert(out1 == Map(
+      1L -> (("A\nB", 2L, 0L)),
+      2L -> (("C", 2L, 1L))), out1.toString)
+    // second drain (same checkpoint) sees only the NEW file; its
+    // paragraphs anti-join against the persisted table: B and C drop,
+    // only the novel D survives
+    Seq((3L, "B\nD\nC")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val out2 = collectOut(EventStreams.paraDedupAvailableNow(spark,
+      s"$root/in", "doc_id", col("text"),
+      s"$root/seen", s"$root/out", s"$root/ckpt"))
+    assert(out2.keySet == Set(1L, 2L, 3L), out2.toString)
+    assert(out2(3L) == (("D", 3L, 2L)), out2.toString)
+    assert(out2(1L) == out1(1L) && out2(2L) == out1(2L))
+    // the durable table now records every distinct non-blank paragraph
+    val seen = spark.read.parquet(s"$root/seen")
+      .select("__fp").collect().map(_.getString(0)).toSet
+    assert(seen == Set("A", "B", "C", "D"), seen.toString)
+  }
 }
