@@ -1775,6 +1775,108 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_pagerank", // fixed-iteration PageRank over the synthesized
+      // host link graph (doc's host links to the host of doc
+      // (id*7+3) mod N — both engines derive the identical edge list).
+      // The crawl prioritizer: 3 power-method rounds, damping 0.85,
+      // dangling mass leaks (documented). Fixed iterations = a closed
+      // form of the inputs, so the oracle just unrolls the rounds as
+      // CTEs; round-6 at the end only (intermediates stay full
+      // precision on both engines).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cnt = docs.agg(count(lit(1)).as("__cnt"))
+        val edges = docs.select(col("doc_id"), col("source").as("src"))
+          .crossJoin(broadcast(cnt))
+          .select(col("src"),
+            ((col("doc_id") * 7 + 3) % col("__cnt")).as("__bid"))
+          .join(docs.select(col("doc_id").as("__bid"),
+            col("source").as("dst")), Seq("__bid"))
+        graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      },
+      Some("""WITH cnt AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT DISTINCT a.source AS src, b.source AS dst
+             |  FROM documents a CROSS JOIN cnt
+             |  JOIN documents b ON b.doc_id = (a.doc_id * 7 + 3) % cnt.c
+             |  WHERE a.source IS NOT NULL AND b.source IS NOT NULL),
+             |nodes AS (SELECT src AS node FROM e
+             |          UNION SELECT dst FROM e),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |od AS (SELECT src, count(*) AS o FROM e GROUP BY 1),
+             |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS pr
+             |       FROM nodes CROSS JOIN n),
+             |c1 AS (SELECT e.dst AS node, sum(r0.pr / od.o) AS m
+             |  FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src
+             |  GROUP BY 1),
+             |r1 AS (SELECT nodes.node,
+             |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             |      + CAST(0.85 AS DOUBLE)
+             |        * coalesce(c1.m, CAST(0 AS DOUBLE)) AS pr
+             |  FROM nodes CROSS JOIN n LEFT JOIN c1 USING (node)),
+             |c2 AS (SELECT e.dst AS node, sum(r1.pr / od.o) AS m
+             |  FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src
+             |  GROUP BY 1),
+             |r2 AS (SELECT nodes.node,
+             |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             |      + CAST(0.85 AS DOUBLE)
+             |        * coalesce(c2.m, CAST(0 AS DOUBLE)) AS pr
+             |  FROM nodes CROSS JOIN n LEFT JOIN c2 USING (node)),
+             |c3 AS (SELECT e.dst AS node, sum(r2.pr / od.o) AS m
+             |  FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src
+             |  GROUP BY 1),
+             |r3 AS (SELECT nodes.node,
+             |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+             |      + CAST(0.85 AS DOUBLE)
+             |        * coalesce(c3.m, CAST(0 AS DOUBLE)) AS pr
+             |  FROM nodes CROSS JOIN n LEFT JOIN c3 USING (node))
+             |SELECT node, round(pr, 6) + 0 AS pagerank
+             |FROM r3""".stripMargin)),
+
+    Q("q_bm25_topk", // BM25 lexical retrieval (Lucene +1-idf flavor):
+      // global top-20 docs for a 4-term query over the corpus — the
+      // no-index search baseline decontamination and targeted corpus
+      // search lean on. Posting prune first (tokens filter to the
+      // query terms before any agg), TakeOrderedAndProject top-k.
+      // Float-parity notes: every constant is CAST(double) and the
+      // oracle computes k1+1 AS AN ADDITION because double(1.2)+1.0
+      // != double(2.2) in the last ulp; operator association mirrors
+      // the Column expression exactly; rank over the ROUNDED score
+      // with id tie-break.
+      (s, d) => CorpusOps.bm25TopK(t(s, d, "documents"), "doc_id",
+        "text", Seq("hash", "join", "window", "scan"), k = 20),
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN ('hash', 'join', 'window', 'scan')
+             |  GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |    sum(ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+             |          / (df.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl))) AS s,
+             |    count(*) AS n_terms
+             |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats
+             |  GROUP BY 1)
+             |SELECT doc_id, round(s, 4) + 0 AS bm25,
+             |  CAST(n_terms AS BIGINT) AS n_terms
+             |FROM sc
+             |ORDER BY round(s, 4) DESC, doc_id
+             |LIMIT 20""".stripMargin),
+      headline = true),
+
     Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
       // trained model-based quality/domain filter (DCLM / fastText
       // recipe member). Closed-form training makes the MODEL itself

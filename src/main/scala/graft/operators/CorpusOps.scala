@@ -1551,6 +1551,70 @@ object CorpusOps {
         (round(avg(col("__lp")), 4) + lit(0.0d)).as("avg_logprob"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson–Spärck Jones; the Lucene
+    * `+1` idf flavor, so idf is always positive even for terms in more
+    * than half the corpus): score every document containing at least
+    * one query term by
+    * `sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`
+    * with `idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)`, and return
+    * the global top `k` as (`idCol`, `bm25` rounded 4, `n_terms` =
+    * distinct query terms matched). Ranking is over the ROUNDED score
+    * with id tie-break — deterministic and engine-portable (the
+    * argmax-after-round rule [[nbScore]] uses). Duplicate query terms
+    * are collapsed (distinct-term semantics, documented).
+    *
+    * The retrieval member of the curation family: decontamination and
+    * targeted corpus search want "find the docs most about X" without
+    * an embedding index, and BM25 is the standard lexical baseline.
+    *
+    * Scale shape: the posting prune comes FIRST — tokens filter to the
+    * |q| query terms (a broadcast-able isin) before any aggregation,
+    * so the tf table holds only matching (doc, term) pairs, like a
+    * search engine reading |q| posting lists rather than the corpus.
+    * The doc length rides each posting row through the explode (a
+    * per-row constant) rather than joining a corpus-sized lengths
+    * relation back in — the ONLY corpus-wide work is the scan itself
+    * and the single-row (N, avgdl) aggregate on a broadcast; term df
+    * aggregates the tiny tf table; the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps, no full sort). No
+    * window, no collect, no corpus-sized join anywhere. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 params out of range: k1=$k1 b=$b")
+    val terms = queryTerms.distinct
+    val base = docs.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__tk"))).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), size(col("__tk")).as("__dl"),
+        explode(col("__tk")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val df = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(df), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        sum(log((col("__n") - col("__df").cast("double") + lit(0.5d))
+            / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d))
+          * col("__tf").cast("double") * lit(k1 + 1.0d)
+          / (col("__tf").cast("double")
+            + lit(k1) * (lit(1.0d) - lit(b)
+              + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
+          .as("__s"),
+        count(lit(1)).as("n_terms"))
+      .select(col(idCol),
+        (round(col("__s"), 4) + lit(0.0d)).as("bm25"), col("n_terms"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Engine-portable hashed-feature bucket: the first 8 hex chars of
     * md5 over the RAW token (no case folding — engines' unicode case
     * maps disagree on exotic codepoints, and a hashed feature space

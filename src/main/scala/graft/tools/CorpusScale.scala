@@ -135,6 +135,50 @@ object CorpusScale {
     }
     println(f"offsets_s=$tOff%.2f sequences=$nSeqs%d " +
       f"offsets_Mtok_per_s=${nTokens / 1e6 / tOff}%.1f")
+
+    // NB quality classifier: train once on the BASE corpus (the model
+    // is bounded by classes x buckets regardless of corpus size), then
+    // score the full replicated corpus — the train-small /
+    // score-everything shape production quality filtering runs
+    val labeled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val (nbModel, tTrain) = time {
+      val m = CorpusOps.trainNbQuality(labeled, "doc_id", "text", "lang")
+        .localCheckpoint()
+      (m, m.count())
+    }
+    val (nbClasses, tNb) = time {
+      CorpusOps.nbScore(docs, nbModel._1, "doc_id", "text")
+        .groupBy(col("pred_label"))
+        .agg(count(lit(1)))
+        .count()
+    }
+    println(f"nb_train_s=$tTrain%.2f model_rows=${nbModel._2}%d " +
+      f"nb_score_s=$tNb%.2f classes=$nbClasses%d " +
+      f"nb_Mtok_per_s=${nTokens / 1e6 / tNb}%.1f")
+
+    // BM25 retrieval: the posting prune means cost is the
+    // tokenize+filter scan, not the scoring join (hit rows ~ docs
+    // containing a query term, tiny after the isin filter)
+    val (nHits, tBm) = time {
+      CorpusOps.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "window", "scan"), k = 20).count()
+    }
+    println(f"bm25_s=$tBm%.2f hits=$nHits%d " +
+      f"bm25_Mtok_per_s=${nTokens / 1e6 / tBm}%.1f")
+
+    // PageRank: a synthesized host graph with nDocs edges over
+    // nDocs/5 nodes — three 2-exchange power-method rounds where the
+    // rank relation stays node-sized
+    val (prSum, tPr) = time {
+      val h = math.max(nDocs / 5, 1L)
+      val edges = docs.select(pmod(col("doc_id"), lit(h)).as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(h)).as("dst"))
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .agg(sum(col("pagerank"))).collect()(0).getDouble(0)
+    }
+    println(f"pagerank_s=$tPr%.2f edges=$nDocs%d mass=$prSum%.4f " +
+      f"pr_Medges_per_s=${nDocs / 1e6 / tPr * 3}%.2f")
     spark.stop()
   }
 }

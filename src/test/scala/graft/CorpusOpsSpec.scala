@@ -841,6 +841,45 @@ class CorpusOpsSpec extends SparkSpec {
       card2.toString)
   }
 
+  test("bm25TopK: hand-computed scores, ranking, prune-first plan") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"),
+      (4L, "b b"), // matches no query term -> absent
+      (5L, "   "), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bm25TopK(docs, "doc_id", "text",
+        Seq("a", "c", "a"), k = 10) // dup query term collapses
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // hand model: N=3 scorable docs? no — N counts ALL tokenized docs
+    // (1,2,3,4), avgdl=(3+2+4+2)/4=2.75, df(a)=2, df(c)=2
+    val N = 4.0; val avgdl = 2.75
+    def idf(dfv: Double) = math.log((N - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    def term(tf: Double, dl: Double, dfv: Double) =
+      idf(dfv) * tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val exp = Map(
+      1L -> (r4(term(2, 3, 2)), 1L),
+      2L -> (r4(term(1, 2, 2) + term(1, 2, 2)), 2L),
+      3L -> (r4(term(4, 4, 2)), 1L))
+    assert(out.map(t => t._1 -> ((t._2, t._3))).toMap == exp,
+      s"${out.mkString(",")} vs $exp")
+    // ranked by rounded score desc then id; doc 4 (no match) absent
+    assert(out.map(_._1).toSeq ==
+      exp.toSeq.sortBy { case (id, (s, _)) => (-s, id) }.map(_._1),
+      out.mkString(","))
+    // k truncates through TakeOrderedAndProject (global top-k, no sort)
+    val top1 = CorpusOps.bm25TopK(docs, "doc_id", "text", Seq("a", "c"), 1)
+    assert(top1.collect().map(_.getLong(0)).toSeq == Seq(out.head._1))
+    assert(top1.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    intercept[IllegalArgumentException] {
+      CorpusOps.bm25TopK(docs, "doc_id", "text", Seq("a"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.bm25TopK(docs, "doc_id", "text", Seq.empty, 5)
+    }
+  }
+
   test("trainNbQuality/nbScore: hand math, separable classes, broadcast") {
     // same md5-prefix bucket the engine computes, for collision checks
     def bucket(tok: String, b: Long): Long = {
