@@ -1775,6 +1775,24 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_temperature_mix", // temperature-scaled domain mixture weights
+      // (the multilingual-LM sampling exponent): per-source document
+      // shares raised to tau=0.5 and renormalized — the upweight-the-
+      // tail knob that feeds mixtureSelect. pow is libm on both
+      // engines; round-6 absorbs the ulp class.
+      (s, d) => CorpusOps.temperatureWeights(
+        t(s, d, "documents"), "source", tau = 0.5),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents
+             |  WHERE source IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+             |r AS (SELECT source, n,
+             |    pow(n / t.t, CAST(0.5 AS DOUBLE)) AS w
+             |  FROM c CROSS JOIN t),
+             |s AS (SELECT sum(w) AS ws FROM r)
+             |SELECT source, CAST(n AS BIGINT) AS n_docs,
+             |  round(w / s.ws, 6) + 0 AS weight
+             |FROM r CROSS JOIN s""".stripMargin)),
+
     Q("q_pagerank", // fixed-iteration PageRank over the synthesized
       // host link graph (doc's host links to the host of doc
       // (id*7+3) mod N — both engines derive the identical edge list).

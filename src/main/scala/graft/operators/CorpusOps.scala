@@ -1551,6 +1551,40 @@ object CorpusOps {
         (round(avg(col("__lp")), 4) + lit(0.0d)).as("avg_logprob"))
   }
 
+  /** Temperature-scaled domain mixture weights — the multinomial
+    * sampling knob multilingual/multi-domain LM training uses (e.g.
+    * the mBERT/XLM-R exponent): `w_g = p_g^tau / sum_j p_j^tau` where
+    * `p_g` is the domain's natural share of documents. `tau = 1` keeps
+    * natural proportions; `tau -> 0` flattens toward uniform
+    * (upweighting small domains/languages); `tau > 1` sharpens toward
+    * the head. Returns (`groupCol`, `n_docs`, `weight` rounded 6,
+    * summing to ~1 up to rounding); NULL-group rows are excluded.
+    * Feed the result into [[mixtureSelect]] (weights are bounded
+    * domain metadata — a collect of per-domain rows is the documented
+    * exception class, like centroid fits).
+    *
+    * Scale shape: one hash aggregation to per-domain counts (domains,
+    * not corpus, from there on), then two single-row broadcasts — the
+    * corpus is scanned once. `pow` is libm on both engines (1-ulp
+    * hazard class); round-6 absorbs it, the [[unigramLogProb]] float
+    * register. */
+  def temperatureWeights(docs: DataFrame, groupCol: String,
+                         tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 10,
+      s"tau out of range (0, 10]: $tau")
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).cast("double").as("__t"))
+    val raw = counts.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"),
+        pow(col("n_docs").cast("double") / col("__t"), lit(tau))
+          .as("__w"))
+    val wsum = raw.agg(sum(col("__w")).as("__ws"))
+    raw.crossJoin(broadcast(wsum))
+      .select(col(groupCol), col("n_docs"),
+        (round(col("__w") / col("__ws"), 6) + lit(0.0d)).as("weight"))
+  }
+
   /** BM25 top-k lexical retrieval (Robertson–Spärck Jones; the Lucene
     * `+1` idf flavor, so idf is always positive even for terms in more
     * than half the corpus): score every document containing at least

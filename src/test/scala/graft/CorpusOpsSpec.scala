@@ -841,6 +841,36 @@ class CorpusOpsSpec extends SparkSpec {
       card2.toString)
   }
 
+  test("temperatureWeights: hand shares, flattening law, null exclusion") {
+    val docs = (Seq.tabulate(80)(i => (i.toLong, "a"))
+      ++ Seq.tabulate(20)(i => (100L + i, "b"))
+      ++ Seq((900L, null.asInstanceOf[String])))
+      .toDF("doc_id", "source")
+    def weights(tau: Double) = CorpusOps
+      .temperatureWeights(docs, "source", tau)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // tau = 1: natural proportions (nulls excluded from the base)
+    val w1 = weights(1.0)
+    assert(w1 == Map("a" -> ((80L, 0.8)), "b" -> ((20L, 0.2))), w1.toString)
+    // tau = 0.5: sqrt shares renormalized — hand values
+    val (sa, sb) = (math.sqrt(0.8), math.sqrt(0.2))
+    val w05 = weights(0.5)
+    assert(w05("a")._2 == r6(sa / (sa + sb)) &&
+      w05("b")._2 == r6(sb / (sa + sb)), w05.toString)
+    // flattening law: smaller tau moves the tail weight UP, head DOWN,
+    // and weights always sum to ~1
+    val w02 = weights(0.2)
+    assert(w02("b")._2 > w05("b")._2 && w05("b")._2 > w1("b")._2)
+    assert(w02("a")._2 < w05("a")._2 && w05("a")._2 < w1("a")._2)
+    Seq(w1, w05, w02).foreach(w =>
+      assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-5, w.toString))
+    intercept[IllegalArgumentException] {
+      CorpusOps.temperatureWeights(docs, "source", 0.0)
+    }
+  }
+
   test("bm25TopK: hand-computed scores, ranking, prune-first plan") {
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"),
       (4L, "b b"), // matches no query term -> absent
