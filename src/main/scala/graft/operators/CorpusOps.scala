@@ -1704,8 +1704,10 @@ object CorpusOps {
         nbBucket(col("__t"), lit(numBuckets.toLong)).as("bucket"))
     val counts = toks.groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
-    val classTotals = toks.groupBy(col("label"))
-      .agg(count(lit(1)).as("__nc"))
+    // class token totals roll up from the (label, bucket) counts — the
+    // exploded relation is scanned ONCE, not re-exploded per aggregate
+    val classTotals = counts.groupBy(col("label"))
+      .agg(sum(col("__n")).as("__nc"))
     val docCounts = clean.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("__dc"))
     val allDocs = docCounts.agg(sum(col("__dc")).cast("double").as("__dall"))
@@ -1761,7 +1763,8 @@ object CorpusOps {
                  textCol: String): DataFrame = {
     val bRow = model.agg(max(col("n_buckets")).as("__b"),
       (min(col("n_buckets")) === max(col("n_buckets"))).as("__one"))
-    val db = docs.filter(hasMinTokens(col(textCol), 1))
+    val withToks = docs.filter(hasMinTokens(col(textCol), 1))
+    val db = withToks
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .crossJoin(broadcast(bRow))
       .select(col(idCol),
@@ -1771,8 +1774,12 @@ object CorpusOps {
               "trainNbQuality model"))).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("__cnt"))
-    val docTotals = db.groupBy(col(idCol))
-      .agg(sum(col("__cnt")).as("__T"))
+    // per-doc token totals come straight off the scan (size of the
+    // token array — a pure projection), NOT by re-aggregating db: the
+    // db subtree (explode + shuffle) would otherwise execute twice,
+    // once under docTotals and once under the seen join
+    val docTotals = withToks
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("__T"))
     val classes = model
       .select(col("label"), col("log_prior"), col("log_default"))
       .distinct()
