@@ -1964,6 +1964,73 @@ object QueryCatalog {
              |FROM top WHERE rn = 1""".stripMargin),
       headline = true),
 
+    Q("q_nb_stream_exec", // STREAMING EXECUTION gate: model-based
+      // quality filtering at ingest — the batch-trained NB model
+      // (even-doc_id half, lang labels) scores EVERY document arriving
+      // through the incremental engine. Scoring is per-doc stateless
+      // given the broadcast model, so the drained output equals the
+      // batch scorer over the whole corpus — the oracle is
+      // q_nb_quality's closed form without the held-out filter.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-nb")
+        val docs = t(s, d, "documents")
+        val model = CorpusOps.trainNbQuality(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang",
+          numBuckets = 4096, alpha = 1.0)
+        graft.streaming.EventStreams.nbScoreAvailableNow(
+          s, s"$d/documents.parquet", "doc_id", col("text"), model,
+          s"$dir/out", s"$dir/ckpt")
+      },
+      Some("""WITH tr AS (SELECT lang AS label,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+             |    AND text IS NOT NULL AND trim(text) <> ''),
+             |f AS (SELECT label, unnest(toks) AS tok FROM tr),
+             |fb AS (SELECT label,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b
+             |  FROM f),
+             |cnt AS (SELECT label, b, count(*) AS n FROM fb GROUP BY 1, 2),
+             |ct AS (SELECT label, count(*) AS nc FROM fb GROUP BY 1),
+             |dc AS (SELECT label, count(*) AS dcnt FROM tr GROUP BY 1),
+             |dall AS (SELECT CAST(sum(dcnt) AS DOUBLE) AS dall FROM dc),
+             |model AS (SELECT c.label, c.b,
+             |    ln((c.n + CAST(1.0 AS DOUBLE))
+             |       / (ct.nc + CAST(4096.0 AS DOUBLE))) AS log_cond,
+             |    ln(CAST(dc.dcnt AS DOUBLE) / dall.dall) AS log_prior,
+             |    ln(CAST(1.0 AS DOUBLE)
+             |       / (ct.nc + CAST(4096.0 AS DOUBLE))) AS log_default
+             |  FROM cnt c JOIN ct USING (label) JOIN dc USING (label)
+             |  CROSS JOIN dall),
+             |te AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |tf AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+             |tb AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b,
+             |    count(*) AS cnt
+             |  FROM tf GROUP BY 1, 2),
+             |tt AS (SELECT doc_id, sum(cnt) AS tcount FROM tb GROUP BY 1),
+             |cls AS (SELECT DISTINCT label, log_prior, log_default
+             |  FROM model),
+             |seen AS (SELECT tb.doc_id, m.label,
+             |    sum(tb.cnt * (m.log_cond - m.log_default)) AS adj
+             |  FROM tb JOIN model m ON m.b = tb.b GROUP BY 1, 2),
+             |sc AS (SELECT tt.doc_id, c.label,
+             |    round(c.log_prior
+             |      + CAST(tt.tcount AS DOUBLE) * c.log_default
+             |      + coalesce(s.adj, CAST(0 AS DOUBLE)), 4) + 0 AS score
+             |  FROM tt CROSS JOIN cls c
+             |  LEFT JOIN seen s
+             |    ON s.doc_id = tt.doc_id AND s.label = c.label),
+             |top AS (SELECT doc_id, label, score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, label) AS rn
+             |  FROM sc)
+             |SELECT doc_id, label AS pred_label, score AS nb_log_score
+             |FROM top WHERE rn = 1""".stripMargin)),
+
     Q("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
       // per-doc sum of ln p_target(bucket) - ln p_raw(bucket) over
       // hashed unigram+bigram features (add-one smoothing, 4096

@@ -492,6 +492,37 @@ object EventStreams {
     spark.read.parquet(outPath)
   }
 
+  /** Streaming model-based quality filtering — the ingest-time face of
+    * [[graft.operators.CorpusOps.nbScore]]: score every arriving
+    * document against a BATCH-TRAINED Naive Bayes model (train once on
+    * the labeled seed set, then filter the crawl as it lands — the
+    * standard split of the DCLM/fastText recipe). Unlike the paragraph
+    * frontier there is NO cross-batch state: scoring is per-document
+    * given the broadcast model, so results are identical under any
+    * batching (spec-pinned), and foreachBatch just appends each
+    * batch's (id, pred_label, nb_log_score) rows to `outPath`.
+    * Returns a batch read of `outPath` after the drain. */
+  def nbScoreAvailableNow(spark: SparkSession, docsPath: String,
+                          idCol: String,
+                          textExpr: org.apache.spark.sql.Column,
+                          model: DataFrame, outPath: String,
+                          checkpointDir: String): DataFrame = {
+    val (src, _) = fileSource(spark, docsPath)
+    val q = src.select(col(idCol), textExpr.as("__text"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CorpusOps
+          .nbScore(batch, model, idCol, "__text")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

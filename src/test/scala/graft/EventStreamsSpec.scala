@@ -388,6 +388,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dimPath/v=$v4").count() == hist.size)
   }
 
+  test("nbScoreAvailableNow: drain == batch scorer under any batching") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nb_stream").toString
+    val labeled = Seq(
+      (1L, "alpha beta gamma", "good"), (2L, "alpha beta beta", "good"),
+      (3L, "buy pills now", "bad"), (4L, "buy buy cheap", "bad"))
+      .toDF("doc_id", "text", "label")
+    val model = graft.operators.CorpusOps.trainNbQuality(
+      labeled, "doc_id", "text", "label")
+    val in1 = Seq((10L, "alpha gamma"), (11L, "cheap pills"))
+      .toDF("doc_id", "text")
+    in1.coalesce(1).write.parquet(s"$root/in")
+    def drain() = EventStreams.nbScoreAvailableNow(spark, s"$root/in",
+        "doc_id", col("text"), model, s"$root/out", s"$root/ckpt")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val out1 = drain()
+    val batch1 = graft.operators.CorpusOps.nbScore(
+        in1.withColumnRenamed("text", "__text"), model, "doc_id", "__text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out1 == batch1, s"$out1 vs $batch1")
+    assert(out1(10L)._1 == "good" && out1(11L)._1 == "bad", out1.toString)
+    // a second drain scores ONLY the new file; stateless scoring means
+    // old rows are untouched and new rows equal their batch scores
+    Seq((12L, "beta beta beta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val out2 = drain()
+    assert(out2.keySet == Set(10L, 11L, 12L), out2.toString)
+    assert(out2(10L) == out1(10L) && out2(11L) == out1(11L))
+    assert(out2(12L)._1 == "good", out2.toString)
+  }
+
   test("paraDedupAvailableNow: drain == batch op; 2nd drain suppresses") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_paradedup_stream").toString
