@@ -883,24 +883,36 @@ object CorpusOps {
     * Per batch: paragraphs already in `seenPath` drop EVERYWHERE in
     * the batch; paragraphs new to the corpus keep exactly their
     * batch-local first occurrence (min (doc, pos)) and drop the rest;
-    * blanks always survive (the batch op's rule). Cleaned docs append
-    * to `outPath` (same output schema as [[dropRepeatedParagraphs]]),
-    * then — strictly AFTER the cleaned write, and from a materialized
-    * cache so the append can't re-read the table it is mutating — the
-    * batch's newly-seen (hash, paragraph) pairs append to `seenPath`.
+    * blanks always survive (the batch op's rule). Cleaned docs land in
+    * `outPath/batch=<id>` (same output schema as
+    * [[dropRepeatedParagraphs]] plus the partition column), then —
+    * strictly AFTER the cleaned write, and from a materialized cache
+    * so the write can't re-read the table it is mutating — the batch's
+    * newly-seen (hash, paragraph) pairs land in `seenPath/batch=<id>`.
     * On an empty seen table a single batch reproduces the batch
     * operator exactly (the `q_para_dedup_stream_exec` gate); a second
     * batch drops everything the first batch saw (spec-pinned).
     *
+    * REPLAY-IDEMPOTENT by the house per-batch-directory contract
+    * ([[graft.streaming.EventStreams.etlAvailableNow]]): each batch
+    * OVERWRITES its own `batch=<id>` directory on both tables, and the
+    * seen probe EXCLUDES rows the current batch id wrote — so a batch
+    * replayed after a mid-write crash (even one that already published
+    * its seen delta) recomputes against the identical pre-batch state
+    * and rewrites identical outputs (spec-pinned: re-running a batch id
+    * changes nothing). A plain append would double rows; probing its
+    * own published firsts would make every replayed paragraph look
+    * already-seen and wrongly empty the docs.
+    *
     * Scale shape: the anti-join and the occurrence rejoin are both
     * keyed on (xxhash64, string) — linear shuffles of batch paragraphs
     * against the seen table. At 100 TB the seen table is the big side:
-    * hive-partition it by hash mod (the [[SpanIndexMods]] layout) so
-    * each batch's probe prunes to matching leaves; the append-only
-    * contract already matches that layout. */
+    * hive-partition it additionally by hash mod (the [[SpanIndexMods]]
+    * layout) so each batch's probe prunes to matching leaves; the
+    * per-batch-directory contract already matches that layout. */
   def dropRepeatedParagraphsIncrement(batch: DataFrame, idCol: String,
                                       textCol: String, seenPath: String,
-                                      outPath: String,
+                                      outPath: String, batchId: Long,
                                       delim: String = "\n"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -910,18 +922,19 @@ object CorpusOps {
           .as(Seq("__pos", "__p")))
     val seenDir = new java.io.File(seenPath)
     val seen =
-      if (seenDir.isDirectory &&
-        Option(seenDir.list()).exists(_.nonEmpty))
+      (if (seenDir.isDirectory &&
+        Option(seenDir.list()).exists(_.exists(_.startsWith("batch="))))
         spark.read.parquet(seenPath)
-      else Seq.empty[(Long, String)].toDF("__ph", "__fp")
+          .filter(col("batch") =!= batchId) // replay: own delta invisible
+          .select(col("__ph"), col("__fp"))
+      else Seq.empty[(Long, String)].toDF("__ph", "__fp"))
     val firsts = paras
       .filter(trim(col("__p")) =!= "")
       .groupBy(xxhash64(col("__p")).as("__ph"), col("__p"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
     val newFirsts = firsts
-      .join(seen.select(col("__ph"), col("__fp")),
-        firsts("__ph") === seen("__ph") && col("__p") === col("__fp"),
-        "left_anti")
+      .join(seen, firsts("__ph") === seen("__ph") &&
+        col("__p") === col("__fp"), "left_anti")
       .select(col("__ph"), col("__p").as("__fp"), col("__first"))
       .persist()
     newFirsts.count() // materialize BEFORE seenPath is ever written
@@ -941,9 +954,9 @@ object CorpusOps {
         sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
       .select(col(idCol), col("clean_text"), col("n_paras"),
         col("n_removed"))
-    cleaned.write.mode("append").parquet(outPath)
+    cleaned.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     newFirsts.select(col("__ph"), col("__fp"))
-      .write.mode("append").parquet(seenPath)
+      .write.mode("overwrite").parquet(s"$seenPath/batch=$batchId")
     newFirsts.unpersist()
     ()
   }

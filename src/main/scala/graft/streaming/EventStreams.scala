@@ -468,11 +468,14 @@ object EventStreams {
     * first-occurrence table at `seenPath` and appending cleaned docs to
     * `outPath` (disk state rather than dropDuplicates streaming state
     * because the table must outlive the query — a crawl ingests for
-    * months — and stay probe-able by the BATCH pipeline too). One
-    * AvailableNow drain over a fresh seen table reproduces the batch
-    * operator exactly (the execution gate); later drains see only new
-    * files and drop every paragraph earlier drains recorded. Returns a
-    * batch read of `outPath` after the drain. */
+    * months — and stay probe-able by the BATCH pipeline too). Both
+    * tables follow the per-batch-directory replay-idempotence contract
+    * (see the increment's scaladoc — a crashed batch rewrites its own
+    * `batch=<id>` dirs, never double-appends). One AvailableNow drain
+    * over a fresh seen table reproduces the batch operator exactly
+    * (the execution gate); later drains see only new files and drop
+    * every paragraph earlier drains recorded. Returns a batch read of
+    * `outPath` after the drain (partition column dropped). */
   def paraDedupAvailableNow(spark: SparkSession, docsPath: String,
                             idCol: String,
                             textExpr: org.apache.spark.sql.Column,
@@ -483,13 +486,13 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.CorpusOps.dropRepeatedParagraphsIncrement(
-          batch, idCol, "__text", seenPath, outPath)
+          batch, idCol, "__text", seenPath, outPath, batchId)
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    spark.read.parquet(outPath).drop("batch")
   }
 
   /** Streaming model-based quality filtering — the ingest-time face of
@@ -499,9 +502,12 @@ object EventStreams {
     * standard split of the DCLM/fastText recipe). Unlike the paragraph
     * frontier there is NO cross-batch state: scoring is per-document
     * given the broadcast model, so results are identical under any
-    * batching (spec-pinned), and foreachBatch just appends each
-    * batch's (id, pred_label, nb_log_score) rows to `outPath`.
-    * Returns a batch read of `outPath` after the drain. */
+    * batching (spec-pinned), and each batch's (id, pred_label,
+    * nb_log_score) rows OVERWRITE their own `outPath/batch=<id>`
+    * directory — the house replay-idempotence contract
+    * ([[etlAvailableNow]]): a crashed-and-replayed batch rewrites
+    * identical rows instead of double-appending. Returns a batch read
+    * of `outPath` after the drain (partition column dropped). */
   def nbScoreAvailableNow(spark: SparkSession, docsPath: String,
                           idCol: String,
                           textExpr: org.apache.spark.sql.Column,
@@ -512,15 +518,15 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.CorpusOps
           .nbScore(batch, model, idCol, "__text")
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    spark.read.parquet(outPath).drop("batch")
   }
 
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-

@@ -454,5 +454,23 @@ class EventStreamsSpec extends SparkSpec {
     val seen = spark.read.parquet(s"$root/seen")
       .select("__fp").collect().map(_.getString(0)).toSet
     assert(seen == Set("A", "B", "C", "D"), seen.toString)
+    // REPLAY idempotence: re-running an already-published batch id
+    // (the crash-recovery path — its seen delta is already on disk)
+    // rewrites identical outputs instead of double-appending or
+    // wrongly seeing its own firsts as duplicates
+    val batchIds = spark.read.parquet(s"$root/out")
+      .select("batch").distinct().collect().map(_.getInt(0))
+    val replayId = batchIds.max.toLong
+    graft.operators.CorpusOps.dropRepeatedParagraphsIncrement(
+      Seq((3L, "B\nD\nC")).toDF("doc_id", "text")
+        .withColumnRenamed("text", "__text"),
+      "doc_id", "__text", s"$root/seen", s"$root/out", replayId)
+    val outAfter = collectOut(
+      spark.read.parquet(s"$root/out").drop("batch"))
+    assert(outAfter == out2, s"replay changed outputs: $outAfter vs $out2")
+    val seenAfter = spark.read.parquet(s"$root/seen")
+      .select("__fp").collect().map(_.getString(0)).toSeq
+    assert(seenAfter.sorted == Seq("A", "B", "C", "D"),
+      s"replay duplicated seen rows: $seenAfter")
   }
 }
