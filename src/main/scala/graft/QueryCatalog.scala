@@ -1775,6 +1775,69 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_tfidf_terms", // per-doc top-3 keywords by tf-idf (corpus
+      // exploration / topic labeling): tf * ln(N/df), round-4 BEFORE
+      // the per-doc rank (term tie-break) so both engines rank
+      // identical numbers. The df rejoin shuffles on the term key —
+      // vocabulary is corpus-scaled, never assumed broadcastable.
+      (s, d) => CorpusOps.tfidfTopTerms(t(s, d, "documents"), "doc_id",
+        "text", k = 3),
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             |  GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |s AS (SELECT tf.doc_id, tf.term,
+             |    round(tf.tf * ln(n.n / df.df), 4) + 0 AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id
+             |                       ORDER BY tfidf DESC, term) AS rn
+             |  FROM s)
+             |SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+             |FROM r WHERE rn <= 3""".stripMargin)),
+
+    Q("q_cdc_dedup", // content-defined chunk dedup (FastCDC at word
+      // level): md5-boundary chunks (expected length 16 tokens), then
+      // cross-doc duplicated-chunk stats — the edit-robust,
+      // 1/avgTokens-posting-volume member between whole-doc exact
+      // dedup and stride-1 span stats. Both engines split on the
+      // identical md5-prefix boundary; (hash, string) equality decides
+      // duplication.
+      (s, d) => CorpusOps.cdcChunkStats(t(s, d, "documents"), "doc_id",
+        "text", avgTokens = 16, minDf = 2),
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |l AS (SELECT doc_id, unnest(toks) AS tok,
+             |    generate_subscripts(toks, 1) AS pos FROM d),
+             |b AS (SELECT doc_id, pos, tok,
+             |    CASE WHEN ('0x' || substr(md5(tok), 1, 8))::UBIGINT
+             |      % 16 = 0 THEN 1 ELSE 0 END AS isb FROM l),
+             |c AS (SELECT doc_id, pos, tok,
+             |    coalesce(sum(isb) OVER (PARTITION BY doc_id
+             |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS chunk
+             |  FROM b),
+             |ch AS (SELECT doc_id, chunk,
+             |    string_agg(tok, ' ' ORDER BY pos) AS ct
+             |  FROM c GROUP BY 1, 2),
+             |ds AS (SELECT ct FROM
+             |    (SELECT DISTINCT doc_id, ct FROM ch)
+             |  GROUP BY ct HAVING count(*) >= 2)
+             |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN ds.ct IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dup_chunks,
+             |  round(CAST(sum(CASE WHEN ds.ct IS NOT NULL THEN 1
+             |    ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+             |FROM ch LEFT JOIN ds ON ch.ct = ds.ct
+             |GROUP BY 1""".stripMargin)),
+
     Q("q_temperature_mix", // temperature-scaled domain mixture weights
       // (the multilingual-LM sampling exponent): per-source document
       // shares raised to tau=0.5 and renormalized — the upweight-the-

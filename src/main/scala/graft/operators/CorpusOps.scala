@@ -1564,6 +1564,118 @@ object CorpusOps {
         (round(avg(col("__lp")), 4) + lit(0.0d)).as("avg_logprob"))
   }
 
+  /** Content-defined chunking at word level (the FastCDC/rsync idea
+    * applied to text): a token ENDS a chunk whenever its md5-prefix
+    * hash ≡ 0 (mod `avgTokens`), so chunk boundaries are a pure
+    * function of LOCAL content — inserting or deleting a token
+    * re-splits only the chunk it touches, never shifting every
+    * downstream boundary the way fixed windows ([[chunkDocs]]) do.
+    * Expected chunk length = `avgTokens`; a doc with no boundary token
+    * is one chunk; every token belongs to exactly one chunk. Returns
+    * (`idCol`, `chunk_idx` 0-based, `chunk_text`, `n_tokens`).
+    *
+    * Scale shape: one explode + a per-doc running-sum window (state =
+    * one counter; partition = the doc, the natural bound) + one
+    * (doc, chunk) aggregation rebuilding chunk text in token order —
+    * all linear, no corpus-wide window. The md5-prefix boundary is the
+    * engine-portable house draw, so a SQL oracle splits identically. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgTokens: Int = 16): DataFrame = {
+    require(avgTokens >= 2, s"avgTokens out of range: $avgTokens")
+    val toks = docs.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__t")))
+      .withColumn("__b",
+        when(nbBucket(col("__t"), lit(avgTokens.toLong)) === 0, 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("__chunk", coalesce(sum(col("__b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("__chunk"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__t")))),
+          s => s.getField("__t")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("__chunk").as("chunk_idx"),
+        col("chunk_text"), col("n_tokens"))
+  }
+
+  /** Cross-document duplicated-chunk statistics over [[cdcChunks]] —
+    * the edit-robust, coarse-grained member of the dedup family
+    * (between [[graft.operators.Dedup.exact]] whole-doc hashing and
+    * [[duplicateSpanStats]]' stride-1 spans: ~1/avgTokens the posting
+    * volume of spans, and unlike fixed windows a one-token edit
+    * perturbs ONE chunk's hash, so shared unedited regions still
+    * match). A chunk is duplicated when its text occurs in >=
+    * `minDf` distinct documents (within-doc repeats alone don't flag
+    * — the [[duplicateSpanStats]] df contract, decided by (hash,
+    * string) equality so a 64-bit collision can never false-flag).
+    * Returns (`idCol`, `n_chunks`, `dup_chunks`, `dup_frac` round 6).
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+                    avgTokens: Int = 16, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would flag every chunk: $minDf")
+    val chunks = cdcChunks(docs, idCol, textCol, avgTokens)
+      .select(col(idCol), col("chunk_text"))
+    val dupSet = chunks.distinct()
+      .groupBy(xxhash64(col("chunk_text")).as("__h"),
+        col("chunk_text").as("__ct"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__ct"))
+    chunks
+      .join(dupSet, xxhash64(col("chunk_text")) === col("__h") &&
+        col("chunk_text") === col("__ct"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__ct").isNotNull, 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("dup_chunks"),
+        round(col("dup_chunks").cast("double")
+          / col("n_chunks").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Top-`k` terms per document by tf-idf (classic
+    * `tf * ln(N / df)`) — keyword extraction for corpus exploration,
+    * topic labeling, and cheap near-dup features. Returns (`idCol`,
+    * `term`, `tfidf` rounded 4, `rank` 1..k), ranked per doc over the
+    * ROUNDED score with term tie-break (the deterministic
+    * cross-engine rule); terms in every document score exactly 0
+    * (ln 1) and still rank by tie-break if they make the cut.
+    *
+    * Scale shape: explode -> one (doc, term) hash aggregation; df
+    * rolls up FROM that aggregate (one relation feeds both counts, the
+    * [[trainNbQuality]] lesson); the df rejoin shuffles on the term
+    * key — the vocabulary is corpus-scaled, so df is NOT assumed
+    * broadcastable (contrast [[bm25TopK]], which prunes to |q| terms
+    * first); the per-doc top-k compiles to WindowGroupLimit. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val base = docs.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val n = base.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = base
+      .select(col(idCol), explode(col("__tk")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        (round(col("__tf").cast("double")
+          * log(col("__n") / col("__df").cast("double")), 4) + lit(0.0d))
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Temperature-scaled domain mixture weights — the multinomial
     * sampling knob multilingual/multi-domain LM training uses (e.g.
     * the mBERT/XLM-R exponent): `w_g = p_g^tau / sum_j p_j^tau` where

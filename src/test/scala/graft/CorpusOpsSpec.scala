@@ -841,6 +841,78 @@ class CorpusOpsSpec extends SparkSpec {
       card2.toString)
   }
 
+  test("tfidfTopTerms: hand math, rank truncation, zero-idf ubiquity") {
+    // 3 docs; 'c' is in every doc -> idf 0; 'a' in 2 docs; 'x','y'
+    // unique to doc 3
+    val docs = Seq((1L, "a a c"), (2L, "a c"), (3L, "x y c"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val exp = Set(
+      (1L, "a", r4(2.0 * math.log(3.0 / 2.0)), 1L),
+      (1L, "c", 0.0, 2L),
+      (2L, "a", r4(1.0 * math.log(3.0 / 2.0)), 1L),
+      (2L, "c", 0.0, 2L),
+      (3L, "x", r4(math.log(3.0)), 1L), // ties: term asc
+      (3L, "y", r4(math.log(3.0)), 2L))
+    assert(out.toSet == exp, s"${out.mkString(",")}\nvs $exp")
+    intercept[IllegalArgumentException] {
+      CorpusOps.tfidfTopTerms(docs, "doc_id", "text", 0)
+    }
+  }
+
+  test("cdcChunks: boundary law, full coverage, edit-robustness") {
+    // mirror of the engine's boundary rule, for planted constructions
+    def isBoundary(tok: String, m: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(x => f"$x%02x").mkString, 16) % m == 0
+    }
+    val m = 4L
+    // find one boundary and several non-boundary tokens
+    val pool = (1 to 200).map(i => s"w$i")
+    val bTok = pool.find(isBoundary(_, m)).get
+    val plain = pool.filterNot(isBoundary(_, m)).take(10).toArray
+    // doc: 3 plains, boundary, 3 plains -> exactly 2 chunks, split
+    // right AFTER the boundary token (it ends its chunk)
+    val toks = plain.take(3) ++ Array(bTok) ++ plain.slice(3, 6)
+    val chunks = CorpusOps.cdcChunks(
+      Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", avgTokens = m.toInt)
+      .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3))))
+      .sortBy(_._1)
+    assert(chunks.toSeq == Seq(
+      0L -> (((plain.take(3) :+ bTok).mkString(" "), 4L)),
+      1L -> ((plain.slice(3, 6).mkString(" "), 3L))), chunks.mkString(","))
+    // edit-robustness: inserting one non-boundary token changes ONLY
+    // the chunk containing it; every other chunk hash survives
+    val longDoc = (plain ++ Array(bTok) ++ plain.reverse ++
+      Array(bTok) ++ plain).mkString(" ")
+    val edited = (plain ++ Array(bTok) ++ plain.reverse.take(5) ++
+      Array(plain(9)) ++ plain.reverse.drop(5) ++ Array(bTok) ++ plain)
+      .mkString(" ")
+    def chunkTexts(t: String) = CorpusOps.cdcChunks(
+      Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text", m.toInt)
+      .collect().map(_.getString(2)).toSeq
+    val (ca, cb) = (chunkTexts(longDoc), chunkTexts(edited))
+    assert(cb.size == ca.size, s"$ca vs $cb")
+    assert(ca.toSet.intersect(cb.toSet).size == ca.size - 1,
+      s"edit touched more than one chunk:\n$ca\n$cb")
+    // stats: a duplicated doc flags all its chunks; a unique doc none
+    val stats = CorpusOps.cdcChunkStats(Seq(
+        (1L, longDoc), (2L, longDoc),
+        (3L, (1 to 30).map(i => s"u$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", avgTokens = m.toInt)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(stats(1L)._2 == 1.0 && stats(2L)._2 == 1.0 &&
+      stats(3L) == ((0L, 0.0)), stats.toString)
+  }
+
   test("temperatureWeights: hand shares, flattening law, null exclusion") {
     val docs = (Seq.tabulate(80)(i => (i.toLong, "a"))
       ++ Seq.tabulate(20)(i => (100L + i, "b"))
