@@ -1775,6 +1775,51 @@ object QueryCatalog {
              |GROUP BY doc_id""".stripMargin),
       headline = true),
 
+    Q("q_rrf_fuse", // reciprocal-rank fusion of three incomparable
+      // quality signals (char count, token count, longest-token
+      // length): rank each with the two-phase global rank (range
+      // exchange + slice-local windows — never a single-partition
+      // sort), contribute 1/(60+rank), sum per doc. Total (score desc,
+      // id) orderings on both engines; round-6 absorbs sum order.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nonBlank = docs.filter(col("text").isNotNull &&
+          trim(col("text")) =!= "")
+        CorpusOps.rrfFuse(Map(
+          "chars" -> ((docs.select(col("doc_id"),
+            col("n_chars").cast("double").as("sc")), "sc")),
+          "toks" -> ((nonBlank.select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("double")
+              .as("sc")), "sc")),
+          "longest" -> ((nonBlank.select(col("doc_id"),
+            array_max(transform(split(trim(col("text")), "\\s+"),
+              x => length(x))).cast("double").as("sc")), "sc"))),
+          "doc_id", k = 60)
+      },
+      Some("""WITH s1 AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |s2 AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS s FROM d),
+             |s3 AS (SELECT doc_id,
+             |    CAST(list_max(list_transform(toks, x -> length(x)))
+             |      AS DOUBLE) AS s FROM d),
+             |r1 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM s1),
+             |r2 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM s2),
+             |r3 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM s3),
+             |u AS (SELECT doc_id, r FROM r1
+             |      UNION ALL SELECT doc_id, r FROM r2
+             |      UNION ALL SELECT doc_id, r FROM r3)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_signals,
+             |  round(sum(CAST(1.0 AS DOUBLE)
+             |    / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
+             |FROM u GROUP BY 1""".stripMargin)),
+
     Q("q_tfidf_terms", // per-doc top-3 keywords by tf-idf (corpus
       // exploration / topic labeling): tf * ln(N/df), round-4 BEFORE
       // the per-doc rank (term tie-break) so both engines rank
@@ -2588,6 +2633,63 @@ object QueryCatalog {
               |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM np"""
         .stripMargin),
       headline = true),
+
+    Q("q_ngram_containment", // the ASYMMETRIC near-dup twin: Broder
+      // containment |A∩B|/min(|A|,|B|) catches a 12-token fragment
+      // embedded in its parent doc (containment 1.0) that Jaccard
+      // scores ~0.1 — sub-document duplication (quotes, license
+      // blocks, mirrored articles). Corpus = documents + planted
+      // 12-token prefixes of docs 0..19 at +1M ids; same rare-shingle
+      // candidacy and exact-intersection contract as q_ngram_jaccard.
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val toks = split(trim(col("text")), "\\s+")
+        val frag = t(s, d, "documents")
+          .filter(col("doc_id") < 20 && col("text").isNotNull &&
+            trim(col("text")) =!= "" && size(toks) >= 15)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            array_join(slice(toks, 1, 12), " ").as("text"))
+        Dedup.ngramContainmentPairs(docs.unionByName(frag), "doc_id",
+          "text", shingleN = 3, minContainment = 0.9, maxDocFreq = 20)
+      },
+      Some("""WITH fr AS (SELECT doc_id + 1000000 AS doc_id,
+             |    array_to_string(list_slice(
+             |      string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+             |      AS text
+             |  FROM documents
+             |  WHERE doc_id < 20 AND text IS NOT NULL
+             |    AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 15),
+             |docs AS (SELECT doc_id, text FROM documents
+             |         UNION ALL SELECT doc_id, text FROM fr),
+             |t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM docs WHERE text IS NOT NULL AND trim(text) <> ''),
+             |g AS (SELECT DISTINCT doc_id, sh FROM (
+             |        SELECT doc_id, unnest(list_filter(
+             |          list_transform(toks, (x, i) ->
+             |            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             |          v -> v IS NOT NULL)) AS sh
+             |        FROM t) u),
+             |sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+             |rare AS (SELECT sh FROM g GROUP BY sh
+             |         HAVING count(*) BETWEEN 2 AND 20),
+             |cand AS (SELECT DISTINCT g1.doc_id AS id_a,
+             |           g2.doc_id AS id_b
+             |         FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
+             |         WHERE g1.doc_id < g2.doc_id),
+             |pairs AS (SELECT id_a, id_b, count(*) AS inter
+             |          FROM cand
+             |          JOIN g g1 ON g1.doc_id = id_a
+             |          JOIN g g2 ON g2.doc_id = id_b AND g2.sh = g1.sh
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(inter / least(sa.n_sh, sb.n_sh), 4) AS containment
+             |FROM pairs
+             |JOIN sz sa ON sa.doc_id = id_a
+             |JOIN sz sb ON sb.doc_id = id_b
+             |WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.9"""
+        .stripMargin)),
 
     Q("q_minhash_pairs", // MinHash+LSH near-dup candidates. The full
       // pair set isn't SQL-expressible (MinHash estimates), so the gate

@@ -1637,6 +1637,64 @@ object CorpusOps {
           / col("n_chunks").cast("double"), 6).as("dup_frac"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of multiple scored
+    * views of the same documents — the standard way to ENSEMBLE
+    * quality/retrieval signals whose raw scales don't compare (an LM
+    * log-prob, a classifier log-odds, BM25): each signal contributes
+    * `1 / (k + rank)` of the document under THAT signal, and the sum
+    * ranks the corpus. Rank-based, so it needs no calibration — the
+    * same reason [[percentileNormalize]] exists, but combining MANY
+    * signals into one ordering instead of normalizing one.
+    *
+    * `signals` maps a signal name to (frame, scoreCol); frames may
+    * cover different doc subsets — a document absent from a signal
+    * simply gets no contribution from it (the RRF convention). Ranks
+    * are dense over each signal's rows, ordered by score DESC with id
+    * tie-break (deterministic, engine-portable). Returns (`idCol`,
+    * `n_signals`, `rrf_score` rounded 6), every doc appearing in at
+    * least one signal.
+    *
+    * Scale shape: rank over the FULL signal is the operator's
+    * semantics, and a naive `row_number` over an empty partition spec
+    * plans as ONE partition — so each signal ranks with the
+    * [[packOffsets]] two-phase trick instead: range-repartition on
+    * (score desc, id) — a total order, so no tie can straddle a slice
+    * boundary — then slice-local row_numbers plus a broadcast
+    * per-slice count prefix. One range exchange + one bounded window
+    * per signal, never a single-partition sort; the fuse itself is one
+    * hash aggregation on the id. */
+  def rrfFuse(signals: Map[String, (DataFrame, String)], idCol: String,
+              k: Int = 60, buckets: Int = 64): DataFrame = {
+    require(signals.nonEmpty, "rrfFuse: no signals")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val ranked = signals.toSeq.sortBy(_._1).map { case (_, (df, sc)) =>
+      val sliced = Materialize(
+        df.filter(col(sc).isNotNull)
+          .select(col(idCol), col(sc).as("__s"))
+          .repartitionByRange(buckets, col("__s").desc, col(idCol))
+          .withColumn("__slice", spark_partition_id()),
+        eager = false)
+      val wOff = Window.orderBy(col("__slice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sliced.groupBy(col("__slice"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+        .select(col("__slice"), col("__off"))
+      val wIn = Window.partitionBy(col("__slice"))
+        .orderBy(col("__s").desc, col(idCol))
+      sliced.join(broadcast(offsets), Seq("__slice"))
+        .withColumn("__r", col("__off") + row_number().over(wIn))
+        .select(col(idCol),
+          (lit(1.0d) / (lit(k.toDouble) + col("__r").cast("double")))
+            .as("__c"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_signals"),
+        (round(sum(col("__c")), 6) + lit(0.0d)).as("rrf_score"))
+  }
+
   /** Top-`k` terms per document by tf-idf (classic
     * `tf * ln(N / df)`) — keyword extraction for corpus exploration,
     * topic labeling, and cheap near-dup features. Returns (`idCol`,

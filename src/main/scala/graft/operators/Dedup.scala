@@ -626,9 +626,79 @@ object Dedup {
     * they never reach the output even when `minJaccard = 0` (callers
     * document this; all shipped entry points default to thresholds
     * > 0 where the exclusion is unobservable). */
+  /** N-gram CONTAINMENT near-dup pairs — the asymmetric twin of
+    * [[ngramJaccardPairs]] for SUB-document duplication: a 50-token
+    * quote inside a 5000-token page has Jaccard ~ 0.01 (invisible at
+    * any usable threshold) but containment-of-the-smaller
+    * `|A ∩ B| / min(|A|, |B|)` ~ 1.0. Broder's containment measure;
+    * the standard companion wherever corpora embed copies of smaller
+    * documents (mirrored articles inside aggregator pages, license
+    * blocks, quoted posts).
+    *
+    * Same machinery and guarantees as the Jaccard form — rare-shingle
+    * blocking gates candidacy (identical recall contract: a pair must
+    * share >= 1 shingle with corpus df in [2, maxDocFreq]), a lossless
+    * PPJoin-style bound prunes before the exact intersection
+    * (`inter <= r_inter + min(cm_a, cm_b)` and `<= min(n_a, n_b)`, so
+    * `containment <= ub / min(n_a, n_b)`), and the reported score is
+    * EXACT over the pair's full shingle sets. Returns (`id_a`, `id_b`,
+    * `containment` round 4) with id_a < id_b. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3,
+                            minContainment: Double = 0.8,
+                            maxDocFreq: Int = 20): DataFrame = {
+    // candidate pipeline mirrors ngramJaccardPairs (see its comments
+    // for every shape decision); only the prune bound and the final
+    // scorer differ
+    val exploded = Materialize(
+      df.filter(hasMinTokens(col(textCol), shingleN))
+        .select(col(idCol).as("id"),
+          graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
+            .as("sh"))
+        .select(col("id"), explode(col("sh")).as("s_raw"))
+        .select(col("id"), xxhash64(col("s_raw")).as("s"))
+        .withColumn("df_count",
+          count(lit(1)).over(Window.partitionBy(col("s")))),
+      eager = false)
+    val rareIds = exploded
+      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("s"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
+    val candCounts = rareIds
+      .select(explode(graft.plans.TextExpressions.id_pairs(col("ids")))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("r_inter"))
+    val stats = exploded
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"),
+        count_if(col("df_count") > maxDocFreq).as("cm"))
+    val ubInter = least(col("r_inter") + least(col("cm_a"), col("cm_b")),
+      least(col("n_a"), col("n_b")))
+    val survivors = candCounts
+      .join(stats.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("cm").as("cm_a")), Seq("id_a"))
+      .join(stats.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("cm").as("cm_b")), Seq("id_b"))
+      .filter(ubInter.cast("double")
+        / least(col("n_a"), col("n_b")).cast("double") >= minContainment)
+      .select(col("id_a"), col("id_b"))
+    exactScoredForCandidates(Materialize(survivors, eager = true),
+      exploded.select(col("id"), col("s")), minContainment,
+      containment = true)
+  }
+
   private def exactJaccardForCandidates(candidates: DataFrame,
                                         exploded: DataFrame,
-                                        minJaccard: Double): DataFrame = {
+                                        minJaccard: Double): DataFrame =
+    exactScoredForCandidates(candidates, exploded, minJaccard,
+      containment = false)
+
+  private def exactScoredForCandidates(candidates: DataFrame,
+                                       exploded: DataFrame,
+                                       minScore: Double,
+                                       containment: Boolean): DataFrame = {
     // shingles are a per-doc SET, so the per-id row count IS the set
     // size — counted only for docs that appear in some candidate pair
     // (semi-join first): the candidate set is tiny next to the corpus,
@@ -653,14 +723,20 @@ object Dedup {
       .join(eB, Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+    val (scoreName, scoreExpr) =
+      if (containment)
+        ("containment", col("inter").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"))
+      else
+        ("jaccard", col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")).cast("double"))
     inter
       .join(sz.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sz.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn(scoreName, scoreExpr)
+      .filter(col(scoreName) >= minScore)
+      .select(col("id_a"), col("id_b"),
+        round(col(scoreName), 4).as(scoreName))
   }
 
   /** 64-bit SimHash of the token multiset (Charikar 2002): per-bit

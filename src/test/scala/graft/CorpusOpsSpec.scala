@@ -841,6 +841,35 @@ class CorpusOpsSpec extends SparkSpec {
       card2.toString)
   }
 
+  test("rrfFuse: hand fusion, bucket invariance, partial coverage") {
+    // signal A ranks 1,2,3 = docs 3,2,1; signal B covers only docs
+    // 1,2 (doc 1 first); doc 4 has a NULL score in A -> excluded there
+    val a = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, None)).toDF("doc_id", "s")
+    val b = Seq((1L, 9.0), (2L, 5.0)).toDF("doc_id", "s")
+    def run(buckets: Int) = CorpusOps.rrfFuse(
+      Map("a" -> ((a, "s")), "b" -> ((b, "s"))), "doc_id",
+      k = 60, buckets = buckets)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = run(64)
+    val exp = Map(
+      1L -> ((2L, r6(1.0 / 63 + 1.0 / 61))), // rank 3 in a, 1 in b
+      2L -> ((2L, r6(1.0 / 62 + 1.0 / 62))),
+      3L -> ((1L, r6(1.0 / 61))),
+      4L -> ((0L, 0.0))) - 4L // NULL score -> absent entirely
+    assert(got == exp, s"$got vs $exp")
+    // the two-phase global rank is bucket-count invariant
+    assert(run(1) == got && run(7) == got, "bucketing changed ranks")
+    intercept[IllegalArgumentException] {
+      CorpusOps.rrfFuse(Map.empty, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rrfFuse(Map("a" -> ((a, "s"))), "doc_id", k = 0)
+    }
+  }
+
   test("tfidfTopTerms: hand math, rank truncation, zero-idf ubiquity") {
     // 3 docs; 'c' is in every doc -> idf 0; 'a' in 2 docs; 'x','y'
     // unique to doc 3

@@ -952,6 +952,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ngramContainmentPairs: fragment-in-parent found, Jaccard-blind") {
+    // parent: 60 distinct tokens; fragment: its tokens 10..21 (12
+    // tokens -> 10 trigrams, every one inside the parent)
+    val parentToks = (1 to 60).map(i => s"t$i")
+    val parent = parentToks.mkString(" ")
+    val fragment = parentToks.slice(10, 22).mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, parent), (2L, fragment), (3L, other))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        shingleN = 3, minContainment = 0.9, maxDocFreq = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // containment of the smaller = 10/10 = 1.0
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    // the same pair is INVISIBLE to Jaccard at any usable threshold:
+    // 10 / (58 + 10 - 10) ~ 0.17
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, maxDocFreq = 20)
+      .collect()
+    assert(jac.isEmpty, jac.mkString(","))
+    // and at a sub-0.17 threshold Jaccard agrees on the exact
+    // intersection (shared machinery, shared counts)
+    val jacLow = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.1, maxDocFreq = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jacLow.toSeq ==
+      Seq((1L, 2L, math.rint(10.0 / 58.0 * 1e4) / 1e4)),
+      jacLow.mkString(","))
+  }
+
   test("ivfAppend: append == one-shot assignment; drift summary moves") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivfa_spec").toString + "/idx"
