@@ -2691,6 +2691,89 @@ object QueryCatalog {
              |WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.9"""
         .stripMargin)),
 
+    Q("q_containment_dedup", // the composed sub-document dedup:
+      // containment pairs -> connected components -> keep each
+      // cluster's LARGEST member (quality = token count) — min-id
+      // canonicalization could keep the 12-token fragment and drop its
+      // 60-token parent; quality-keeping can't. Same planted corpus as
+      // q_ngram_containment; oracle = the recursive-closure pattern of
+      // q_leakage_split over containment edges, keeper by
+      // row_number(quality DESC, id).
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val toks = split(trim(col("text")), "\\s+")
+        val frag = t(s, d, "documents")
+          .filter(col("doc_id") < 20 && col("text").isNotNull &&
+            trim(col("text")) =!= "" && size(toks) >= 15)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            array_join(slice(toks, 1, 12), " ").as("text"))
+        val corpus = base.unionByName(frag)
+        Dedup.dedupByQualityFromPairs(corpus, "doc_id",
+          Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+            shingleN = 3, minContainment = 0.9, maxDocFreq = 20),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long"))
+      },
+      Some("""WITH RECURSIVE fr AS (SELECT doc_id + 1000000 AS doc_id,
+             |    array_to_string(list_slice(
+             |      string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+             |      AS text
+             |  FROM documents
+             |  WHERE doc_id < 20 AND text IS NOT NULL
+             |    AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 15),
+             |docs AS (SELECT doc_id, text FROM documents
+             |         UNION ALL SELECT doc_id, text FROM fr),
+             |t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM docs WHERE text IS NOT NULL AND trim(text) <> ''),
+             |g AS (SELECT DISTINCT doc_id, sh FROM (
+             |        SELECT doc_id, unnest(list_filter(
+             |          list_transform(toks, (x, i) ->
+             |            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             |          v -> v IS NOT NULL)) AS sh
+             |        FROM t) u),
+             |sz AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+             |rare AS (SELECT sh FROM g GROUP BY sh
+             |         HAVING count(*) BETWEEN 2 AND 20),
+             |cand AS (SELECT DISTINCT g1.doc_id AS id_a,
+             |           g2.doc_id AS id_b
+             |         FROM g g1 JOIN g g2 USING (sh) JOIN rare USING (sh)
+             |         WHERE g1.doc_id < g2.doc_id),
+             |prs AS (SELECT id_a, id_b, count(*) AS inter
+             |          FROM cand
+             |          JOIN g g1 ON g1.doc_id = id_a
+             |          JOIN g g2 ON g2.doc_id = id_b AND g2.sh = g1.sh
+             |          GROUP BY 1, 2),
+             |cp AS (SELECT id_a, id_b FROM prs
+             |       JOIN sz sa ON sa.doc_id = id_a
+             |       JOIN sz sb ON sb.doc_id = id_b
+             |       WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.9),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM cp
+             |          UNION SELECT id_b, id_a FROM cp),
+             |walk AS (
+             |  SELECT a AS id, a AS label FROM edges
+             |  UNION
+             |  SELECT w.id, e.b AS label
+             |  FROM walk w JOIN edges e ON e.a = w.label),
+             |comp AS (SELECT id, min(label) AS cluster_id
+             |         FROM walk GROUP BY id),
+             |q AS (SELECT c.id, c.cluster_id,
+             |        len(string_split_regex(trim(d.text), '\s+')) AS qt
+             |      FROM comp c JOIN docs d ON d.doc_id = c.id),
+             |keep AS (SELECT id, cluster_id,
+             |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             |    row_number() OVER (PARTITION BY cluster_id
+             |      ORDER BY qt DESC, id) AS rn
+             |  FROM q)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(k.n_members, 1) AS BIGINT) AS n_members
+             |FROM docs d
+             |LEFT JOIN (SELECT id, n_members FROM keep WHERE rn = 1) k
+             |  ON k.id = d.doc_id
+             |WHERE d.doc_id NOT IN
+             |  (SELECT id FROM keep WHERE rn > 1)""".stripMargin)),
+
     Q("q_minhash_pairs", // MinHash+LSH near-dup candidates. The full
       // pair set isn't SQL-expressible (MinHash estimates), so the gate
       // pins the planted-duplicate property (the q_approx_distinct

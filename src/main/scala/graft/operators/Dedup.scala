@@ -1055,9 +1055,24 @@ object Dedup {
   def nearDedupByQuality(df: DataFrame, idCol: String, textCol: String,
                          quality: Column,
                          shingleN: Int = 3, minJaccard: Double = 0.8,
-                         maxDocFreq: Int = 20): DataFrame = {
-    val clusters = clusterPairs(
-      ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard, maxDocFreq))
+                         maxDocFreq: Int = 20): DataFrame =
+    dedupByQualityFromPairs(df, idCol,
+      ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard,
+        maxDocFreq),
+      quality)
+
+  /** The cluster-then-keep-best tail of [[nearDedupByQuality]], taking
+    * the near-dup PAIRS as input so any pair generator plugs in —
+    * [[ngramContainmentPairs]] for sub-document dedup (quality = token
+    * count keeps the PARENT and drops embedded fragments, where min-id
+    * canonicalization could keep the fragment), [[simhashPairs]],
+    * embedding pairs. Keeper per connected component = max (quality,
+    * then smallest id); returns (`idCol`, `n_members`) — every
+    * unclustered doc plus one keeper per cluster. */
+  def dedupByQualityFromPairs(df: DataFrame, idCol: String,
+                              pairs: DataFrame,
+                              quality: Column): DataFrame = {
+    val clusters = clusterPairs(pairs)
     val scored = clusters
       .join(df.select(col(idCol).as("id"), quality.as("__q")), Seq("id"))
     // keeper = max (quality, -id): nulls-last via the struct trick —

@@ -982,6 +982,30 @@ class DedupSimilaritySpec extends SparkSpec {
       jacLow.mkString(","))
   }
 
+  test("dedupByQualityFromPairs: keeps the parent, not the min id") {
+    // fragment gets the SMALLER id on purpose: min-id canonicalization
+    // (nearDedup) keeps the 12-token fragment and drops its 60-token
+    // parent; quality-keeping by token count cannot
+    val parentToks = (1 to 60).map(i => s"t$i")
+    val docs = Seq(
+      (1L, parentToks.slice(10, 22).mkString(" ")), // the fragment
+      (2L, parentToks.mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      shingleN = 3, minContainment = 0.9, maxDocFreq = 20)
+    val kept = Dedup.dedupByQualityFromPairs(docs, "doc_id", pairs,
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(2L -> 2L, 3L -> 1L), kept.toString)
+    // the min-id form keeps the fragment — the failure mode this
+    // operator exists to avoid
+    val minId = Dedup.nearDedup(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.1, maxDocFreq = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(minId.contains(1L) && !minId.contains(2L), minId.toString)
+  }
+
   test("ivfAppend: append == one-shot assignment; drift summary moves") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivfa_spec").toString + "/idx"
