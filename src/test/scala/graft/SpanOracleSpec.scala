@@ -91,6 +91,24 @@ class SpanOracleSpec extends SparkSpec {
       s"sf0.001 truth moved (testdata regenerated?): $r")
   }
 
+  test("sf0.1 documents: the n=4 over-extension mode exists in the " +
+    "wild and the meter pins it") {
+    // over a 30-word vocabulary, 4-gram collisions between unrelated
+    // docs chain into >= 16-token runs with no true 16-token
+    // duplicated substring — recall stays 1.0 (theorem), precision
+    // collapses; deterministic corpus, so the numbers pin exactly
+    val r = SpanRecall.measure(spark, "/root/testdata/sf0.1",
+      SpanRecall.Config(4, 16))
+    assert(r.recall == 1.0, r.toString)
+    assert(math.rint(r.precision * 1e4) / 1e4 == 0.3919, r.toString)
+    assert(r.exactRanges == 433 && r.approxRanges == 2237, r.toString)
+    // and at n == minTokens the same corpus is exact again
+    val ok = SpanRecall.measure(spark, "/root/testdata/sf0.1",
+      SpanRecall.Config(16, 16))
+    assert(ok.recall == 1.0 && ok.precision == 1.0 &&
+      ok.rangesIdentical == 433, ok.toString)
+  }
+
   test("sf0.001 documents: n < minTokens keeps recall 1.0 (theorem) " +
     "and measured precision 1.0 on this corpus") {
     for (cfg <- Seq(SpanRecall.Config(8, 16), SpanRecall.Config(8, 24),
