@@ -35,11 +35,37 @@ object IvfDrift {
       .select(col("vec_id"), col("embedding"))
     Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
       k = 16, iters = 4)
+    // recall@10 of the aging index against brute-force truth over its
+    // CURRENT contents — the user-facing consequence of drift: the
+    // centroids stay frozen while the corpus moves, so probe pruning
+    // reads increasingly wrong cells. Queries = 20 spread BASE vectors
+    // (the stable workload); truth recomputed per stage because the
+    // corpus itself grows.
+    val k = 10
+    val qIds = emb.select("vec_id").orderBy("vec_id").collect()
+      .map(_.getLong(0)).grouped(math.max(1, 2000 / 20))
+      .map(_.head).take(20).toSeq
+    val qVecs = emb.filter(col("vec_id").isin(qIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def recallAt(probes: Int): Double = {
+      val corpus = spark.read.parquet(dir)
+        .select(col("id").as("vec_id"), col("v").as("embedding"))
+      val recalls = qIds.map { q =>
+        val truth = Similarity.cosineTopK(corpus, "vec_id", "embedding",
+            q, k).select("id").collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfCentroidTopK(spark, dir, qVecs(q), k + 1,
+            probes).select("id").collect().map(_.getLong(0))
+          .filterNot(_ == q).take(k).toSet
+        (got intersect truth).size.toDouble / k
+      }
+      recalls.sum / recalls.size
+    }
     def row(stage: String): String = {
       val s = Similarity.ivfDriftSummary(spark, dir).collect()(0)
       f"| $stage | ${s.getLong(0)} | ${s.getLong(1)} | " +
         f"${s.getDouble(2)}%.3f | ${s.getDouble(3)}%.4f | " +
-        f"${s.getBoolean(4)} |"
+        f"${s.getBoolean(4)} | ${recallAt(1)}%.3f | ${recallAt(4)}%.3f |"
     }
     def shifted(offset: Double, idBase: Long) = emb.select(
       (col("vec_id") + idBase).as("vec_id"),
@@ -49,8 +75,8 @@ object IvfDrift {
         (x, i) => when(i === 0, x + lit(offset)).otherwise(x + lit(0.0d)))
         .cast("array<float>").as("embedding"))
     println("| stage | cells | vecs | count_skew | mean_residual | " +
-      "retrain(4.0/0.5) |")
-    println("|---|---|---|---|---|---|")
+      "retrain(4.0/0.5) | recall@10 p=1 | p=4 |")
+    println("|---|---|---|---|---|---|---|---|")
     println(row("build"))
     Similarity.ivfAppend(shifted(0.0, 1000000L), "vec_id", "embedding", dir)
     println(row("+copy (no shift)"))
