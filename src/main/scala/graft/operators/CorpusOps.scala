@@ -920,10 +920,18 @@ object CorpusOps {
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("__pos", "__p")))
-    val seenDir = new java.io.File(seenPath)
+    // probe through the Hadoop FileSystem of the path's scheme, NOT
+    // java.io.File (ADVICE r14): on HDFS/S3 — the cluster modes
+    // spark.graft.reliableCheckpoint exists for — a driver-local File
+    // check always reports missing, so every batch would silently treat
+    // the seen table as empty and cross-batch dedup stops working with
+    // no error
+    val seenHPath = new org.apache.hadoop.fs.Path(seenPath)
+    val seenFs = seenHPath.getFileSystem(spark.sessionState.newHadoopConf())
     val seen =
-      (if (seenDir.isDirectory &&
-        Option(seenDir.list()).exists(_.exists(_.startsWith("batch="))))
+      (if (seenFs.exists(seenHPath) &&
+        seenFs.listStatus(seenHPath)
+          .exists(_.getPath.getName.startsWith("batch=")))
         spark.read.parquet(seenPath)
           .filter(col("batch") =!= batchId) // replay: own delta invisible
           .select(col("__ph"), col("__fp"))
@@ -932,12 +940,20 @@ object CorpusOps {
       .filter(trim(col("__p")) =!= "")
       .groupBy(xxhash64(col("__p")).as("__ph"), col("__p"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
-    val newFirsts = firsts
+    // eager Materialize (the house mutate-then-reread protection), not
+    // best-effort persist+count (ADVICE r14): after cache-block
+    // eviction a persisted plan RECOMPUTES, and the recompute would
+    // re-list seenPath concurrently with the overwrite of this batch's
+    // own directory below — correct only through the fragile implicit
+    // coupling that the batch=!=batchId filter prunes the in-flight
+    // directory. Lineage truncation makes the pre-write snapshot
+    // explicit (and spark.graft.reliableCheckpoint makes it
+    // replayable on a real cluster).
+    val newFirsts = Materialize(firsts
       .join(seen, firsts("__ph") === seen("__ph") &&
         col("__p") === col("__fp"), "left_anti")
-      .select(col("__ph"), col("__p").as("__fp"), col("__first"))
-      .persist()
-    newFirsts.count() // materialize BEFORE seenPath is ever written
+      .select(col("__ph"), col("__p").as("__fp"), col("__first")),
+      eager = true)
     val cleaned = paras
       .join(newFirsts, xxhash64(col("__p")) === col("__ph") &&
         col("__p") === col("__fp"), "left_outer")
@@ -957,7 +973,6 @@ object CorpusOps {
     cleaned.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     newFirsts.select(col("__ph"), col("__fp"))
       .write.mode("overwrite").parquet(s"$seenPath/batch=$batchId")
-    newFirsts.unpersist()
     ()
   }
 

@@ -609,6 +609,126 @@ object Dedup {
         .select(col("id"), xxhash64(col("s_raw")).as("s")),
       eager = false)
 
+  /** Skew-safe rare-shingle candidate machinery shared by
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]]: from the
+    * narrow exploded (id, s) relation, derive
+    *   - `candCounts` (id_a, id_b, r_inter): candidate pairs sharing
+    *     >= 1 rare shingle (corpus df in [2, maxDocFreq]) with their
+    *     shared-rare count, and
+    *   - `stats` (id, n_sh, cm): per-doc shingle-set size and
+    *     common-shingle count (df > maxDocFreq) for the PPJoin bound.
+    *
+    * Doc frequency is derived WITHOUT ever co-locating one shingle's
+    * occurrences on one task — the r14 plan audit's one at-100x
+    * exposure. The previous shape (`count(1) over (partition by s)` on
+    * the exploded relation) buffered every occurrence of a stop-shingle
+    * in a single window group: for a trigram like "of the and" at
+    * corpus scale that is billions of rows on one task — a straggler at
+    * best, an executor OOM at worst. (Its rationale was genuinely
+    * measured — the r5 aggregate-and-join-back made both downstream
+    * consumers pay a corpus-sized exchange — but a join back on `s`
+    * co-locates the hot key identically, so no unsalted shape survives
+    * planted skew.) The skew-safe decomposition:
+    *
+    *   1. df per shingle via `groupBy(s).count()`. Catalyst's partial
+    *      HashAggregate IS the salted two-phase count — each map task
+    *      pre-combines its local occurrences (the map partition is the
+    *      salt), so the exchange carries at most one partial row per
+    *      shingle per map task no matter how hot the key is.
+    *   2. HOT keys (df > hotDocFreq) are classified by a BROADCAST
+    *      left join: hot keys are provably few — at most (total shingle
+    *      rows / hotDocFreq), e.g. <= 15M eight-byte hashes for 10^12
+    *      rows at the 2^16 default — so hot occurrences are tagged
+    *      map-side and never shuffle on `s` at all.
+    *   3. MID keys (maxDocFreq < df <= hotDocFreq) are classified by an
+    *      equi-join on `s` AFTER the hot rows are split off, so every
+    *      join group is <= hotDocFreq rows by construction.
+    *   4. Rows matching neither class have df <= maxDocFreq, so the
+    *      rare collect_list groups are <= maxDocFreq elements and the
+    *      group SIZE is the key's df — `size(ids) >= 2` replaces the
+    *      old `df_count >= 2` filter exactly (singletons drop there).
+    *
+    * Shuffle ledger vs the window: the window paid one full corpus
+    * exchange+sort on `s`; this pays the partial-agg exchange (vocab-
+    * sized after map-side combine) plus one corpus exchange on `s` for
+    * the mid join — same order of volume, minus the single-task failure
+    * mode (planted-skew stage evidence in SCALE.md). `restLeg` and the
+    * `dfTable` aggregation are each referenced twice and NOT
+    * checkpointed: all references land in one query, where AQE stage
+    * reuse evaluates the shared shuffles once (verified in the sf0.1
+    * stage trace, SCALE.md; DedupSimilaritySpec pins the structural
+    * properties — no Window node, hot keys through a broadcast join,
+    * and the hot-vs-mid equivalence law under planted skew). */
+  private[graft] def rareShingleCandidates(
+      exploded: DataFrame, maxDocFreq: Int, hotDocFreq: Int)
+    : (DataFrame, DataFrame) = {
+    require(hotDocFreq >= maxDocFreq,
+      s"hotDocFreq ($hotDocFreq) must be >= maxDocFreq ($maxDocFreq)")
+    val spark = exploded.sparkSession
+    val dfTable = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("df_count"))
+    val hotDim = dfTable.filter(col("df_count") > hotDocFreq)
+      .select(col("s"), lit(1).as("__hot"))
+    val midDim = dfTable
+      .filter(col("df_count") > maxDocFreq && col("df_count") <= hotDocFreq)
+      .select(col("s"), lit(1).as("__mid"))
+    val marked = exploded.join(broadcast(hotDim), Seq("s"), "left")
+    val hotLeg = marked.filter(col("__hot") === 1)
+    val restLeg = marked.filter(col("__hot").isNull)
+      .join(midDim, Seq("s"), "left")
+    val stats = hotLeg.select(col("id"), lit(true).as("__common"))
+      .unionByName(restLeg.select(col("id"),
+        coalesce(col("__mid") === 1, lit(false)).as("__common")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"), count_if(col("__common")).as("cm"))
+    // id lists ONLY for rows already known rare, so every collected
+    // array is bounded by maxDocFreq. sort_array so in-array pair
+    // expansion below can emit id_a < id_b positionally. Explicit
+    // partition count so AQE does NOT coalesce this exchange: rare rows
+    // compress tiny, and byte-based coalescing would land the final agg
+    // AND the in-array pair expansion (the pipeline's most CPU-dense
+    // stage) on ONE task while every other core idles — measured 1.5 s
+    // single-task vs spread at sf0.1 (r5).
+    val rareIds = restLeg.filter(col("__mid").isNull)
+      .select(col("id"), col("s"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    // Candidate pairs share >= 1 rare shingle; each shared rare shingle
+    // contributes one pair row, so the group count IS the shared-rare
+    // count `r_inter` (exact — shingle sets are deduped per doc). Pairs
+    // are generated i<j IN-ARRAY by the native [[graft.plans.IdPairs]]
+    // (ids sorted ascending above, so id_a < id_b positionally);
+    // measured 2x the interpreted flatten/transform nest it replaced.
+    val candCounts = rareIds
+      .select(explode(graft.plans.TextExpressions.id_pairs(col("ids")))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("r_inter"))
+    (candCounts, stats)
+  }
+
+  /** LOSSLESS prune before the expensive intersection join (positional-
+    * filtering bound in the PPJoin family, Xiao et al. 2008): `keep` is
+    * the caller's bound predicate over (r_inter, n_a, n_b, cm_a, cm_b).
+    * Pairs whose bound misses the threshold are dropped without ever
+    * touching their shingles — measured at sf0.1: 1.12M candidates ->
+    * 266 survivors, turning the pair x shingles fanout from ~58M rows
+    * to ~14k. `stats` is joined twice (a and b sides) and not
+    * checkpointed: the twin aggregations overlap inside one job; a
+    * checkpoint barrier here measured slower (see the note in
+    * [[exactJaccardForCandidates]]). */
+  private def boundSurvivors(candCounts: DataFrame, stats: DataFrame,
+                             keep: Column): DataFrame =
+    candCounts
+      .join(stats.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("cm").as("cm_a")), Seq("id_a"))
+      .join(stats.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("cm").as("cm_b")), Seq("id_b"))
+      .filter(keep)
+      .select(col("id_a"), col("id_b"))
+
   /** Exact Jaccard for a given (id_a, id_b) candidate-pair list over
     * the narrow exploded (id, shingle) relation from
     * [[shingleRelation]] (one row per doc x distinct shingle).
@@ -642,51 +762,39 @@ object Dedup {
     * (`inter <= r_inter + min(cm_a, cm_b)` and `<= min(n_a, n_b)`, so
     * `containment <= ub / min(n_a, n_b)`), and the reported score is
     * EXACT over the pair's full shingle sets. Returns (`id_a`, `id_b`,
-    * `containment` round 4) with id_a < id_b. */
+    * `containment` round 4) with id_a < id_b.
+    *
+    * Recall caveat for HIGH-MULTIPLICITY boilerplate: candidacy needs a
+    * shared shingle with df <= `maxDocFreq`, so a fragment copied into
+    * MORE than `maxDocFreq` documents (a license block on every page of
+    * a site, a footer quoted corpus-wide) has every shingle above the
+    * cutoff and yields zero candidates at the default — the most-
+    * duplicated fragments are exactly the ones this blocks. Raise
+    * `maxDocFreq` toward the expected copy multiplicity to find them
+    * (candidate-pair volume grows ~quadratically in df per shingle:
+    * each rare shingle with df=d contributes d(d-1)/2 pairs), or handle
+    * corpus-wide boilerplate with the span family
+    * ([[graft.operators.CorpusOps.duplicateSpanStats]] /
+    * `removeDupSpans`), whose posting-list shape has no df ceiling.
+    * DedupSimilaritySpec pins both regimes. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3,
                             minContainment: Double = 0.8,
-                            maxDocFreq: Int = 20): DataFrame = {
-    // candidate pipeline mirrors ngramJaccardPairs (see its comments
-    // for every shape decision); only the prune bound and the final
-    // scorer differ
-    val exploded = Materialize(
-      df.filter(hasMinTokens(col(textCol), shingleN))
-        .select(col(idCol).as("id"),
-          graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
-            .as("sh"))
-        .select(col("id"), explode(col("sh")).as("s_raw"))
-        .select(col("id"), xxhash64(col("s_raw")).as("s"))
-        .withColumn("df_count",
-          count(lit(1)).over(Window.partitionBy(col("s")))),
-      eager = false)
-    val rareIds = exploded
-      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("s"))
-      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
-    val candCounts = rareIds
-      .select(explode(graft.plans.TextExpressions.id_pairs(col("ids")))
-        .as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("r_inter"))
-    val stats = exploded
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_sh"),
-        count_if(col("df_count") > maxDocFreq).as("cm"))
+                            maxDocFreq: Int = 20,
+                            hotDocFreq: Int = 1 << 16): DataFrame = {
+    // candidate pipeline shared with ngramJaccardPairs (see
+    // rareShingleCandidates for the skew-safe df decomposition); only
+    // the prune bound and the final scorer differ
+    val exploded = shingleRelation(df, idCol, textCol, shingleN)
+    val (candCounts, stats) =
+      rareShingleCandidates(exploded, maxDocFreq, hotDocFreq)
     val ubInter = least(col("r_inter") + least(col("cm_a"), col("cm_b")),
       least(col("n_a"), col("n_b")))
-    val survivors = candCounts
-      .join(stats.select(col("id").as("id_a"), col("n_sh").as("n_a"),
-        col("cm").as("cm_a")), Seq("id_a"))
-      .join(stats.select(col("id").as("id_b"), col("n_sh").as("n_b"),
-        col("cm").as("cm_b")), Seq("id_b"))
-      .filter(ubInter.cast("double")
+    val survivors = boundSurvivors(candCounts, stats,
+      ubInter.cast("double")
         / least(col("n_a"), col("n_b")).cast("double") >= minContainment)
-      .select(col("id_a"), col("id_b"))
     exactScoredForCandidates(Materialize(survivors, eager = true),
-      exploded.select(col("id"), col("s")), minContainment,
-      containment = true)
+      exploded, minContainment, containment = true)
   }
 
   private def exactJaccardForCandidates(candidates: DataFrame,
@@ -881,6 +989,12 @@ object Dedup {
     * [[minhashPairs]] finds 250k. Prefer MinHash LSH when shingle
     * frequencies are unknown.
     *
+    * `hotDocFreq` tiers the df classification for skew safety (see
+    * [[rareShingleCandidates]]): keys above it are resolved via a
+    * broadcast set instead of any shuffle on `s`. It only exists to
+    * bound per-task work — any value >= maxDocFreq yields identical
+    * pairs (spec-pinned equivalence law).
+    *
     * NOT lazy: calling this runs candidate generation and the survivor
     * prune immediately (an eager [[Materialize]] of the survivor list —
     * it is referenced from three plan branches downstream), so most of
@@ -890,96 +1004,27 @@ object Dedup {
     * fault-tolerance mode. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.5,
-                        maxDocFreq: Int = 20): DataFrame = {
-    // checkpoint-shared narrow (id, shingle, df_count) rows —
-    // WordShingles emits a per-doc SET, so co-occurrence counts below
-    // ARE intersection sizes. The corpus doc-frequency rides along as a
-    // WINDOW over the exploded relation instead of the r5
-    // aggregate-and-join-back: the join-back made both downstream
-    // consumers (rare filter, per-doc stats) pay a corpus-sized
-    // sort-merge exchange against the df table; the window pays its
-    // s-exchange once, inside the shared checkpoint. (A third shape —
-    // df-classes via hash-agg + AQE-broadcast key joins — measured 35%
-    // WORSE: two extra full-relation joins beat one window sort only
-    // on paper.)
-    val exploded = Materialize(
-      df.filter(hasMinTokens(col(textCol), shingleN))
-        .select(col(idCol).as("id"),
-          graft.plans.TextExpressions.word_shingles(col(textCol), shingleN)
-            .as("sh"))
-        .select(col("id"), explode(col("sh")).as("s_raw"))
-        // hash to a 64-bit shingle id before the shuffle — see
-        // [[shingleRelation]]: the window sort, both groupBys and the
-        // co-occurrence join below only need set identity, and longs
-        // cost a fraction of UTF8 shingle strings there
-        .select(col("id"), xxhash64(col("s_raw")).as("s"))
-        .withColumn("df_count",
-          count(lit(1)).over(Window.partitionBy(col("s")))),
-      eager = false) // lazy: see [[shingleRelation]] rationale
-    // id lists ONLY for shingles already known rare, so every collected
-    // array is bounded by maxDocFreq — collect_list over unfiltered
-    // shingles would build million-element arrays for stopword-ish
-    // shingles at corpus scale (executor OOM), for rows the rare filter
-    // then throws away. sort_array so in-array pair expansion below can
-    // emit id_a < id_b positionally.
-    // explicit partition count so AQE does NOT coalesce this exchange:
-    // the rare rows compress to ~2 MB per 100k at sf0.1, so byte-based
-    // coalescing lands the final agg AND the in-array pair expansion
-    // below (which multiplies rows ~6x and is the pipeline's most
-    // CPU-dense stage) on ONE task while every other core idles —
-    // measured 1.5 s single-task vs spread at sf0.1. The repartition
-    // satisfies the groupBy's required distribution, so it replaces
-    // (not adds to) the aggregation exchange.
-    val rareIds = exploded
-      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("s"))
-      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
-
-    // Candidate pairs share >= 1 rare shingle; each shared rare shingle
-    // contributes one pair row, so the group count IS the shared-rare
-    // count `r_inter` (exact, since shingle sets are deduped per doc).
-    // Pairs are generated i<j IN-ARRAY by the native [[graft.plans
-    // .IdPairs]] (ids are sorted ascending above, so id_a < id_b
-    // positionally). Measured vs the interpreted flatten/transform/
-    // slice nest it replaces: 2x faster isolated (0.24 -> 0.13 s per
-    // 2.8M pairs, 32 threads) but invisible in this query at sf0.1 —
-    // the stage's CPU is the two aggregation hash maps, not the
-    // expansion; the win is CPU density at real candidate volumes.
-    // (The still-earlier double-explode shape materialized all n^2
-    // ordered combinations as rows — see git history.)
-    val pairsExpr = graft.plans.TextExpressions.id_pairs(col("ids"))
-    val candCounts = rareIds
-      .select(explode(pairsExpr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("r_inter"))
-
-    // LOSSLESS prune before the expensive intersection join (positional-
-    // filtering bound in the PPJoin family, Xiao et al. 2008): partition
-    // shingles by corpus doc-frequency into rare (2..maxDocFreq), common
-    // (> maxDocFreq) and singletons (df = 1, never shared). Then
+                        maxDocFreq: Int = 20,
+                        hotDocFreq: Int = 1 << 16): DataFrame = {
+    // checkpoint-shared narrow (id, shingle) rows — WordShingles emits a
+    // per-doc SET, so co-occurrence counts downstream ARE intersection
+    // sizes. Doc frequency, the rare/common/hot classification, and the
+    // PPJoin-bound stats all come from rareShingleCandidates — see its
+    // scaladoc for the skew-safe decomposition that replaced the r5-r14
+    // count-over-window (the window put every occurrence of a
+    // stop-shingle in one task's window group).
+    val exploded = shingleRelation(df, idCol, textCol, shingleN)
+    val (candCounts, stats) =
+      rareShingleCandidates(exploded, maxDocFreq, hotDocFreq)
     //   inter <= r_inter + min(cm_a, cm_b)   and   inter <= min(n_a, n_b)
-    // where cm_x = |common shingles of x|, so jaccard <= ub below. Pairs
-    // whose bound misses the threshold are dropped without ever touching
-    // their shingles — measured at sf0.1: 1.12M candidates -> 266
-    // survivors, turning the pair×shingles fanout from ~58M rows to ~14k.
-    // joined twice by survivors (a and b sides), not checkpointed: the
-    // twin aggregations overlap inside one job; a checkpoint barrier
-    // here measured slower (see the note in exactJaccardForCandidates)
-    val stats = exploded
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_sh"),
-        count_if(col("df_count") > maxDocFreq).as("cm"))
+    // where cm_x = |common shingles of x| (df > maxDocFreq; singletons
+    // df = 1 are never shared), so jaccard <= ub below — lossless, see
+    // [[boundSurvivors]].
     val ubInter = least(col("r_inter") + least(col("cm_a"), col("cm_b")),
       least(col("n_a"), col("n_b")))
-    val survivors = candCounts
-      .join(stats.select(col("id").as("id_a"), col("n_sh").as("n_a"),
-        col("cm").as("cm_a")), Seq("id_a"))
-      .join(stats.select(col("id").as("id_b"), col("n_sh").as("n_b"),
-        col("cm").as("cm_b")), Seq("id_b"))
-      .filter(ubInter.cast("double") /
+    val survivors = boundSurvivors(candCounts, stats,
+      ubInter.cast("double") /
         (col("n_a") + col("n_b") - ubInter).cast("double") >= minJaccard)
-      .select(col("id_a"), col("id_b"))
 
     // TRUE intersection by co-occurrence counting on the exploded
     // relation, for surviving pairs only (rare shingles gate candidacy
@@ -996,7 +1041,7 @@ object Dedup {
     // nothing. (Same reasoning rejected reusing `stats` for the sizes:
     // diamonds over unmaterialized plans re-evaluate.)
     exactJaccardForCandidates(Materialize(survivors, eager = true),
-      exploded.select(col("id"), col("s")), minJaccard)
+      exploded, minJaccard)
   }
 
   /** End-to-end near-duplicate corpus dedup — the one-call form of the

@@ -492,7 +492,25 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath).drop("batch")
+    readDrained(spark, outPath,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(src.schema(idCol),
+          StructField("clean_text", StringType),
+          StructField("n_paras", LongType),
+          StructField("n_removed", LongType)))))
+  }
+
+  /** Batch read of a foreachBatch per-batch-directory output table, or
+    * the caller's typed empty frame when the drain produced ZERO
+    * batches (ADVICE r14: an empty source directory never creates
+    * outPath, and a bare read throws path-not-found instead of
+    * returning an empty result). Existence goes through the path's
+    * Hadoop FileSystem so HDFS/S3 deployments probe the real store. */
+  private def readDrained(spark: SparkSession, outPath: String,
+                          empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(outPath).drop("batch") else empty
   }
 
   /** Streaming model-based quality filtering — the ingest-time face of
@@ -526,7 +544,14 @@ object EventStreams {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath).drop("batch")
+    readDrained(spark, outPath, {
+      // an empty static frame through the same scorer yields the exact
+      // output schema without touching the (never-created) outPath
+      val emptyBatch = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        src.select(col(idCol), textExpr.as("__text")).schema)
+      graft.operators.CorpusOps.nbScore(emptyBatch, model, idCol, "__text")
+    })
   }
 
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-

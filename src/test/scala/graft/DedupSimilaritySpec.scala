@@ -394,6 +394,65 @@ class DedupSimilaritySpec extends SparkSpec {
       "shingle relations must never register CacheManager entries")
   }
 
+  test("hotDocFreq tiers are an equivalence law under planted skew") {
+    // every doc carries the same stop-shingle ("common filler words in")
+    // plus a distinct tail; docs 100/101 are near-dups of each other.
+    // With hotDocFreq pulled below the planted key's df the key is
+    // classified HOT (broadcast path); with the default it is MID
+    // (bounded equi-join path); both must yield identical pairs, and
+    // the rare-candidacy contract must still find the planted dup.
+    val planted = (1L to 60L).map { i =>
+      val tail = if (i >= 59L) "shared rare suffix trigram block alpha"
+      else s"unique tail $i words ${i * 7} ${i * 13} ${i * 29}"
+      (i, s"common filler words in every document here $tail")
+    }.toDF("id", "text")
+    def run(hot: Int) =
+      Dedup.ngramJaccardPairs(planted, "id", "text", shingleN = 3,
+        minJaccard = 0.3, maxDocFreq = 20, hotDocFreq = hot)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaHot = run(25) // planted key df=60 > 25 -> HOT broadcast path
+    val viaMid = run(1 << 16) // df=60 <= 2^16 -> MID equi-join path
+    assert(viaHot == viaMid, "hot vs mid classification changed results")
+    assert(viaHot.exists(p => p._1 == 59L && p._2 == 60L),
+      "planted near-dup pair must survive the hot-key classification")
+    // containment twin obeys the same law
+    def runC(hot: Int) =
+      Dedup.ngramContainmentPairs(planted, "id", "text", shingleN = 3,
+        minContainment = 0.3, maxDocFreq = 20, hotDocFreq = hot)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(runC(25) == runC(1 << 16))
+    // misconfiguration (hotDocFreq < maxDocFreq) fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(planted, "id", "text", maxDocFreq = 20,
+        hotDocFreq = 10).count()
+    }
+  }
+
+  test("candidate machinery plans skew-safe: no Window, hot via broadcast") {
+    // the r14 plan audit's 100x exposure was a count-over-window
+    // partitioned by shingle (one window group per shingle = one task
+    // per stop-shingle). Pin the structural fix: the candidate plan
+    // contains NO Window node, classifies hot keys through a broadcast
+    // join, and reuses the df aggregation's exchange across the hot/mid
+    // branches instead of re-aggregating the corpus per reference.
+    val docs = (1L to 50L)
+      .map(i => (i, s"every doc shares this exact sentence prefix " +
+        s"then diverges ${i} ${i * 3} ${i * 11}"))
+      .toDF("id", "text")
+    val exploded = docs.select($"id",
+      explode(graft.plans.TextExpressions.word_shingles($"text", 3))
+        .as("s_raw"))
+      .select($"id", xxhash64($"s_raw").as("s"))
+    val (cand, stats) = Dedup.rareShingleCandidates(exploded,
+      maxDocFreq = 20, hotDocFreq = 30)
+    val joined = cand.join(stats.select($"id".as("id_a")), Seq("id_a"))
+    joined.collect() // finalize AQE so the executed plan is the real one
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept back into:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "hot-key classification must be a broadcast join")
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),

@@ -421,6 +421,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(out2(12L)._1 == "good", out2.toString)
   }
 
+  test("zero-batch drains return empty typed frames, not path errors") {
+    // ADVICE r14: a drain that processes no new files never creates
+    // outPath; the post-drain read must yield an empty frame with the
+    // operator's output schema instead of throwing path-not-found.
+    // Repro: drain once (advances the checkpoint), then drain again
+    // with no new input but a FRESH outPath — zero batches fire.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zero_drain").toString
+    Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/in")
+    EventStreams.paraDedupAvailableNow(spark, s"$root/in", "doc_id",
+      col("text"), s"$root/seen", s"$root/out1", s"$root/ckpt")
+    val emptyPara = EventStreams.paraDedupAvailableNow(spark, s"$root/in",
+      "doc_id", col("text"), s"$root/seen", s"$root/out2", s"$root/ckpt")
+    assert(emptyPara.isEmpty)
+    assert(emptyPara.columns.toSeq ==
+      Seq("doc_id", "clean_text", "n_paras", "n_removed"))
+    val model = graft.operators.CorpusOps.trainNbQuality(
+      Seq((1L, "alpha beta", "good"), (2L, "buy pills", "bad"))
+        .toDF("doc_id", "text", "label"),
+      "doc_id", "text", "label")
+    EventStreams.nbScoreAvailableNow(spark, s"$root/in", "doc_id",
+      col("text"), model, s"$root/nbout1", s"$root/nbckpt")
+    val emptyNb = EventStreams.nbScoreAvailableNow(spark, s"$root/in",
+      "doc_id", col("text"), model, s"$root/nbout2", s"$root/nbckpt")
+    assert(emptyNb.isEmpty)
+    assert(emptyNb.columns.toSeq ==
+      Seq("doc_id", "pred_label", "nb_log_score"))
+  }
+
   test("paraDedupAvailableNow: drain == batch op; 2nd drain suppresses") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_paradedup_stream").toString
