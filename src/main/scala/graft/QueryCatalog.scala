@@ -2139,6 +2139,99 @@ object QueryCatalog {
              |SELECT doc_id, label AS pred_label, score AS nb_log_score
              |FROM top WHERE rn = 1""".stripMargin)),
 
+    Q("q_nb_quality_sep", // the DISCRIMINATIVE NB gate (r14 verdict #2):
+      // q_nb_quality's lang labels are text-decorrelated on this
+      // corpus, so the prior dominates and every doc predicts one
+      // class — the likelihood path was gated only by a planted unit
+      // spec. Here the label IS a deterministic function of the text
+      // (docs containing the corpus's one rare token 'dup' — 5% of
+      // docs at every SF — vs the rest), so the oracle recomputes the
+      // labels, and the PRIOR alone (ln 0.05 vs ln 0.95) would send
+      // every doc to 'clean': any 'dupish' prediction is the
+      // likelihood overriding the prior. alpha = 2^-10 (exact binary,
+      // alpha*B = 4.0 exactly) keeps the smoothing asymmetry between
+      // the small and large class totals from swamping the planted
+      // token's evidence (with alpha = 1 the 4096-bucket Laplace mass
+      // flattens the minority class and 'clean' wins everywhere —
+      // measured in CorpusOpsSpec's planted-prior spec). Emits the
+      // per-doc LOG-ODDS (dupish - clean, round 4) so the gate
+      // hash-pins the likelihood arithmetic itself, not just the
+      // argmax; ties break to 'clean' on the rounded values.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("__label",
+            when(array_contains(tokens(col("text")), "dup"), "dupish")
+              .otherwise("clean"))
+        val model = CorpusOps.trainNbQuality(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "__label", numBuckets = 4096, alpha = 0.0009765625)
+        CorpusOps.nbScoreAll(docs.filter(col("doc_id") % 2 === 1), model,
+            "doc_id", "text")
+          .groupBy(col("doc_id"))
+          .agg(
+            max(when(col("label") === "dupish", col("nb_log_score")))
+              .as("__sd"),
+            max(when(col("label") === "clean", col("nb_log_score")))
+              .as("__sc"))
+          .select(col("doc_id"),
+            when(col("__sd") > col("__sc"), "dupish").otherwise("clean")
+              .as("pred_label"),
+            (round(col("__sd") - col("__sc"), 4) + lit(0.0d))
+              .as("log_odds"))
+      },
+      Some("""WITH lab AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    CASE WHEN list_contains(
+             |        string_split_regex(trim(text), '\s+'), 'dup')
+             |      THEN 'dupish' ELSE 'clean' END AS label
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |tr AS (SELECT label, toks FROM lab WHERE doc_id % 2 = 0),
+             |f AS (SELECT label, unnest(toks) AS tok FROM tr),
+             |fb AS (SELECT label,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b
+             |  FROM f),
+             |cnt AS (SELECT label, b, count(*) AS n FROM fb GROUP BY 1, 2),
+             |ct AS (SELECT label, count(*) AS nc FROM fb GROUP BY 1),
+             |dc AS (SELECT label, count(*) AS dcnt FROM tr GROUP BY 1),
+             |dall AS (SELECT CAST(sum(dcnt) AS DOUBLE) AS dall FROM dc),
+             |model AS (SELECT c.label, c.b,
+             |    ln((c.n + CAST(0.0009765625 AS DOUBLE))
+             |       / (ct.nc + CAST(4.0 AS DOUBLE))) AS log_cond,
+             |    ln(CAST(dc.dcnt AS DOUBLE) / dall.dall) AS log_prior,
+             |    ln(CAST(0.0009765625 AS DOUBLE)
+             |       / (ct.nc + CAST(4.0 AS DOUBLE))) AS log_default
+             |  FROM cnt c JOIN ct USING (label) JOIN dc USING (label)
+             |  CROSS JOIN dall),
+             |te AS (SELECT doc_id, toks FROM lab WHERE doc_id % 2 = 1),
+             |tf AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+             |tb AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS b,
+             |    count(*) AS cnt
+             |  FROM tf GROUP BY 1, 2),
+             |tt AS (SELECT doc_id, sum(cnt) AS tcount FROM tb GROUP BY 1),
+             |cls AS (SELECT DISTINCT label, log_prior, log_default
+             |  FROM model),
+             |seen AS (SELECT tb.doc_id, m.label,
+             |    sum(tb.cnt * (m.log_cond - m.log_default)) AS adj
+             |  FROM tb JOIN model m ON m.b = tb.b GROUP BY 1, 2),
+             |sc AS (SELECT tt.doc_id, c.label,
+             |    round(c.log_prior
+             |      + CAST(tt.tcount AS DOUBLE) * c.log_default
+             |      + coalesce(s.adj, CAST(0 AS DOUBLE)), 4) + 0 AS score
+             |  FROM tt CROSS JOIN cls c
+             |  LEFT JOIN seen s
+             |    ON s.doc_id = tt.doc_id AND s.label = c.label),
+             |pv AS (SELECT doc_id,
+             |    max(CASE WHEN label = 'dupish' THEN score END) AS sd,
+             |    max(CASE WHEN label = 'clean' THEN score END) AS scl
+             |  FROM sc GROUP BY 1)
+             |SELECT doc_id,
+             |  CASE WHEN sd > scl THEN 'dupish' ELSE 'clean' END
+             |    AS pred_label,
+             |  round(sd - scl, 4) + 0 AS log_odds
+             |FROM pv""".stripMargin)),
+
     Q("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
       // per-doc sum of ln p_target(bucket) - ln p_raw(bucket) over
       // hashed unigram+bigram features (add-one smoothing, 4096

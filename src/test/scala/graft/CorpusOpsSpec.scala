@@ -1084,6 +1084,64 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("NB likelihood overrides a prior that alone would misclassify") {
+    // the q_nb_quality_sep contract (r14 verdict #2): a 10%-minority
+    // class marked by one planted token. The PRIOR alone sends every
+    // doc to the majority class (ln 0.1 < ln 0.9); only the
+    // likelihood's evidence for the planted token can flip minority
+    // docs — and with alpha = 1 at 4096 buckets it CANNOT (the Laplace
+    // mass alpha*B dwarfs the minority class's token total, flattening
+    // its conditionals so every common token votes majority). The
+    // planted evidence must win at the gate's alpha = 2^-10 and lose
+    // at alpha = 1 — pinning exactly why the gate trains at 2^-10.
+    val common = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def doc(i: Int, planted: Boolean) =
+      ((0 until 12).map(j => common((i * 5 + j) % common.length))
+        ++ (if (planted) Seq("plutonium") else Nil)).mkString(" ")
+    val labeled = (Seq.tabulate(36)(i =>
+        (i.toLong, doc(i, planted = false), "clean"))
+      ++ Seq.tabulate(4)(i =>
+        (100L + i, doc(i * 7, planted = true), "marked")))
+      .toDF("doc_id", "text", "label")
+    val held = Seq((500L, doc(3, planted = true)),
+      (501L, doc(9, planted = false))).toDF("doc_id", "text")
+    // prior alone misclassifies: ln p(marked) < ln p(clean)
+    val priors = CorpusOps.trainNbQuality(labeled, "doc_id", "text",
+        "label", numBuckets = 4096, alpha = 0.0009765625)
+      .select($"label", $"log_prior").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(priors("marked") < priors("clean"),
+      s"minority prior must lose on its own: $priors")
+    def predict(alpha: Double) = CorpusOps.nbScore(held,
+        CorpusOps.trainNbQuality(labeled, "doc_id", "text", "label",
+          numBuckets = 4096, alpha = alpha),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sharp = predict(0.0009765625)
+    assert(sharp == Map(500L -> "marked", 501L -> "clean"),
+      s"likelihood must override the prior at alpha=2^-10: $sharp")
+    val blunt = predict(1.0)
+    assert(blunt(500L) == "clean",
+      s"alpha=1 smoothing should flatten the minority class: $blunt")
+    // and on the REAL gate corpus, the gate's parameters produce both
+    // classes on the held-out half — the q_nb_quality_sep guarantee
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("__label", when(
+        array_contains(graft.functions.TextFunctions.tokens($"text"),
+          "dup"), "dupish").otherwise("clean"))
+    val gate = CorpusOps.nbScore(
+      docs.filter($"doc_id" % 2 === 1),
+      CorpusOps.trainNbQuality(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", "__label",
+        numBuckets = 4096, alpha = 0.0009765625),
+      "doc_id", "text")
+    val classes = gate.select($"pred_label").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(classes == Set("clean", "dupish"),
+      s"gate corpus must separate into both classes: $classes")
+  }
+
   test("packOffsets: hand offsets, straddle math, two-phase == sequential") {
     // doc 1: 3 toks at off 0 (seq 0); sep at 3; doc 2: 510 toks at off 4
     // (ends at 513 -> straddles seqs 0 and 1); doc 3 at off 515
