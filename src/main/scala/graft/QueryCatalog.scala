@@ -5776,6 +5776,75 @@ object QueryCatalog {
              |    AS idx_rows,
              |  true AS drift_sane""".stripMargin)),
 
+    Q("q_ivf_retrain", // the drift REMEDIATION gate (r14 verdict #3):
+      // build the centroid index, age it with an appended
+      // shifted-distribution copy (the IvfDrift protocol's 2.0-shift —
+      // the population whose recall the frozen model loses), then
+      // ivfRetrain on the index's CURRENT contents. Gated properties:
+      // rows survive the rewrite exactly (idx_rows = 2N), the retrain
+      // keeps the model width (k_cells = 8), the retrained layout
+      // equals a one-shot assignment pass UNDER THE RETRAINED MODEL
+      // (cell_diffs = 0: the same combined vectors re-assigned through
+      // the public ivfAppend — which assigns with the PERSISTED model —
+      // must land id-for-id in the cells the retrain wrote; the
+      // ivfAppend purity law reapplied through the refit+swap path,
+      // deliberately NOT a cross-fit centroid comparison, whose
+      // distributed double sums are merge-order nondeterministic), and
+      // a NEW-distribution query probes to its exact copy at cos 1.0
+      // with one probe (top1 properties) — findable-after-retrain, the
+      // user-facing point of the remediation.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfr_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val dir = s"$root/idx"
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        def shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(2.0d)).otherwise(x + lit(0.0d)))
+            .cast("array<float>").as("embedding"))
+        Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+          k = 8, iters = 3)
+        Similarity.ivfAppend(shifted, "vec_id", "embedding", dir)
+        val centroids = Similarity.ivfRetrain(s, dir, iters = 3)
+        // law leg: the same combined vectors, ids offset, re-assigned
+        // by the persisted RETRAINED model via the public append path
+        Similarity.ivfAppend(
+          emb.unionByName(shifted)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        val idx = s.read.parquet(dir)
+        val a = idx.filter(col("id") < 10000000L)
+          .select(col("id"), col("cell"))
+        val b = idx.filter(col("id") >= 10000000L)
+          .select((col("id") - 10000000L).as("id"),
+            col("cell").as("cell2"))
+        val law = a.join(b, Seq("id"), "full_outer")
+          .filter(col("cell").isNull || col("cell2").isNull ||
+            col("cell") =!= col("cell2"))
+          .agg(count(lit(1)).as("cell_diffs"))
+        // a NEW-distribution query finds its exact copy, one probe
+        // (its law-leg twin ties at cos 1.0; id order breaks the tie)
+        val qVec = shifted.filter(col("vec_id") === 1000000L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val probe = Similarity.ivfCentroidTopK(s, dir, qVec, k = 1,
+            probes = 1)
+          .agg(max_by(col("id"), col("cos_sim")).as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"))
+        val rows = a.agg(count(lit(1)).as("idx_rows"))
+        probe.crossJoin(rows).crossJoin(law)
+          .withColumn("k_cells", lit(centroids.size))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings)
+             |    AS idx_rows,
+             |  CAST(0 AS BIGINT) AS cell_diffs,
+             |  8 AS k_cells""".stripMargin)),
+
     Q("q_ivfpq_topk", // the composed IVF-PQ index (FAISS IVFADC
       // shape): centroid cells prune the scan to probes/nCells of the
       // corpus AND each surviving row is an 8-byte residual code —

@@ -1124,6 +1124,43 @@ class DedupSimilaritySpec extends SparkSpec {
       Array(1f, 0f, 0f, 0f), k = 3, probes = 1)
       .collect().map(_.getLong(0))
     assert(q.contains(100L), q.mkString(","))
+
+    // ---- ivfRetrain closes the loop on the same aged index ----
+    val retrained = Similarity.ivfRetrain(spark, dir, iters = 4)
+    assert(retrained.size == 2, "k <= 0 must keep the model width")
+    val idx = spark.read.parquet(dir)
+      .select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(idx.size == 24 && idx.keySet == got.keySet,
+      "retrain must preserve every row id")
+    // the rewritten layout equals assignment under the NEW persisted
+    // model (the append law re-checked through the refit+swap path)
+    val newCentroids = spark.read.parquet(dir + ".centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def assignNew(v: Array[Float]): Int = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val vn = v.map(_ / n)
+      newCentroids.toSeq.sortBy(_._1)
+        .map { case (ci, c) => ci -> c.zip(vn.map(_.toDouble))
+          .map { case (a, b) => a * b }.sum }
+        .maxBy { case (ci, s) => (s, -ci) }._1
+    }
+    allVecs.foreach { case (id, v) =>
+      assert(idx(id) == assignNew(v),
+        s"retrained id $id: ${idx(id)} != ${assignNew(v)}")
+    }
+    // no staging leftovers after the swap
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.list().exists(_.contains(".retrain")),
+      parent.list().mkString(","))
+    // explicit k overrides the width and still probes coherently
+    val re4 = Similarity.ivfRetrain(spark, dir, k = 4, iters = 4)
+    assert(re4.size == 4)
+    assert(spark.read.parquet(dir + ".centroids").count() == 4)
+    val q2 = Similarity.ivfCentroidTopK(spark, dir,
+      Array(1f, 0f, 0f, 0f), k = 3, probes = 1)
+      .collect().map(_.getLong(0))
+    assert(q2.contains(100L), q2.mkString(","))
   }
 
   test("hardNegatives: NULL vectors/labels dropped, no fake-orthogonal") {
