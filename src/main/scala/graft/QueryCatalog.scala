@@ -2003,6 +2003,72 @@ object QueryCatalog {
              |LIMIT 20""".stripMargin),
       headline = true),
 
+    Q("q_bm25_batch", // batch BM25 (r14 verdict #4): a query TABLE
+      // scored in ONE job — corpus tokenized once, postings pruned to
+      // the batch vocabulary, per-query top-10 via WindowGroupLimit.
+      // Four planted queries: q0 repeats q_bm25_topk's terms (so the
+      // single-query gate cross-checks the batch path), q1/q2 mix
+      // common and rare vocabulary, q3 matches nothing and must emit
+      // no rows. Float parity identical to q_bm25_topk (k1+1 as an
+      // addition, CAST every literal, rank over the ROUNDED score
+      // with doc-id tie-break); the oracle parameterizes the same
+      // CTE chain per query via a VALUES-driven query relation.
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        CorpusOps.bm25TopKBatch(t(s, d, "documents"), "doc_id", "text",
+          qs, "query_id", "query_text", k = 10)
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+')) AS tok
+             |  FROM qraw)),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+             |          / (df.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25,
+             |    CAST(count(*) AS BIGINT) AS n_terms
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT query_id, doc_id, bm25, n_terms,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS rn
+             |  FROM sc)
+             |SELECT query_id, doc_id, bm25, n_terms
+             |FROM rk WHERE rn <= 10""".stripMargin)),
+
     Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
       // trained model-based quality/domain filter (DCLM / fastText
       // recipe member). Closed-form training makes the MODEL itself

@@ -1847,6 +1847,75 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Batch BM25 — [[bm25TopK]] for a query TABLE (r14 verdict #4):
+    * the shape a retrieval WORKLOAD actually has. ONE job scores every
+    * query: the corpus is tokenized once, postings prune to the
+    * batch's combined vocabulary, per-term document frequencies and
+    * the (N, avgdl) stats are shared across queries, and the per-query
+    * top-k runs as a partial-then-final WindowGroupLimit — no
+    * one-Spark-job-per-query driver loop (at 100 TB that loop is the
+    * driver-side bottleneck pattern this repo refuses elsewhere).
+    *
+    * Per query the result is IDENTICAL to [[bm25TopK]] called with
+    * that query's distinct terms (equivalence law pinned in
+    * CorpusOpsSpec): same Lucene +1-idf, same rounded-score ranking
+    * with ascending-id tie-break. Returns (`queryIdCol`, `idCol`,
+    * `bm25`, `n_terms`) with <= k rows per query; blank queries and
+    * queries whose terms match no document contribute no rows.
+    *
+    * Scale shape: the batch vocabulary (distinct query terms) rides a
+    * broadcast semi-join into the posting scan — bounded by the QUERY
+    * table's vocabulary, not the corpus's; doc length rides each
+    * posting row (never a corpus-sized lengths join — the r14 bm25
+    * lesson, 14.5 -> 4.1 s); the (term -> query) fanout join is a
+    * broadcast of the exploded query terms. The only corpus-scaling
+    * exchanges are the (doc, term) tf aggregation and the
+    * (query, doc) score aggregation — both on well-distributed
+    * composite keys, so hot terms shared by many queries fan out in
+    * the map side of the score agg, not into one task. */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTextCol: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 params out of range: k1=$k1 b=$b")
+    val qterms = queries.filter(hasMinTokens(col(queryTextCol), 1))
+      .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("__t"))
+      .distinct()
+    val base = docs.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__tk"))).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), size(col("__tk")).as("__dl"),
+        explode(col("__tk")).as("__t"))
+      .join(broadcast(qterms.select(col("__t")).distinct()), Seq("__t"),
+        "left_semi")
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val df = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(df), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("__t"),
+        (log((col("__n") - col("__df").cast("double") + lit(0.5d))
+            / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d))
+          * col("__tf").cast("double") * lit(k1 + 1.0d)
+          / (col("__tf").cast("double")
+            + lit(k1) * (lit(1.0d) - lit(b)
+              + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
+          .as("__c"))
+      .join(broadcast(qterms), Seq("__t"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_terms"))
+      .withColumn("bm25", round(col("__s"), 4) + lit(0.0d))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("bm25").desc, col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"))
+  }
+
   /** Engine-portable hashed-feature bucket: the first 8 hex chars of
     * md5 over the RAW token (no case folding — engines' unicode case
     * maps disagree on exotic codepoints, and a hashed feature space

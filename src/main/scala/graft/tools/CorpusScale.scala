@@ -167,6 +167,32 @@ object CorpusScale {
     println(f"bm25_s=$tBm%.2f hits=$nHits%d " +
       f"bm25_Mtok_per_s=${nTokens / 1e6 / tBm}%.1f")
 
+    // batch BM25: 128 queries in ONE job vs the per-query loop a
+    // single-query API forces — the r15 driver-bottleneck fix
+    val vocab = Array("hash", "join", "window", "scan", "sort", "merge",
+      "batch", "stream", "table", "filter", "group", "agg", "key",
+      "value", "query", "row")
+    val queries128 = (0 until 128).map { i =>
+      (i.toLong, (0 until 4).map(j =>
+        vocab((i * 5 + j * 3) % vocab.length)).mkString(" "))
+    }
+    val qDf = spark.createDataFrame(queries128).toDF("query_id", "query_text")
+    val (nBatchRows, tBatch) = time {
+      CorpusOps.bm25TopKBatch(docs, "doc_id", "text", qDf,
+        "query_id", "query_text", k = 20).count()
+    }
+    // the loop baseline on a 8-query sample, extrapolated per query —
+    // running all 128 serially would just burn the measurement budget
+    val (_, tLoop8) = time {
+      queries128.take(8).foreach { case (_, text) =>
+        CorpusOps.bm25TopK(docs, "doc_id", "text",
+          text.split(" ").toSeq, k = 20).count()
+      }
+    }
+    println(f"bm25_batch_s=$tBatch%.2f queries=128 rows=$nBatchRows%d " +
+      f"q_per_s=${128 / tBatch}%.1f " +
+      f"loop8_s=$tLoop8%.2f loop_extrap_128_s=${tLoop8 * 16}%.1f")
+
     // PageRank: a synthesized host graph with nDocs edges over
     // nDocs/5 nodes — three 2-exchange power-method rounds where the
     // rank relation stays node-sized

@@ -1011,6 +1011,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKBatch == per-query bm25TopK; one-job plan shape") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val queryTexts = Seq("hash join window scan", "sort merge batch",
+      "dup stream", "the", "qqqnomatchqqq", "  ")
+    val qs = queryTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "query_text")
+    val batch = CorpusOps.bm25TopKBatch(docs, "doc_id", "text", qs,
+      "query_id", "query_text", k = 7)
+    val got = batch.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet).toMap
+    // equivalence law: each query's batch rows == the single-query
+    // operator on that query's terms (blank + no-match queries absent)
+    queryTexts.zipWithIndex.foreach { case (text, i) =>
+      val terms = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val single = if (terms.isEmpty) Set.empty[(Long, Double, Long)]
+      else CorpusOps.bm25TopK(docs, "doc_id", "text", terms, k = 7)
+        .collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got.getOrElse(i.toLong, Set.empty) == single,
+        s"query $i '$text': batch ${got.get(i.toLong)} vs single $single")
+    }
+    assert(!got.contains(4L) && !got.contains(5L),
+      "no-match and blank queries must contribute no rows")
+    // plan shape: the per-query top-k is a partial-then-final
+    // WindowGroupLimit (never a full per-query sort), and the query
+    // vocabulary prune + term fanout ride broadcast joins
+    batch.collect()
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("trainNbQuality/nbScore: hand math, separable classes, broadcast") {
     // same md5-prefix bucket the engine computes, for collision checks
     def bucket(tok: String, b: Long): Long = {
