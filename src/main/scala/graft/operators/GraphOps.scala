@@ -33,16 +33,55 @@ object GraphOps {
     * aggregation keyed on `dst` — the canonical 2-exchange PageRank
     * step; the node table and 1-row count ride broadcasts. The rank
     * relation is node-sized, never edge-sized. Lineage grows linearly
-    * with `iters` (capped at 20 here); a long-running production loop
-    * would `localCheckpoint` every few rounds to keep plans bounded —
-    * at 3-5 iterations (a frontier refresh) the straight-line plan is
-    * the faster choice. */
+    * with the round count, so long runs pass `checkpointEvery > 0`:
+    * every that-many rounds the (node-sized) rank relation is
+    * materialized through [[Materialize]] (localCheckpoint, or a
+    * reliable checkpoint under `spark.graft.reliableCheckpoint`),
+    * truncating the plan so its size is bounded by `checkpointEvery`
+    * rounds rather than `iters` — the boundedness is spec-pinned at
+    * iters = 20 (GraphOpsSpec). At 3-5 iterations (a frontier refresh)
+    * the straight-line plan is the faster choice, so the default stays
+    * 0 (off); without checkpointing, `iters` is capped at 20 (the
+    * straight-line-plan sanity bound), with it at 200. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    require(iters >= 1 && iters <= 20,
-      s"iters out of range (1..20, fixed-iteration form): $iters")
+               iters: Int = 3, damping: Double = 0.85,
+               checkpointEvery: Int = 0): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iters, damping, checkpointEvery,
+      trackDeltas = false)._1
+
+  /** [[pageRank]] plus the per-round L1 rank delta
+    * `sum_v |pr_i(v) - pr_{i-1}(v)|` — the convergence observable a
+    * production loop watches to decide when fixed iterations are
+    * enough (the power method's geometric decay makes the delta the
+    * standard stopping statistic). Returns (ranks, deltas) where
+    * `deltas(i)` is round i+1's L1 move; ranks are IDENTICAL to
+    * [[pageRank]] at the same dials (spec-pinned).
+    *
+    * Observability costs one extra node-sized aggregation job per
+    * round (the delta is an action), so each round's ranks are
+    * materialized eagerly regardless of `checkpointEvery` — plans stay
+    * one-round-sized and nothing recomputes. */
+  def pageRankWithDeltas(edges: DataFrame, srcCol: String,
+                         dstCol: String, iters: Int = 3,
+                         damping: Double = 0.85,
+                         checkpointEvery: Int = 1)
+      : (DataFrame, Seq[Double]) =
+    pageRankCore(edges, srcCol, dstCol, iters, damping, checkpointEvery,
+      trackDeltas = true)
+
+  private def pageRankCore(edges: DataFrame, srcCol: String,
+                           dstCol: String, iters: Int, damping: Double,
+                           checkpointEvery: Int, trackDeltas: Boolean)
+      : (DataFrame, Seq[Double]) = {
+    val cap = if (checkpointEvery > 0 || trackDeltas) 200 else 20
+    require(iters >= 1 && iters <= cap,
+      s"iters out of range (1..$cap" +
+        (if (cap == 20) ", fixed-iteration form; pass checkpointEvery " +
+          "> 0 for longer runs)" else ")") + s": $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1): $damping")
+    require(checkpointEvery >= 0,
+      s"checkpointEvery must be >= 0 (0 = off): $checkpointEvery")
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -54,8 +93,10 @@ object GraphOps {
     def withN(df: DataFrame): DataFrame = df.crossJoin(broadcast(nRow))
     var ranks = withN(nodes)
       .select(col("node"), (lit(1.0d) / col("__n")).as("pr"))
+    val deltas = Seq.newBuilder[Double]
     var i = 0
     while (i < iters) {
+      val prev = ranks
       val contrib = e
         .join(outDeg, Seq("src"))
         .join(ranks.select(col("node").as("src"), col("pr")), Seq("src"))
@@ -67,9 +108,24 @@ object GraphOps {
           ((lit(1.0d) - lit(damping)) / col("__n")
             + lit(damping) * coalesce(col("__m"), lit(0.0d))).as("pr"))
       i += 1
+      if (trackDeltas) {
+        // materialize BEFORE the delta action so the join below reads
+        // this round's blocks rather than recomputing the whole chain,
+        // and the next round starts from a one-round plan
+        ranks = Materialize(ranks, eager = true)
+        deltas += ranks.as("__new")
+          .join(prev.select(col("node"), col("pr").as("__pp")),
+            Seq("node"))
+          .agg(coalesce(sum(abs(col("pr") - col("__pp"))),
+            lit(0.0d)).as("__d"))
+          .collect()(0).getDouble(0)
+      } else if (checkpointEvery > 0 && i % checkpointEvery == 0 &&
+        i < iters) {
+        ranks = Materialize(ranks, eager = true)
+      }
     }
-    ranks.select(col("node"),
-      (round(col("pr"), 6) + lit(0.0d)).as("pagerank"))
+    (ranks.select(col("node"),
+      (round(col("pr"), 6) + lit(0.0d)).as("pagerank")), deltas.result())
   }
 
   /** Top-`k` crawl-frontier priorities: [[pageRank]] ranked descending
