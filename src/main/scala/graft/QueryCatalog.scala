@@ -2069,6 +2069,82 @@ object QueryCatalog {
              |SELECT query_id, doc_id, bm25, n_terms
              |FROM rk WHERE rn <= 10""".stripMargin)),
 
+    Q("q_search_pipeline", // the composed retrieval ensemble (r14
+      // verdict #6): BM25 lexical candidates + brute-force cosine
+      // semantic candidates (the exact baseline; IVF/PQ slot into the
+      // same (id, score) shape at scale), fused by reciprocal-rank
+      // fusion, global top-20. The oracle composes the q_bm25_topk,
+      // q_cosine_knn and q_rrf_fuse oracles verbatim: each leg ranks
+      // its own 100-deep candidate list by (rounded score desc, id),
+      // contributes 1/(60+rank), and the fused ordering is
+      // (round-6 rrf desc, id) — total orders end to end, so the
+      // boundary of every LIMIT is engine-portable.
+      (s, d) => CorpusOps.searchPipeline(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("hash", "join", "window", "scan"),
+        Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id",
+          "embedding", queryId = 0L, k = 100),
+        "id", "cos_sim", k = 20, candidates = 100),
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN ('hash', 'join', 'window', 'scan')
+             |  GROUP BY 1, 2),
+             |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |lexs AS (SELECT tf.doc_id,
+             |    round(sum(ln((stats.n - dfr.df + CAST(0.5 AS DOUBLE))
+             |          / (dfr.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl))), 4) + 0 AS s
+             |  FROM tf JOIN dfr USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats
+             |  GROUP BY 1),
+             |lex AS (SELECT doc_id, s FROM lexs
+             |        ORDER BY s DESC, doc_id LIMIT 100),
+             |q AS (SELECT embedding AS qv FROM embeddings
+             |      WHERE vec_id = 0),
+             |sems AS (SELECT e.vec_id AS doc_id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS s
+             |  FROM embeddings e, q WHERE e.vec_id <> 0),
+             |sem AS (SELECT doc_id, s FROM sems
+             |        ORDER BY s DESC, doc_id LIMIT 100),
+             |r1 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY s DESC, doc_id) AS r
+             |  FROM lex),
+             |r2 AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY s DESC, doc_id) AS r
+             |  FROM sem),
+             |u AS (SELECT doc_id, r FROM r1
+             |      UNION ALL SELECT doc_id, r FROM r2),
+             |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_signals,
+             |    round(sum(CAST(1.0 AS DOUBLE)
+             |      / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
+             |  FROM u GROUP BY 1)
+             |SELECT doc_id, n_signals, rrf_score,
+             |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             |    AS BIGINT) AS rank
+             |FROM f ORDER BY rrf_score DESC, doc_id
+             |LIMIT 20""".stripMargin),
+      headline = true),
+
     Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
       // trained model-based quality/domain filter (DCLM / fastText
       // recipe member). Closed-form training makes the MODEL itself

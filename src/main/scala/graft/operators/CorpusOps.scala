@@ -1710,6 +1710,50 @@ object CorpusOps {
         (round(sum(col("__c")), 6) + lit(0.0d)).as("rrf_score"))
   }
 
+  /** End-to-end hybrid retrieval — the composed pipeline a search user
+    * actually runs: BM25 lexical candidates ([[bm25TopK]]) and a
+    * SEMANTIC candidate ranking (any embedding top-k: brute-force
+    * [[graft.operators.Similarity.cosineTopK]] as the exact baseline,
+    * or the IVF / PQ / SRP tiers as the 100 TB scale path — all emit
+    * the same (id, score) shape, so they slot in unchanged) fused by
+    * reciprocal-rank fusion ([[rrfFuse]]), returning the global top
+    * `k` as (`idCol`, `n_signals`, `rrf_score`, `rank` 1..k) ordered
+    * by (rrf_score desc, id) — the deterministic cross-engine rule.
+    *
+    * Each leg contributes its own `candidates`-deep ranking
+    * (score desc, id tie-break — total orders, engine-portable); a
+    * doc found by only one leg still fuses (the RRF convention),
+    * carrying `n_signals = 1`.
+    *
+    * Scale shape: the lexical leg is [[bm25TopK]]'s posting-prune +
+    * TakeOrderedAndProject; the semantic leg is whatever index tier
+    * the caller chose; fusion then operates on 2 x `candidates` rows —
+    * bounded, tiny — through [[rrfFuse]]'s two-phase rank, and the
+    * final top-k is one more TakeOrderedAndProject. The `rank` column
+    * is a window over the already-limited k rows, never the corpus. */
+  def searchPipeline(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], semantic: DataFrame,
+                     semanticIdCol: String, semanticScoreCol: String,
+                     k: Int, candidates: Int = 100,
+                     rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    val lex = bm25TopK(docs, idCol, textCol, queryTerms, candidates)
+      .select(col(idCol), col("bm25"))
+    val sem = semantic
+      .select(col(semanticIdCol).as(idCol),
+        col(semanticScoreCol).as("__sem"))
+    val fused = rrfFuse(Map(
+        "lexical" -> ((lex, "bm25")),
+        "semantic" -> ((sem, "__sem"))), idCol, k = rrfK)
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+    fused.withColumn("rank",
+      row_number().over(Window.orderBy(col("rrf_score").desc,
+        col(idCol))).cast("long"))
+  }
+
   /** Top-`k` terms per document by tf-idf (classic
     * `tf * ln(N / df)`) — keyword extraction for corpus exploration,
     * topic labeling, and cheap near-dup features. Returns (`idCol`,

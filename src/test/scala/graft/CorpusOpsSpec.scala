@@ -1046,6 +1046,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("searchPipeline: fused == hand RRF of the legs; rank; guards") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"),
+      (4L, "b b")).toDF("doc_id", "text")
+    // semantic leg: any (id, score) ranking — doc 9 is semantic-ONLY
+    // (absent from the corpus text match), doc 3 is in both legs
+    val sem = Seq((3L, 0.9), (4L, 0.8), (9L, 0.7)).toDF("id", "cos")
+    val out = CorpusOps.searchPipeline(docs, "doc_id", "text",
+        Seq("a", "c"), sem, "id", "cos", k = 3, candidates = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // plain-Scala fusion from the two legs' own (independently
+    // hand-pinned) rankings
+    val lexRanks = CorpusOps.bm25TopK(docs, "doc_id", "text",
+        Seq("a", "c"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }
+    val semRanks = Seq(3L -> 1, 4L -> 2, 9L -> 3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp = (lexRanks ++ semRanks)
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.size.toLong,
+        r6(rs.map { case (_, r) => 1.0 / (60.0 + r) }.sum)))
+      .toSeq
+      .sortBy { case (id, (_, s)) => (-s, id) }
+      .take(3).zipWithIndex
+      .map { case ((id, (n, s)), i) => (id, n, s, (i + 1).toLong) }
+    assert(out.toSeq == exp, s"${out.toSeq} vs $exp")
+    // the both-legs doc fused two signals
+    assert(out.find(_._1 == 3L).forall(_._2 == 2L), out.mkString(","))
+    intercept[IllegalArgumentException] {
+      CorpusOps.searchPipeline(docs, "doc_id", "text", Seq("a"),
+        sem, "id", "cos", k = 5, candidates = 3)
+    }
+  }
+
   test("trainNbQuality/nbScore: hand math, separable classes, broadcast") {
     // same md5-prefix bucket the engine computes, for collision checks
     def bucket(tok: String, b: Long): Long = {
