@@ -1496,6 +1496,258 @@ object QueryCatalog {
              |LEFT JOIN hits ON hits.doc_id = p.doc_id""".stripMargin),
       headline = true),
 
+    Q("q_curate_v2", // the FULL-RECIPE curation DAG (r14 verdict #5):
+      // exact dedup -> corpus-wide paragraph dedup -> duplicated-span
+      // removal -> Gopher -> NB model filter -> decontamination ->
+      // temperature-weighted mixture selection, per-stage attribution
+      // per input doc. Every stage has both branches exercised: ' the '
+      // becomes a line break so repeated short lines exist (the
+      // q_para_dedup derivation), docs 0..9 are recopied at +1M (dup
+      // leg), spans duplicate naturally at n=8/df>=2 (the
+      // q_dup_spans_removed dials), minTokens=30 splits quality, the
+      // NB model is the q_nb_quality_sep discriminative configuration
+      // (label = contains the rare token 'dup', trained on even ids,
+      // alpha=2^-10 so the likelihood decides), eval = derived docs
+      // < 20 at 3-grams, and the 2000-token tau=0.5 budget selects a
+      // strict prefix per source. The oracle chains the seven stage
+      // oracles, each consuming the previous stage's CTE output.
+      (s, d) => {
+        val derived = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            regexp_replace(col("text"), " the ", "\n").as("text"))
+        val planted = derived.unionByName(
+          derived.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              col("source"), col("text")))
+        val model = CorpusOps.trainNbQuality(
+          planted.filter(col("doc_id") % 2 === 0)
+            .withColumn("__label",
+              when(array_contains(tokens(col("text")), "dup"), "dupish")
+                .otherwise("clean")),
+          "doc_id", "text", "__label", numBuckets = 4096,
+          alpha = 0.0009765625)
+        CorpusOps.curateV2(planted, "doc_id", "text",
+          derived.filter(col("doc_id") < 20), "text",
+          model, "dupish", "source", tau = 0.5,
+          totalBudgetTokens = 2000L, minTokens = 30, contamN = 3)
+      },
+      Some(raw"""WITH p AS (
+             |  SELECT doc_id, source,
+             |    replace(text, ' the ', chr(10)) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, source,
+             |    replace(text, ' the ', chr(10)) FROM documents
+             |  WHERE doc_id < 10),
+             |dm AS (SELECT text, min(doc_id) AS m FROM p
+             |  WHERE text IS NOT NULL GROUP BY 1),
+             |d1 AS (SELECT p.doc_id, p.source, p.text,
+             |    coalesce(p.text IS NOT NULL AND p.doc_id <> dm.m,
+             |      false) AS is_dup
+             |  FROM p LEFT JOIN dm ON dm.text = p.text),
+             |nd AS (SELECT doc_id, source, text FROM d1
+             |  WHERE NOT is_dup),
+             |pl AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS para,
+             |    unnest(range(1, len(string_split(text, chr(10))) + 1))
+             |      AS pos
+             |  FROM nd WHERE text IS NOT NULL),
+             |pfd AS (SELECT para, min(doc_id) AS f_doc FROM pl
+             |  WHERE trim(para) <> '' GROUP BY 1),
+             |pfp AS (SELECT pl.para, f_doc, min(pl.pos) AS f_pos
+             |  FROM pl JOIN pfd ON pl.para = pfd.para
+             |    AND pl.doc_id = pfd.f_doc
+             |  GROUP BY 1, 2),
+             |pm AS (SELECT pl.doc_id, pl.pos, pl.para,
+             |    (pfp.para IS NULL OR (pl.doc_id = pfp.f_doc
+             |      AND pl.pos = pfp.f_pos)) AS keep
+             |  FROM pl LEFT JOIN pfp ON pl.para = pfp.para),
+             |t1r AS (SELECT doc_id,
+             |    coalesce(string_agg(CASE WHEN keep THEN para END,
+             |      chr(10) ORDER BY pos), '') AS t1,
+             |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_para_removed
+             |  FROM pm GROUP BY doc_id),
+             |t1 AS (SELECT nd.doc_id, nd.source, t1r.t1,
+             |    coalesce(t1r.n_para_removed, CAST(0 AS BIGINT))
+             |      AS n_para_removed
+             |  FROM nd LEFT JOIN t1r USING (doc_id)),
+             |st AS (SELECT doc_id,
+             |    string_split_regex(trim(t1), '\s+') AS tk FROM t1
+             |  WHERE t1 IS NOT NULL AND trim(t1) <> ''
+             |    AND len(string_split_regex(trim(t1), '\s+')) >= 8),
+             |spos AS (SELECT doc_id, i - 1 AS pos,
+             |    array_to_string(tk[i:i+7], ' ') AS span
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk) - 7)) AS i
+             |        FROM st)),
+             |sdf AS (SELECT span FROM (SELECT DISTINCT doc_id, span
+             |                          FROM spos)
+             |  GROUP BY span HAVING count(*) >= 2),
+             |shits AS (SELECT s.doc_id, s.pos FROM spos s
+             |  JOIN sdf USING (span)),
+             |sisl AS (SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos - prev > 8
+             |             THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM (SELECT doc_id, pos,
+             |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |            AS prev
+             |        FROM shits)),
+             |sranges AS (SELECT doc_id, min(pos) AS s,
+             |    max(pos) + 7 AS e
+             |  FROM sisl GROUP BY doc_id, island
+             |  HAVING max(pos) + 7 - min(pos) + 1 >= 8),
+             |stoks AS (SELECT doc_id, i - 1 AS pp, tk[i] AS w
+             |  FROM (SELECT doc_id, tk,
+             |          unnest(generate_series(1, len(tk))) AS i
+             |        FROM st)),
+             |skeep AS (SELECT k.doc_id, k.pp, k.w FROM stoks k
+             |  WHERE NOT EXISTS (SELECT 1 FROM sranges r
+             |    WHERE r.doc_id = k.doc_id AND k.pp BETWEEN r.s AND r.e)),
+             |sreb AS (SELECT doc_id,
+             |    array_to_string(list(w ORDER BY pp), ' ') AS rebuilt
+             |  FROM skeep GROUP BY doc_id),
+             |srem AS (SELECT doc_id,
+             |    CAST(sum(e - s + 1) AS BIGINT) AS n_span_removed
+             |  FROM sranges GROUP BY doc_id),
+             |t2 AS (SELECT t1.doc_id, t1.source, t1.n_para_removed,
+             |    CASE WHEN srem.doc_id IS NULL THEN t1.t1
+             |         ELSE coalesce(sreb.rebuilt, '') END AS t2,
+             |    coalesce(srem.n_span_removed, CAST(0 AS BIGINT))
+             |      AS n_span_removed
+             |  FROM t1 LEFT JOIN srem USING (doc_id)
+             |  LEFT JOIN sreb USING (doc_id)),
+             |b AS (SELECT doc_id AS id, t2 AS t,
+             |    string_split_regex(trim(t2), '\s+') AS toks,
+             |    string_split(t2, chr(10)) AS lines FROM t2
+             |  WHERE t2 IS NOT NULL AND trim(t2) <> ''),
+             |$gopherMetricsCte,
+             |q AS (SELECT id, ($gopherPassSql) AS quality_ok FROM m),
+             |lab AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks,
+             |    CASE WHEN list_contains(
+             |        string_split_regex(trim(text), '\s+'), 'dup')
+             |      THEN 'dupish' ELSE 'clean' END AS label
+             |  FROM p WHERE doc_id % 2 = 0
+             |    AND text IS NOT NULL AND trim(text) <> ''),
+             |nf AS (SELECT label, unnest(toks) AS tok FROM lab),
+             |nfb AS (SELECT label,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS bkt
+             |  FROM nf),
+             |ncnt AS (SELECT label, bkt, count(*) AS n FROM nfb
+             |  GROUP BY 1, 2),
+             |nct AS (SELECT label, count(*) AS nc FROM nfb GROUP BY 1),
+             |ndc AS (SELECT label, count(*) AS dcnt FROM lab GROUP BY 1),
+             |ndall AS (SELECT CAST(sum(dcnt) AS DOUBLE) AS dall
+             |  FROM ndc),
+             |nmodel AS (SELECT c.label, c.bkt,
+             |    ln((c.n + CAST(0.0009765625 AS DOUBLE))
+             |       / (nct.nc + CAST(4.0 AS DOUBLE))) AS log_cond,
+             |    ln(CAST(ndc.dcnt AS DOUBLE) / ndall.dall) AS log_prior,
+             |    ln(CAST(0.0009765625 AS DOUBLE)
+             |       / (nct.nc + CAST(4.0 AS DOUBLE))) AS log_default
+             |  FROM ncnt c JOIN nct USING (label) JOIN ndc USING (label)
+             |  CROSS JOIN ndall),
+             |nte AS (SELECT doc_id,
+             |    string_split_regex(trim(t2), '\s+') AS toks FROM t2
+             |  WHERE t2 IS NOT NULL AND trim(t2) <> ''),
+             |ntf AS (SELECT doc_id, unnest(toks) AS tok FROM nte),
+             |ntb AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS bkt,
+             |    count(*) AS cnt
+             |  FROM ntf GROUP BY 1, 2),
+             |ntt AS (SELECT doc_id, sum(cnt) AS tcount FROM ntb
+             |  GROUP BY 1),
+             |ncls AS (SELECT DISTINCT label, log_prior, log_default
+             |  FROM nmodel),
+             |nseen AS (SELECT ntb.doc_id, m2.label,
+             |    sum(ntb.cnt * (m2.log_cond - m2.log_default)) AS adj
+             |  FROM ntb JOIN nmodel m2 ON m2.bkt = ntb.bkt
+             |  GROUP BY 1, 2),
+             |nsc AS (SELECT ntt.doc_id, c.label,
+             |    round(c.log_prior
+             |      + CAST(ntt.tcount AS DOUBLE) * c.log_default
+             |      + coalesce(s2.adj, CAST(0 AS DOUBLE)), 4) + 0
+             |      AS score
+             |  FROM ntt CROSS JOIN ncls c
+             |  LEFT JOIN nseen s2
+             |    ON s2.doc_id = ntt.doc_id AND s2.label = c.label),
+             |npred AS (SELECT doc_id, label AS pred FROM (
+             |    SELECT doc_id, label,
+             |      row_number() OVER (PARTITION BY doc_id
+             |                         ORDER BY score DESC, label) AS rn
+             |    FROM nsc)
+             |  WHERE rn = 1),
+             |ct AS (SELECT doc_id,
+             |    string_split_regex(trim(t2), '\s+') AS toks FROM t2
+             |  WHERE t2 IS NOT NULL AND trim(t2) <> ''
+             |    AND len(string_split_regex(trim(t2), '\s+')) >= 3),
+             |cg AS (SELECT DISTINCT doc_id, sh FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      list_transform(toks, (x, i) ->
+             |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             |      v -> v IS NOT NULL)) AS sh
+             |    FROM ct) u),
+             |cet AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM p
+             |  WHERE doc_id < 20 AND text IS NOT NULL
+             |    AND trim(text) <> ''
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 3),
+             |cev AS (SELECT DISTINCT sh FROM (
+             |    SELECT unnest(list_filter(
+             |      list_transform(toks, (x, i) ->
+             |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             |      v -> v IS NOT NULL)) AS sh
+             |    FROM cet) u),
+             |chits AS (SELECT cg.doc_id, count(*) AS n FROM cg
+             |  JOIN cev USING (sh) GROUP BY 1),
+             |flags AS (SELECT t2.doc_id, t2.source, t2.t2,
+             |    t2.n_para_removed, t2.n_span_removed,
+             |    coalesce(q.quality_ok, false) AS quality_ok,
+             |    coalesce(npred.pred <> 'dupish', false) AS nb_ok,
+             |    coalesce(chits.n, 0) > 0 AS contaminated
+             |  FROM t2 LEFT JOIN q ON q.id = t2.doc_id
+             |  LEFT JOIN npred USING (doc_id)
+             |  LEFT JOIN chits USING (doc_id)),
+             |surv AS (SELECT * FROM flags
+             |  WHERE quality_ok AND nb_ok AND NOT contaminated),
+             |twc AS (SELECT source, count(*) AS n FROM surv
+             |  WHERE source IS NOT NULL GROUP BY 1),
+             |twt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM twc),
+             |twr AS (SELECT source,
+             |    pow(n / twt.t, CAST(0.5 AS DOUBLE)) AS w
+             |  FROM twc CROSS JOIN twt),
+             |tws AS (SELECT sum(w) AS ws FROM twr),
+             |twb AS (SELECT source,
+             |    CAST(floor(CAST(2000 AS DOUBLE)
+             |      * (round(w / tws.ws, 6) + 0)) AS BIGINT) AS budget
+             |  FROM twr CROSS JOIN tws),
+             |sel AS (SELECT doc_id FROM (
+             |    SELECT s3.doc_id, twb.budget,
+             |      CAST(sum(CASE WHEN length(trim(s3.t2)) = 0 THEN 0
+             |        ELSE len(string_split_regex(trim(s3.t2), '\s+'))
+             |        END)
+             |        OVER (PARTITION BY s3.source ORDER BY s3.doc_id
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |    FROM surv s3 JOIN twb USING (source))
+             |  WHERE cum <= budget)
+             |SELECT d1.doc_id, d1.is_dup,
+             |  coalesce(f.n_para_removed, CAST(0 AS BIGINT))
+             |    AS n_para_removed,
+             |  coalesce(f.n_span_removed, CAST(0 AS BIGINT))
+             |    AS n_span_removed,
+             |  coalesce(f.quality_ok, false) AS quality_ok,
+             |  coalesce(f.nb_ok, false) AS nb_ok,
+             |  coalesce(f.contaminated, false) AS contaminated,
+             |  sel.doc_id IS NOT NULL AS selected,
+             |  (NOT d1.is_dup AND coalesce(f.quality_ok, false)
+             |    AND coalesce(f.nb_ok, false)
+             |    AND NOT coalesce(f.contaminated, false)
+             |    AND sel.doc_id IS NOT NULL) AS kept
+             |FROM d1 LEFT JOIN flags f USING (doc_id)
+             |LEFT JOIN sel USING (doc_id)""".stripMargin),
+      headline = true),
+
     Q("q_pack_offsets", // GPT-style concatenated packing: global token
       // offsets (docs + one separator each, id order) -> which
       // seqLen=512 sequences hold each doc. The two-phase bucketed

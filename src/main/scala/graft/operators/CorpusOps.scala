@@ -2379,4 +2379,137 @@ object CorpusOps {
       .withColumn("kept",
         col("quality_ok") && !col("is_dup") && !col("contaminated"))
   }
+
+  /** Full-recipe corpus curation v2 — [[curate]]'s three stages plus
+    * every curation operator added since, chained in the order a real
+    * pretraining pipeline runs them, with per-stage reject attribution
+    * per INPUT doc:
+    *
+    *   1. exact dedup on the RAW text (cheapest gate first; keep-first
+    *      = min id per distinct text) → `is_dup`,
+    *   2. corpus-wide keep-first paragraph dedup among survivors
+    *      ([[dropRepeatedParagraphs]]; dup copies are excluded so they
+    *      cannot inflate paragraph frequencies) → `n_para_removed`,
+    *   3. duplicated-span removal on the paragraph-cleaned text
+    *      ([[removeDupSpans]], the Lee et al. pass) →
+    *      `n_span_removed`,
+    *   4. Gopher quality gates on the FULLY-REWRITTEN text
+    *      ([[TextAnalysis.gopherRules]]) → `quality_ok`,
+    *   5. model-based quality filter ([[nbScore]] with a caller-trained
+    *      [[trainNbQuality]] model; reject when the argmax class is
+    *      `nbRejectLabel`) → `nb_ok` (false for no-token docs — no
+    *      evidence, and they already fail quality),
+    *   6. benchmark decontamination of the rewritten text
+    *      ([[contaminationFlags]] vs `evalSet`) → `contaminated`,
+    *   7. temperature-weighted mixture selection among full-gate
+    *      survivors: per-`groupCol` token budgets
+    *      `floor(totalBudgetTokens * weight)` from
+    *      [[temperatureWeights]] (round-6 weights, so the integer
+    *      budgets are engine-portable), spent in id order →
+    *      `selected`.
+    *
+    * Returns one row per input doc:
+    * `(id, is_dup, n_para_removed, n_span_removed, quality_ok, nb_ok,
+    * contaminated, selected, kept)` with
+    * `kept = !is_dup && quality_ok && nb_ok && !contaminated &&
+    * selected`. Stage-1 rejects (dups) are cascaded OUT: they carry
+    * the neutral value (false / 0) for every later column, and they
+    * never inflate the corpus-wide paragraph/span/df statistics the
+    * rewrite stages compute. Stages 4-6 are PARALLEL gates evaluated
+    * on every rewritten survivor (each flag is that gate's own verdict
+    * — a reject-funnel audit can count any combination); stage 7
+    * selects only among docs passing all of them. Docs with null text
+    * carry `is_dup = false`, rewrite counts 0, and fail quality.
+    *
+    * Scale shape: stages 1-6 compose linearly (one md5 aggregation,
+    * the paragraph/span passes' own linear shuffles, one broadcast
+    * model join, one broadcast eval join); the rewritten-text relation
+    * and the flag relation each feed several downstream stages, so
+    * both go through [[Materialize]] (lazy) rather than re-executing
+    * the span pipeline once per consumer. Stage 7's budgets are
+    * group-count-sized on a broadcast; the prefix sum is
+    * [[tokenBudgetSelect]]'s guarded window (`maxGroupRows`). */
+  def curateV2(docs: DataFrame, idCol: String, textCol: String,
+               evalSet: DataFrame, evalTextCol: String,
+               nbModel: DataFrame, nbRejectLabel: String,
+               groupCol: String, tau: Double, totalBudgetTokens: Long,
+               minTokens: Int = 50, contamN: Int = 8,
+               spanN: Int = 8, spanMinDf: Int = 2, spanMinTokens: Int = 8,
+               paraDelim: String = "\n",
+               maxGroupRows: Long = 50L * 1000 * 1000): DataFrame = {
+    require(totalBudgetTokens >= 0,
+      s"curateV2: negative budget: $totalBudgetTokens")
+    // 1. exact dedup on raw text — md5-keyed so the shuffle carries
+    // 16-byte hashes, not documents (the curate v1 contract)
+    val hashed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("__h"))
+    val firstPer = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__first"))
+    val dupFlags = hashed.join(firstPer, Seq("__h"))
+      .select(col(idCol), (col(idCol) =!= col("__first")).as("is_dup"))
+    val nd = docs.join(dupFlags, Seq(idCol), "left_outer")
+      .filter(!coalesce(col("is_dup"), lit(false)))
+      .select(col(idCol), col(groupCol), col(textCol))
+    // 2. keep-first paragraph dedup among stage-1 survivors
+    val para = dropRepeatedParagraphs(nd, idCol, textCol, paraDelim)
+      .select(col(idCol), col("clean_text").as("__t1"),
+        col("n_removed").as("n_para_removed"))
+    val nd1 = nd.join(para, Seq(idCol), "left_outer")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("__t1"), col(textCol)).as("__t1"),
+        coalesce(col("n_para_removed"), lit(0L)).as("n_para_removed"))
+    // 3. duplicated-span removal on the paragraph-cleaned text
+    val spans = removeDupSpans(nd1, idCol, "__t1", spanN, spanMinDf,
+        spanMinTokens)
+      .select(col(idCol), col("clean_text").as("__t2"),
+        col("n_removed").as("n_span_removed"))
+    val nd2 = Materialize(
+      nd1.select(col(idCol), col(groupCol), col("n_para_removed"))
+        .join(spans, Seq(idCol)),
+      eager = false)
+    // 4.-6. quality / model filter / decontamination, all on __t2
+    val quality = TextAnalysis.gopherRules(nd2, idCol, "__t2", minTokens)
+      .select(col("id").as(idCol), col("passes").as("quality_ok"))
+    val nb = nbScore(nd2, nbModel, idCol, "__t2")
+      .select(col(idCol),
+        (col("pred_label") =!= lit(nbRejectLabel)).as("nb_ok"))
+    val contam = contaminationFlags(nd2, idCol, "__t2", evalSet,
+        evalTextCol, contamN)
+      .select(col(idCol), col("contaminated"))
+    val flags = Materialize(nd2
+      .join(quality, Seq(idCol), "left_outer")
+      .join(nb, Seq(idCol), "left_outer")
+      .join(contam, Seq(idCol), "left_outer")
+      .select(col(idCol), col(groupCol), col("__t2"),
+        col("n_para_removed"), col("n_span_removed"),
+        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
+        coalesce(col("nb_ok"), lit(false)).as("nb_ok"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated")),
+      eager = false)
+    // 7. temperature-weighted mixture selection among survivors
+    val surv = flags.filter(col("quality_ok") && col("nb_ok") &&
+      !col("contaminated"))
+    val budgets = temperatureWeights(surv, groupCol, tau)
+      .select(col(groupCol),
+        floor(lit(totalBudgetTokens.toDouble) * col("weight"))
+          .cast("long").as("__budget"))
+    val picked = budgetPrefixSelect(
+        surv.join(broadcast(budgets), Seq(groupCol)),
+        groupCol, idCol, "__t2", col("__budget"), Seq.empty, maxGroupRows)
+      .select(col(idCol), lit(true).as("selected"))
+    docs.select(col(idCol))
+      .join(dupFlags, Seq(idCol), "left_outer")
+      .join(flags.drop(groupCol, "__t2"), Seq(idCol), "left_outer")
+      .join(picked, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        coalesce(col("n_para_removed"), lit(0L)).as("n_para_removed"),
+        coalesce(col("n_span_removed"), lit(0L)).as("n_span_removed"),
+        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
+        coalesce(col("nb_ok"), lit(false)).as("nb_ok"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+      .withColumn("kept", !col("is_dup") && col("quality_ok") &&
+        col("nb_ok") && !col("contaminated") && col("selected"))
+  }
 }

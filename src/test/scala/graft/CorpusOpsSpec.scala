@@ -608,6 +608,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("curateV2: hand-pinned per-stage attribution across the recipe") {
+    // one doc per failure mode, each crafted to PASS every earlier
+    // stage so the attributed stage is the one that actually fired
+    val docs = Seq(
+      (1L, "g1", "the cat and dog runs fast today"), // survives all
+      (2L, "g1", "the cat and dog runs fast today"), // exact dup of 1
+      // first para is doc 1's text -> corpus keep-first removes it
+      (3L, "g1", "the cat and dog runs fast today\n" +
+        "the bird can fly with ease maybe"),
+      // 5/6 share the 3-token span 'alpha beta gamma' (df 2) -> span
+      // removal cuts it from both; the 3-token remainders fail quality
+      (5L, "g1", "alpha beta gamma delta epsilon cat"),
+      (6L, "g1", "one two three alpha beta gamma"),
+      // passes Gopher (5 tokens, 2 stops) but the NB model rejects it
+      (7L, "g1", "the spamword and spamword spamword"),
+      // shares the eval 3-gram 'quick brown foxes' -> contaminated
+      (8L, "g1", "the quick brown foxes and dog today"),
+      (9L, "g1", null.asInstanceOf[String])
+    ).toDF("doc_id", "src", "text")
+    val labeled = Seq(
+      (100L, "spamword spamword spamword spamword", "bad"),
+      (101L, "cat dog bird fly", "good")).toDF("doc_id", "text", "label")
+    val model = CorpusOps.trainNbQuality(labeled, "doc_id", "text",
+      "label", numBuckets = 4096, alpha = 1.0)
+    val evalSet = Seq("quick brown foxes jump over lazy dogs").toDF("text")
+    val out = CorpusOps.curateV2(docs, "doc_id", "text", evalSet, "text",
+        model, "bad", "src", tau = 1.0, totalBudgetTokens = 10L,
+        minTokens = 5, contamN = 3, spanN = 3, spanMinDf = 2,
+        spanMinTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    // (is_dup, n_para_removed, n_span_removed, quality_ok, nb_ok,
+    //  contaminated, selected, kept). Budget 10 over survivors 1 and 3
+    // (7 tokens each, one group) selects only the id-ordered prefix.
+    // Doc 6's remainder 'one two three' is unseen by both NB classes:
+    // equal counts + equal priors tie, and ties break to the
+    // lexicographically smaller label ('bad') -> nb_ok false; doc 5's
+    // remainder carries the good-class token 'cat' -> nb_ok true.
+    val exp = Map(
+      1L -> ((false, 0L, 0L, true, true, false, true, true)),
+      2L -> ((true, 0L, 0L, false, false, false, false, false)),
+      3L -> ((false, 1L, 0L, true, true, false, false, false)),
+      5L -> ((false, 0L, 3L, false, true, false, false, false)),
+      6L -> ((false, 0L, 3L, false, false, false, false, false)),
+      7L -> ((false, 0L, 0L, true, false, false, false, false)),
+      8L -> ((false, 0L, 0L, true, true, true, false, false)),
+      9L -> ((false, 0L, 0L, false, false, false, false, false)))
+    assert(out == exp,
+      out.toSeq.sortBy(_._1).map { case (k, v) => s"$k -> $v" }
+        .mkString("\n"))
+  }
+
   test("mixtureSelect: budgets split by weight, off-spec groups drop") {
     // 6 docs of 10 tokens each per source; weights 2:1 over a 60-token
     // total -> budgets 40/20 -> 4 docs from a, 2 from b, none from c
