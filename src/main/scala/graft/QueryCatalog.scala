@@ -2397,6 +2397,149 @@ object QueryCatalog {
              |LIMIT 20""".stripMargin),
       headline = true),
 
+    Q("q_cosine_knn_batch", // batch brute-force cosine top-k: a query
+      // TABLE (the first 4 corpus vectors) ranked against the corpus
+      // in ONE job — the semantic leg of batch retrieval. Broadcast
+      // query table, per-query WindowGroupLimit top-10, self-match
+      // excluded per query (the single-query cosineTopK rule).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 4),
+             |s AS (SELECT q.qid, e.vec_id AS id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS cos_sim
+             |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+             |r AS (SELECT qid, id, cos_sim,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY cos_sim DESC, id) AS rn
+             |  FROM s)
+             |SELECT qid, id, cos_sim FROM r WHERE rn <= 10"""
+        .stripMargin)),
+
+    Q("q_search_batch", // BATCH hybrid retrieval: the q_bm25_batch
+      // query table fused per query with batch cosine rankings
+      // (query vectors = corpus vectors 0..3, qid aligned with
+      // query_id) through per-query RRF — n queries in ONE job. q3
+      // matches nothing lexically but still retrieves semantically
+      // (the one-leg fusion branch, n_signals=1); candidate depth 50,
+      // final top-10 per query. The oracle chains the q_bm25_batch
+      // CTE chain, the batch-cosine CTE, per-query rank CTEs and the
+      // fused per-query top-k — total orders at every boundary.
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        val emb = t(s, d, "embeddings")
+        val sem = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 50)
+        CorpusOps.searchPipelineBatch(t(s, d, "documents"), "doc_id",
+          "text", qs, "query_id", "query_text",
+          sem, "qid", "id", "cos_sim", k = 10, candidates = 50)
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+'))
+             |      AS tok
+             |  FROM qraw)),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - dfr.df + CAST(0.5 AS DOUBLE))
+             |          / (dfr.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN dfr USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, bm25 FROM (
+             |    SELECT query_id, doc_id, bm25,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY bm25 DESC, doc_id) AS rn
+             |    FROM sc)
+             |  WHERE rn <= 50),
+             |qv AS (SELECT vec_id AS qid, embedding AS vq
+             |  FROM embeddings WHERE vec_id < 4),
+             |semsc AS (SELECT qv.qid, e.vec_id AS id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(qv.vq[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(qv.vq,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS s
+             |  FROM embeddings e JOIN qv ON e.vec_id <> qv.qid),
+             |sem AS (SELECT qid AS query_id, id AS doc_id, s FROM (
+             |    SELECT qid, id, s,
+             |      row_number() OVER (PARTITION BY qid
+             |                         ORDER BY s DESC, id) AS rn
+             |    FROM semsc)
+             |  WHERE rn <= 50),
+             |r1 AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS r
+             |  FROM lex),
+             |r2 AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY s DESC, doc_id) AS r
+             |  FROM sem),
+             |u AS (SELECT query_id, doc_id, r FROM r1
+             |      UNION ALL SELECT query_id, doc_id, r FROM r2),
+             |f AS (SELECT query_id, doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_signals,
+             |    round(sum(CAST(1.0 AS DOUBLE)
+             |      / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
+             |  FROM u GROUP BY 1, 2)
+             |SELECT query_id, doc_id, n_signals, rrf_score,
+             |  CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT query_id, doc_id, n_signals, rrf_score,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY rrf_score DESC, doc_id)
+             |      AS rn
+             |  FROM f)
+             |WHERE rn <= 10""".stripMargin)),
+
     Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
       // trained model-based quality/domain filter (DCLM / fastText
       // recipe member). Closed-form training makes the MODEL itself

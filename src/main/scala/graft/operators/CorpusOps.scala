@@ -1710,6 +1710,40 @@ object CorpusOps {
         (round(sum(col("__c")), 6) + lit(0.0d)).as("rrf_score"))
   }
 
+  /** Per-query reciprocal-rank fusion — [[rrfFuse]] for BATCH
+    * retrieval: each signal frame carries (`queryCol`, `idCol`,
+    * scoreCol) rows and is ranked WITHIN each query
+    * (score desc, id tie-break); contributions `1/(k + rank)` sum per
+    * (query, doc). Returns (`queryCol`, `idCol`, `n_signals`,
+    * `rrf_score` rounded 6).
+    *
+    * Scale shape: ranks come from plain query-partitioned windows —
+    * each partition is one query's candidate list, bounded by the
+    * upstream retrievers' own k, so the packOffsets two-phase trick
+    * [[rrfFuse]] needs for its corpus-wide global rank would be pure
+    * overhead here. The fuse is one hash aggregation on
+    * (query, id). */
+  def rrfFuseGrouped(signals: Map[String, (DataFrame, String)],
+                     queryCol: String, idCol: String,
+                     k: Int = 60): DataFrame = {
+    require(signals.nonEmpty, "rrfFuseGrouped: no signals")
+    require(k >= 1, s"k must be >= 1: $k")
+    val ranked = signals.toSeq.sortBy(_._1).map { case (_, (df, sc)) =>
+      val w = Window.partitionBy(col(queryCol))
+        .orderBy(col("__s").desc, col(idCol))
+      df.filter(col(sc).isNotNull)
+        .select(col(queryCol), col(idCol), col(sc).as("__s"))
+        .withColumn("__r", row_number().over(w))
+        .select(col(queryCol), col(idCol),
+          (lit(1.0d) / (lit(k.toDouble) + col("__r").cast("double")))
+            .as("__c"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(count(lit(1)).as("n_signals"),
+        (round(sum(col("__c")), 6) + lit(0.0d)).as("rrf_score"))
+  }
+
   /** End-to-end hybrid retrieval — the composed pipeline a search user
     * actually runs: BM25 lexical candidates ([[bm25TopK]]) and a
     * SEMANTIC candidate ranking (any embedding top-k: brute-force
@@ -1752,6 +1786,53 @@ object CorpusOps {
     fused.withColumn("rank",
       row_number().over(Window.orderBy(col("rrf_score").desc,
         col(idCol))).cast("long"))
+  }
+
+  /** Batch hybrid retrieval — [[searchPipeline]] for a query TABLE,
+    * in ONE job (the [[bm25TopKBatch]] principle; a retrieval workload
+    * is n queries, and one Spark job per query is the driver-side
+    * bottleneck pattern this repo refuses): [[bm25TopKBatch]] lexical
+    * candidates fused per query with a batch SEMANTIC ranking (any
+    * (query, id, score) relation — [[graft.operators.Similarity
+    * .cosineTopKBatch]] as the exact baseline, per-query IVF/PQ probes
+    * at scale) through [[rrfFuseGrouped]]. Returns (`queryIdCol`,
+    * `idCol`, `n_signals`, `rrf_score`, `rank` 1..k) with <= k rows
+    * per query, ranked (rrf_score desc, id) within each query.
+    *
+    * A query found by only one leg still fuses (`n_signals` = 1); a
+    * query matching NOTHING in either leg contributes no rows (the
+    * [[bm25TopKBatch]] convention).
+    *
+    * Scale shape: both legs are one-job batch retrievers; fusion
+    * operates on <= 2 x candidates rows PER QUERY through
+    * query-partitioned windows (bounded partitions), and the final
+    * per-query top-k is one more WindowGroupLimit — nothing scales
+    * with the corpus except inside the legs themselves. */
+  def searchPipelineBatch(docs: DataFrame, idCol: String,
+                          textCol: String, queries: DataFrame,
+                          queryIdCol: String, queryTextCol: String,
+                          semantic: DataFrame, semanticQueryCol: String,
+                          semanticIdCol: String,
+                          semanticScoreCol: String, k: Int,
+                          candidates: Int = 100,
+                          rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    val lex = bm25TopKBatch(docs, idCol, textCol, queries, queryIdCol,
+        queryTextCol, candidates)
+      .select(col(queryIdCol), col(idCol), col("bm25"))
+    val sem = semantic.select(
+      col(semanticQueryCol).as(queryIdCol),
+      col(semanticIdCol).as(idCol),
+      col(semanticScoreCol).as("__sem"))
+    rrfFuseGrouped(Map(
+        "lexical" -> ((lex, "bm25")),
+        "semantic" -> ((sem, "__sem"))), queryIdCol, idCol, k = rrfK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("rrf_score").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Top-`k` terms per document by tf-idf (classic
@@ -2445,8 +2526,12 @@ object CorpusOps {
       .select(col(idCol), md5(col(textCol).cast("binary")).as("__h"))
     val firstPer = hashed.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__first"))
-    val dupFlags = hashed.join(firstPer, Seq("__h"))
-      .select(col(idCol), (col(idCol) =!= col("__first")).as("is_dup"))
+    // (id, bool)-sized and consumed three times (the survivor filter
+    // feeds both rewrite stages, and the final assembly reads it
+    // again) — materialize so the md5 aggregation runs once
+    val dupFlags = Materialize(hashed.join(firstPer, Seq("__h"))
+      .select(col(idCol), (col(idCol) =!= col("__first")).as("is_dup")),
+      eager = false)
     val nd = docs.join(dupFlags, Seq(idCol), "left_outer")
       .filter(!coalesce(col("is_dup"), lit(false)))
       .select(col(idCol), col(groupCol), col(textCol))

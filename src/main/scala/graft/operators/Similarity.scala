@@ -56,6 +56,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch brute-force cosine top-k — [[cosineTopK]] for a query
+    * TABLE: every query vector ranked against the corpus in ONE job,
+    * no per-query driver loop (the [[graft.operators.CorpusOps
+    * .bm25TopKBatch]] principle applied to the semantic leg). A corpus
+    * vector whose id equals the query's id is excluded (the
+    * self-match rule of the single-query form). Returns
+    * (`queryIdCol`, `id`, `cos_sim` rounded 6) with <= `k` rows per
+    * query, ranked (cos_sim desc, id) — deterministic,
+    * engine-portable.
+    *
+    * Scale shape: the query table rides a BROADCAST into one pass
+    * over the corpus (queries are few by definition; a corpus-sized
+    * "query" set is [[knnJoin]]'s job), so the only corpus-scaling
+    * work is the |q| x n score projection; the per-query cap compiles
+    * to WindowGroupLimit — per-map-partition k-heaps, shuffle volume
+    * O(partitions x q x k), never the score relation. This is the
+    * exact baseline; at 100 TB generate candidates with the IVF/PQ
+    * tiers per query and re-rank. */
+  def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(queries
+      .select(col(queryIdCol), col(queryVecCol).as("__qv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos_sim").desc, col("id"))
+    df.join(q, col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol).as("id"),
+        round(cosine(col(vecCol), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(queryIdCol), col("id"), col("cos_sim"))
+  }
+
   /** Sign-random-projection bit signature: `nBits` sign bits of dot
     * products against deterministic pseudo-random hyperplanes (seeded by
     * bit index and dimension via xxhash64 — reproducible across runs).

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.CorpusOps
+import graft.operators.{CorpusOps, Similarity}
 
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -1132,6 +1132,74 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusOps.searchPipeline(docs, "doc_id", "text", Seq("a"),
         sem, "id", "cos", k = 5, candidates = 3)
+    }
+  }
+
+  test("searchPipelineBatch == per-query searchPipeline; one-leg fusion") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryTexts = Seq((0L, "hash join window scan"),
+      (1L, "sort merge batch"), (2L, "qqqnomatchqqq"))
+    val qs = queryTexts.toDF("query_id", "query_text")
+    val semBatch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")),
+      "qid", "qv", k = 30)
+    val batch = CorpusOps.searchPipelineBatch(docs, "doc_id", "text",
+        qs, "query_id", "query_text", semBatch, "qid", "id", "cos_sim",
+        k = 5, candidates = 30)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet).toMap
+    // equivalence law: each query's batch rows == the single-query
+    // pipeline on that query's terms and semantic slice
+    queryTexts.foreach { case (qid, text) =>
+      val single = CorpusOps.searchPipeline(docs, "doc_id", "text",
+          text.split("\\s+").toSeq,
+          Similarity.cosineTopK(emb, "vec_id", "embedding", qid, 30),
+          "id", "cos_sim", k = 5, candidates = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSet
+      assert(got(batch, qid) == single,
+        s"query $qid: ${batch.get(qid)} vs $single")
+    }
+    // the no-lexical-match query still retrieves semantically and
+    // every one of its fused rows carries exactly one signal
+    assert(batch(2L).nonEmpty && batch(2L).forall(_._2 == 1L),
+      batch(2L).toString)
+  }
+
+  private def got(m: Map[Long, Set[(Long, Long, Double, Long)]],
+                  k: Long): Set[(Long, Long, Double, Long)] =
+    m.getOrElse(k, Set.empty)
+
+  test("rrfFuseGrouped: per-query hand fusion, partial coverage, guards") {
+    // query 10: signal a ranks docs 3,2; signal b ranks 2,1 (doc 2 in
+    // both). query 20: only signal a covers it; doc 7 NULL score in b.
+    val a = Seq((10L, 3L, 9.0), (10L, 2L, 5.0), (20L, 5L, 4.0))
+      .toDF("q", "doc_id", "s")
+    val b = Seq((10L, 2L, Some(8.0)), (10L, 1L, Some(6.0)),
+      (20L, 7L, None)).toDF("q", "doc_id", "s")
+    val out = CorpusOps.rrfFuseGrouped(
+        Map("a" -> ((a, "s")), "b" -> ((b, "s"))), "q", "doc_id", k = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp = Map(
+      (10L, 3L) -> ((1L, r6(1.0 / 61))),          // a rank 1
+      (10L, 2L) -> ((2L, r6(1.0 / 62 + 1.0 / 61))), // a rank 2, b rank 1
+      (10L, 1L) -> ((1L, r6(1.0 / 62))),          // b rank 2
+      (20L, 5L) -> ((1L, r6(1.0 / 61))))          // a only; NULL b gone
+    assert(out == exp, s"$out vs $exp")
+    intercept[IllegalArgumentException] {
+      CorpusOps.rrfFuseGrouped(Map.empty, "q", "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.rrfFuseGrouped(Map("a" -> ((a, "s"))), "q", "doc_id",
+        k = 0)
     }
   }
 

@@ -511,6 +511,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(0)._2 > top(1)._2 && top(1)._2 > top(2)._2)
   }
 
+  test("cosineTopKBatch == per-query cosineTopK; broadcast plan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+    val got = batch.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet)
+      .toMap
+    (0L until 3L).foreach { q =>
+      val single = Similarity.cosineTopK(emb, "vec_id", "embedding",
+          q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got(q) == single, s"query $q: ${got(q)} vs $single")
+    }
+    // the query table rides a broadcast; per-query cap plans as a
+    // group limit, not a full sort
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(600))
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+    intercept[IllegalArgumentException] {
+      Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 0)
+    }
+  }
+
   test("IVF index: partition-pruned probe equals the in-memory SRP probe") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
