@@ -1089,45 +1089,6 @@ object QueryCatalog {
              |    (a, b) -> (a * 31 + b) % 2147483648) AS fp
              |FROM documents""".stripMargin)),
 
-    Q("q_pii_scrub", // PII redaction (emails/phones/IPv4 -> typed
-      // placeholders + per-doc counts). The corpus carries no organic
-      // PII, so deterministic PII is planted on a doc_id-keyed subset
-      // identically on both sides; the same regexes run verbatim in
-      // Java (Spark) and RE2 (DuckDB) — conservative patterns chosen
-      // for identical semantics in both dialects.
-      (s, d) => {
-        val planted = t(s, d, "documents").select(col("doc_id"),
-          concat(col("text"),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" contact user"), col("doc_id"),
-                lit("@example.com asap"))).otherwise(lit("")),
-            when(col("doc_id") % 11 === 0,
-              lit(" call 555-867-5309 or ping 10.0.0.1"))
-              .otherwise(lit(""))).as("text"))
-        TextAnalysis.piiScrub(planted, "doc_id", "text")
-      },
-      Some(s"""WITH p AS (
-              |  SELECT doc_id, text ||
-              |    CASE WHEN doc_id % 7 = 0
-              |      THEN ' contact user' || doc_id || '@example.com asap'
-              |      ELSE '' END ||
-              |    CASE WHEN doc_id % 11 = 0
-              |      THEN ' call 555-867-5309 or ping 10.0.0.1'
-              |      ELSE '' END AS text
-              |  FROM documents)
-              |SELECT doc_id AS id,
-              |  regexp_replace(regexp_replace(regexp_replace(text,
-              |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-              |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
-              |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text,
-              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
-              |    AS BIGINT) AS n_emails,
-              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
-              |    AS BIGINT) AS n_phones,
-              |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}'))
-              |    AS BIGINT) AS n_ips
-              |FROM p""".stripMargin)),
-
     Q("q_repetition", // repetition-ratio quality signals (Gopher/C4
       // style): duplicate-token fraction + top token share per doc
       (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"),
@@ -2976,6 +2937,85 @@ object QueryCatalog {
              |  doc_id % 4 = 0 AS had_html
              |FROM s3""".stripMargin),
       headline = true),
+
+    Q("q_pii_scrub", // PII masking (the release-scrub pass): emails,
+      // card/SSN shapes, phone numbers, IPv4 replaced by typed tokens
+      // with per-category counts. PII strings are planted on a
+      // doc_id-keyed subset identically on both sides (the
+      // q_html_extract convention); masking is SEQUENTIAL so each
+      // category's count sees earlier categories already masked; the
+      // RE2-safe patterns run VERBATIM in Java (Spark) and RE2
+      // (DuckDB). PII-free and null docs pass through untouched.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val planted = docs.select(col("doc_id"),
+          when(col("text").isNull, col("text"))
+            .when(col("doc_id") % 7 === 0, concat(col("text"),
+              lit(" contact bob@example.com or 555-867-5309")))
+            .when(col("doc_id") % 7 === 1, concat(
+              lit("card 4111-1111-1111-1111 from 10.0.0.1 "),
+              col("text")))
+            .when(col("doc_id") % 7 === 2, concat(col("text"),
+              lit(" ssn 123-45-6789 call (800) 555-1234")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.TextAnalysis.maskPii(planted, "doc_id", "text")
+      },
+      Some(raw"""WITH p AS (SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN text
+             |      WHEN doc_id % 7 = 0 THEN text ||
+             |        ' contact bob@example.com or 555-867-5309'
+             |      WHEN doc_id % 7 = 1 THEN
+             |        'card 4111-1111-1111-1111 from 10.0.0.1 ' || text
+             |      WHEN doc_id % 7 = 2 THEN text ||
+             |        ' ssn 123-45-6789 call (800) 555-1234'
+             |      ELSE text END AS t0
+             |  FROM documents),
+             |m1 AS (SELECT doc_id,
+             |    len(regexp_extract_all(t0,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |      AS n_email,
+             |    regexp_replace(t0,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g') AS t1
+             |  FROM p),
+             |m2 AS (SELECT doc_id, n_email,
+             |    len(regexp_extract_all(t1,
+             |      '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b'))
+             |      AS n_card,
+             |    regexp_replace(t1,
+             |      '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b',
+             |      '<CARD>', 'g') AS t2
+             |  FROM m1),
+             |m3 AS (SELECT doc_id, n_email, n_card,
+             |    len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+             |      AS n_ssn,
+             |    regexp_replace(t2, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+             |      '<SSN>', 'g') AS t3
+             |  FROM m2),
+             |m4 AS (SELECT doc_id, n_email, n_card, n_ssn,
+             |    len(regexp_extract_all(t3,
+             |      '\([0-9]{3}\) ?[0-9]{3}[-.][0-9]{4}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+             |      AS n_phone,
+             |    regexp_replace(t3,
+             |      '\([0-9]{3}\) ?[0-9]{3}[-.][0-9]{4}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+             |      '<PHONE>', 'g') AS t4
+             |  FROM m3),
+             |m5 AS (SELECT doc_id, n_email, n_card, n_ssn, n_phone,
+             |    len(regexp_extract_all(t4, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             |      AS n_ip,
+             |    regexp_replace(t4, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             |      '<IP>', 'g') AS t5
+             |  FROM m4)
+             |SELECT doc_id, t5 AS clean_text,
+             |  CAST(coalesce(n_email, 0) AS BIGINT) AS n_email,
+             |  CAST(coalesce(n_card, 0) AS BIGINT) AS n_card,
+             |  CAST(coalesce(n_ssn, 0) AS BIGINT) AS n_ssn,
+             |  CAST(coalesce(n_phone, 0) AS BIGINT) AS n_phone,
+             |  CAST(coalesce(n_ip, 0) AS BIGINT) AS n_ip,
+             |  CAST(coalesce(n_email, 0) + coalesce(n_card, 0)
+             |    + coalesce(n_ssn, 0) + coalesce(n_phone, 0)
+             |    + coalesce(n_ip, 0) AS BIGINT) AS n_pii
+             |FROM m5""".stripMargin)),
 
     Q("q_gopher_rules", // Gopher-style quality gates (Rae et al. 2021
       // §A1.1): signal columns + one boolean per rule + the

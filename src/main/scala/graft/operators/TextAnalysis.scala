@@ -118,34 +118,6 @@ object TextAnalysis {
       qualityScore(col(textCol)).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
 
-  // conservative public patterns (same semantics in Java regex and
-  // DuckDB's RE2, deliberately — the oracle runs them verbatim)
-  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-
-  /** PII redaction for training-corpus curation: emails, NANP-style
-    * phone groups, and IPv4 literals replaced by typed placeholders,
-    * with per-doc match counts (counted on the ORIGINAL text). Pure
-    * regexp built-ins — one codegen'd scan, embarrassingly parallel at
-    * 100 TB. Email runs first so its host part can't be half-eaten by
-    * the IP rule; the three patterns are mutually non-overlapping
-    * after that ordering. */
-  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
-    docs.select(
-      col(idCol).as("id"),
-      scrubbed.as("clean_text"),
-      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"))
-  }
-
   /** HTML → text extraction for web-crawl ingestion (the WET-style
     * step every web corpus runs before any quality/dedup work): drop
     * `<script>`/`<style>` blocks wholesale (their CONTENT is code, not
@@ -171,6 +143,59 @@ object TextAnalysis {
         replace(acc, lit(ent), lit(ch))
       }
     trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** PII mask patterns, applied in THIS order — masking is sequential,
+    * so each category's count sees the text AFTER earlier categories
+    * masked (a credit card can never double-count as a phone number).
+    * Deliberately conservative, precision-over-recall shapes (the
+    * published pretraining scrubs — e.g. the BigScience/ROOTS and
+    * Dolma PII passes — mask exactly these machine-recognizable
+    * classes and leave ambiguous digit runs alone: a curation filter
+    * that eats "2023-10-05" as a phone number corrupts more text than
+    * it protects); digit-run patterns carry `\b` guards so a version
+    * string or a longer number can't be half-eaten. RE2-safe syntax
+    * only ([0-9] classes, bounded quantifiers, alternation, ASCII
+    * `\b` — no backreferences or lookarounds), so a DuckDB oracle runs
+    * the patterns VERBATIM. */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("card", "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b",
+      "<CARD>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\([0-9]{3}\\) ?[0-9]{3}[-.][0-9]{4}\\b" +
+      "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"))
+
+  /** PII masking — the scrub pass a released pretraining corpus runs
+    * (emails, credit-card and SSN shapes, phone numbers, IPv4
+    * addresses replaced by typed placeholder tokens), with per-
+    * category counts for the corpus-level PII audit a data card
+    * reports. Returns one row per input doc:
+    * (`idCol`, `clean_text`, `n_email`, `n_card`, `n_ssn`, `n_phone`,
+    * `n_ip`, `n_pii`). PII-free docs pass byte-identical; null text
+    * passes through as null with zero counts (visible, never dropped).
+    *
+    * Scale shape: a pure per-row regexp projection — zero shuffle,
+    * whole-stage codegen'd, embarrassingly parallel at 100 TB (the
+    * [[htmlToText]] class). Counts are evaluated on the pre-mask text
+    * of their own stage, so the five patterns cost a bounded number of
+    * regex passes per row regardless of document size. */
+  def maskPii(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val (cleaned, counts) = PiiPatterns
+      .foldLeft((col(textCol), Seq.empty[(String, Column)])) {
+        case ((t, cs), (cat, pat, tok)) =>
+          (regexp_replace(t, pat, tok),
+            cs :+ (s"n_$cat" ->
+              coalesce(regexp_count(t, lit(pat)), lit(0)).cast("long")))
+      }
+    val total = counts.map(_._2).reduce(_ + _)
+    docs.select(Seq(col(idCol), cleaned.as("clean_text")) ++
+      counts.map { case (nm, c) => c.as(nm) } :+
+      total.as("n_pii"): _*)
   }
 
   // the Gopher paper's stop-word presence list (Rae et al. 2021, §A1.1:

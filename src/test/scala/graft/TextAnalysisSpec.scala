@@ -43,21 +43,24 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("id", "n_chars", "n_tokens", "n_tokens_bpe", "quality", "fingerprint"))
   }
 
-  test("piiScrub redacts emails/phones/IPs with counts; clean text intact") {
+  test("maskPii: boundary guards leave versions and long numbers alone") {
     val docs = Seq(
-      (1L, "mail a.b+c@ex-ample.org or x@y.io, call 555-123-4567, " +
+      (1L, "mail a.b+c@ex-ample.org or x@y.io, call 555.123.4567, " +
         "host 10.0.0.255 ok"),
-      (2L, "no pii here, just v1.2 and 1234-5678"),
-      (3L, "")).toDF("id", "text")
-    val out = TextAnalysis.piiScrub(docs, "id", "text")
-      .as[(Long, String, Long, Long, Long)].collect()
-      .map(r => r._1 -> r).toMap
-    assert(out(1L)._2 ==
-      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> ok")
-    assert((out(1L)._3, out(1L)._4, out(1L)._5) == ((2L, 1L, 1L)))
-    assert(out(2L)._2 == "no pii here, just v1.2 and 1234-5678")
-    assert((out(2L)._3, out(2L)._4, out(2L)._5) == ((0L, 0L, 0L)))
-    assert((out(3L)._3, out(3L)._4, out(3L)._5) == ((0L, 0L, 0L)))
+      (2L, "no pii here, just v1.2 and 1234-5678 and 10.0.0.1234"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.maskPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
+    // dot-separated phone form masks; both emails mask
+    assert(out(1L) == (("mail <EMAIL> or <EMAIL>, call <PHONE>, " +
+      "host <IP> ok", 2L, 0L, 0L, 1L, 1L, 4L)))
+    // \b guards: a version string, a bare digit pair, and a too-long
+    // final IP octet are NOT PII
+    assert(out(2L) == (("no pii here, just v1.2 and 1234-5678 and " +
+      "10.0.0.1234", 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == (("", 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
   test("repetitionStats: dup fraction and top-token share") {
@@ -112,6 +115,40 @@ class TextAnalysisSpec extends SparkSpec {
     // (?s) lets the block pattern span newlines; &amp;lt; decodes ONE
     // level per pass (&lt; after &amp;->&), like a single-pass decoder
     assert(out == "pre mid &lt; post")
+  }
+
+  test("maskPii: each category masks and counts; clean text untouched") {
+    val docs = Seq(
+      (1L, "mail alice.b+tag@sub.example.org now"),
+      (2L, "pay 4111-1111-1111-1111 or 4111 1111 1111 1111 today"),
+      (3L, "ssn 123-45-6789 phone 555-867-5309 alt (800) 555-1234"),
+      (4L, "from 10.0.0.1 to 192.168.255.254"),
+      (5L, "no pii here at all"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.maskPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) == (("mail <EMAIL> now", 1L, 0L, 0L, 0L, 0L, 1L)))
+    // both separator forms of a card mask; the card is NEVER
+    // double-counted as a phone number (sequential masking)
+    assert(out(2L) == (("pay <CARD> or <CARD> today",
+      0L, 2L, 0L, 0L, 0L, 2L)))
+    assert(out(3L) == (("ssn <SSN> phone <PHONE> alt <PHONE>",
+      0L, 0L, 1L, 2L, 0L, 3L)))
+    assert(out(4L) == (("from <IP> to <IP>", 0L, 0L, 0L, 0L, 2L, 2L)))
+    // PII-free text passes byte-identical; null passes through as null
+    assert(out(5L) == (("no pii here at all", 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(6L)._1 == null &&
+      out(6L) == ((null, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("maskPii is shuffle-free (no Exchange in the plan)") {
+    val docs = Seq((1L, "a@b.co")).toDF("doc_id", "text")
+    val plan = TextAnalysis.maskPii(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
   }
 
   test("gopherRules: clean prose passes, each rule fails its planted doc") {
