@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("id_pairs"),
       new ExpressionInfo(classOf[IdPairs].getName, "id_pairs"),
       (exprs: Seq[Expression]) => IdPairs(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
     // custom sketch aggregates + post-processing scalars — ONLY what
     // Spark 4 lacks (theta and KLL build/scalar functions are Spark
     // built-ins already in the SQL registry; see SketchAggregates

@@ -104,6 +104,8 @@ object TextExpressions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
   }
 
   private[plans] def tokenize(text: String): Array[String] = {

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Dense-vector natives for the ANN/similarity tier. The declarative
+  * cosine ([[graft.operators.Similarity.cosineDeclarative]]:
+  * `aggregate(zip_with(a, b, *))` over two `transform` norms) is
+  * semantically right but allocates THREE intermediate arrays per pair
+  * and walks each input twice — on a brute-force batch leg that is
+  * 10^8 pairs of lambda dispatch. [[CosineSim]] fuses the whole thing
+  * into one allocation-free JIT'd loop pair per row (the
+  * [[SrpSignature]]/[[PqEncode]] native-expression shape) while
+  * reproducing the declarative form's exact case analysis and IEEE
+  * summation order, so every existing cosine gate stays hash-green.
+  */
+object VectorExpressions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Fused cosine similarity of two numeric-array columns,
+  * bit-equal to the declarative
+  * `when(norm(a) * norm(b) > 0, dot(a, b) / (norm(a) * norm(b)))
+  * .otherwise(0.0)` composition (spec-pinned in DedupSimilaritySpec),
+  * including its edge semantics:
+  *
+  *   - a NULL array on either side → 0.0 (the declarative `when`
+  *     falls through on a null denominator — NOT null),
+  *   - a NULL element on either side → 0.0 (same route: the norm
+  *     aggregate goes null),
+  *   - length mismatch with nonzero norms → NULL (zip_with pads the
+  *     short side with nulls, so the dot — and only the dot — is
+  *     null),
+  *   - a zero/NaN denominator → 0.0,
+  *   - otherwise `dot / (sqrt(na) * sqrt(nb))` with every sum
+  *     accumulated in ascending index order, elements promoted to
+  *     double BEFORE multiplying — the declarative form's exact IEEE
+  *     ops, so results are bit-identical.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  // every numeric element type the declarative form's cast("double")
+  // accepted — the int8-quantized tier feeds array<tinyint> here
+  private def elemKind(dt: DataType): Int = dt match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(ByteType, _) => 2
+    case ArrayType(ShortType, _) => 3
+    case ArrayType(IntegerType, _) => 4
+    case ArrayType(LongType, _) => 5
+    case _ => -1
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemKind(left.dataType) >= 0 && elemKind(right.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two numeric-element array inputs, got " +
+          s"(${left.dataType.catalogString}, " +
+          s"${right.dataType.catalogString})")
+
+  @transient private lazy val leftKind = elemKind(left.dataType)
+  @transient private lazy val rightKind = elemKind(right.dataType)
+
+  private def get(v: ArrayData, i: Int, kind: Int): Double =
+    kind match {
+      case 0 => v.getDouble(i)
+      case 1 => v.getFloat(i).toDouble
+      case 2 => v.getByte(i).toDouble
+      case 3 => v.getShort(i).toDouble
+      case 4 => v.getInt(i).toDouble
+      case _ => v.getLong(i).toDouble
+    }
+
+  private val Zero = java.lang.Double.valueOf(0.0d)
+
+  // custom eval, NOT nullSafeEval: a null input array yields 0.0 here
+  // (the declarative form's behavior), which nullSafeEval cannot say
+  override def eval(input: InternalRow): Any =
+    compute(left.eval(input), right.eval(input))
+
+  /** Public: called from generated code. Boxed so the length-mismatch
+    * NULL is representable. */
+  def compute(aRaw: Any, bRaw: Any): java.lang.Double = {
+    if (aRaw == null || bRaw == null) return Zero
+    val a = aRaw.asInstanceOf[ArrayData]
+    val b = bRaw.asInstanceOf[ArrayData]
+    val la = a.numElements()
+    val lb = b.numElements()
+    var na = 0.0d
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i)) return Zero
+      val x = get(a, i, leftKind)
+      na += x * x
+      i += 1
+    }
+    var nb = 0.0d
+    i = 0
+    while (i < lb) {
+      if (b.isNullAt(i)) return Zero
+      val y = get(b, i, rightKind)
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (!(denom > 0)) return Zero
+    if (la != lb) return null
+    var dot = 0.0d
+    i = 0
+    while (i < la) {
+      dot += get(a, i, leftKind) * get(b, i, rightKind)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this,
+      classOf[CosineSim].getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    ev.copy(code =
+      code"""
+         |${l.code}
+         |${r.code}
+         |java.lang.Double $boxed = $ref.compute(
+         |  ${l.isNull} ? null : (Object) ${l.value},
+         |  ${r.isNull} ? null : (Object) ${r.value});
+         |boolean ${ev.isNull} = $boxed == null;
+         |double ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

@@ -205,6 +205,41 @@ object CorpusScale {
     }
     println(f"pagerank_s=$tPr%.2f edges=$nDocs%d mass=$prSum%.4f " +
       f"pr_Medges_per_s=${nDocs / 1e6 / tPr * 3}%.2f")
+
+    // batch hybrid retrieval (r15): 128 queries through BOTH legs in
+    // ONE job — bm25TopKBatch on the replicated text corpus +
+    // cosineTopKBatch on a replicated embedding corpus (brute exact
+    // leg; at real scale the IVF/PQ tiers emit the same
+    // (query, id, score) shape), fused per query by rrfFuseGrouped
+    val embMult = math.max(mult * 5 / 2, 1) // 2k base vecs -> 500k
+    val baseEmb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val embs = (0 until embMult).map(i =>
+        baseEmb.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val nVecs = embs.count()
+    val qVecs = baseEmb.filter(col("vec_id") < 128)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val (nSemRows, tSem) = time {
+      graft.operators.Similarity.cosineTopKBatch(embs, "vec_id",
+        "embedding", qVecs, "qid", "qv", k = 100).count()
+    }
+    println(f"cosine_batch_s=$tSem%.2f vecs=$nVecs%d queries=128 " +
+      f"rows=$nSemRows%d Mcos_per_s=${nVecs * 128 / 1e6 / tSem}%.1f")
+    val (nFused, tFuse) = time {
+      val sem = graft.operators.Similarity.cosineTopKBatch(embs,
+        "vec_id", "embedding", qVecs, "qid", "qv", k = 100)
+      CorpusOps.searchPipelineBatch(docs, "doc_id", "text", qDf,
+        "query_id", "query_text", sem, "qid", "id", "cos_sim",
+        k = 20, candidates = 100).count()
+    }
+    println(f"search_batch_s=$tFuse%.2f queries=128 " +
+      f"fused_rows=$nFused%d q_per_s=${128 / tFuse}%.1f")
     spark.stop()
   }
 }

@@ -504,6 +504,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(c.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("native CosineSim == declarative cosine, bit for bit, all edges") {
+    import org.apache.spark.sql.functions._
+    // float corpus vectors (the testdata type) + hand edge rows
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".as("qv"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        Similarity.cosine($"embedding", $"qv").as("native"),
+        Similarity.cosineDeclarative($"embedding", $"qv").as("decl"))
+      .collect()
+    both.foreach { r =>
+      // bit equality, not epsilon: same IEEE ops in the same order
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+    // edge semantics on double arrays: null array -> 0.0 (both), null
+    // element -> 0.0 (both), zero vector -> 0.0 (both), length
+    // mismatch with nonzero norms -> NULL (both)
+    val edges = Seq(
+      (1L, Some(Seq[java.lang.Double](1.0, 2.0)),
+        Some(Seq[java.lang.Double](3.0, 4.0))),
+      (2L, None, Some(Seq[java.lang.Double](1.0, 1.0))),
+      (3L, Some(Seq[java.lang.Double](1.0, null)),
+        Some(Seq[java.lang.Double](1.0, 1.0))),
+      (4L, Some(Seq[java.lang.Double](0.0, 0.0)),
+        Some(Seq[java.lang.Double](1.0, 1.0))),
+      (5L, Some(Seq[java.lang.Double](1.0, 2.0, 3.0)),
+        Some(Seq[java.lang.Double](1.0, 2.0)))
+    ).toDF("id", "a", "b")
+    val got = edges.select($"id",
+        Similarity.cosine($"a", $"b").as("native"),
+        Similarity.cosineDeclarative($"a", $"b").as("decl"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    got.foreach { case (id, (n, d)) => assert(n == d, s"row $id: $n vs $d") }
+    assert(got(2L)._1.contains(0.0) && got(3L)._1.contains(0.0) &&
+      got(4L)._1.contains(0.0))
+    assert(got(5L)._1.isEmpty, "length mismatch must be NULL")
+    // interpreted path (no codegen) agrees too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = edges.select($"id",
+          Similarity.cosine($"a", $"b").as("native"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      got.foreach { case (id, (n, _)) => assert(interp(id) == n) }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("cosineTopK ranks by similarity with id tiebreak") {
     val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 3)
       .as[(Long, Double)].collect()
