@@ -6353,6 +6353,50 @@ object QueryCatalog {
              |    AS idx_rows,
              |  true AS drift_sane""".stripMargin)),
 
+    Q("q_ivf_batch", // batch ANN against the partitioned IVF index:
+      // a query TABLE (vectors 0..3) probed in ONE job. Index = the
+      // corpus + appended +1M copies of vecs 0..9 (the q_ivf_append
+      // layout); exact copies always share the query's cell, so each
+      // query's rank-1 (self excluded) must be its own +1M copy at
+      // cos 1.0 with all 20 post-exclusion slots filled. Batch ==
+      // per-query law is spec-pinned; this gate pins the
+      // SQL-expressible per-query planted property.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfb_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+          k = 8, iters = 3)
+        Similarity.ivfAppend(
+          emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        Similarity.ivfCentroidTopKBatch(s, dir,
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 21, probes = 1)
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  CAST(v.c3 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0, 20),
+             |  (1, 1000001, 1.0, 20),
+             |  (2, 1000002, 1.0, 20),
+             |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
     Q("q_ivf_retrain", // the drift REMEDIATION gate (r14 verdict #3):
       // build the centroid index, age it with an appended
       // shifted-distribution copy (the IvfDrift protocol's 2.0-shift —

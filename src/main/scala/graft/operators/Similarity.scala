@@ -352,6 +352,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF probe — [[ivfCentroidTopK]] for a query TABLE in ONE
+    * job (the [[cosineTopKBatch]] principle applied to the INDEXED
+    * scale path): each query ranks the persisted model's cells by
+    * dot(unit query, centroid) and keeps its `probes` nearest — a
+    * |q| x k_cells relation, bounded by the MODEL, not the corpus,
+    * ranked by per-query windows with the single-query tie-break
+    * (score desc, cell asc) — then the index scan prunes to the UNION
+    * of probed cells (partition pruning; the cell list is model-sized
+    * metadata, so collecting it is the same driver cost every probe
+    * already pays for the centroids), candidates meet their queries in
+    * a BROADCAST join on the cell key (|q| x probes rows), and the
+    * per-query top-k compiles to WindowGroupLimit. Returns
+    * (`queryIdCol`, `id`, `cos_sim` rounded 6) with <= k rows per
+    * query, ranked (cos_sim desc, id) — per query IDENTICAL to
+    * [[ivfCentroidTopK]] at the same dials (law pinned in
+    * DedupSimilaritySpec; the driver-side query normalization there
+    * and [[l2normalize]] here perform the same IEEE ops in the same
+    * order, so cell rankings cannot diverge). */
+  def ivfCentroidTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, queries: DataFrame,
+                           queryIdCol: String, queryVecCol: String,
+                           k: Int, probes: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(probes >= 1, s"probes must be >= 1: $probes")
+    val centroids = readCentroids(spark, indexPath)
+    val cellsLit = typedlit(centroids.zipWithIndex.map {
+      case (c, i) => (i, c)
+    })
+    val wCell = Window.partitionBy(col("qid"))
+      .orderBy(col("__s").desc, col("cell"))
+    val probed = queries
+      .select(col(queryIdCol).as("qid"), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", l2normalize(col("__qv")))
+      .select(col("qid"), col("__qv"), col("__qn"),
+        explode(cellsLit).as("__c"))
+      .select(col("qid"), col("__qv"), col("__c._1").as("cell"),
+        aggregate(zip_with(col("__qn"), col("__c._2"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("__s"))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") <= probes)
+      .select(col("qid"), col("cell"), col("__qv"))
+    val allCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(allCells: _*)) // -> partition pruning
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
   /** The persisted centroid model of a [[buildIvfCentroidIndex]]
     * layout, as (cell index -> unit centroid). Index METADATA (k x dim
     * doubles), loaded driver-side like every probe does. */

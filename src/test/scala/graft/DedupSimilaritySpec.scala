@@ -611,6 +611,43 @@ class DedupSimilaritySpec extends SparkSpec {
       scan.take(500))
   }
 
+  test("ivfCentroidTopKBatch == per-query ivfCentroidTopK; pruned scan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString +
+      "/idx"
+    Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+      k = 8, iters = 3)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    Seq(1, 2).foreach { probes =>
+      val batch = Similarity.ivfCentroidTopKBatch(spark, dir, queries,
+        "qid", "qv", k = 10, probes = probes)
+      val got = batch.collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq
+          .sortBy { case (id, c) => (-c, id) }).toMap
+      (0L until 5L).foreach { q =>
+        val qVec = emb.filter($"vec_id" === q)
+          .select($"embedding").collect()(0).getSeq[Float](0).toArray
+        val single = Similarity.ivfCentroidTopK(spark, dir, qVec,
+            k = 10, probes = probes)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got(q) == single,
+          s"probes=$probes query $q: ${got(q)} vs $single")
+      }
+      // the index scan is partition-pruned to the probed cells and the
+      // query relation rides a broadcast
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        plan.take(600))
+      assert(plan.contains("Broadcast"), plan.take(600))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfCentroidTopKBatch(spark, dir, queries, "qid", "qv",
+        k = 0)
+    }
+  }
+
   test("centroid IVF: all-cells probe equals brute force; pruned probe") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ivfc").toString + "/idx"
