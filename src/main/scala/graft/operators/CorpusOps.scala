@@ -2041,6 +2041,132 @@ object CorpusOps {
       .select(col(queryIdCol), col(idCol), col("bm25"), col("n_terms"))
   }
 
+  /** Posting-leaf fanout of the persisted BM25 index (the
+    * [[SpanIndexMods]] convention applied to terms). */
+  val Bm25IndexMods = 64
+
+  /** Persist an inverted BM25 posting index — the retrieval answer at
+    * 100 TB, where [[bm25TopKBatch]]'s one-job shape still pays the
+    * corpus tokenize+explode scan on EVERY batch of queries: here that
+    * scan is paid ONCE at ingest, and probes read only the posting
+    * leaves their terms hash into. Layout: one row per (doc, term) —
+    * `(term, id, tf, dl)` — hive-partitioned into [[Bm25IndexMods]]
+    * leaves by `xxhash64(term) mod`; corpus stats land as ONE
+    * `(n_docs, sum_dl)` row per build at `path + ".stats"`.
+    *
+    * APPEND-friendly by the house index contract
+    * ([[graft.operators.Dedup.buildExactIndex]] /
+    * [[buildSpanIndex]]): later corpora `mode("append")` additional
+    * posting rows under the same layout plus one more stats row —
+    * no read-modify-write, ever. Probe-time df counts rows per term
+    * and the stats SUM across rows, so an appended index probes
+    * exactly like a one-shot build over the union (law pinned in
+    * CorpusOpsSpec). */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, mode: String = "overwrite",
+                     filesPerLeaf: Int = 4): Unit = {
+    require(filesPerLeaf >= 1,
+      s"filesPerLeaf must be >= 1: $filesPerLeaf")
+    val statsMode = if (mode == "overwrite") "overwrite" else "append"
+    val base = docs.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+    val postings = base
+      .select(col("id"), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("tmod",
+        pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
+    // cluster rows onto (leaf, id-salt) BEFORE the partitioned write.
+    // Both extremes hurt the probe, and both were MEASURED at the
+    // 500k tier (SCALE.md): a partitionBy straight off the unrelated
+    // tf shuffle splinters (shuffle partitions x leaves) files and the
+    // probe drowns in file-open scheduling (115 s); exactly one file
+    // per leaf caps the probe's scan parallelism at the probed-leaf
+    // count while the downstream (query x doc) fanout wants every
+    // core (57 s on the worst-case batch). filesPerLeaf id-salted
+    // files per leaf keeps both dials open; size the salt up (or
+    // spark.sql.files.maxRecordsPerFile down) as the corpus grows.
+    postings.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
+        pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
+      .write.mode(mode).partitionBy("tmod").parquet(path)
+    // df rides its own tiny leaf table (one row per term per build;
+    // probes SUM across builds — append-friendly), so probing never
+    // scans the posting leaves twice
+    postings.groupBy(col("term"), col("tmod"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(1)
+      .write.mode(mode).partitionBy("tmod").parquet(path + ".df")
+    base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__tk")).cast("long")).as("sum_dl"))
+      .write.mode(statsMode).parquet(path + ".stats")
+  }
+
+  /** Probe a [[buildBm25Index]] layout with a query TABLE: per query
+    * the scores and ranking are IDENTICAL to [[bm25TopKBatch]] over
+    * the indexed corpus (equivalence law pinned in CorpusOpsSpec —
+    * same Lucene +1-idf arithmetic on the same tf/dl/df/stats values,
+    * the avg decomposed as sum_dl / n_docs exactly as Spark's `avg`
+    * computes it), but the corpus-sized tokenize+explode is GONE:
+    * the scan reads only the <= min(|query vocabulary|,
+    * [[Bm25IndexMods]]) posting leaves the batch's terms hash into
+    * (partition pruning — the leaf list is bounded driver metadata),
+    * then prunes rows to the exact vocabulary with a broadcast
+    * semi-join. Returns (`queryIdCol`, `id`, `bm25` rounded 4,
+    * `n_terms`), <= k rows per query via WindowGroupLimit; blank
+    * queries and queries matching nothing contribute no rows. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: DataFrame,
+                      queryIdCol: String, queryTextCol: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 params out of range: k1=$k1 b=$b")
+    val qterms = queries.filter(hasMinTokens(col(queryTextCol), 1))
+      .select(col(queryIdCol),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val tmods = qterms
+      .select(pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong))
+        .cast("int").as("tmod"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val stats = spark.read.parquet(path + ".stats")
+      .agg(sum(col("n_docs")).cast("double").as("__n"),
+        (sum(col("sum_dl")).cast("double")
+          / sum(col("n_docs")).cast("double")).as("__avgdl"))
+    val tf = spark.read.parquet(path)
+      .filter(col("tmod").isin(tmods: _*)) // -> partition pruning
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+    // df from the build-time leaf table (pruned the same way, rows
+    // summed across appended builds) — the posting leaves are scanned
+    // exactly ONCE, for scoring
+    val df = spark.read.parquet(path + ".df")
+      .filter(col("tmod").isin(tmods: _*))
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("df")).as("__df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"),
+        (log((col("__n") - col("__df").cast("double") + lit(0.5d))
+            / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d))
+          * col("tf").cast("double") * lit(k1 + 1.0d)
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0d) - lit(b)
+              + lit(b) * col("dl").cast("double") / col("__avgdl"))))
+          .as("__c"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col(queryIdCol), col("id"))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_terms"))
+      .withColumn("bm25", round(col("__s"), 4) + lit(0.0d))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("bm25").desc, col("id"))))
+      .filter(col("__rn") <= k)
+      .select(col(queryIdCol), col("id"), col("bm25"), col("n_terms"))
+  }
+
   /** Engine-portable hashed-feature bucket: the first 8 hex chars of
     * md5 over the RAW token (no case folding — engines' unicode case
     * maps disagree on exotic codepoints, and a hashed feature space

@@ -193,6 +193,40 @@ object CorpusScale {
       f"q_per_s=${128 / tBatch}%.1f " +
       f"loop8_s=$tLoop8%.2f loop_extrap_128_s=${tLoop8 * 16}%.1f")
 
+    // persisted inverted index (r15): tokenization paid once at
+    // ingest, probes read only the batch vocabulary's posting leaves
+    val idxDir = java.nio.file.Files.createTempDirectory("bm25scale")
+      .toString + "/idx"
+    val (_, tBuild) = time {
+      CorpusOps.buildBm25Index(docs, "doc_id", "text", idxDir)
+    }
+    val (nIdxRows, tProbe) = time {
+      CorpusOps.bm25TopKIndexed(spark, idxDir, qDf,
+        "query_id", "query_text", k = 20).count()
+    }
+    println(f"bm25_index_build_s=$tBuild%.2f probe_s=$tProbe%.2f " +
+      f"queries=128 rows=$nIdxRows%d q_per_s=${128 / tProbe}%.1f")
+
+    // the index's selling point is SELECTIVITY: probe cost scales with
+    // the query vocabulary's postings, direct-batch cost with the
+    // corpus. The 16-common-word batch above is this corpus's worst
+    // case (31-word vocabulary, half of it queried); rare-term queries
+    // ('dup' — df 0.5% of docs) read one posting leaf
+    val rareQ = spark.createDataFrame(
+        (0 until 128).map(i => (i.toLong, "dup")))
+      .toDF("query_id", "query_text")
+    val (nRareIdx, tRareProbe) = time {
+      CorpusOps.bm25TopKIndexed(spark, idxDir, rareQ,
+        "query_id", "query_text", k = 20).count()
+    }
+    val (nRareDirect, tRareDirect) = time {
+      CorpusOps.bm25TopKBatch(docs, "doc_id", "text", rareQ,
+        "query_id", "query_text", k = 20).count()
+    }
+    println(f"bm25_rare_probe_s=$tRareProbe%.2f rows=$nRareIdx%d " +
+      f"rare_direct_s=$tRareDirect%.2f rows=$nRareDirect%d " +
+      f"probe_speedup=${tRareDirect / tRareProbe}%.1fx")
+
     // PageRank: a synthesized host graph with nDocs edges over
     // nDocs/5 nodes — three 2-exchange power-method rounds where the
     // rank relation stays node-sized

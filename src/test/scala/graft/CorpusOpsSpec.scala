@@ -1135,6 +1135,54 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKIndexed == bm25TopKBatch; append law; pruned scan") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val qs = Seq((0L, "hash join window scan"), (1L, "sort merge batch"),
+      (2L, "dup stream"), (3L, "qqqnomatchqqq"), (4L, "  "))
+      .toDF("query_id", "query_text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx")
+      .toString + "/idx"
+    CorpusOps.buildBm25Index(docs, "doc_id", "text", dir)
+    val probe = CorpusOps.bm25TopKIndexed(spark, dir, qs,
+      "query_id", "query_text", k = 7)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // per query identical to the one-job batch operator on the corpus
+    val direct = CorpusOps.bm25TopKBatch(docs, "doc_id", "text", qs,
+        "query_id", "query_text", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == direct, s"indexed $got vs direct $direct")
+    // the posting scan is partition-pruned to the query vocabulary's
+    // leaves and the vocabulary prune is a broadcast semi-join
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tmod"),
+      plan.take(600))
+    assert(plan.contains("Broadcast"), plan.take(600))
+    // append law: base + appended delta probes exactly like a one-shot
+    // build over the union (stats and df SUM across builds)
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25idx2")
+      .toString + "/idx"
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    CorpusOps.buildBm25Index(base, "doc_id", "text", dir2)
+    CorpusOps.buildBm25Index(delta, "doc_id", "text", dir2,
+      mode = "append")
+    val appended = CorpusOps.bm25TopKIndexed(spark, dir2, qs,
+        "query_id", "query_text", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(appended == direct, s"appended $appended vs direct $direct")
+    intercept[IllegalArgumentException] {
+      CorpusOps.bm25TopKIndexed(spark, dir, qs, "query_id",
+        "query_text", k = 0)
+    }
+  }
+
   test("searchPipelineBatch == per-query searchPipeline; one-leg fusion") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
