@@ -265,6 +265,22 @@ object CorpusScale {
     }
     println(f"cosine_batch_s=$tSem%.2f vecs=$nVecs%d queries=128 " +
       f"rows=$nSemRows%d Mcos_per_s=${nVecs * 128 / 1e6 / tSem}%.1f")
+    // batch IVF probe: the INDEXED semantic scale path — build the
+    // centroid index once, probe all 128 queries in one partition-
+    // pruned job (vs the brute batch's full 500k x 128 scan above)
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfscale")
+      .toString + "/idx"
+    val (_, tIvfBuild) = time {
+      graft.operators.Similarity.buildIvfCentroidIndex(embs, "vec_id",
+        "embedding", ivfDir, k = 16, iters = 3)
+    }
+    val (nIvfRows, tIvfProbe) = time {
+      graft.operators.Similarity.ivfCentroidTopKBatch(spark, ivfDir,
+        qVecs, "qid", "qv", k = 100, probes = 2).count()
+    }
+    println(f"ivf_build_s=$tIvfBuild%.2f ivf_batch_probe_s=$tIvfProbe%.2f " +
+      f"queries=128 rows=$nIvfRows%d q_per_s=${128 / tIvfProbe}%.1f")
+
     val (nFused, tFuse) = time {
       val sem = graft.operators.Similarity.cosineTopKBatch(embs,
         "vec_id", "embedding", qVecs, "qid", "qv", k = 100)
