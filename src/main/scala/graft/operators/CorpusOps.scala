@@ -1788,6 +1788,26 @@ object CorpusOps {
         col(idCol))).cast("long"))
   }
 
+  /** Per-query fused top-k over ANY set of batch ranking signals —
+    * [[rrfFuseGrouped]] plus the ranked truncation, as one public
+    * surface so a retrieval stack composed from the INDEXED legs
+    * ([[bm25TopKIndexed]], [[graft.operators.Similarity
+    * .ivfCentroidTopKBatch]]) — or from three-plus signals — fuses
+    * without [[searchPipelineBatch]]'s built-in direct-batch lexical
+    * leg. Returns (`queryCol`, `idCol`, `n_signals`, `rrf_score`,
+    * `rank` 1..k), <= k rows per query, ranked (rrf_score desc, id)
+    * within each query. */
+  def rrfTopKGrouped(signals: Map[String, (DataFrame, String)],
+                     queryCol: String, idCol: String, k: Int,
+                     rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    rrfFuseGrouped(signals, queryCol, idCol, k = rrfK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_score").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Batch hybrid retrieval — [[searchPipeline]] for a query TABLE,
     * in ONE job (the [[bm25TopKBatch]] principle; a retrieval workload
     * is n queries, and one Spark job per query is the driver-side
@@ -1826,13 +1846,10 @@ object CorpusOps {
       col(semanticQueryCol).as(queryIdCol),
       col(semanticIdCol).as(idCol),
       col(semanticScoreCol).as("__sem"))
-    rrfFuseGrouped(Map(
+    rrfTopKGrouped(Map(
         "lexical" -> ((lex, "bm25")),
-        "semantic" -> ((sem, "__sem"))), queryIdCol, idCol, k = rrfK)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryIdCol))
-          .orderBy(col("rrf_score").desc, col(idCol))).cast("long"))
-      .filter(col("rank") <= k)
+        "semantic" -> ((sem, "__sem"))), queryIdCol, idCol, k = k,
+      rrfK = rrfK)
   }
 
   /** Top-`k` terms per document by tf-idf (classic
@@ -2090,12 +2107,13 @@ object CorpusOps {
     postings.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
         pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
       .write.mode(mode).partitionBy("tmod").parquet(path)
-    // df rides its own tiny leaf table (one row per term per build;
-    // probes SUM across builds — append-friendly), so probing never
-    // scans the posting leaves twice
+    // df rides its own leaf table (one row per term per build; probes
+    // SUM across builds — append-friendly), so probing never scans the
+    // posting leaves twice. Vocabulary-sized, so it clusters by leaf
+    // like the postings — never through one task
     postings.groupBy(col("term"), col("tmod"))
       .agg(count(lit(1)).as("df"))
-      .repartition(1)
+      .repartition(Bm25IndexMods, col("tmod"))
       .write.mode(mode).partitionBy("tmod").parquet(path + ".df")
     base.agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tk")).cast("long")).as("sum_dl"))

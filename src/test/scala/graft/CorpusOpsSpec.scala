@@ -1223,6 +1223,44 @@ class CorpusOpsSpec extends SparkSpec {
                   k: Long): Set[(Long, Long, Double, Long)] =
     m.getOrElse(k, Set.empty)
 
+  test("rrfTopKGrouped: the indexed stack == the direct pipeline") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = Seq((0L, "hash join window scan"), (1L, "dup stream"))
+      .toDF("query_id", "query_text")
+    val sem = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" < 2)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")),
+      "qid", "qv", k = 30)
+    val direct = CorpusOps.searchPipelineBatch(docs, "doc_id", "text",
+        qs, "query_id", "query_text", sem, "qid", "id", "cos_sim",
+        k = 5, candidates = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    // the same stack composed from the PERSISTED lexical index through
+    // the public fusion surface — no corpus re-tokenization anywhere
+    val dir = java.nio.file.Files.createTempDirectory("bm25stk")
+      .toString + "/idx"
+    CorpusOps.buildBm25Index(docs, "doc_id", "text", dir)
+    val lexIdx = CorpusOps.bm25TopKIndexed(spark, dir, qs,
+        "query_id", "query_text", k = 30)
+      .select($"query_id", $"id".as("doc_id"), $"bm25")
+    val semRenamed = sem.select($"qid".as("query_id"),
+      $"id".as("doc_id"), $"cos_sim")
+    val indexed = CorpusOps.rrfTopKGrouped(Map(
+        "lexical" -> ((lexIdx, "bm25")),
+        "semantic" -> ((semRenamed, "cos_sim"))),
+        "query_id", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(indexed == direct, s"indexed $indexed vs direct $direct")
+    intercept[IllegalArgumentException] {
+      CorpusOps.rrfTopKGrouped(Map(
+        "lexical" -> ((lexIdx, "bm25"))), "query_id", "doc_id", k = 0)
+    }
+  }
+
   test("rrfFuseGrouped: per-query hand fusion, partial coverage, guards") {
     // query 10: signal a ranks docs 3,2; signal b ranks 2,1 (doc 2 in
     // both). query 20: only signal a covers it; doc 7 NULL score in b.
