@@ -6147,6 +6147,76 @@ object QueryCatalog {
              |    AS n_removed
              |FROM m GROUP BY doc_id""".stripMargin)),
 
+    Q("q_bm25_stream_exec", // STREAMING EXECUTION gate: BM25-index
+      // ingest — the documents table drains through the incremental
+      // engine into the persisted posting layout (per-batch dirs on
+      // postings/df/stats), then the standard 4-query batch probes the
+      // FRESH index. One drain must probe exactly like a one-shot
+      // build, so the oracle is q_bm25_batch's verbatim (k=10);
+      // incremental extension and replay idempotence are spec-pinned
+      // in EventStreamsSpec.
+      (s, d) => {
+        import s.implicits._
+        val dir = scratchDir("graft-stream-bm25")
+        graft.streaming.EventStreams.bm25IndexAvailableNow(
+          s, s"$d/documents.parquet", "doc_id", col("text"),
+          s"$dir/idx", s"$dir/ckpt")
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        CorpusOps.bm25TopKIndexed(s, s"$dir/idx", qs, "query_id",
+            "query_text", k = 10)
+          .select(col("query_id"), col("id").as("doc_id"), col("bm25"),
+            col("n_terms"))
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+')) AS tok
+             |  FROM qraw)),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+             |          / (df.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25,
+             |    CAST(count(*) AS BIGINT) AS n_terms
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT query_id, doc_id, bm25, n_terms,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS rn
+             |  FROM sc)
+             |SELECT query_id, doc_id, bm25, n_terms
+             |FROM rk WHERE rn <= 10""".stripMargin)),
+
     Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
       // incremental engine: the staged archive directory drains through
       // readStream (file-stream source over binaryFile, same parser as

@@ -2120,6 +2120,47 @@ object CorpusOps {
       .write.mode(statsMode).parquet(path + ".stats")
   }
 
+  /** One micro-batch increment of the persisted BM25 index — the
+    * streaming face of [[buildBm25Index]] (crawl-to-searchable-index
+    * ingest). Each batch's posting, df and stats rows OVERWRITE their
+    * own `batch=<id>` subtree of the respective table — the house
+    * per-batch-directory replay contract ([[graft.streaming
+    * .EventStreams.etlAvailableNow]]): postings are a pure function of
+    * the batch (no cross-batch state is read), so a crashed-and-
+    * replayed batch rewrites identical rows instead of
+    * double-appending. [[bm25TopKIndexed]] probes a batch-incremental
+    * layout unchanged (df/stats SUM across rows; the extra `batch`
+    * partition column just rides along) — but don't MIX one-shot and
+    * batch layouts under one path: inconsistent partition-directory
+    * depth breaks discovery. */
+  def bm25IndexIncrement(batch: DataFrame, idCol: String,
+                         textCol: String, path: String, batchId: Long,
+                         filesPerLeaf: Int = 4): Unit = {
+    require(filesPerLeaf >= 1,
+      s"filesPerLeaf must be >= 1: $filesPerLeaf")
+    val base = batch.filter(hasMinTokens(col(textCol), 1))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+    val postings = base
+      .select(col("id"), size(col("__tk")).as("dl"),
+        explode(col("__tk")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("tmod",
+        pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
+    postings.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
+        pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
+      .write.mode("overwrite").partitionBy("tmod")
+      .parquet(s"$path/batch=$batchId")
+    postings.groupBy(col("term"), col("tmod"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(Bm25IndexMods, col("tmod"))
+      .write.mode("overwrite").partitionBy("tmod")
+      .parquet(s"$path.df/batch=$batchId")
+    base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__tk")).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path.stats/batch=$batchId")
+  }
+
   /** Probe a [[buildBm25Index]] layout with a query TABLE: per query
     * the scores and ranking are IDENTICAL to [[bm25TopKBatch]] over
     * the indexed corpus (equivalence law pinned in CorpusOpsSpec —

@@ -554,6 +554,36 @@ object EventStreams {
     })
   }
 
+  /** Streaming BM25-index ingest — the crawl-to-searchable-index
+    * pipeline: every arriving document's postings land in the
+    * persisted [[graft.operators.CorpusOps.buildBm25Index]]-style
+    * layout via [[graft.operators.CorpusOps.bm25IndexIncrement]]
+    * (per-batch directories on all three tables — postings, df,
+    * stats — so replays rewrite rather than double-append; no
+    * cross-batch state is read, so results are batching-invariant).
+    * After the drain the index is immediately probe-able by
+    * [[graft.operators.CorpusOps.bm25TopKIndexed]] — one drain over
+    * the whole corpus probes exactly like a one-shot build (the
+    * execution gate); later drains see only new files and extend the
+    * index incrementally (spec-pinned). */
+  def bm25IndexAvailableNow(spark: SparkSession, docsPath: String,
+                            idCol: String,
+                            textExpr: org.apache.spark.sql.Column,
+                            indexPath: String,
+                            checkpointDir: String): Unit = {
+    val (src, _) = fileSource(spark, docsPath)
+    val q = src.select(col(idCol), textExpr.as("__text"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CorpusOps.bm25IndexIncrement(
+          batch, idCol, "__text", indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

@@ -451,6 +451,42 @@ class EventStreamsSpec extends SparkSpec {
       Seq("doc_id", "pred_label", "nb_log_score"))
   }
 
+  test("bm25IndexAvailableNow: drain == build; 2nd drain extends; replay") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_stream").toString
+    val docs1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    docs1.coalesce(1).write.parquet(s"$root/in")
+    val qs = Seq((0L, "alpha gamma")).toDF("query_id", "query_text")
+    def probe(path: String) = graft.operators.CorpusOps
+      .bm25TopKIndexed(spark, path, qs, "query_id", "query_text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    EventStreams.bm25IndexAvailableNow(spark, s"$root/in", "doc_id",
+      col("text"), s"$root/idx", s"$root/ckpt")
+    // one drain over a fresh index probes exactly like a one-shot build
+    graft.operators.CorpusOps.buildBm25Index(docs1, "doc_id", "text",
+      s"$root/oneshot")
+    assert(probe(s"$root/idx") == probe(s"$root/oneshot"))
+    // a second drain sees only the NEW file and EXTENDS the index:
+    // probing now equals a one-shot build over the union
+    val docs2 = Seq((3L, "gamma gamma delta")).toDF("doc_id", "text")
+    docs2.coalesce(1).write.mode("append").parquet(s"$root/in")
+    EventStreams.bm25IndexAvailableNow(spark, s"$root/in", "doc_id",
+      col("text"), s"$root/idx", s"$root/ckpt")
+    graft.operators.CorpusOps.buildBm25Index(
+      docs1.unionByName(docs2), "doc_id", "text", s"$root/oneshot2")
+    val extended = probe(s"$root/idx")
+    assert(extended == probe(s"$root/oneshot2"), extended.toString)
+    // REPLAY idempotence: re-running an already-published batch id
+    // rewrites its own directories with identical rows — probes are
+    // unchanged, nothing double-appends
+    graft.operators.CorpusOps.bm25IndexIncrement(docs2, "doc_id",
+      "text", s"$root/idx", batchId = 1L)
+    assert(probe(s"$root/idx") == extended)
+  }
+
   test("paraDedupAvailableNow: drain == batch op; 2nd drain suppresses") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_paradedup_stream").toString
