@@ -2354,6 +2354,83 @@ object QueryCatalog {
              |SELECT query_id, doc_id, bm25, n_terms
              |FROM rk WHERE rn <= 10""".stripMargin)),
 
+    Q("q_bm25_deletes", // index deletion (the takedown path): build
+      // the posting index, tombstone every doc_id % 3 == 0, COMPACT
+      // (the one explicit rewrite — stats heal, tombstones clear),
+      // probe the standard query batch. A compacted index must probe
+      // exactly like a fresh build over the surviving corpus, so the
+      // oracle is q_bm25_batch's with the deletion predicate applied
+      // to its documents CTE; immediate pre-compact exclusion and the
+      // batch-layout normalization are spec-pinned in CorpusOpsSpec.
+      (s, d) => {
+        import s.implicits._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25d_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        CorpusOps.buildBm25Index(docs, "doc_id", "text", dir)
+        CorpusOps.bm25IndexDelete(s, dir,
+          docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+          "doc_id")
+        CorpusOps.bm25IndexCompact(s, dir)
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        CorpusOps.bm25TopKIndexed(s, dir, qs, "query_id", "query_text",
+            k = 10)
+          .select(col("query_id"), col("id").as("doc_id"), col("bm25"),
+            col("n_terms"))
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+')) AS tok
+             |  FROM qraw)),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND doc_id % 3 <> 0),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+             |          / (df.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25,
+             |    CAST(count(*) AS BIGINT) AS n_terms
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT query_id, doc_id, bm25, n_terms,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS rn
+             |  FROM sc)
+             |SELECT query_id, doc_id, bm25, n_terms
+             |FROM rk WHERE rn <= 10""".stripMargin)),
+
     Q("q_search_pipeline", // the composed retrieval ensemble (r14
       // verdict #6): BM25 lexical candidates + brute-force cosine
       // semantic candidates (the exact baseline; IVF/PQ slot into the

@@ -2161,6 +2161,71 @@ object CorpusOps {
       .write.mode("overwrite").parquet(s"$path.stats/batch=$batchId")
   }
 
+  /** Tombstone documents out of a persisted BM25 index — the takedown
+    * / right-to-be-forgotten path, where rewriting a 100 TB index per
+    * deletion is not an option: ids append to `$path.tombstones`
+    * (append-only like every other write on the index; repeats are
+    * harmless — anti-join semantics absorb them), and probes exclude
+    * tombstoned documents IMMEDIATELY and exactly. Corpus statistics
+    * (df, N, avgdl) stay as built until [[bm25IndexCompact]] — the
+    * Lucene segment model: deletes are visible at once, statistics
+    * heal at the explicit merge. Deleted docs can therefore still
+    * slightly influence OTHER documents' scores (never appear
+    * themselves) in the window between delete and compact —
+    * documented, not silent. */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ids: DataFrame,
+                      idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path.tombstones")
+
+  /** Compact a tombstoned BM25 index: rewrite the posting leaves
+    * without deleted documents, recompute the df and stats tables from
+    * the survivors, and clear the tombstone table — the ONE explicit
+    * read-modify-write moment this index has (the
+    * [[graft.operators.Layout]] compaction precedent; everything else
+    * is append-only). The surviving postings are eagerly materialized
+    * through [[Materialize]] BEFORE the overwrite (the house
+    * mutate-then-reread protection — and the reliable-checkpoint route
+    * on a real cluster), so the rewrite can never re-read the tree it
+    * is replacing. A compacted index probes EXACTLY like a fresh
+    * [[buildBm25Index]] over the surviving corpus (gate-pinned), and
+    * the output is the flat one-shot layout regardless of whether the
+    * input grew by appends or batch increments. */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String, filesPerLeaf: Int = 4): Unit = {
+    require(filesPerLeaf >= 1,
+      s"filesPerLeaf must be >= 1: $filesPerLeaf")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val survivors = Materialize(
+      {
+        val p = spark.read.parquet(path)
+          .select(col("id"), col("term"), col("tf"), col("dl"),
+            col("tmod"))
+        if (fs.exists(tombPath))
+          p.join(spark.read.parquet(s"$path.tombstones"), Seq("id"),
+            "left_anti")
+        else p
+      },
+      eager = true)
+    survivors.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
+        pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
+      .write.mode("overwrite").partitionBy("tmod").parquet(path)
+    survivors.groupBy(col("term"), col("tmod"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(Bm25IndexMods, col("tmod"))
+      .write.mode("overwrite").partitionBy("tmod").parquet(s"$path.df")
+    // per-doc length rides every posting row; one distinct pass
+    // recovers exact (n_docs, sum_dl) for the survivors
+    survivors.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path.stats")
+    fs.delete(tombPath, true)
+    ()
+  }
+
   /** Probe a [[buildBm25Index]] layout with a query TABLE: per query
     * the scores and ranking are IDENTICAL to [[bm25TopKBatch]] over
     * the indexed corpus (equivalence law pinned in CorpusOpsSpec —
@@ -2193,10 +2258,21 @@ object CorpusOps {
       .agg(sum(col("n_docs")).cast("double").as("__n"),
         (sum(col("sum_dl")).cast("double")
           / sum(col("n_docs")).cast("double")).as("__avgdl"))
-    val tf = spark.read.parquet(path)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val tombFs = tombPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pruned = spark.read.parquet(path)
       .filter(col("tmod").isin(tmods: _*)) // -> partition pruning
       .join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"), "left_semi")
+    // tombstoned docs ([[bm25IndexDelete]]) never surface — the
+    // anti-join runs on the already-pruned posting slice, so its cost
+    // scales with the query's postings, not the index
+    val tf =
+      if (tombFs.exists(tombPath))
+        pruned.join(spark.read.parquet(s"$path.tombstones"),
+          Seq("id"), "left_anti")
+      else pruned
     // df from the build-time leaf table (pruned the same way, rows
     // summed across appended builds) — the posting leaves are scanned
     // exactly ONCE, for scoring

@@ -1183,6 +1183,48 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 index deletes: immediate exclusion; compaction heals") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val qs = Seq((0L, "hash join window scan"), (1L, "dup stream"))
+      .toDF("query_id", "query_text")
+    def probe(path: String) = CorpusOps
+      .bm25TopKIndexed(spark, path, qs, "query_id", "query_text", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // grow the index through BATCH INCREMENTS (the streaming layout),
+    // so compaction also proves it normalizes to the flat layout
+    val dir = java.nio.file.Files.createTempDirectory("bm25del")
+      .toString + "/idx"
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", dir, batchId = 0L)
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir, batchId = 1L)
+    val dead = docs.filter($"doc_id" % 3 === 0).select($"doc_id")
+    CorpusOps.bm25IndexDelete(spark, dir, dead, "doc_id")
+    // deletes are visible IMMEDIATELY: no tombstoned doc surfaces
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val pre = probe(dir)
+    assert(pre.nonEmpty && pre.forall(r => !deadIds.contains(r._2)),
+      pre.toString)
+    // a repeated delete is absorbed (append-only tombstones)
+    CorpusOps.bm25IndexDelete(spark, dir, dead.limit(5), "doc_id")
+    assert(probe(dir) == pre)
+    // compaction: probes now equal the direct batch over the
+    // SURVIVING corpus exactly (stats healed), tombstones cleared
+    CorpusOps.bm25IndexCompact(spark, dir)
+    val healed = probe(dir)
+    val fresh = CorpusOps.bm25TopKBatch(
+        docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text", qs,
+        "query_id", "query_text", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(healed == fresh, s"healed $healed vs fresh $fresh")
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+  }
+
   test("searchPipelineBatch == per-query searchPipeline; one-leg fusion") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
