@@ -6616,6 +6616,55 @@ object QueryCatalog {
              |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
         .stripMargin)),
 
+    Q("q_ivf_delete", // ANN-index deletion: append exact copies of
+      // vectors 0..3 (each its query's guaranteed rank-1 at cos 1.0 —
+      // the q_ivf_append property), then TOMBSTONE them. Probes must
+      // exclude the copies IMMEDIATELY: per query the copy is gone,
+      // every remaining cosine sits below 1.0 (organic max 0.61,
+      // measured at every SF), and all 20 post-self-exclusion slots
+      // fill from survivors. Retrain-as-compaction is spec-pinned in
+      // DedupSimilaritySpec (tombstones drop from the rewrite,
+      // retrained layout == fresh build over survivors).
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfd_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+          k = 8, iters = 3)
+        Similarity.ivfAppend(
+          emb.filter(col("vec_id") < 4)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        Similarity.ivfDelete(s, dir,
+          emb.filter(col("vec_id") < 4)
+            .select((col("vec_id") + 1000000).as("vec_id")),
+          "vec_id")
+        Similarity.ivfCentroidTopKBatch(s, dir,
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 21, probes = 1)
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(
+            (sum(when(col("id") === col("qid") + 1000000, 1)
+              .otherwise(0)) === 0).as("copy_gone"),
+            (max(col("cos_sim")) < 1.0).as("top_below_one"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BOOLEAN) AS copy_gone,
+             |  CAST(v.c2 AS BOOLEAN) AS top_below_one,
+             |  CAST(v.c3 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, true, true, 20),
+             |  (1, true, true, 20),
+             |  (2, true, true, 20),
+             |  (3, true, true, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
     Q("q_ivf_retrain", // the drift REMEDIATION gate (r14 verdict #3):
       // build the centroid index, age it with an appended
       // shifted-distribution copy (the IvfDrift protocol's 2.0-shift —

@@ -175,8 +175,9 @@ object Similarity {
     val cells: Seq[Long] =
       if (probes <= 1) Seq(qCell)
       else qCell +: (0 until nBits).map(b => qCell ^ (1L << b))
-    spark.read.parquet(indexPath)
-      .filter(col("cell").isin(cells: _*)) // -> partition pruning
+    withoutTombstones(spark, indexPath,
+        spark.read.parquet(indexPath)
+          .filter(col("cell").isin(cells: _*))) // -> partition pruning
       .select(col("id"),
         round(cosine(col("v"), typedlit(queryVec.toSeq)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
@@ -344,8 +345,9 @@ object Similarity {
       .map { case (ci, c) => ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
       .sortBy { case (ci, s) => (-s, ci) }
       .take(math.max(1, probes)).map(_._1)
-    spark.read.parquet(indexPath)
-      .filter(col("cell").isin(cells: _*)) // -> partition pruning
+    withoutTombstones(spark, indexPath,
+        spark.read.parquet(indexPath)
+          .filter(col("cell").isin(cells: _*))) // -> partition pruning
       .select(col("id"),
         round(cosine(col("v"), typedlit(queryVec.toSeq)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
@@ -397,8 +399,9 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("id"))
-    spark.read.parquet(indexPath)
-      .filter(col("cell").isin(allCells: _*)) // -> partition pruning
+    withoutTombstones(spark, indexPath,
+        spark.read.parquet(indexPath)
+          .filter(col("cell").isin(allCells: _*))) // -> partition pruning
       .join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("__qv")), 6).as("cos_sim"))
@@ -446,6 +449,36 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(indexPath)
   }
 
+  /** Tombstone vectors out of a centroid IVF index — the takedown path
+    * of the ANN tier (the [[graft.operators.CorpusOps.bm25IndexDelete]]
+    * contract): ids append to `$indexPath.tombstones` (append-only,
+    * repeats harmless), probes exclude them IMMEDIATELY, and the index
+    * itself is untouched until [[ivfRetrain]] — which doubles as the
+    * compaction: its rewrite drops tombstoned rows and clears the
+    * table. Covers the centroid-index family ([[ivfCentroidTopK]] /
+    * [[ivfCentroidTopKBatch]] / the retrain lifecycle); the SRP and
+    * IVF-PQ layouts are separate indexes with their own rebuild
+    * story. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession,
+                indexPath: String, ids: DataFrame,
+                idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$indexPath.tombstones")
+
+  /** The pruned index relation minus tombstoned vectors (no-op when no
+    * tombstone table exists — the probe plans of untombstoned indexes
+    * are unchanged). */
+  private def withoutTombstones(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath.tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      df.join(spark.read.parquet(s"$indexPath.tombstones"), Seq("id"),
+        "left_anti")
+    else df
+  }
+
   /** Close the drift loop ([[ivfDriftSummary]]'s recommendation made
     * actionable, r14 verdict #3): REFIT the centroid model on the
     * index's CURRENT contents — base build plus every [[ivfAppend]]
@@ -475,8 +508,11 @@ object Similarity {
                  indexPath: String, k: Int = 0, iters: Int = 4,
                  maxFitRows: Int = 100000): Seq[Seq[Double]] = {
     val kEff = if (k > 0) k else readCentroids(spark, indexPath).size
-    val current = spark.read.parquet(indexPath)
-      .select(col("id"), col("v"))
+    // the retrain is also the DELETION compaction: tombstoned vectors
+    // ([[ivfDelete]]) are dropped from the rewrite and the tombstone
+    // table clears after the swap
+    val current = withoutTombstones(spark, indexPath,
+      spark.read.parquet(indexPath).select(col("id"), col("v")))
     val staging = indexPath + ".retrain"
     val centroids = buildIvfCentroidIndex(current, "id", "v", staging,
       kEff, iters, maxFitRows)
@@ -490,6 +526,8 @@ object Similarity {
     }
     swap(staging, indexPath)
     swap(staging + ".centroids", indexPath + ".centroids")
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath + ".tombstones"),
+      true)
     centroids
   }
 

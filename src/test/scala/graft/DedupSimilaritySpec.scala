@@ -648,6 +648,50 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfDelete: immediate exclusion; retrain compacts tombstones") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel")
+      .toString + "/idx"
+    Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+      k = 8, iters = 3)
+    // append an exact copy of vector 0, then tombstone it
+    Similarity.ivfAppend(
+      emb.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", dir)
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    def topIds(k: Int) = Similarity.ivfCentroidTopK(spark, dir, qVec,
+      k = k, probes = 8).collect().map(_.getLong(0)).toSet
+    assert(topIds(3).contains(1000000L)) // present before the delete
+    Similarity.ivfDelete(spark, dir,
+      Seq(1000000L).toDF("vec_id"), "vec_id")
+    // immediate exclusion, single-query and batch probes alike
+    assert(!topIds(25).contains(1000000L))
+    val batch = Similarity.ivfCentroidTopKBatch(spark, dir,
+        emb.filter($"vec_id" < 2)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "qid", "qv", k = 25, probes = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(!batch.contains(1000000L))
+    // the retrain compacts: tombstones drop from the rewrite, the
+    // table clears, and the result equals a one-shot build over the
+    // SURVIVORS (same rows -> same hash sample -> same model)
+    Similarity.ivfRetrain(spark, dir, k = 8, iters = 3)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(!topIds(25).contains(1000000L))
+    val fresh = java.nio.file.Files.createTempDirectory("ivfdel2")
+      .toString + "/idx"
+    Similarity.buildIvfCentroidIndex(
+      emb.select($"vec_id".as("id"), $"embedding".as("v")), "id", "v",
+      fresh, k = 8, iters = 3)
+    val a = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val b = spark.read.parquet(fresh)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a == b, s"retrained layout != fresh-over-survivors layout")
+  }
+
   test("centroid IVF: all-cells probe equals brute force; pruned probe") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ivfc").toString + "/idx"
