@@ -2370,7 +2370,7 @@ object QueryCatalog {
         TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
         val docs = t(s, d, "documents")
         CorpusOps.buildBm25Index(docs, "doc_id", "text", dir)
-        CorpusOps.bm25IndexDelete(s, dir,
+        CorpusOps.bm25IndexDelete(dir,
           docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
           "doc_id")
         CorpusOps.bm25IndexCompact(s, dir)
@@ -6638,7 +6638,7 @@ object QueryCatalog {
             .select((col("vec_id") + 1000000).as("vec_id"),
               col("embedding")),
           "vec_id", "embedding", dir)
-        Similarity.ivfDelete(s, dir,
+        Similarity.ivfDelete(dir,
           emb.filter(col("vec_id") < 4)
             .select((col("vec_id") + 1000000).as("vec_id")),
           "vec_id")

@@ -2078,7 +2078,18 @@ object CorpusOps {
     * no read-modify-write, ever. Probe-time df counts rows per term
     * and the stats SUM across rows, so an appended index probes
     * exactly like a one-shot build over the union (law pinned in
-    * CorpusOpsSpec). */
+    * CorpusOpsSpec).
+    *
+    * PRECONDITION — unique doc ids across builds: the union law
+    * assumes each doc id appears in at most one build. A re-appended
+    * id keeps BOTH copies' posting rows (each scored as its own row —
+    * BM25 tf saturation applied per copy, never on the merged tf) and
+    * df/n_docs count the doc twice, so probes diverge from a fresh
+    * build and the duplicated doc's score inflates. The flat layout
+    * carries no build marker, so nothing can arbitrate which copy is
+    * current — dedup ids upstream, or ingest updates through
+    * [[bm25IndexIncrement]]'s batch layout, where
+    * [[bm25IndexCompact]] heals duplicates to the latest batch. */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      path: String, mode: String = "overwrite",
                      filesPerLeaf: Int = 4): Unit = {
@@ -2132,12 +2143,27 @@ object CorpusOps {
     * layout unchanged (df/stats SUM across rows; the extra `batch`
     * partition column just rides along) — but don't MIX one-shot and
     * batch layouts under one path: inconsistent partition-directory
-    * depth breaks discovery. */
+    * depth breaks discovery ([[bm25IndexCompact]] preserves whichever
+    * layout it finds for exactly this reason; `batch=-1` is its
+    * reserved fold target, so increment batch ids must stay
+    * non-negative — Structured Streaming's always are).
+    *
+    * Duplicate doc ids ACROSS batches (a re-crawled / updated doc)
+    * are tolerated but divergent until compaction: both batches'
+    * posting rows score as separate rows and df/n_docs count the doc
+    * per batch, so the duplicated doc's score inflates relative to a
+    * fresh build over the latest versions. [[bm25IndexCompact]] is
+    * the healing point — its fold keeps only each id's LATEST batch
+    * (upsert semantics). Ids must be unique WITHIN a batch, as in
+    * [[buildBm25Index]]. */
   def bm25IndexIncrement(batch: DataFrame, idCol: String,
                          textCol: String, path: String, batchId: Long,
                          filesPerLeaf: Int = 4): Unit = {
     require(filesPerLeaf >= 1,
       s"filesPerLeaf must be >= 1: $filesPerLeaf")
+    require(batchId >= 0,
+      s"batchId must be >= 0 (batch=-1 is bm25IndexCompact's " +
+        s"reserved fold target): $batchId")
     val base = batch.filter(hasMinTokens(col(textCol), 1))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
     val postings = base
@@ -2173,8 +2199,7 @@ object CorpusOps {
     * slightly influence OTHER documents' scores (never appear
     * themselves) in the window between delete and compact —
     * documented, not silent. */
-  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
-                      path: String, ids: DataFrame,
+  def bm25IndexDelete(path: String, ids: DataFrame,
                       idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(s"$path.tombstones")
@@ -2189,39 +2214,89 @@ object CorpusOps {
     * mutate-then-reread protection — and the reliable-checkpoint route
     * on a real cluster), so the rewrite can never re-read the tree it
     * is replacing. A compacted index probes EXACTLY like a fresh
-    * [[buildBm25Index]] over the surviving corpus (gate-pinned), and
-    * the output is the flat one-shot layout regardless of whether the
-    * input grew by appends or batch increments. */
+    * [[buildBm25Index]] over the surviving corpus (gate-pinned).
+    *
+    * The rewrite PRESERVES the input's layout: a flat one-shot index
+    * ([[buildBm25Index]] + appends) compacts in place as before, and a
+    * batch-incremental index ([[bm25IndexIncrement]] /
+    * [[graft.streaming.EventStreams.bm25IndexAvailableNow]]) folds
+    * every `batch=<id>` subtree into a single reserved `batch=-1`
+    * subtree on all three tables — NEVER into the flat layout, which
+    * would sit beside the next stream increment's `batch=<id>`
+    * directory at a conflicting partition depth and brick discovery
+    * for every subsequent probe. Stream batch ids are non-negative,
+    * so `batch=-1` can never collide with a later increment, and a
+    * repeated compaction just refolds it. The batch-layout compact is
+    * also the UPSERT-healing point: when the same doc id landed in
+    * more than one batch (the re-crawl / update case), only that id's
+    * LATEST batch's rows survive the fold and the recomputed df/stats
+    * count the doc once — see [[bm25IndexIncrement]]'s documented
+    * pre-compact divergence window.
+    *
+    * Crash note: survivors land in their target BEFORE superseded
+    * batch subtrees are deleted and tombstones cleared, so a crash in
+    * between leaves duplicate postings (df temporarily inflated,
+    * deletes still masked by the uncleared tombstones) — re-running
+    * compact heals completely, because the latest-batch fold
+    * supersedes the stale `batch=-1` copy. Same pause-probes
+    * operational note as [[graft.operators.Similarity.ivfRetrain]]. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        path: String, filesPerLeaf: Int = 4): Unit = {
     require(filesPerLeaf >= 1,
       s"filesPerLeaf must be >= 1: $filesPerLeaf")
     val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs(r: String) = {
+      val p = new org.apache.hadoop.fs.Path(r)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch="))
+      else Seq.empty
+    }
+    val batchLayout = batchDirs(path).nonEmpty
     val survivors = Materialize(
       {
-        val p = spark.read.parquet(path)
-          .select(col("id"), col("term"), col("tf"), col("dl"),
-            col("tmod"))
+        val raw = spark.read.parquet(path)
+        val deduped =
+          if (batchLayout) {
+            // upsert healing: per id only its latest batch's rows
+            // survive the fold (id-sized build side)
+            val latest = raw.groupBy(col("id"))
+              .agg(max(col("batch")).as("batch"))
+            raw.join(latest, Seq("id", "batch"))
+          } else raw
+        val p = deduped.select(col("id"), col("term"), col("tf"),
+          col("dl"), col("tmod"))
         if (fs.exists(tombPath))
           p.join(spark.read.parquet(s"$path.tombstones"), Seq("id"),
             "left_anti")
         else p
       },
       eager = true)
+    // fold target per table: the flat root, or the reserved batch=-1
+    // subtree of a batch-incremental layout
+    def target(r: String) = if (batchLayout) s"$r/batch=-1" else r
+    def dropSuperseded(r: String): Unit =
+      if (batchLayout)
+        batchDirs(r).filter(_.getPath.getName != "batch=-1")
+          .foreach(st => fs.delete(st.getPath, true))
     survivors.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
         pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
-      .write.mode("overwrite").partitionBy("tmod").parquet(path)
+      .write.mode("overwrite").partitionBy("tmod").parquet(target(path))
     survivors.groupBy(col("term"), col("tmod"))
       .agg(count(lit(1)).as("df"))
       .repartition(Bm25IndexMods, col("tmod"))
-      .write.mode("overwrite").partitionBy("tmod").parquet(s"$path.df")
+      .write.mode("overwrite").partitionBy("tmod")
+      .parquet(target(s"$path.df"))
     // per-doc length rides every posting row; one distinct pass
     // recovers exact (n_docs, sum_dl) for the survivors
     survivors.select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl").cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path.stats")
+      .write.mode("overwrite").parquet(target(s"$path.stats"))
+    dropSuperseded(path)
+    dropSuperseded(s"$path.df")
+    dropSuperseded(s"$path.stats")
     fs.delete(tombPath, true)
     ()
   }

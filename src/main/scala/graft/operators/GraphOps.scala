@@ -59,15 +59,16 @@ object GraphOps {
     *
     * Observability costs one extra node-sized aggregation job per
     * round (the delta is an action), so each round's ranks are
-    * materialized eagerly regardless of `checkpointEvery` — plans stay
-    * one-round-sized and nothing recomputes. */
+    * materialized eagerly every round — plans stay one-round-sized
+    * and nothing recomputes. There is therefore no `checkpointEvery`
+    * dial on this form: the per-round delta action forces the
+    * materialization cadence. */
   def pageRankWithDeltas(edges: DataFrame, srcCol: String,
                          dstCol: String, iters: Int = 3,
-                         damping: Double = 0.85,
-                         checkpointEvery: Int = 1)
+                         damping: Double = 0.85)
       : (DataFrame, Seq[Double]) =
-    pageRankCore(edges, srcCol, dstCol, iters, damping, checkpointEvery,
-      trackDeltas = true)
+    pageRankCore(edges, srcCol, dstCol, iters, damping,
+      checkpointEvery = 0, trackDeltas = true)
 
   private def pageRankCore(edges: DataFrame, srcCol: String,
                            dstCol: String, iters: Int, damping: Double,

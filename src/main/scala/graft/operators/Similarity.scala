@@ -85,21 +85,29 @@ object Similarity {
     * to WindowGroupLimit — per-map-partition k-heaps, shuffle volume
     * O(partitions x q x k), never the score relation. This is the
     * exact baseline; at 100 TB generate candidates with the IVF/PQ
-    * tiers per query and re-rank. */
+    * tiers per query and re-rank.
+    *
+    * The query id is renamed to a reserved internal name before the
+    * join (the `__qv` convention), so a query table whose id column
+    * shares the corpus id's NAME (both "id", the common case) joins
+    * unambiguously; it is restored on output. Callers whose
+    * `queryIdCol` literally equals the output corpus column name
+    * "id" should still rename one side first — the RESULT would
+    * carry two "id" columns. */
   def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
                       queries: DataFrame, queryIdCol: String,
                       queryVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val q = broadcast(queries
-      .select(col(queryIdCol), col(queryVecCol).as("__qv")))
-    val w = Window.partitionBy(col(queryIdCol))
+      .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv")))
+    val w = Window.partitionBy(col("__qid"))
       .orderBy(col("cos_sim").desc, col("id"))
-    df.join(q, col(idCol) =!= col(queryIdCol))
-      .select(col(queryIdCol), col(idCol).as("id"),
+    df.join(q, col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol).as("id"),
         round(cosine(col(vecCol), col("__qv")), 6).as("cos_sim"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col(queryIdCol), col("id"), col("cos_sim"))
+      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
   }
 
   /** Sign-random-projection bit signature: `nBits` sign bits of dot
@@ -459,8 +467,7 @@ object Similarity {
     * [[ivfCentroidTopKBatch]] / the retrain lifecycle); the SRP and
     * IVF-PQ layouts are separate indexes with their own rebuild
     * story. */
-  def ivfDelete(spark: org.apache.spark.sql.SparkSession,
-                indexPath: String, ids: DataFrame,
+  def ivfDelete(indexPath: String, ids: DataFrame,
                 idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(s"$indexPath.tombstones")
@@ -470,12 +477,20 @@ object Similarity {
     * are unchanged). */
   private def withoutTombstones(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      df: DataFrame): DataFrame =
+    withoutTombstonesAt(spark, s"$indexPath.tombstones", df)
+
+  /** [[withoutTombstones]] against an explicit tombstone-table path —
+    * shared with the IVF-PQ lifecycle, whose tombstones live INSIDE
+    * the index root (`<path>/tombstones`) beside codes/model/
+    * centroids. */
+  private def withoutTombstonesAt(
+      spark: org.apache.spark.sql.SparkSession, tombPath: String,
       df: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath.tombstones")
+    val p = new org.apache.hadoop.fs.Path(tombPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p))
-      df.join(spark.read.parquet(s"$indexPath.tombstones"), Seq("id"),
-        "left_anti")
+      df.join(spark.read.parquet(tombPath), Seq("id"), "left_anti")
     else df
   }
 

@@ -1193,36 +1193,74 @@ class CorpusOpsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).toSet
-    // grow the index through BATCH INCREMENTS (the streaming layout),
-    // so compaction also proves it normalizes to the flat layout
+    // grow the index through BATCH INCREMENTS (the streaming layout);
+    // compaction must PRESERVE that layout so a live stream can keep
+    // incrementing afterwards
     val dir = java.nio.file.Files.createTempDirectory("bm25del")
       .toString + "/idx"
     CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 0),
       "doc_id", "text", dir, batchId = 0L)
-    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 1),
+    CorpusOps.bm25IndexIncrement(
+      docs.filter($"doc_id" % 2 === 1 && $"doc_id" % 5 =!= 1),
       "doc_id", "text", dir, batchId = 1L)
-    val dead = docs.filter($"doc_id" % 3 === 0).select($"doc_id")
-    CorpusOps.bm25IndexDelete(spark, dir, dead, "doc_id")
+    // dead ⊆ batch 0, disjoint from the post-compact increment below
+    val dead = docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 3 === 0)
+      .select($"doc_id")
+    CorpusOps.bm25IndexDelete(dir, dead, "doc_id")
     // deletes are visible IMMEDIATELY: no tombstoned doc surfaces
     val deadIds = dead.collect().map(_.getLong(0)).toSet
     val pre = probe(dir)
     assert(pre.nonEmpty && pre.forall(r => !deadIds.contains(r._2)),
       pre.toString)
     // a repeated delete is absorbed (append-only tombstones)
-    CorpusOps.bm25IndexDelete(spark, dir, dead.limit(5), "doc_id")
+    CorpusOps.bm25IndexDelete(dir, dead.limit(5), "doc_id")
     assert(probe(dir) == pre)
     // compaction: probes now equal the direct batch over the
-    // SURVIVING corpus exactly (stats healed), tombstones cleared
+    // SURVIVING corpus exactly (stats healed), tombstones cleared,
+    // and the fold landed in the reserved batch=-1 subtree (batch
+    // layout preserved, not flattened)
     CorpusOps.bm25IndexCompact(spark, dir)
     val healed = probe(dir)
-    val fresh = CorpusOps.bm25TopKBatch(
-        docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text", qs,
+    def fresh(corpus: org.apache.spark.sql.DataFrame) = CorpusOps
+      .bm25TopKBatch(corpus, "doc_id", "text", qs,
         "query_id", "query_text", k = 7)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).toSet
-    assert(healed == fresh, s"healed $healed vs fresh $fresh")
+    val survivorsNow = docs.filter(
+      ($"doc_id" % 2 === 0 && $"doc_id" % 3 =!= 0) ||
+        ($"doc_id" % 2 === 1 && $"doc_id" % 5 =!= 1))
+    assert(healed == fresh(survivorsNow),
+      s"healed $healed vs fresh over survivors")
     assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(new java.io.File(dir, "batch=-1").isDirectory &&
+      !new java.io.File(dir, "batch=0").exists(),
+      new java.io.File(dir).list().mkString(","))
+    // the LIVE-STREAM continuation the r15 advice flagged: a
+    // post-compact increment must coexist with the fold (no
+    // conflicting partition depths) and probe like the union
+    CorpusOps.bm25IndexIncrement(
+      docs.filter($"doc_id" % 2 === 1 && $"doc_id" % 5 === 1),
+      "doc_id", "text", dir, batchId = 2L)
+    val afterCont = docs.filter(
+      !($"doc_id" % 2 === 0 && $"doc_id" % 3 === 0))
+    assert(probe(dir) == fresh(afterCont))
+    // upsert healing: re-ingest doc 2 with NEW text in a later batch;
+    // pre-compact probes double-count it (documented divergence),
+    // post-compact probes equal a fresh build where doc 2 has only
+    // its latest text
+    val updated = docs.filter($"doc_id" === 2)
+      .select($"doc_id", concat($"text", lit(" dup stream dup")).as("text"))
+    CorpusOps.bm25IndexIncrement(updated, "doc_id", "text", dir,
+      batchId = 3L)
+    CorpusOps.bm25IndexCompact(spark, dir)
+    val upserted = afterCont.filter($"doc_id" =!= 2).unionByName(updated)
+    assert(probe(dir) == fresh(upserted),
+      "post-compact probe != fresh build over latest versions")
+    intercept[IllegalArgumentException] {
+      CorpusOps.bm25IndexIncrement(updated, "doc_id", "text", dir,
+        batchId = -1L)
+    }
   }
 
   test("searchPipelineBatch == per-query searchPipeline; one-leg fusion") {

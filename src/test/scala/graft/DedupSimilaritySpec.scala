@@ -664,7 +664,7 @@ class DedupSimilaritySpec extends SparkSpec {
     def topIds(k: Int) = Similarity.ivfCentroidTopK(spark, dir, qVec,
       k = k, probes = 8).collect().map(_.getLong(0)).toSet
     assert(topIds(3).contains(1000000L)) // present before the delete
-    Similarity.ivfDelete(spark, dir,
+    Similarity.ivfDelete(dir,
       Seq(1000000L).toDF("vec_id"), "vec_id")
     // immediate exclusion, single-query and batch probes alike
     assert(!topIds(25).contains(1000000L))
