@@ -6767,6 +6767,180 @@ object QueryCatalog {
       Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
              |  CAST(20 AS BIGINT) AS n_rows,
              |  true AS cos_bounded""".stripMargin)),
+
+    Q("q_ivfpq_append", // IVF-PQ index lifecycle, append leg (r15
+      // verdict #1): build the composed index on the raw corpus, then
+      // APPEND +1M copies of vecs 0..9 routed through the PERSISTED
+      // coarse centroids and codebooks (ivfPqAppend). Cell assignment
+      // and residual encoding are pure functions of (vector, model),
+      // so the appended copy of query vector 0 shares the query's
+      // cell AND encodes to the query's own code — single-probe
+      // rank-1 by the ADC-minimum argument of q_ivfpq_topk, all 20
+      // post-exclusion slots filled (append == one-shot-build law
+      // spec-pinned in PqSpec).
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqa_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+          nCells = 8, m = 8, nbits = 8, iters = 3)
+        Similarity.ivfPqAppend(
+          emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfPqTopK(s, dir, qVec, k = 21, probes = 1)
+          .filter(col("id") =!= 0L)
+          .agg(
+            max_by(col("id"), struct(col("pq_cos"), -col("id")))
+              .as("top1_id"),
+            count(lit(1)).as("n_rows"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(20 AS BIGINT) AS n_rows,
+             |  true AS cos_bounded""".stripMargin)),
+
+    Q("q_ivfpq_delete", // IVF-PQ index lifecycle, delete leg (r15
+      // verdict #1): append exact copies of vectors 0..3 (each its
+      // query's guaranteed ADC rank-1 — the q_ivfpq_append property),
+      // then TOMBSTONE them (ivfPqDelete). Probes must exclude the
+      // copies IMMEDIATELY, per query all 20 post-self-exclusion
+      // slots refill from survivors. Compact-rewrites-survivors-
+      // verbatim and retrain-as-compaction are spec-pinned in PqSpec
+      // (codes carry no corpus statistics, so unlike BM25 nothing
+      // else changes).
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqd_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+          nCells = 8, m = 8, nbits = 8, iters = 3)
+        Similarity.ivfPqAppend(
+          emb.filter(col("vec_id") < 4)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        Similarity.ivfPqDelete(dir,
+          emb.filter(col("vec_id") < 4)
+            .select((col("vec_id") + 1000000).as("vec_id")),
+          "vec_id")
+        Similarity.ivfPqTopKBatch(s, dir,
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 21, probes = 1)
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(
+            (sum(when(col("id") === col("qid") + 1000000, 1)
+              .otherwise(0)) === 0).as("copy_gone"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BOOLEAN) AS copy_gone,
+             |  CAST(v.c2 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, true, 20),
+             |  (1, true, 20),
+             |  (2, true, 20),
+             |  (3, true, 20)) AS v(c0, c1, c2)""".stripMargin)),
+
+    Q("q_pq_batch", // batch ADC over the flat PQ index (r15 verdict
+      // #2): a query TABLE (vectors 0..3) scores the 8-byte code
+      // relation in ONE job — per-query lookup tables built by the
+      // native pq_lut expression and carried on a broadcast, no
+      // per-query driver loop. Batch == per-query law is BIT-pinned
+      // in PqSpec; this gate pins the SQL-expressible planted
+      // property: each query's rank-1 (self excluded) is its own +1M
+      // copy (identical vector -> identical code -> the per-subspace
+      // ADC minimum), all 20 slots filled. Index staged once per
+      // (process, sf), _SUCCESS-gated, model memoized.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pqb_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/index"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val planted = plantedEmbeddings(s, d)
+        if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists())
+          Similarity.writePqIndex(planted, "vec_id", "embedding",
+            pqModelFor(s"batch:$d",
+              Similarity.trainPq(planted, "vec_id", "embedding",
+                m = 8, nbits = 8, iters = 10)), dir)
+        // k = 20 directly: pqTopKBatch self-excludes BEFORE its
+        // window (unlike the probe-then-filter gates above), so every
+        // returned row already passes the exclusion
+        Similarity.pqTopKBatch(s, dir,
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("pq_cos"), -col("id")))
+              .as("top1_id"),
+            count(lit(1)).as("n_rows"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS BIGINT) AS n_rows,
+             |  CAST(v.c3 AS BOOLEAN) AS cos_bounded
+             |FROM (VALUES
+             |  (0, 1000000, 20, true),
+             |  (1, 1000001, 20, true),
+             |  (2, 1000002, 20, true),
+             |  (3, 1000003, 20, true)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
+    Q("q_ivfpq_batch", // batch ADC through the COMPOSED index (r15
+      // verdict #2): the query table ranks the persisted coarse
+      // centroids per query, builds its per-cell residual lookup
+      // table, and the code scan prunes to the union of probed cells
+      // — one partition-pruned job for the whole batch. Per-query ==
+      // ivfPqTopK law is BIT-pinned in PqSpec; the gate pins the
+      // planted property through the SAME staged index as
+      // q_ivfpq_topk (identical dir key, _SUCCESS-gated — staging is
+      // idempotent and order-free): each query's rank-1 is its +1M
+      // copy, 20 slots filled.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val planted = plantedEmbeddings(s, d)
+        if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists())
+          Similarity.buildIvfPqIndex(planted, "vec_id", "embedding", dir,
+            nCells = 8, m = 8, nbits = 8, iters = 3)
+        Similarity.ivfPqTopKBatch(s, dir,
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 21, probes = 1)
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("pq_cos"), -col("id")))
+              .as("top1_id"),
+            count(lit(1)).as("n_rows"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS BIGINT) AS n_rows,
+             |  CAST(v.c3 AS BOOLEAN) AS cos_bounded
+             |FROM (VALUES
+             |  (0, 1000000, 20, true),
+             |  (1, 1000001, 20, true),
+             |  (2, 1000002, 20, true),
+             |  (3, 1000003, 20, true)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

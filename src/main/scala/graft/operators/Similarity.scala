@@ -422,13 +422,20 @@ object Similarity {
     * layout, as (cell index -> unit centroid). Index METADATA (k x dim
     * doubles), loaded driver-side like every probe does. */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                            indexPath: String): Seq[Seq[Double]] = {
-    val m = spark.read.parquet(indexPath + ".centroids")
+                            indexPath: String): Seq[Seq[Double]] =
+    readCentroidsDir(spark, indexPath + ".centroids")
+
+  /** [[readCentroids]] against an explicit (cell, centroid) table
+    * directory — shared with the IVF-PQ layout, whose coarse
+    * quantizer lives INSIDE the index root (`<path>/centroids`). */
+  private def readCentroidsDir(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[Seq[Double]] = {
+    val m = spark.read.parquet(dir)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-    require(m.nonEmpty, s"no centroid model at $indexPath.centroids")
+    require(m.nonEmpty, s"no centroid model at $dir")
     (0 until m.size).map(i => m.getOrElse(i,
-      sys.error(s"centroid model at $indexPath.centroids is missing " +
-        s"cell $i — not a buildIvfCentroidIndex layout")))
+      sys.error(s"centroid model at $dir is missing " +
+        s"cell $i — not a centroid-index layout")))
   }
 
   /** Incremental maintenance of a [[buildIvfCentroidIndex]] layout:
@@ -1157,6 +1164,14 @@ object Similarity {
     lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist(
       col("pq_code"), lut) / 2.0d
 
+  /** [[adcCos]] with the lookup table as a COLUMN (the batch-probe
+    * scorer over a [[graft.plans.PqLut]] output) — same formula, same
+    * ops, so the per-query and batch paths cannot desynchronize
+    * (batch == per-query laws pinned in PqSpec). */
+  private def adcCosCol(lutCol: Column): Column =
+    lit(1.0d) - graft.plans.PqExpressions.pq_adc_dist_col(
+      col("pq_code"), lutCol) / 2.0d
+
   /** Load the [[writePqIndex]] model (tiny: m x ksub rows). */
   def loadPqModel(spark: org.apache.spark.sql.SparkSession,
                   path: String): PqModel = {
@@ -1279,14 +1294,7 @@ object Similarity {
     }
     val model = trainPqLocal(residuals, m, nbits, iters)
     // one distributed pass: assign cell, subtract its centroid, encode
-    val cenLit = typedlit(centroids.map(_.toSeq))
-    df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("__vn"))
-      .withColumn("cell", nearestCentroid(col("__vn"), centroids))
-      .withColumn("pq_code", graft.plans.PqExpressions.pq_encode(
-        zip_with(col("__vn"), element_at(cenLit, col("cell") + 1),
-          (a, b) => a - b),
-        model.codebooks))
-      .select(col("id"), col("cell"), col("pq_code"))
+    ivfPqEncode(df, idCol, vecCol, centroids, model)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val spark = df.sparkSession
@@ -1317,7 +1325,10 @@ object Similarity {
         ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
       .sortBy { case (ci, s) => (-s, ci) }
       .take(math.max(1, probes)).map(_._1)
-    val codes = spark.read.parquet(s"$path/codes")
+    // tombstoned vectors ([[ivfPqDelete]]) never surface; the
+    // anti-join rides the pruned cell scan
+    val codes = withoutTombstonesAt(spark, s"$path/tombstones",
+      spark.read.parquet(s"$path/codes"))
     val perCell = cells.map { ci =>
       val res = qn.zip(centroids(ci)).map { case (a, b) => a - b }
       val lut = pqLut0(res, model)
@@ -1346,4 +1357,226 @@ object Similarity {
         d2
       }
     }
+
+  /** The one distributed assign-and-encode pass of the IVF-PQ layout
+    * (normalize, nearest coarse centroid, encode the cell residual) —
+    * a pure function of (vector, centroids, codebooks), shared by
+    * [[buildIvfPqIndex]] and [[ivfPqAppend]] so the append-equals-
+    * one-shot-build law holds by construction. */
+  private def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[Seq[Double]],
+                          model: PqModel): DataFrame = {
+    val cenLit = typedlit(centroids.map(_.toSeq))
+    df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("__vn"))
+      .withColumn("cell", nearestCentroid(col("__vn"), centroids))
+      .withColumn("pq_code", graft.plans.PqExpressions.pq_encode(
+        zip_with(col("__vn"), element_at(cenLit, col("cell") + 1),
+          (a, b) => a - b),
+        model.codebooks))
+      .select(col("id"), col("cell"), col("pq_code"))
+  }
+
+  // ---- IVF-PQ lifecycle: the composed index is the 100 TB deployment
+  // shape, so it carries the same append / tombstone-delete / compact /
+  // retrain story as its flat-centroid sibling ([[ivfAppend]] /
+  // [[ivfDelete]] / [[ivfRetrain]]). Cell assignment AND residual
+  // encoding are pure functions of (vector, persisted model), so the
+  // whole flat-IVF law transfers: an appended index is row-for-row
+  // identical to a one-shot encode pass under the same model. The one
+  // structural difference: PQ codes are LOSSY, so the index cannot
+  // re-fit from its own contents — [[ivfPqRetrain]] takes the current
+  // float corpus as input (exactly what FAISS's retrain does), while
+  // pure deletion-healing needs no vectors at all ([[ivfPqCompact]]
+  // rewrites surviving codes under the unchanged model). ----
+
+  /** Incremental maintenance of a [[buildIvfPqIndex]] layout: assign
+    * `newVecs` to the PERSISTED coarse centroids, encode their cell
+    * residuals with the PERSISTED codebooks, and APPEND the cell
+    * partitions of `<path>/codes` — no read-modify-write, ever (the
+    * [[ivfAppend]] ingest contract). Appended rows are byte-identical
+    * to what a one-shot [[buildIvfPqIndex]] pass under the same model
+    * would write (law pinned in PqSpec), so probes need no
+    * append-awareness. Model drift under a shifting distribution is
+    * the same MEASURED condition as the flat index's — watch
+    * [[ivfDriftSummary]]'s shape on the coarse cells and
+    * [[ivfPqRetrain]] when it ages. */
+  def ivfPqAppend(newVecs: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = readCentroidsDir(spark, s"$path/centroids")
+    val model = loadPqModel(spark, path)
+    ivfPqEncode(newVecs, idCol, vecCol, centroids, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Tombstone vectors out of an IVF-PQ index — the [[ivfDelete]]
+    * contract on the composed layout: ids append to
+    * `<path>/tombstones` (append-only; repeats harmless), every probe
+    * ([[ivfPqTopK]] / [[ivfPqTopKBatch]]) excludes them IMMEDIATELY,
+    * and the codes are untouched until [[ivfPqCompact]] or
+    * [[ivfPqRetrain]]. Unlike BM25's index there are no corpus
+    * statistics to heal — scores of surviving vectors are unaffected
+    * by pending tombstones, so compaction is purely a space/scan-cost
+    * reclaim. */
+  def ivfPqDelete(path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Compact a tombstoned IVF-PQ index: rewrite `<path>/codes` without
+    * deleted rows and clear the tombstone table. The model and coarse
+    * centroids are NOT refit (codes are a pure function of them, so
+    * surviving rows rewrite verbatim — spec-pinned); pair with
+    * [[ivfPqRetrain]] when the deletion wave also shifted the
+    * distribution. Survivors are eagerly materialized through
+    * [[Materialize]] before the overwrite (the house
+    * mutate-then-reread protection). */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val survivors = Materialize(
+      withoutTombstonesAt(spark, s"$path/tombstones",
+        spark.read.parquet(s"$path/codes")
+          .select(col("id"), col("cell"), col("pq_code"))),
+      eager = true)
+    survivors.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    fs.delete(tombPath, true)
+    ()
+  }
+
+  /** Close the drift loop on the composed index ([[ivfRetrain]]'s
+    * recipe): refit coarse centroids AND residual codebooks, rewrite
+    * the codes, swap. PQ codes are LOSSY — the original vectors are
+    * not recoverable from the index — so the refit takes the index's
+    * current float corpus as `vectors` (the caller's source of truth;
+    * the same contract FAISS imposes). Tombstoned ids are dropped from
+    * the rewrite and the tombstone table clears with the swap, so the
+    * retrain doubles as the deletion compaction. The staging build at
+    * `<path>.retrain` is complete before the swap, and because codes,
+    * model, centroids and tombstones all live under ONE root, the swap
+    * is a single directory rename — atomic on HDFS (still pause
+    * probes across it on stores without atomic rename, the
+    * [[ivfRetrain]] operational note). `nCells <= 0` / `m <= 0` keep
+    * the current layout's cell count / subspace count. Returns the
+    * retrained coarse centroids. */
+  def ivfPqRetrain(vectors: DataFrame, idCol: String, vecCol: String,
+                   path: String, nCells: Int = 0, m: Int = 0,
+                   nbits: Int = 8, iters: Int = 4,
+                   maxFitRows: Int = 65536): Seq[Seq[Double]] = {
+    val spark = vectors.sparkSession
+    val kEff =
+      if (nCells > 0) nCells
+      else readCentroidsDir(spark, s"$path/centroids").size
+    val mEff = if (m > 0) m else loadPqModel(spark, path).m
+    val current = withoutTombstonesAt(spark, s"$path/tombstones",
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val staging = path + ".retrain"
+    val centroids = buildIvfPqIndex(current, "id", "v", staging,
+      kEff, mEff, nbits, iters, maxFitRows)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path)),
+      s"ivfPqRetrain: rename $staging -> $path failed")
+    centroids
+  }
+
+  /** Batch ADC top-k over a [[writePqIndex]] layout — the
+    * [[cosineTopKBatch]] principle applied to the PQ tier: a query
+    * TABLE scores the whole code relation in ONE job. Each query's
+    * `m x ksub` lookup table is built per-row by the native
+    * [[graft.plans.PqLut]] (the exact driver-side [[pqLut]] loop, so
+    * per query the scores and ranking are bit-identical to
+    * [[pqTopKPrequantized]] — law pinned in PqSpec) and rides a
+    * BROADCAST into the scan; each corpus row scores with `m` table
+    * lookups against each query's table
+    * ([[graft.plans.PqAdcDistanceCol]]), and the per-query cap
+    * compiles to WindowGroupLimit. The corpus-side cost is |q| x n
+    * table lookups over m-byte rows — no float math, no shuffle
+    * beyond the k-row-per-query merge. A corpus row whose id equals
+    * the query's id is excluded (the self-match rule). Returns
+    * (`queryIdCol`, `id`, `pq_cos`), <= k rows per query, ranked
+    * (pq_cos desc, id). */
+  def pqTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                  path: String, queries: DataFrame, queryIdCol: String,
+                  queryVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val model = loadPqModel(spark, path)
+    // TWO normalizations, deliberately: the per-query path collects an
+    // l2normalize'd vector and [[pqLut]] then renormalizes it on the
+    // driver (a near-no-op that still moves last bits) — the batch
+    // path applies the identical pair so scores are BIT-identical to
+    // [[pqTopKPrequantized]]'s, not merely close (law in PqSpec)
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      graft.plans.PqExpressions.pq_lut(
+        l2normalize(l2normalize(col(queryVecCol))),
+        model.codebooks).as("__lut")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("pq_cos").desc, col("id"))
+    spark.read.parquet(s"$path/codes")
+      .join(q, col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        adcCosCol(col("__lut")).as("pq_cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("pq_cos"))
+  }
+
+  /** Batch ADC probe through the COMPOSED index — [[ivfPqTopK]] for a
+    * query table in ONE job (the [[ivfCentroidTopKBatch]] shape with
+    * [[graft.plans.PqAdcDistanceCol]] as the scorer): each query ranks
+    * the persisted coarse centroids and keeps its `probes` nearest
+    * cells (model-sized work, per-query windows, the single-query
+    * tie-break), builds its PER-CELL lookup table from the
+    * query-minus-centroid residual (the LUT differs per probed cell —
+    * that is what makes IVFADC asymmetric), and the code scan prunes
+    * to the UNION of probed cells before candidates meet their
+    * queries' tables in a broadcast join on the cell key. Per query
+    * IDENTICAL to [[ivfPqTopK]] at the same dials (law pinned in
+    * PqSpec — same normalization, residual, and LUT arithmetic in the
+    * same IEEE order on both paths). Cost: `|probed cells|/nCells` of
+    * the corpus at m bytes per row, once, for the whole batch. */
+  def ivfPqTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queries: DataFrame,
+                     queryIdCol: String, queryVecCol: String, k: Int,
+                     probes: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(probes >= 1, s"probes must be >= 1: $probes")
+    val model = loadPqModel(spark, path)
+    val centroids = readCentroidsDir(spark, s"$path/centroids")
+    val cellsLit = typedlit(centroids.zipWithIndex.map {
+      case (c, i) => (i, c)
+    })
+    val wCell = Window.partitionBy(col("__qid"))
+      .orderBy(col("__s").desc, col("cell"))
+    val probed = queries
+      .select(col(queryIdCol).as("__qid"),
+        l2normalize(col(queryVecCol)).as("__qn"))
+      .select(col("__qid"), col("__qn"), explode(cellsLit).as("__c"))
+      .select(col("__qid"), col("__qn"), col("__c._1").as("cell"),
+        col("__c._2").as("__cen"),
+        aggregate(zip_with(col("__qn"), col("__c._2"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("__s"))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") <= probes)
+      .select(col("__qid"), col("cell"),
+        graft.plans.PqExpressions.pq_lut(
+          zip_with(col("__qn"), col("__cen"), (a, b) => a - b),
+          model.codebooks).as("__lut"))
+    val allCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("pq_cos").desc, col("id"))
+    withoutTombstonesAt(spark, s"$path/tombstones",
+        spark.read.parquet(s"$path/codes")
+          .filter(col("cell").isin(allCells: _*))) // -> partition pruning
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("__qid"), col("id"),
+        adcCosCol(col("__lut")).as("pq_cos"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("pq_cos"))
+  }
 }

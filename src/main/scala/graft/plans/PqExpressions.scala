@@ -30,6 +30,13 @@ object PqExpressions {
 
   def pq_adc_dist(c: Column, lut: Seq[Seq[Double]]): Column =
     GraftBridge.column(PqAdcDistance(GraftBridge.expression(c), lut))
+
+  def pq_lut(c: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(c), codebooks))
+
+  def pq_adc_dist_col(code: Column, lut: Column): Column =
+    GraftBridge.column(PqAdcDistanceCol(
+      GraftBridge.expression(code), GraftBridge.expression(lut)))
 }
 
 /** Encode an `array<double>` vector to its `m`-byte PQ code: byte `s`
@@ -136,4 +143,124 @@ case class PqAdcDistance(child: Expression, lut: Seq[Seq[Double]])
 
   override protected def withNewChildInternal(c: Expression): PqAdcDistance =
     copy(child = c)
+}
+
+/** Build the per-query ADC lookup table FROM A COLUMN — the batch-probe
+  * face of the driver-side `Similarity.pqLut0`: for an input vector `v`
+  * (an L2-normalized query, or a query-minus-centroid cell residual),
+  * `lut(s)(c) = ||v_s - cen_s_c||²` with components past `v`'s length
+  * read as zero — the EXACT loop `pqLut0` runs on the driver, in the
+  * same IEEE order, so a batch probe's scores are bit-identical to the
+  * per-query path's (law pinned in PqSpec). One `m x ksub` double table
+  * per row; queries are few by contract (the table rides a broadcast),
+  * so the per-row allocation is never a corpus-scan cost. */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_lut: empty codebook")
+  require(codebooks.map(_.size).distinct.size == 1,
+    "pq_lut: subspaces must share one centroid count (the flat " +
+      "output encodes ksub as length / m)")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val matrix: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public: called from generated code. The table is FLATTENED
+    * row-major (`lut(s * ksub + c)`): a nested array<array<double>>
+    * would cost the scorer one ArrayData wrapper allocation PER
+    * SUBSPACE PER CORPUS ROW (measured 8 M lookups/s on the 500k x
+    * 128 batch); the flat layout scores with primitive getDouble
+    * reads straight off the UnsafeArrayData. Every subspace shares
+    * one ksub, so the scorer recovers the stride as
+    * `lut.length / code.length`. */
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val m = matrix.length
+    val dsub = matrix(0)(0).length
+    val ksub = matrix(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val cents = matrix(s)
+      val base = s * dsub
+      var c = 0
+      while (c < cents.length) {
+        val cen = cents(c)
+        var d2 = 0.0d
+        var i = 0
+        while (i < dsub) {
+          val x = if (base + i < n) v.getDouble(base + i) else 0.0d
+          val t = x - cen(i)
+          d2 += t * t
+          i += 1
+        }
+        out(s * ksub + c) = d2
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+/** [[PqAdcDistance]] with the lookup table as a COLUMN instead of a
+  * literal — the batch-probe scorer: the per-query (or per-query-cell)
+  * table built by [[PqLut]] meets the corpus codes through a broadcast
+  * join, and each (code, lut) pair scores with `m` primitive table
+  * reads off the flat row-major layout, no float math and no
+  * per-subspace ArrayData wrappers per row. */
+case class PqAdcDistanceCol(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist_col"
+
+  override def nullSafeEval(code: Any, lut: Any): Any =
+    compute(code.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData])
+
+  /** Public: called from generated code. The table is [[PqLut]]'s
+    * FLAT row-major layout; the per-subspace stride is
+    * `lut.length / m` (every subspace shares one ksub by the PqLut
+    * contract), so scoring is `m` primitive getDouble reads. */
+  def compute(code: Array[Byte], lut: ArrayData): Double = {
+    val m = code.length
+    val n = lut.numElements()
+    if (m == 0 || n == 0) return 0.0d
+    val ksub = n / m
+    var s = 0
+    var d = 0.0d
+    while (s < m) {
+      val idx = s * ksub + (code(s) & 0xff)
+      if (idx < n) d += lut.getDouble(idx)
+      s += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcCol", this,
+      classOf[PqAdcDistanceCol].getName)
+    defineCodeGen(ctx, ev, (c, l) => s"$ref.compute($c, $l)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcDistanceCol =
+    copy(left = l, right = r)
 }

@@ -280,6 +280,38 @@ object CorpusScale {
     }
     println(f"ivf_build_s=$tIvfBuild%.2f ivf_batch_probe_s=$tIvfProbe%.2f " +
       f"queries=128 rows=$nIvfRows%d q_per_s=${128 / tIvfProbe}%.1f")
+    // batch ADC (r16): the same 128 queries through the PQ tiers in
+    // one job each — flat 8-byte-code scan (pqTopKBatch: |q| x n
+    // table lookups, quarter-KB per row read) and the composed
+    // IVF-PQ index (ivfPqTopKBatch: partition pruning x compression)
+    val pqDir = java.nio.file.Files.createTempDirectory("pqscale")
+      .toString
+    val (_, tPqBuild) = time {
+      graft.operators.Similarity.writePqIndex(embs, "vec_id",
+        "embedding",
+        graft.operators.Similarity.trainPq(embs, "vec_id", "embedding",
+          m = 8, nbits = 8, iters = 10), pqDir)
+    }
+    val (nPqRows, tPqProbe) = time {
+      graft.operators.Similarity.pqTopKBatch(spark, pqDir, qVecs,
+        "qid", "qv", k = 100).count()
+    }
+    println(f"pq_build_s=$tPqBuild%.2f pq_batch_probe_s=$tPqProbe%.2f " +
+      f"queries=128 rows=$nPqRows%d q_per_s=${128 / tPqProbe}%.1f " +
+      f"Madc_per_s=${nVecs * 128 / 1e6 / tPqProbe}%.1f")
+    val ivfPqDir = java.nio.file.Files.createTempDirectory("ivfpqscale")
+      .toString + "/idx"
+    val (_, tIvfPqBuild) = time {
+      graft.operators.Similarity.buildIvfPqIndex(embs, "vec_id",
+        "embedding", ivfPqDir, nCells = 16, m = 8, nbits = 8, iters = 3)
+    }
+    val (nIvfPqRows, tIvfPqProbe) = time {
+      graft.operators.Similarity.ivfPqTopKBatch(spark, ivfPqDir, qVecs,
+        "qid", "qv", k = 100, probes = 2).count()
+    }
+    println(f"ivfpq_build_s=$tIvfPqBuild%.2f " +
+      f"ivfpq_batch_probe_s=$tIvfPqProbe%.2f queries=128 " +
+      f"rows=$nIvfPqRows%d q_per_s=${128 / tIvfPqProbe}%.1f")
 
     val (nFused, tFuse) = time {
       val sem = graft.operators.Similarity.cosineTopKBatch(embs,

@@ -172,4 +172,127 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
     assert(!plan.contains("Sort ["), plan.take(800))
   }
+
+  test("IVF-PQ lifecycle: append purity, delete, compact, retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_lc")
+      .toString + "/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nbits = 8, iters = 3)
+    // append purity: the same vectors with offset ids, routed through
+    // the PERSISTED model by the public append path, land
+    // cell-for-cell and code-for-code where the build put them
+    Similarity.ivfPqAppend(
+      base.select(($"vec_id" + 5000000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", dir)
+    def codesAt(d: String) = spark.read.parquet(s"$d/codes")
+      .select($"id", $"cell", hex($"pq_code").as("code"))
+    def twinDiffs(offset: Long): Long = {
+      val c = codesAt(dir)
+      val a = c.filter($"id" < offset)
+      val b = c.filter($"id" >= offset)
+        .select(($"id" - offset).as("id"), $"cell".as("cell2"),
+          $"code".as("code2"))
+      a.join(b, Seq("id"), "full_outer")
+        .filter($"cell".isNull || $"cell2".isNull ||
+          $"cell" =!= $"cell2" || $"code" =!= $"code2")
+        .count()
+    }
+    assert(twinDiffs(5000000L) == 0L, "appended twins diverge from build")
+    // delete: immediate exclusion on BOTH probe paths, codes untouched
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    assert(Similarity.ivfPqTopK(spark, dir, qVec, k = 3, probes = 8)
+      .as[(Long, Double)].collect().map(_._1).contains(5000000L))
+    val preDelete = codesAt(dir).filter($"id" =!= 5000000L)
+      .as[(Long, Int, String)].collect().toSet
+    Similarity.ivfPqDelete(dir, Seq(5000000L).toDF("vec_id"), "vec_id")
+    val single = Similarity.ivfPqTopK(spark, dir, qVec, k = 30,
+      probes = 8).as[(Long, Double)].collect().map(_._1)
+    assert(!single.contains(5000000L) && single.nonEmpty)
+    val batchProbe = Similarity.ivfPqTopKBatch(spark, dir,
+      emb.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")),
+      "qid", "qv", k = 30, probes = 8)
+    assert(!batchProbe.select($"id").as[Long].collect()
+      .contains(5000000L))
+    // a repeated delete is absorbed (append-only tombstones)
+    Similarity.ivfPqDelete(dir, Seq(5000000L).toDF("vec_id"), "vec_id")
+    // compact: survivors rewrite VERBATIM (model unchanged, no stats
+    // to heal), tombstone table clears
+    Similarity.ivfPqCompact(spark, dir)
+    val post = codesAt(dir).as[(Long, Int, String)].collect().toSet
+    assert(post == preDelete, "compact changed surviving codes")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // retrain: PQ codes are lossy, so the refit takes the CURRENT
+    // float corpus; law = the ivfAppend purity law reapplied through
+    // the refit+swap — twins appended under the RETRAINED model land
+    // id-for-id where the retrain's rewrite put their originals
+    val currentVecs = base.unionByName(
+      base.filter($"vec_id" =!= 0L)
+        .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding"))
+    Similarity.ivfPqRetrain(currentVecs, "vec_id", "embedding", dir,
+      iters = 3)
+    assert(!new java.io.File(dir + ".retrain").exists())
+    Similarity.ivfPqAppend(
+      currentVecs.select(($"vec_id" + 20000000L).as("vec_id"),
+        $"embedding"),
+      "vec_id", "embedding", dir)
+    assert(twinDiffs(20000000L) == 0L,
+      "post-retrain appended twins diverge from the rewrite")
+    // the rewrite preserved exactly the surviving rows
+    assert(codesAt(dir).filter($"id" < 20000000L).count() ==
+      currentVecs.count())
+  }
+
+  test("pqTopKBatch == per-query pqTopKPrequantized, bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_b")
+      .toString
+    Similarity.writePqIndex(emb, "vec_id", "embedding", model, dir)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.pqTopKBatch(spark, dir, queries, "qid",
+        "qv", k = 9)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val perq = Similarity.pqTopKPrequantized(spark, s"$dir/codes",
+          emb, "vec_id", "embedding", qid, model, k = 9)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == perq, s"query $qid: ${batch(qid)} vs $perq")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKBatch(spark, dir, queries, "qid", "qv", k = 0)
+    }
+  }
+
+  test("ivfPqTopKBatch == per-query ivfPqTopK, bit-exact; pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_b")
+      .toString + "/idx"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nbits = 8, iters = 3)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val probe = Similarity.ivfPqTopKBatch(spark, dir, queries, "qid",
+      "qv", k = 9, probes = 2)
+    val batch = probe.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val qVec = emb.filter($"vec_id" === qid)
+        .select($"embedding").collect()(0).getSeq[Float](0).toArray
+      val perq = Similarity.ivfPqTopK(spark, dir, qVec, k = 9,
+          probes = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == perq, s"query $qid: ${batch(qid)} vs $perq")
+    }
+    // the code scan is partition-pruned to the probed cells and the
+    // per-query tables ride a broadcast
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(600))
+    assert(plan.contains("Broadcast"), plan.take(600))
+  }
 }
