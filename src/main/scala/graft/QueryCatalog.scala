@@ -6294,6 +6294,49 @@ object QueryCatalog {
              |SELECT query_id, doc_id, bm25, n_terms
              |FROM rk WHERE rn <= 10""".stripMargin)),
 
+    Q("q_ivf_stream_exec", // STREAMING EXECUTION gate: ANN-index
+      // ingest (r15 verdict #3) — the planted embedding corpus drains
+      // through the incremental engine into the persisted centroid-IVF
+      // layout (model initialized up front on a seed read; per-batch
+      // cell subtrees via ivfAppendBatch), then the standard 4-query
+      // batch probes the FRESH index. One drain must probe exactly
+      // like a one-shot build under the same model — assignment is a
+      // pure function of (vector, model), so the oracle is
+      // q_ivf_batch's verbatim; drain == build row-identity, replay
+      // idempotence and incremental extension are spec-pinned in
+      // EventStreamsSpec.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-ivf")
+        val emb = plantedEmbeddings(s, d)
+        emb.write.parquet(s"$dir/src")
+        Similarity.initIvfCentroidIndex(emb, "vec_id", "embedding",
+          s"$dir/idx", k = 8, iters = 3)
+        graft.streaming.EventStreams.ivfIndexAvailableNow(s,
+          s"$dir/src", "vec_id", col("embedding"), s"$dir/idx",
+          s"$dir/ckpt")
+        Similarity.ivfCentroidTopKBatch(s, s"$dir/idx",
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 21, probes = 1)
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  CAST(v.c3 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0, 20),
+             |  (1, 1000001, 1.0, 20),
+             |  (2, 1000002, 1.0, 20),
+             |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
     Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
       // incremental engine: the staged archive directory drains through
       // readStream (file-stream source over binaryFile, same parser as
@@ -6733,6 +6776,55 @@ object QueryCatalog {
              |    AS idx_rows,
              |  CAST(0 AS BIGINT) AS cell_diffs,
              |  8 AS k_cells""".stripMargin)),
+
+    Q("q_ivf_filtered", // FILTERED ANN search (r15 verdict #4): the
+      // metadata predicate runs INSIDE the probe — on the pruned cell
+      // scan, BEFORE scoring and top-k — and the probe WIDENS (doubling
+      // probed cells in cell-similarity order) until k rows match or
+      // every cell is scanned. Planted data: 12 copies of vectors
+      // 10..21 carry the otherwise-nonexistent label 99, scattered
+      // across cells, so k=20 > 12 forces widening to FULL coverage
+      // and the result is EXACTLY the brute-force cosine ranking of
+      // query 0 over the label-filtered corpus — a full differential
+      // oracle, not a property pin. Post-filtering a top-k instead
+      // (the wrong order) would surface only the few planted rows
+      // that crack the unfiltered top-20 — that failure mode plus the
+      // batch == single law are spec-pinned in DedupSimilaritySpec.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivff_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        val corpus = emb
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(emb.filter(col("vec_id").between(10, 21))
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding"), lit(99).as("label")))
+        Similarity.buildIvfCentroidIndex(corpus, "vec_id", "embedding",
+          dir, k = 8, iters = 3, extraCols = Seq("label"))
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfCentroidTopKFiltered(s, dir, qVec, k = 20,
+          col("label") === 99, probes = 1)
+      },
+      Some("""WITH q AS (
+             |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |    AS v
+             |  FROM embeddings WHERE vec_id = 0),
+             |c AS (
+             |  SELECT CAST(vec_id + 1000000 AS BIGINT) AS id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id BETWEEN 10 AND 21)
+             |SELECT c.id,
+             |  round(list_aggregate(
+             |      list_transform(c.v, (x, i) -> x * q.v[i]), 'sum')
+             |    / (sqrt(list_aggregate(
+             |        list_transform(c.v, x -> x * x), 'sum'))
+             |      * sqrt(list_aggregate(
+             |          list_transform(q.v, x -> x * x), 'sum'))), 6)
+             |    + 0 AS cos_sim
+             |FROM c CROSS JOIN q""".stripMargin)),
 
     Q("q_ivfpq_topk", // the composed IVF-PQ index (FAISS IVFADC
       // shape): centroid cells prune the scan to probes/nCells of the

@@ -2301,6 +2301,55 @@ object CorpusOps {
     ()
   }
 
+  /** One-row health report of a persisted BM25 index (r15 verdict #5)
+    * — the operational dials a maintenance loop watches, WITHOUT
+    * scanning the posting leaves: `layout` (flat | batch), `n_builds`
+    * (stats rows — one per build/batch), `n_batches` (batch subtrees;
+    * 0 for a flat layout), `n_tombstones` (pending deletes — the
+    * [[bm25IndexCompact]] dial: until compaction these still count in
+    * df/n_docs, the documented divergence window), `n_docs` /
+    * `sum_dl` / `avgdl` (the corpus statistics probes score with,
+    * summed across builds AS PROBES SEE THEM — i.e. including
+    * tombstoned docs), and `df_rows` (df-table size: vocabulary x
+    * builds — growth across many small batches is the
+    * compact-to-refold signal). Costs: directory listings plus scans
+    * of the three SMALL sidecar tables; the posting leaves are never
+    * touched. */
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def fsOf(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(path)
+    val nBatches =
+      if (fs.exists(root))
+        fs.listStatus(root).count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch="))
+      else 0
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val nTombstones =
+      if (fs.exists(tombPath))
+        spark.read.parquet(s"$path.tombstones")
+          .select(col("id")).distinct().count()
+      else 0L
+    val stats = spark.read.parquet(s"$path.stats")
+      .agg(count(lit(1)).as("builds"), sum(col("n_docs")).as("nd"),
+        sum(col("sum_dl")).as("sdl"))
+      .collect()(0)
+    val dfRows = spark.read.parquet(s"$path.df").count()
+    Seq((
+      if (nBatches > 0) "batch" else "flat",
+      stats.getLong(0), nBatches.toLong, nTombstones,
+      stats.getLong(1), stats.getLong(2),
+      math.round(stats.getLong(2).toDouble / stats.getLong(1)
+        * 1e6) / 1e6,
+      dfRows))
+      .toDF("layout", "n_builds", "n_batches", "n_tombstones",
+        "n_docs", "sum_dl", "avgdl", "df_rows")
+  }
+
   /** Probe a [[buildBm25Index]] layout with a query TABLE: per query
     * the scores and ranking are IDENTICAL to [[bm25TopKBatch]] over
     * the indexed corpus (equivalence law pinned in CorpusOpsSpec —

@@ -322,17 +322,76 @@ object Similarity {
     * every vector. Returns the centroids. */
   def buildIvfCentroidIndex(df: DataFrame, idCol: String, vecCol: String,
                             path: String, k: Int = 16, iters: Int = 4,
-                            maxFitRows: Int = 100000): Seq[Seq[Double]] = {
+                            maxFitRows: Int = 100000,
+                            extraCols: Seq[String] = Nil)
+      : Seq[Seq[Double]] = {
     val centroids = kmeansCentroids(df, idCol, vecCol, k, iters, maxFitRows)
-    df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
+    ivfAssigned(df, idCol, vecCol, centroids, extraCols)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    val spark = df.sparkSession
+    writeIvfCentroids(df.sparkSession, centroids, path)
+    centroids
+  }
+
+  /** The assignment projection of every centroid-index write: (id, v,
+    * extra metadata columns, cell). `extraCols` ride INSIDE the index
+    * rows so a filtered probe ([[ivfCentroidTopKFiltered]]) evaluates
+    * its predicate straight off the pruned cell scan — no id-join
+    * against a side table per probe. */
+  private def ivfAssigned(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[Seq[Double]],
+                          extraCols: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+      extraCols.map(col) :+
+      nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"): _*)
+
+  /** Persist a centroid model at `indexPath + ".centroids"` WITHOUT
+    * writing any data — the init step of a STREAMING-built index
+    * ([[graft.streaming.EventStreams.ivfIndexAvailableNow]]): the
+    * model exists up front (fit on a seed via
+    * [[initIvfCentroidIndex]], or copied from another index for an
+    * equivalence law), and every vector arrives through
+    * [[ivfAppendBatch]]. Also the shared model-writing step of
+    * [[buildIvfCentroidIndex]] / [[ivfRetrain]]. */
+  def writeIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                        centroids: Seq[Seq[Double]],
+                        indexPath: String): Unit = {
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(indexPath + ".centroids")
+  }
+
+  /** Fit a centroid model on `seed` and persist it as an EMPTY index
+    * at `path` (model only, no data) — the explicit init of the
+    * streaming ingest story: probes become meaningful after the first
+    * [[ivfAppendBatch]] / drain lands data. The seed is typically a
+    * bounded batch read of the stream's source (or any representative
+    * corpus); the model then stays frozen across drains until
+    * [[ivfRetrain]], exactly like a batch-built index under
+    * [[ivfAppend]]. Returns the centroids. */
+  def initIvfCentroidIndex(seed: DataFrame, idCol: String,
+                           vecCol: String, path: String, k: Int = 16,
+                           iters: Int = 4, maxFitRows: Int = 100000)
+      : Seq[Seq[Double]] = {
+    val centroids = kmeansCentroids(seed, idCol, vecCol, k, iters,
+      maxFitRows)
+    writeIvfCentroids(seed.sparkSession, centroids, path)
     centroids
+  }
+
+  /** True when `indexPath` holds the streaming batch layout
+    * (`batch=<id>/cell=<c>` subtrees, [[ivfAppendBatch]]) rather than
+    * the flat `cell=<c>` one-shot layout. The two MUST NOT mix under
+    * one root (inconsistent partition depth breaks discovery), so
+    * [[ivfAppend]] / [[ivfAppendBatch]] guard on it and
+    * [[ivfRetrain]] preserves whichever it finds. */
+  private def ivfHasDirs(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, prefix: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(prefix))
   }
 
   /** Exact top-k within the `probes` centroid cells nearest the query
@@ -386,14 +445,29 @@ object Similarity {
                            k: Int, probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
+    ivfBatchCore(spark, indexPath,
+      queries.select(col(queryIdCol).as("qid"),
+        col(queryVecCol).as("__qv")),
+      k, probes, None)
+      .select(col("qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
+  /** The one shared batch-probe dataflow ([[ivfCentroidTopKBatch]]
+    * documents the shape): takes (qid, __qv) queries, returns
+    * (qid, id, cos_sim). `pred`, when present, filters the pruned
+    * index scan BEFORE scoring and the per-query top-k — the filtered
+    * ANN contract ([[ivfCentroidTopKBatchFiltered]]). */
+  private def ivfBatchCore(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, q: DataFrame, k: Int,
+                           probes: Int,
+                           pred: Option[Column]): DataFrame = {
     val centroids = readCentroids(spark, indexPath)
     val cellsLit = typedlit(centroids.zipWithIndex.map {
       case (c, i) => (i, c)
     })
     val wCell = Window.partitionBy(col("qid"))
       .orderBy(col("__s").desc, col("cell"))
-    val probed = queries
-      .select(col(queryIdCol).as("qid"), col(queryVecCol).as("__qv"))
+    val probed = q
       .withColumn("__qn", l2normalize(col("__qv")))
       .select(col("qid"), col("__qv"), col("__qn"),
         explode(cellsLit).as("__c"))
@@ -407,15 +481,109 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("id"))
-    withoutTombstones(spark, indexPath,
-        spark.read.parquet(indexPath)
-          .filter(col("cell").isin(allCells: _*))) // -> partition pruning
+    val pruned = withoutTombstones(spark, indexPath,
+      spark.read.parquet(indexPath)
+        .filter(col("cell").isin(allCells: _*))) // -> partition pruning
+    pred.fold(pruned)(pruned.filter)
       .join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("__qv")), 6).as("cos_sim"))
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
-      .select(col("qid").as(queryIdCol), col("id"), col("cos_sim"))
+      .select(col("qid"), col("id"), col("cos_sim"))
+  }
+
+  /** Metadata-filtered exact top-k over the probed cells — filtered
+    * ANN search (r15 verdict #4): the predicate (over the index's
+    * metadata columns, [[ivfAssigned]]'s `extraCols`) is evaluated on
+    * the pruned cell scan BEFORE scoring and top-k, so a selective
+    * filter can never silently shrink the result the way
+    * post-filtering a top-k would (that failure mode is spec-pinned).
+    * When the probed cells hold fewer than `k` matching rows, the
+    * probe WIDENS — doubling the probed-cell count (in the query's
+    * cell-similarity order, the multi-probe rule) until `k` rows
+    * match or every cell is scanned — so selectivity costs probes,
+    * not recall. Each widening round is one count action on a pruned
+    * scan, at most log2(nCells) rounds. */
+  def ivfCentroidTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, queryVec: Array[Float],
+                              k: Int, predicate: Column,
+                              probes: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(probes >= 1, s"probes must be >= 1: $probes")
+    val centroids = readCentroids(spark, indexPath)
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+      if (n > 0) queryVec.map(_ / n) else queryVec.map(_.toDouble)
+    }
+    val ranked = centroids.zipWithIndex
+      .map { case (c, ci) =>
+        ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
+      .sortBy { case (ci, s) => (-s, ci) }
+      .map(_._1)
+    def probeAt(p: Int): DataFrame =
+      withoutTombstones(spark, indexPath,
+          spark.read.parquet(indexPath)
+            .filter(col("cell").isin(ranked.take(p): _*)))
+        .filter(predicate)
+        .select(col("id"),
+          round(cosine(col("v"), typedlit(queryVec.toSeq)), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id"))
+        .limit(k)
+    var p = math.min(ranked.size, probes)
+    var res = probeAt(p)
+    while (p < ranked.size && res.count() < k) {
+      p = math.min(ranked.size, p * 2)
+      res = probeAt(p)
+    }
+    res
+  }
+
+  /** [[ivfCentroidTopKFiltered]] for a query TABLE in one job per
+    * widening round: every query probes at the current width through
+    * the shared batch dataflow; queries that filled their `k` slots
+    * (or, once the width covers every cell, all of them) finalize,
+    * and only the unsatisfied remainder re-probes at double width —
+    * so one under-filled selective query never re-scans the whole
+    * batch's cells. Per-round results are materialized (the count
+    * that decides satisfaction must not recompute the probe), rounds
+    * are bounded by log2(nCells), and per query the output equals
+    * [[ivfCentroidTopKFiltered]] at the same dials (law pinned in
+    * DedupSimilaritySpec). */
+  def ivfCentroidTopKBatchFiltered(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, predicate: Column, probes: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(probes >= 1, s"probes must be >= 1: $probes")
+    val nCells = readCentroids(spark, indexPath).size
+    var remaining = queries.select(col(queryIdCol).as("qid"),
+      col(queryVecCol).as("__qv"))
+    var done: List[DataFrame] = Nil
+    var p = math.min(nCells, probes)
+    while (true) {
+      val res = Materialize(
+        ivfBatchCore(spark, indexPath, remaining, k, p,
+          Some(predicate)),
+        eager = true)
+      val counts = res.groupBy(col("qid"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val qids = remaining.select(col("qid")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val finished =
+        if (p >= nCells) qids.toSet
+        else qids.filter(id => counts.getOrElse(id, 0L) >= k).toSet
+      done :+= res.filter(col("qid").isin(finished.toSeq: _*))
+      val unfinished = qids.filterNot(finished)
+      if (unfinished.isEmpty)
+        return done.reduce(_ unionByName _)
+          .select(col("qid").as(queryIdCol), col("id"), col("cos_sim"))
+      remaining = remaining.filter(col("qid").isin(unfinished: _*))
+      p = math.min(nCells, p * 2)
+    }
+    sys.error("unreachable")
   }
 
   /** The persisted centroid model of a [[buildIvfCentroidIndex]]
@@ -457,11 +625,42 @@ object Similarity {
     * table measures new-workload recall collapsing under a planted
     * shift and recovering after the retrain). */
   def ivfAppend(newVecs: DataFrame, idCol: String, vecCol: String,
-                indexPath: String): Unit = {
-    val centroids = readCentroids(newVecs.sparkSession, indexPath)
-    newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-        nearestCentroid(l2normalize(col(vecCol)), centroids).as("cell"))
+                indexPath: String, extraCols: Seq[String] = Nil): Unit = {
+    val spark = newVecs.sparkSession
+    require(!ivfHasDirs(spark, indexPath, "batch="),
+      s"ivfAppend: $indexPath has the streaming batch layout — use " +
+        "ivfAppendBatch (mixing layouts breaks partition discovery)")
+    val centroids = readCentroids(spark, indexPath)
+    ivfAssigned(newVecs, idCol, vecCol, centroids, extraCols)
       .write.mode("append").partitionBy("cell").parquet(indexPath)
+  }
+
+  /** The replay-idempotent micro-batch face of [[ivfAppend]] — the
+    * streaming ANN ingest contract ([[graft.operators.CorpusOps
+    * .bm25IndexIncrement]]'s shape on the vector side): the batch's
+    * rows, assigned by the PERSISTED model, OVERWRITE their own
+    * `batch=<id>/cell=<c>` subtree, so a crashed-and-replayed batch
+    * rewrites identical rows instead of double-appending (assignment
+    * is a pure function of (vector, model); no cross-batch state is
+    * read). Probes handle the extra `batch` partition column
+    * transparently — `cell` is still a partition column, so pruning
+    * is unchanged — but flat and batch layouts MUST NOT mix under one
+    * root ([[ivfRetrain]] preserves whichever it finds; `batch=-1` is
+    * its reserved fold target, hence `batchId >= 0`). */
+  def ivfAppendBatch(batch: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String, batchId: Long,
+                     extraCols: Seq[String] = Nil): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (batch=-1 is ivfRetrain's reserved fold " +
+        s"target): $batchId")
+    val spark = batch.sparkSession
+    require(!ivfHasDirs(spark, indexPath, "cell="),
+      s"ivfAppendBatch: $indexPath has the flat one-shot layout — use " +
+        "ivfAppend (mixing layouts breaks partition discovery)")
+    val centroids = readCentroids(spark, indexPath)
+    ivfAssigned(batch, idCol, vecCol, centroids, extraCols)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/batch=$batchId")
   }
 
   /** Tombstone vectors out of a centroid IVF index — the takedown path
@@ -530,14 +729,36 @@ object Similarity {
                  indexPath: String, k: Int = 0, iters: Int = 4,
                  maxFitRows: Int = 100000): Seq[Seq[Double]] = {
     val kEff = if (k > 0) k else readCentroids(spark, indexPath).size
+    val batchLayout = ivfHasDirs(spark, indexPath, "batch=")
+    val raw = spark.read.parquet(indexPath)
+    // metadata columns ([[ivfAssigned]]'s extraCols) survive the
+    // rewrite; the layout columns (cell, batch) are recomputed/folded
+    val extras = raw.columns.toSeq
+      .filterNot(Set("id", "v", "cell", "batch"))
     // the retrain is also the DELETION compaction: tombstoned vectors
     // ([[ivfDelete]]) are dropped from the rewrite and the tombstone
     // table clears after the swap
     val current = withoutTombstones(spark, indexPath,
-      spark.read.parquet(indexPath).select(col("id"), col("v")))
+      raw.select((Seq("id", "v") ++ extras).map(col): _*))
     val staging = indexPath + ".retrain"
-    val centroids = buildIvfCentroidIndex(current, "id", "v", staging,
-      kEff, iters, maxFitRows)
+    // a streaming-built index keeps its batch layout (the rewrite
+    // folds every batch into the reserved batch=-1 subtree — stream
+    // batch ids are non-negative, so later increments never collide),
+    // a flat index rewrites flat: mixing depths under one root would
+    // brick partition discovery for every later probe
+    val centroids =
+      if (!batchLayout)
+        buildIvfCentroidIndex(current, "id", "v", staging,
+          kEff, iters, maxFitRows, extras)
+      else {
+        val c = kmeansCentroids(current, "id", "v", kEff, iters,
+          maxFitRows)
+        ivfAssigned(current, "id", "v", c, extras)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/batch=-1")
+        writeIvfCentroids(spark, c, staging)
+        c
+      }
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def swap(from: String, to: String): Unit = {
@@ -590,7 +811,20 @@ object Similarity {
     * table shows both numbers moving under a planted shift). */
   def ivfDriftSummary(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, maxSkew: Double = 4.0,
-                      maxResidual: Double = 0.5): DataFrame =
+                      maxResidual: Double = 0.5): DataFrame = {
+    // pending-delete observability (r15 verdict #5): n_vecs counts
+    // index ROWS including tombstoned ones (the stats scan reads the
+    // layout as stored), so tombstone_frac is exactly the fraction a
+    // retrain-compaction would reclaim — the dial that says "compact
+    // now" independently of model drift
+    val tombPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath.tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val nTombstones =
+      if (fs.exists(tombPath))
+        spark.read.parquet(s"$indexPath.tombstones")
+          .select(col("id")).distinct().count()
+      else 0L
     ivfDriftStats(spark, indexPath)
       .agg(count(lit(1)).as("n_cells"),
         sum(col("n_vecs")).as("n_vecs"),
@@ -601,7 +835,11 @@ object Similarity {
       .select(col("n_cells"), col("n_vecs"), col("count_skew"),
         col("mean_residual"),
         (col("count_skew") > maxSkew ||
-          col("mean_residual") > maxResidual).as("retrain_recommended"))
+          col("mean_residual") > maxResidual).as("retrain_recommended"),
+        lit(nTombstones).as("n_tombstones"),
+        round(lit(nTombstones).cast("double")
+          / col("n_vecs").cast("double"), 6).as("tombstone_frac"))
+  }
 
   // ------------------------------------------------------- int8 quantization
 

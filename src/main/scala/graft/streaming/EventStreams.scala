@@ -584,6 +584,38 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming ANN-index ingest — the vector-side twin of
+    * [[bm25IndexAvailableNow]]: every arriving embedding lands in the
+    * persisted centroid-IVF layout via [[graft.operators.Similarity
+    * .ivfAppendBatch]] (assignment by the PERSISTED model — init the
+    * model first with [[graft.operators.Similarity
+    * .initIvfCentroidIndex]] — with each batch overwriting its own
+    * `batch=<id>/cell=<c>` subtree, so replays rewrite rather than
+    * double-append and results are batching-invariant: assignment
+    * reads no cross-batch state). After the drain the index is
+    * immediately probe-able by `ivfCentroidTopK` / the batch and
+    * filtered forms — one drain over a corpus probes exactly like a
+    * one-shot `buildIvfCentroidIndex` under the same model (the
+    * execution gate `q_ivf_stream_exec`); later drains see only new
+    * files and extend the index incrementally (spec-pinned). */
+  def ivfIndexAvailableNow(spark: SparkSession, vecsPath: String,
+                           idCol: String,
+                           vecExpr: org.apache.spark.sql.Column,
+                           indexPath: String,
+                           checkpointDir: String): Unit = {
+    val (src, _) = fileSource(spark, vecsPath)
+    val q = src.select(col(idCol), vecExpr.as("__vec"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfAppendBatch(
+          batch, idCol, "__vec", indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

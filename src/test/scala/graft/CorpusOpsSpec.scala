@@ -1263,6 +1263,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25IndexStats: the report tracks builds, batches, tombstones") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val live = docs.filter($"text".isNotNull && trim($"text") =!= "")
+    val dir = java.nio.file.Files.createTempDirectory("bm25st")
+      .toString + "/idx"
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", dir, batchId = 0L)
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir, batchId = 1L)
+    CorpusOps.bm25IndexDelete(dir,
+      docs.filter($"doc_id" < 5).select($"doc_id"), "doc_id")
+    val r = CorpusOps.bm25IndexStats(spark, dir).collect()(0)
+    assert(r.getString(0) == "batch" && r.getLong(1) == 2 &&
+      r.getLong(2) == 2 && r.getLong(3) == 5, r)
+    // n_docs/avgdl are the AS-PROBED statistics (tombstones pending)
+    assert(r.getLong(4) == live.count(), r)
+    assert(r.getDouble(6) > 0, r)
+    // compaction folds batches and clears tombstones; the report
+    // follows
+    CorpusOps.bm25IndexCompact(spark, dir)
+    val c = CorpusOps.bm25IndexStats(spark, dir).collect()(0)
+    assert(c.getString(0) == "batch" && c.getLong(1) == 1 &&
+      c.getLong(2) == 1 && c.getLong(3) == 0, c)
+    assert(c.getLong(4) == live.filter($"doc_id" >= 5).count(), c)
+    // a flat build reports the flat layout with zero batches
+    val flat = java.nio.file.Files.createTempDirectory("bm25stf")
+      .toString + "/idx"
+    CorpusOps.buildBm25Index(docs, "doc_id", "text", flat)
+    val f = CorpusOps.bm25IndexStats(spark, flat).collect()(0)
+    assert(f.getString(0) == "flat" && f.getLong(1) == 1 &&
+      f.getLong(2) == 0 && f.getLong(3) == 0, f)
+  }
+
   test("searchPipelineBatch == per-query searchPipeline; one-leg fusion") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")

@@ -1349,4 +1349,96 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(exactRows == Set((0L, 1L), (1L, 0L)), exactRows.toString)
   }
+
+  test("filtered ANN: predicate inside the probe, widening, batch == " +
+      "single; post-filtering demonstrably loses rows") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label")
+    // 12 planted copies of vectors 10..21 carry the otherwise-
+    // nonexistent label 99, scattered across their vectors' cells
+    val corpus = emb.unionByName(
+      emb.filter($"vec_id".between(10, 21))
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding",
+          lit(99).as("label")))
+    val dir = java.nio.file.Files.createTempDirectory("ivff")
+      .toString + "/idx"
+    Similarity.buildIvfCentroidIndex(corpus, "vec_id", "embedding",
+      dir, k = 8, iters = 3, extraCols = Seq("label"))
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    // k > matches forces widening to full coverage -> the result IS
+    // the brute-force ranking over the label-filtered corpus
+    val got = Similarity.ivfCentroidTopKFiltered(spark, dir, qVec,
+        k = 20, $"label" === 99, probes = 1)
+      .as[(Long, Double)].collect().toSeq
+    val brute = corpus.filter($"label" === 99)
+      .select($"vec_id".as("id"),
+        round(Similarity.cosine($"embedding", typedlit(qVec.toSeq)), 6)
+          .as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == brute, s"filtered probe != brute over filtered corpus")
+    assert(got.size == 12)
+    // the WRONG order — unfiltered top-k, then filter — surfaces only
+    // the planted rows that crack the global top-20
+    val wrongN = Similarity.ivfCentroidTopK(spark, dir, qVec, k = 20,
+        probes = 8)
+      .join(corpus.select($"vec_id".as("id"), $"label"), Seq("id"))
+      .filter($"label" === 99).count()
+    assert(wrongN < got.size,
+      s"post-filtering kept $wrongN rows; planted data should starve it")
+    // a non-selective predicate satisfies at the initial width and
+    // equals the unfiltered probe exactly
+    val all = Similarity.ivfCentroidTopKFiltered(spark, dir, qVec,
+        k = 10, $"label" >= 0, probes = 1)
+      .as[(Long, Double)].collect().toSeq
+    val unfiltered = Similarity.ivfCentroidTopK(spark, dir, qVec,
+        k = 10, probes = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == unfiltered)
+    // batch == single law, one selective query widening to full
+    // coverage and one satisfied early
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.ivfCentroidTopKBatchFiltered(spark, dir,
+        queries, "qid", "qv", k = 20, $"label" === 99, probes = 1)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).toSeq).toMap
+    (0L until 2L).foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding").collect()(0).getSeq[Float](0).toArray
+      val single = Similarity.ivfCentroidTopKFiltered(spark, dir, qv,
+          k = 20, $"label" === 99, probes = 1)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid diverges")
+    }
+  }
+
+  test("ivfDriftSummary: tombstone count and reclaimable fraction") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfts")
+      .toString + "/idx"
+    Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+      k = 4, iters = 3)
+    val n = emb.count()
+    def summary() = Similarity.ivfDriftSummary(spark, dir).collect()(0)
+    val clean = summary()
+    assert(clean.getLong(5) == 0L && clean.getDouble(6) == 0.0, clean)
+    Similarity.ivfDelete(dir,
+      emb.filter($"vec_id" < 3).select($"vec_id"), "vec_id")
+    // repeats in a later delete are absorbed by the distinct count
+    Similarity.ivfDelete(dir,
+      emb.filter($"vec_id" < 2).select($"vec_id"), "vec_id")
+    val dirty = summary()
+    assert(dirty.getLong(5) == 3L, dirty)
+    assert(math.abs(dirty.getDouble(6) - 3.0 / n) < 1e-6, dirty)
+    // the retrain-compaction reclaims: tombstones back to zero
+    Similarity.ivfRetrain(spark, dir, iters = 3)
+    val healed = summary()
+    assert(healed.getLong(5) == 0L && healed.getLong(1) == n - 3,
+      healed)
+  }
 }

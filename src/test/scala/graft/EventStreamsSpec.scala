@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
+import graft.operators.Similarity
 
 /** Streaming specs: the sf0.001 events parquet drives each streaming
   * query synchronously (file source -> memory sink,
@@ -485,6 +486,75 @@ class EventStreamsSpec extends SparkSpec {
     graft.operators.CorpusOps.bm25IndexIncrement(docs2, "doc_id",
       "text", s"$root/idx", batchId = 1L)
     assert(probe(s"$root/idx") == extended)
+  }
+
+  test("ivfIndexAvailableNow: drain == one-shot assignment; 2nd drain " +
+      "extends; replay; layout guards; retrain preserves batch layout") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    half1.coalesce(1).write.parquet(s"$root/in")
+    // ONE model, fit up front, shared by the streaming index and the
+    // flat reference — assignment is a pure function of (vector,
+    // model), so the layouts must agree row-for-row
+    val cents = Similarity.initIvfCentroidIndex(emb, "vec_id",
+      "embedding", s"$root/idx", k = 4, iters = 3)
+    Similarity.writeIvfCentroids(spark, cents, s"$root/ref")
+    def cellsOf(path: String) = spark.read.parquet(path)
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    EventStreams.ivfIndexAvailableNow(spark, s"$root/in", "vec_id",
+      col("embedding"), s"$root/idx", s"$root/ckpt")
+    Similarity.ivfAppend(half1, "vec_id", "embedding", s"$root/ref")
+    assert(cellsOf(s"$root/idx") == cellsOf(s"$root/ref"))
+    // probes read the batch layout identically to the flat one
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    def probe(path: String) = Similarity
+      .ivfCentroidTopK(spark, path, qVec, k = 5, probes = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe(s"$root/idx") == probe(s"$root/ref"))
+    // a second drain sees only the NEW file and extends the index
+    half2.coalesce(1).write.mode("append").parquet(s"$root/in")
+    EventStreams.ivfIndexAvailableNow(spark, s"$root/in", "vec_id",
+      col("embedding"), s"$root/idx", s"$root/ckpt")
+    Similarity.ivfAppend(half2, "vec_id", "embedding", s"$root/ref")
+    assert(cellsOf(s"$root/idx") == cellsOf(s"$root/ref"))
+    // REPLAY idempotence: re-running a published batch id rewrites its
+    // own subtree with identical rows — nothing double-appends
+    val before = cellsOf(s"$root/idx")
+    Similarity.ivfAppendBatch(half2, "vec_id", "embedding",
+      s"$root/idx", batchId = 1L)
+    assert(cellsOf(s"$root/idx") == before)
+    // layout guards: flat append on a batch index, batch append on a
+    // flat index, and the reserved fold id all fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(half2, "vec_id", "embedding", s"$root/idx")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendBatch(half2, "vec_id", "embedding",
+        s"$root/ref", batchId = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendBatch(half2, "vec_id", "embedding",
+        s"$root/idx", batchId = -1L)
+    }
+    // retrain PRESERVES the batch layout (fold -> batch=-1), so the
+    // live stream keeps incrementing afterwards
+    Similarity.ivfRetrain(spark, s"$root/idx", iters = 3)
+    assert(new java.io.File(s"$root/idx", "batch=-1").isDirectory &&
+      !new java.io.File(s"$root/idx", "batch=0").exists(),
+      new java.io.File(s"$root/idx").list().mkString(","))
+    assert(cellsOf(s"$root/idx").map(_._1) == before.map(_._1))
+    Similarity.ivfAppendBatch(
+      emb.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 777000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", s"$root/idx", batchId = 5L)
+    val top = Similarity.ivfCentroidTopK(spark, s"$root/idx", qVec,
+      k = 2, probes = 4).collect().map(_.getLong(0)).toSet
+    assert(top == Set(0L, 777000L), top.toString)
   }
 
   test("paraDedupAvailableNow: drain == batch op; 2nd drain suppresses") {
