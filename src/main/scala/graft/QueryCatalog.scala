@@ -6777,6 +6777,76 @@ object QueryCatalog {
              |  CAST(0 AS BIGINT) AS cell_diffs,
              |  8 AS k_cells""".stripMargin)),
 
+    Q("q_ivf_retrain_versioned", // the q_ivf_retrain properties
+      // through the VERSIONED publish path (r15 verdict #7, carry —
+      // triggered by the always-on streaming ingest story): the
+      // retrain builds a hidden .v1 generation and flips the .current
+      // pointer by rename-with-overwrite instead of the two-rename
+      // swap, so probes and appends need no pause. Same planted legs
+      // as q_ivf_retrain (idx_rows, cell_diffs-through-public-append,
+      // findable-after-retrain top1), PLUS: the pointer names v1
+      // (ptr_v1) and the pre-versioning legacy layout is RETAINED as
+      // reader grace until the next publish (grace_legacy; retention
+      // and sticky versioning are spec-pinned in DedupSimilaritySpec).
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivfrv_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val dir = s"$root/idx"
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        def shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(2.0d)).otherwise(x + lit(0.0d)))
+            .cast("array<float>").as("embedding"))
+        Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+          k = 8, iters = 3)
+        Similarity.ivfAppend(shifted, "vec_id", "embedding", dir)
+        val centroids = Similarity.ivfRetrain(s, dir, iters = 3,
+          versioned = true)
+        // law leg through the PUBLIC append path, which must resolve
+        // to the live .v1 generation
+        Similarity.ivfAppend(
+          emb.unionByName(shifted)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", dir)
+        val idx = s.read.parquet(s"$dir/.v1/data")
+        val a = idx.filter(col("id") < 10000000L)
+          .select(col("id"), col("cell"))
+        val b = idx.filter(col("id") >= 10000000L)
+          .select((col("id") - 10000000L).as("id"),
+            col("cell").as("cell2"))
+        val law = a.join(b, Seq("id"), "full_outer")
+          .filter(col("cell").isNull || col("cell2").isNull ||
+            col("cell") =!= col("cell2"))
+          .agg(count(lit(1)).as("cell_diffs"))
+        val qVec = shifted.filter(col("vec_id") === 1000000L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val probe = Similarity.ivfCentroidTopK(s, dir, qVec, k = 1,
+            probes = 1)
+          .agg(max_by(col("id"), col("cos_sim")).as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"))
+        val rows = a.agg(count(lit(1)).as("idx_rows"))
+        val rootFiles = Option(new java.io.File(dir).list())
+          .map(_.toSet).getOrElse(Set.empty[String])
+        probe.crossJoin(rows).crossJoin(law)
+          .withColumn("k_cells", lit(centroids.size))
+          .withColumn("ptr_v1", lit(rootFiles.contains(".current") &&
+            rootFiles.contains(".v1")))
+          .withColumn("grace_legacy",
+            lit(rootFiles.exists(_.startsWith("cell="))))
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS top1_id,
+             |  CAST(1.0 AS DOUBLE) AS top1_cos,
+             |  (SELECT CAST(2 * count(*) AS BIGINT) FROM embeddings)
+             |    AS idx_rows,
+             |  CAST(0 AS BIGINT) AS cell_diffs,
+             |  8 AS k_cells,
+             |  true AS ptr_v1,
+             |  true AS grace_legacy""".stripMargin)),
+
     Q("q_ivf_filtered", // FILTERED ANN search (r15 verdict #4): the
       // metadata predicate runs INSIDE the probe — on the pruned cell
       // scan, BEFORE scoring and top-k — and the probe WIDENS (doubling

@@ -2937,19 +2937,32 @@ object CorpusOps {
       nd1.select(col(idCol), col(groupCol), col("n_para_removed"))
         .join(spans, Seq(idCol)),
       eager = false)
-    // 4.-6. quality / model filter / decontamination, all on __t2
+    // 4.-6. quality / model filter / decontamination, all on __t2.
+    // The three id-sized flag relations fold through ONE sparse
+    // union + max-aggregate (each id contributes <= 1 non-null row
+    // per flag, so max recovers it; a missing flag stays null and
+    // coalesces to false exactly as the old left joins did) — one
+    // shuffle keyed on id instead of three successive joins, the r15
+    // assembly-tail trim.
+    val nullB = lit(null).cast("boolean")
     val quality = TextAnalysis.gopherRules(nd2, idCol, "__t2", minTokens)
-      .select(col("id").as(idCol), col("passes").as("quality_ok"))
+      .select(col("id").as(idCol), col("passes").as("quality_ok"),
+        nullB.as("nb_ok"), nullB.as("contaminated"))
     val nb = nbScore(nd2, nbModel, idCol, "__t2")
-      .select(col(idCol),
-        (col("pred_label") =!= lit(nbRejectLabel)).as("nb_ok"))
+      .select(col(idCol), nullB.as("quality_ok"),
+        (col("pred_label") =!= lit(nbRejectLabel)).as("nb_ok"),
+        nullB.as("contaminated"))
     val contam = contaminationFlags(nd2, idCol, "__t2", evalSet,
         evalTextCol, contamN)
-      .select(col(idCol), col("contaminated"))
+      .select(col(idCol), nullB.as("quality_ok"), nullB.as("nb_ok"),
+        col("contaminated"))
+    val qnc = quality.unionByName(nb).unionByName(contam)
+      .groupBy(col(idCol))
+      .agg(max(col("quality_ok")).as("quality_ok"),
+        max(col("nb_ok")).as("nb_ok"),
+        max(col("contaminated")).as("contaminated"))
     val flags = Materialize(nd2
-      .join(quality, Seq(idCol), "left_outer")
-      .join(nb, Seq(idCol), "left_outer")
-      .join(contam, Seq(idCol), "left_outer")
+      .join(qnc, Seq(idCol), "left_outer")
       .select(col(idCol), col(groupCol), col("__t2"),
         col("n_para_removed"), col("n_span_removed"),
         coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
@@ -2967,18 +2980,40 @@ object CorpusOps {
         surv.join(broadcast(budgets), Seq(groupCol)),
         groupCol, idCol, "__t2", col("__budget"), Seq.empty, maxGroupRows)
       .select(col(idCol), lit(true).as("selected"))
-    docs.select(col(idCol))
-      .join(dupFlags, Seq(idCol), "left_outer")
-      .join(flags.drop(groupCol, "__t2"), Seq(idCol), "left_outer")
-      .join(picked, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("is_dup"), lit(false)).as("is_dup"),
-        coalesce(col("n_para_removed"), lit(0L)).as("n_para_removed"),
-        coalesce(col("n_span_removed"), lit(0L)).as("n_span_removed"),
-        coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
-        coalesce(col("nb_ok"), lit(false)).as("nb_ok"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"),
-        coalesce(col("selected"), lit(false)).as("selected"))
+    // final attribution assembly: the same sparse-union fold over
+    // (all ids) + dup flags + stage flags + selection — one id-keyed
+    // aggregation where r15 chained three left-outer joins onto docs
+    // (ids are unique by the curate contract, so max-per-id recovers
+    // each relation's single row exactly as the joins did)
+    val nullL = lit(null).cast("long")
+    docs.select(col(idCol), nullB.as("is_dup"),
+        nullL.as("n_para_removed"), nullL.as("n_span_removed"),
+        nullB.as("quality_ok"), nullB.as("nb_ok"),
+        nullB.as("contaminated"), nullB.as("selected"))
+      .unionByName(dupFlags.select(col(idCol), col("is_dup"),
+        nullL.as("n_para_removed"), nullL.as("n_span_removed"),
+        nullB.as("quality_ok"), nullB.as("nb_ok"),
+        nullB.as("contaminated"), nullB.as("selected")))
+      .unionByName(flags.select(col(idCol), nullB.as("is_dup"),
+        col("n_para_removed"), col("n_span_removed"),
+        col("quality_ok"), col("nb_ok"), col("contaminated"),
+        nullB.as("selected")))
+      .unionByName(picked.select(col(idCol), nullB.as("is_dup"),
+        nullL.as("n_para_removed"), nullL.as("n_span_removed"),
+        nullB.as("quality_ok"), nullB.as("nb_ok"),
+        nullB.as("contaminated"), col("selected")))
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(max(col("is_dup")), lit(false)).as("is_dup"),
+        coalesce(max(col("n_para_removed")), lit(0L))
+          .as("n_para_removed"),
+        coalesce(max(col("n_span_removed")), lit(0L))
+          .as("n_span_removed"),
+        coalesce(max(col("quality_ok")), lit(false)).as("quality_ok"),
+        coalesce(max(col("nb_ok")), lit(false)).as("nb_ok"),
+        coalesce(max(col("contaminated")), lit(false))
+          .as("contaminated"),
+        coalesce(max(col("selected")), lit(false)).as("selected"))
       .withColumn("kept", !col("is_dup") && col("quality_ok") &&
         col("nb_ok") && !col("contaminated") && col("selected"))
   }

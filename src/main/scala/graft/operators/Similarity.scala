@@ -354,12 +354,16 @@ object Similarity {
     * [[buildIvfCentroidIndex]] / [[ivfRetrain]]. */
   def writeIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                         centroids: Seq[Seq[Double]],
-                        indexPath: String): Unit = {
+                        indexPath: String): Unit =
+    writeCentroidsDir(spark, centroids, indexPath + ".centroids")
+
+  private def writeCentroidsDir(spark: org.apache.spark.sql.SparkSession,
+                                centroids: Seq[Seq[Double]],
+                                dir: String): Unit = {
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(indexPath + ".centroids")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Fit a centroid model on `seed` and persist it as an EMPTY index
@@ -394,6 +398,99 @@ object Similarity {
       st.isDirectory && st.getPath.getName.startsWith(prefix))
   }
 
+  // ---- Versioned index layout (r15 verdict #7, triggered by the
+  // always-on streaming ingest story): a VERSIONED index keeps each
+  // generation in a hidden `.v<N>` subtree of the logical root and
+  // names the live one in a `.current` pointer file, flipped by a
+  // single rename-with-overwrite — probes mid-flight keep reading
+  // the generation they resolved, which is RETAINED one full retrain
+  // cycle as reader grace (publish of v<N> deletes v<N-2> and, once
+  // two generations exist, the legacy unversioned layout). Hidden
+  // names are invisible to Spark's partition discovery, so the legacy
+  // layout and the version subtrees coexist under one root during
+  // the upgrade. Opt-in at [[ivfRetrain]] / [[ivfPqRetrain]] via
+  // `versioned = true`; an index with a pointer stays versioned on
+  // every later retrain. Single-maintenance-actor contract: one
+  // retrain/compact at a time (same as every compaction here) —
+  // probes and appends, however, need no pause anymore. ----
+
+  /** The live generation named by `<root>/.current`, if the index is
+    * versioned. */
+  private def readIndexVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/.current")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(s.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Resolved physical locations of a centroid-IVF index: data root,
+    * centroid model, tombstone table — the legacy sibling layout
+    * (`<path>`, `<path>.centroids`, `<path>.tombstones`) or the
+    * current `.v<N>` generation of a versioned one. Every probe,
+    * append, delete and drift reader resolves through this. */
+  private final case class IvfRoots(data: String, centroids: String,
+                                    tombstones: String)
+
+  private def ivfRoots(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): IvfRoots =
+    readIndexVersion(spark, indexPath) match {
+      case Some(n) => IvfRoots(s"$indexPath/.v$n/data",
+        s"$indexPath/.v$n/centroids", s"$indexPath/.v$n/tombstones")
+      case None => IvfRoots(indexPath, s"$indexPath.centroids",
+        s"$indexPath.tombstones")
+    }
+
+  /** The IVF-PQ analog of [[ivfRoots]]: the whole index (codes /
+    * model / centroids / tombstones) lives under one root, so
+    * resolution is just the root — the current `.v<N>` generation, or
+    * the legacy root itself. */
+  private def pqRoot(spark: org.apache.spark.sql.SparkSession,
+                     path: String): String =
+    readIndexVersion(spark, path) match {
+      case Some(n) => s"$path/.v$n"
+      case None => path
+    }
+
+  /** Atomically flip `<root>/.current` to generation `n` (write-temp +
+    * rename-with-overwrite), then apply the retention policy: keep
+    * generations n and n-1, delete older ones, and — once two
+    * versioned generations exist — run `legacyCleanup` to remove the
+    * pre-versioning layout. */
+  private def publishIndexVersion(
+      spark: org.apache.spark.sql.SparkSession, root: String, n: Int,
+      legacyCleanup: () => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$root/.current.tmp"))
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    fc.rename(tmp,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(s"$root/.current")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(rootPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("\\.v\\d+") &&
+        st.getPath.getName.drop(2).toInt < n - 1)
+      .foreach(st => fs.delete(st.getPath, true))
+    if (n >= 2) legacyCleanup()
+  }
+
   /** Exact top-k within the `probes` centroid cells nearest the query
     * vector, over a [[buildIvfCentroidIndex]] layout. The centroid
     * model (k x dim) loads driver-side — it is the index metadata, not
@@ -402,7 +499,8 @@ object Similarity {
   def ivfCentroidTopK(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, queryVec: Array[Float], k: Int,
                       probes: Int = 1): DataFrame = {
-    val centroids = spark.read.parquet(indexPath + ".centroids")
+    val roots = ivfRoots(spark, indexPath)
+    val centroids = spark.read.parquet(roots.centroids)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     val qn = {
       val n = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
@@ -412,8 +510,8 @@ object Similarity {
       .map { case (ci, c) => ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
       .sortBy { case (ci, s) => (-s, ci) }
       .take(math.max(1, probes)).map(_._1)
-    withoutTombstones(spark, indexPath,
-        spark.read.parquet(indexPath)
+    withoutTombstonesAt(spark, roots.tombstones,
+        spark.read.parquet(roots.data)
           .filter(col("cell").isin(cells: _*))) // -> partition pruning
       .select(col("id"),
         round(cosine(col("v"), typedlit(queryVec.toSeq)), 6).as("cos_sim"))
@@ -481,8 +579,9 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("id"))
-    val pruned = withoutTombstones(spark, indexPath,
-      spark.read.parquet(indexPath)
+    val roots = ivfRoots(spark, indexPath)
+    val pruned = withoutTombstonesAt(spark, roots.tombstones,
+      spark.read.parquet(roots.data)
         .filter(col("cell").isin(allCells: _*))) // -> partition pruning
     pred.fold(pruned)(pruned.filter)
       .join(broadcast(probed), Seq("cell"))
@@ -521,9 +620,10 @@ object Similarity {
         ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
       .sortBy { case (ci, s) => (-s, ci) }
       .map(_._1)
+    val roots = ivfRoots(spark, indexPath)
     def probeAt(p: Int): DataFrame =
-      withoutTombstones(spark, indexPath,
-          spark.read.parquet(indexPath)
+      withoutTombstonesAt(spark, roots.tombstones,
+          spark.read.parquet(roots.data)
             .filter(col("cell").isin(ranked.take(p): _*)))
         .filter(predicate)
         .select(col("id"),
@@ -591,7 +691,7 @@ object Similarity {
     * doubles), loaded driver-side like every probe does. */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String): Seq[Seq[Double]] =
-    readCentroidsDir(spark, indexPath + ".centroids")
+    readCentroidsDir(spark, ivfRoots(spark, indexPath).centroids)
 
   /** [[readCentroids]] against an explicit (cell, centroid) table
     * directory — shared with the IVF-PQ layout, whose coarse
@@ -627,12 +727,13 @@ object Similarity {
   def ivfAppend(newVecs: DataFrame, idCol: String, vecCol: String,
                 indexPath: String, extraCols: Seq[String] = Nil): Unit = {
     val spark = newVecs.sparkSession
-    require(!ivfHasDirs(spark, indexPath, "batch="),
+    val roots = ivfRoots(spark, indexPath)
+    require(!ivfHasDirs(spark, roots.data, "batch="),
       s"ivfAppend: $indexPath has the streaming batch layout — use " +
         "ivfAppendBatch (mixing layouts breaks partition discovery)")
-    val centroids = readCentroids(spark, indexPath)
+    val centroids = readCentroidsDir(spark, roots.centroids)
     ivfAssigned(newVecs, idCol, vecCol, centroids, extraCols)
-      .write.mode("append").partitionBy("cell").parquet(indexPath)
+      .write.mode("append").partitionBy("cell").parquet(roots.data)
   }
 
   /** The replay-idempotent micro-batch face of [[ivfAppend]] — the
@@ -654,13 +755,14 @@ object Similarity {
       s"batchId must be >= 0 (batch=-1 is ivfRetrain's reserved fold " +
         s"target): $batchId")
     val spark = batch.sparkSession
-    require(!ivfHasDirs(spark, indexPath, "cell="),
+    val roots = ivfRoots(spark, indexPath)
+    require(!ivfHasDirs(spark, roots.data, "cell="),
       s"ivfAppendBatch: $indexPath has the flat one-shot layout — use " +
         "ivfAppend (mixing layouts breaks partition discovery)")
-    val centroids = readCentroids(spark, indexPath)
+    val centroids = readCentroidsDir(spark, roots.centroids)
     ivfAssigned(batch, idCol, vecCol, centroids, extraCols)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/batch=$batchId")
+      .parquet(s"${roots.data}/batch=$batchId")
   }
 
   /** Tombstone vectors out of a centroid IVF index — the takedown path
@@ -676,7 +778,8 @@ object Similarity {
   def ivfDelete(indexPath: String, ids: DataFrame,
                 idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$indexPath.tombstones")
+      .write.mode("append")
+      .parquet(ivfRoots(ids.sparkSession, indexPath).tombstones)
 
   /** The pruned index relation minus tombstoned vectors (no-op when no
     * tombstone table exists — the probe plans of untombstoned indexes
@@ -727,51 +830,81 @@ object Similarity {
     * new-workload recall recovery in SCALE.md's drift table). */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession,
                  indexPath: String, k: Int = 0, iters: Int = 4,
-                 maxFitRows: Int = 100000): Seq[Seq[Double]] = {
-    val kEff = if (k > 0) k else readCentroids(spark, indexPath).size
-    val batchLayout = ivfHasDirs(spark, indexPath, "batch=")
-    val raw = spark.read.parquet(indexPath)
+                 maxFitRows: Int = 100000,
+                 versioned: Boolean = false): Seq[Seq[Double]] = {
+    val roots = ivfRoots(spark, indexPath)
+    val curVersion = readIndexVersion(spark, indexPath)
+    val kEff =
+      if (k > 0) k else readCentroidsDir(spark, roots.centroids).size
+    val batchLayout = ivfHasDirs(spark, roots.data, "batch=")
+    val raw = spark.read.parquet(roots.data)
     // metadata columns ([[ivfAssigned]]'s extraCols) survive the
     // rewrite; the layout columns (cell, batch) are recomputed/folded
     val extras = raw.columns.toSeq
       .filterNot(Set("id", "v", "cell", "batch"))
     // the retrain is also the DELETION compaction: tombstoned vectors
     // ([[ivfDelete]]) are dropped from the rewrite and the tombstone
-    // table clears after the swap
-    val current = withoutTombstones(spark, indexPath,
+    // table clears with the swap/publish
+    val current = withoutTombstonesAt(spark, roots.tombstones,
       raw.select((Seq("id", "v") ++ extras).map(col): _*))
-    val staging = indexPath + ".retrain"
     // a streaming-built index keeps its batch layout (the rewrite
     // folds every batch into the reserved batch=-1 subtree — stream
     // batch ids are non-negative, so later increments never collide),
     // a flat index rewrites flat: mixing depths under one root would
     // brick partition discovery for every later probe
-    val centroids =
-      if (!batchLayout)
-        buildIvfCentroidIndex(current, "id", "v", staging,
-          kEff, iters, maxFitRows, extras)
-      else {
-        val c = kmeansCentroids(current, "id", "v", kEff, iters,
-          maxFitRows)
-        ivfAssigned(current, "id", "v", c, extras)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$staging/batch=-1")
-        writeIvfCentroids(spark, c, staging)
-        c
-      }
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def swap(from: String, to: String): Unit = {
-      val (f, t) = (new org.apache.hadoop.fs.Path(from),
-        new org.apache.hadoop.fs.Path(to))
-      fs.delete(t, true)
-      require(fs.rename(f, t), s"ivfRetrain: rename $from -> $to failed")
+    def buildInto(dataDir: String, centroidsDir: String)
+        : Seq[Seq[Double]] = {
+      val c = kmeansCentroids(current, "id", "v", kEff, iters,
+        maxFitRows)
+      ivfAssigned(current, "id", "v", c, extras)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(if (batchLayout) s"$dataDir/batch=-1" else dataDir)
+      writeCentroidsDir(spark, c, centroidsDir)
+      c
     }
-    swap(staging, indexPath)
-    swap(staging + ".centroids", indexPath + ".centroids")
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath + ".tombstones"),
-      true)
-    centroids
+    if (versioned || curVersion.isDefined) {
+      // versioned publish (r15 verdict #7): build the next hidden
+      // generation, flip the pointer atomically, retain the prior
+      // generation one cycle as reader grace — probes and appends
+      // need no pause across the retrain
+      val nextN = curVersion.getOrElse(0) + 1
+      val next = s"$indexPath/.v$nextN"
+      val centroids = buildInto(s"$next/data", s"$next/centroids")
+      publishIndexVersion(spark, indexPath, nextN, () => {
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+          .filter(st => st.isDirectory &&
+            (st.getPath.getName.startsWith("cell=") ||
+              st.getPath.getName.startsWith("batch=")))
+          .foreach(st => fs.delete(st.getPath, true))
+        fs.delete(
+          new org.apache.hadoop.fs.Path(indexPath + ".centroids"), true)
+        fs.delete(
+          new org.apache.hadoop.fs.Path(indexPath + ".tombstones"), true)
+        ()
+      })
+      centroids
+    } else {
+      // legacy two-rename swap — pause probes across it (or opt into
+      // `versioned = true`, which removes the need)
+      val staging = indexPath + ".retrain"
+      val centroids = buildInto(staging, staging + ".centroids")
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def swap(from: String, to: String): Unit = {
+        val (f, t) = (new org.apache.hadoop.fs.Path(from),
+          new org.apache.hadoop.fs.Path(to))
+        fs.delete(t, true)
+        require(fs.rename(f, t),
+          s"ivfRetrain: rename $from -> $to failed")
+      }
+      swap(staging, indexPath)
+      swap(staging + ".centroids", indexPath + ".centroids")
+      fs.delete(
+        new org.apache.hadoop.fs.Path(indexPath + ".tombstones"), true)
+      centroids
+    }
   }
 
   /** Per-cell health of a centroid index: (`cell`, `n_vecs`,
@@ -784,10 +917,11 @@ object Similarity {
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String): DataFrame = {
     import spark.implicits._
-    val centroids = readCentroids(spark, indexPath)
+    val roots = ivfRoots(spark, indexPath)
+    val centroids = readCentroidsDir(spark, roots.centroids)
       .zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "__centroid")
-    spark.read.parquet(indexPath)
+    spark.read.parquet(roots.data)
       .join(broadcast(centroids), Seq("cell"))
       .select(col("cell"),
         (lit(1.0d) - aggregate(
@@ -817,12 +951,12 @@ object Similarity {
     // layout as stored), so tombstone_frac is exactly the fraction a
     // retrain-compaction would reclaim — the dial that says "compact
     // now" independently of model drift
-    val tombPath = new org.apache.hadoop.fs.Path(
-      s"$indexPath.tombstones")
+    val tombs = ivfRoots(spark, indexPath).tombstones
+    val tombPath = new org.apache.hadoop.fs.Path(tombs)
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     val nTombstones =
       if (fs.exists(tombPath))
-        spark.read.parquet(s"$indexPath.tombstones")
+        spark.read.parquet(tombs)
           .select(col("id")).distinct().count()
       else 0L
     ivfDriftStats(spark, indexPath)
@@ -1553,8 +1687,9 @@ object Similarity {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                 queryVec: Array[Float], k: Int,
                 probes: Int = 1): DataFrame = {
-    val model = loadPqModel(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val root = pqRoot(spark, path)
+    val model = loadPqModel(spark, root)
+    val centroids = spark.read.parquet(s"$root/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     val nrm = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
     val qn = if (nrm > 0) queryVec.map(_ / nrm) else queryVec.map(_.toDouble)
@@ -1565,8 +1700,8 @@ object Similarity {
       .take(math.max(1, probes)).map(_._1)
     // tombstoned vectors ([[ivfPqDelete]]) never surface; the
     // anti-join rides the pruned cell scan
-    val codes = withoutTombstonesAt(spark, s"$path/tombstones",
-      spark.read.parquet(s"$path/codes"))
+    val codes = withoutTombstonesAt(spark, s"$root/tombstones",
+      spark.read.parquet(s"$root/codes"))
     val perCell = cells.map { ci =>
       val res = qn.zip(centroids(ci)).map { case (a, b) => a - b }
       val lut = pqLut0(res, model)
@@ -1641,10 +1776,11 @@ object Similarity {
   def ivfPqAppend(newVecs: DataFrame, idCol: String, vecCol: String,
                   path: String): Unit = {
     val spark = newVecs.sparkSession
-    val centroids = readCentroidsDir(spark, s"$path/centroids")
-    val model = loadPqModel(spark, path)
+    val root = pqRoot(spark, path)
+    val centroids = readCentroidsDir(spark, s"$root/centroids")
+    val model = loadPqModel(spark, root)
     ivfPqEncode(newVecs, idCol, vecCol, centroids, model)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
   }
 
   /** Tombstone vectors out of an IVF-PQ index — the [[ivfDelete]]
@@ -1658,7 +1794,8 @@ object Similarity {
     * reclaim. */
   def ivfPqDelete(path: String, ids: DataFrame, idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append")
+      .parquet(s"${pqRoot(ids.sparkSession, path)}/tombstones")
 
   /** Compact a tombstoned IVF-PQ index: rewrite `<path>/codes` without
     * deleted rows and clear the tombstone table. The model and coarse
@@ -1670,15 +1807,16 @@ object Similarity {
     * mutate-then-reread protection). */
   def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val root = pqRoot(spark, path)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     val survivors = Materialize(
-      withoutTombstonesAt(spark, s"$path/tombstones",
-        spark.read.parquet(s"$path/codes")
+      withoutTombstonesAt(spark, s"$root/tombstones",
+        spark.read.parquet(s"$root/codes")
           .select(col("id"), col("cell"), col("pq_code"))),
       eager = true)
     survivors.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
     fs.delete(tombPath, true)
     ()
   }
@@ -1701,24 +1839,47 @@ object Similarity {
   def ivfPqRetrain(vectors: DataFrame, idCol: String, vecCol: String,
                    path: String, nCells: Int = 0, m: Int = 0,
                    nbits: Int = 8, iters: Int = 4,
-                   maxFitRows: Int = 65536): Seq[Seq[Double]] = {
+                   maxFitRows: Int = 65536,
+                   versioned: Boolean = false): Seq[Seq[Double]] = {
     val spark = vectors.sparkSession
+    val root = pqRoot(spark, path)
+    val curVersion = readIndexVersion(spark, path)
     val kEff =
       if (nCells > 0) nCells
-      else readCentroidsDir(spark, s"$path/centroids").size
-    val mEff = if (m > 0) m else loadPqModel(spark, path).m
-    val current = withoutTombstonesAt(spark, s"$path/tombstones",
+      else readCentroidsDir(spark, s"$root/centroids").size
+    val mEff = if (m > 0) m else loadPqModel(spark, root).m
+    val current = withoutTombstonesAt(spark, s"$root/tombstones",
       vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
-    val staging = path + ".retrain"
-    val centroids = buildIvfPqIndex(current, "id", "v", staging,
-      kEff, mEff, nbits, iters, maxFitRows)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(path)),
-      s"ivfPqRetrain: rename $staging -> $path failed")
-    centroids
+    if (versioned || curVersion.isDefined) {
+      // versioned publish ([[ivfRetrain]]'s contract): the next
+      // hidden generation gets the whole codes/model/centroids tree,
+      // the pointer flips atomically, and the prior generation is
+      // retained one cycle as reader grace — probes, appends and
+      // deletes need no pause
+      val nextN = curVersion.getOrElse(0) + 1
+      val next = s"$path/.v$nextN"
+      val centroids = buildIvfPqIndex(current, "id", "v", next,
+        kEff, mEff, nbits, iters, maxFitRows)
+      publishIndexVersion(spark, path, nextN, () => {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        Seq("codes", "model", "centroids", "tombstones").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+        ()
+      })
+      centroids
+    } else {
+      val staging = path + ".retrain"
+      val centroids = buildIvfPqIndex(current, "id", "v", staging,
+        kEff, mEff, nbits, iters, maxFitRows)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(path)),
+        s"ivfPqRetrain: rename $staging -> $path failed")
+      centroids
+    }
   }
 
   /** Batch ADC top-k over a [[writePqIndex]] layout — the
@@ -1782,8 +1943,9 @@ object Similarity {
                      probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
-    val model = loadPqModel(spark, path)
-    val centroids = readCentroidsDir(spark, s"$path/centroids")
+    val root = pqRoot(spark, path)
+    val model = loadPqModel(spark, root)
+    val centroids = readCentroidsDir(spark, s"$root/centroids")
     val cellsLit = typedlit(centroids.zipWithIndex.map {
       case (c, i) => (i, c)
     })
@@ -1807,8 +1969,8 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("pq_cos").desc, col("id"))
-    withoutTombstonesAt(spark, s"$path/tombstones",
-        spark.read.parquet(s"$path/codes")
+    withoutTombstonesAt(spark, s"$root/tombstones",
+        spark.read.parquet(s"$root/codes")
           .filter(col("cell").isin(allCells: _*))) // -> partition pruning
       .join(broadcast(probed), Seq("cell"))
       .select(col("__qid"), col("id"),

@@ -1441,4 +1441,59 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(healed.getLong(5) == 0L && healed.getLong(1) == n - 3,
       healed)
   }
+
+  test("versioned retrain: pointer flip, reader grace, retention, " +
+      "sticky versioning; appends and deletes land in the live " +
+      "generation") {
+    // two tight clusters so every retrain is cheap and deterministic
+    def jig(i: Int) = 0.02f * (i % 5)
+    val base = ((0 until 10).map(i =>
+      (i.toLong, Array(1f, jig(i), 0f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(jig(i), 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfver")
+      .toString + "/idx"
+    Similarity.buildIvfCentroidIndex(base, "vec_id", "embedding", dir,
+      k = 2, iters = 4)
+    def files() = Option(new java.io.File(dir).list())
+      .map(_.toSet).getOrElse(Set.empty[String])
+    def top(k: Int) = Similarity.ivfCentroidTopK(spark, dir,
+      Array(1f, 0f, 0f, 0f), k = k, probes = 2)
+      .collect().map(_.getLong(0)).toSet
+    // v1: pointer exists, legacy cell dirs RETAINED as reader grace
+    Similarity.ivfRetrain(spark, dir, iters = 4, versioned = true)
+    assert(files().contains(".current") && files().contains(".v1"),
+      files().toString)
+    assert(files().exists(_.startsWith("cell=")), "legacy grace gone")
+    assert(top(3).contains(0L))
+    // appends resolve to the live generation (legacy dirs unchanged),
+    // probes see the new row immediately
+    Similarity.ivfAppend(Seq((500L, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    // ids 0 and 5 are also exactly [1,0,0,0] (jig(0) = jig(5) = 0), so
+    // the appended twin ties at cos 1.0 and ranks third by id
+    assert(top(3).contains(500L))
+    assert(!spark.read.parquet(dir).select($"id")
+      .as[Long].collect().contains(500L),
+      "append leaked into the legacy layout")
+    // deletes tombstone the live generation
+    Similarity.ivfDelete(dir, Seq(500L).toDF("vec_id"), "vec_id")
+    assert(!top(25).contains(500L))
+    // second retrain is versioned WITHOUT the flag (sticky), bumps to
+    // v2, keeps v1 as the new grace, and removes the legacy layout
+    Similarity.ivfRetrain(spark, dir, iters = 4)
+    assert(files().contains(".v2") && files().contains(".v1"),
+      files().toString)
+    assert(!files().exists(_.startsWith("cell=")),
+      "legacy layout should leave at the second publish")
+    assert(!new java.io.File(s"$dir.centroids").exists())
+    assert(!top(25).contains(500L), "tombstoned row resurfaced")
+    // third publish retires v1 (keep n and n-1 only)
+    Similarity.ivfRetrain(spark, dir, iters = 4)
+    assert(files().contains(".v3") && files().contains(".v2") &&
+      !files().contains(".v1"), files().toString)
+    assert(top(3).contains(0L))
+    // no .retrain staging litter on any versioned path
+    assert(!new java.io.File(dir + ".retrain").exists())
+  }
 }

@@ -295,4 +295,46 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan.take(600))
     assert(plan.contains("Broadcast"), plan.take(600))
   }
+
+  test("versioned ivfPqRetrain: pointer flip, grace, sticky; probes " +
+      "and appends resolve to the live generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_v")
+      .toString + "/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nbits = 8, iters = 3)
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    def files() = Option(new java.io.File(dir).list())
+      .map(_.toSet).getOrElse(Set.empty[String])
+    def top(k: Int) = Similarity.ivfPqTopK(spark, dir, qVec, k = k,
+      probes = 8).collect().map(_.getLong(0)).toSet
+    Similarity.ivfPqRetrain(base, "vec_id", "embedding", dir,
+      iters = 3, versioned = true)
+    assert(files().contains(".current") && files().contains(".v1"),
+      files().toString)
+    assert(files().contains("codes"), "legacy grace gone")
+    assert(top(2).contains(0L))
+    // appends land in the live generation; the planted copy is
+    // immediately findable and the legacy codes are untouched
+    Similarity.ivfPqAppend(
+      base.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 900000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", dir)
+    assert(top(2) == Set(0L, 900000L), top(2).toString)
+    assert(!spark.read.parquet(s"$dir/codes").select($"id")
+      .as[Long].collect().contains(900000L),
+      "append leaked into the legacy layout")
+    // delete tombstones the live generation
+    Similarity.ivfPqDelete(dir, Seq(900000L).toDF("vec_id"), "vec_id")
+    assert(!top(30).contains(900000L))
+    // second retrain: sticky versioning, v2 live, legacy layout gone,
+    // v1 retained as the new grace, tombstoned row stays gone
+    Similarity.ivfPqRetrain(base, "vec_id", "embedding", dir,
+      iters = 3)
+    assert(files().contains(".v2") && files().contains(".v1") &&
+      !files().contains("codes"), files().toString)
+    assert(top(2).contains(0L) && !top(30).contains(900000L))
+    assert(!new java.io.File(dir + ".retrain").exists())
+  }
 }
