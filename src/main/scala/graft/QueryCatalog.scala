@@ -2431,6 +2431,84 @@ object QueryCatalog {
              |SELECT query_id, doc_id, bm25, n_terms
              |FROM rk WHERE rn <= 10""".stripMargin)),
 
+    Q("q_bm25_compact_versioned", // the q_bm25_deletes recipe through
+      // the VERSIONED compact (the Similarity versioned-swap contract
+      // on the BM25 root): survivors land in a hidden .v1 generation
+      // and the .current pointer flips — probes and increments need
+      // no pause across the rewrite. The probe must STILL equal a
+      // fresh build over the survivors (q_bm25_deletes' oracle
+      // verbatim, resolved through the pointer); pointer/grace/sticky
+      // mechanics and post-compact increments are spec-pinned in
+      // CorpusOpsSpec.
+      (s, d) => {
+        import s.implicits._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25v_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+        CorpusOps.buildBm25Index(docs, "doc_id", "text", dir)
+        CorpusOps.bm25IndexDelete(dir,
+          docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+          "doc_id")
+        CorpusOps.bm25IndexCompact(s, dir, versioned = true)
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        CorpusOps.bm25TopKIndexed(s, dir, qs, "query_id", "query_text",
+            k = 10)
+          .select(col("query_id"), col("id").as("doc_id"), col("bm25"),
+            col("n_terms"))
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+')) AS tok
+             |  FROM qraw)),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND doc_id % 3 <> 0),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+             |          / (df.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25,
+             |    CAST(count(*) AS BIGINT) AS n_terms
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT query_id, doc_id, bm25, n_terms,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS rn
+             |  FROM sc)
+             |SELECT query_id, doc_id, bm25, n_terms
+             |FROM rk WHERE rn <= 10""".stripMargin)),
+
     Q("q_search_pipeline", // the composed retrieval ensemble (r14
       // verdict #6): BM25 lexical candidates + brute-force cosine
       // semantic candidates (the exact baseline; IVF/PQ slot into the
@@ -6337,6 +6415,49 @@ object QueryCatalog {
              |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
         .stripMargin)),
 
+    Q("q_ivfpq_stream_exec", // STREAMING EXECUTION gate on the
+      // COMPOSED index: the planted corpus drains through the
+      // incremental engine into the IVF-PQ layout (coarse centroids +
+      // residual codebooks initialized up front on a seed read;
+      // per-batch codes/batch=<id> subtrees via ivfPqAppendBatch),
+      // then the 4-query batch ADC probe hits the FRESH index.
+      // Assignment AND encoding are pure functions of (vector,
+      // models), so one drain probes exactly like a one-shot build —
+      // the oracle is q_ivfpq_batch's verbatim; replay idempotence
+      // and the layout guards are spec-pinned in EventStreamsSpec.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-ivfpq")
+        val emb = plantedEmbeddings(s, d)
+        emb.write.parquet(s"$dir/src")
+        Similarity.initIvfPqIndex(emb, "vec_id", "embedding",
+          s"$dir/idx", nCells = 8, m = 8, nbits = 8, iters = 3)
+        graft.streaming.EventStreams.ivfPqIndexAvailableNow(s,
+          s"$dir/src", "vec_id", col("embedding"), s"$dir/idx",
+          s"$dir/ckpt")
+        Similarity.ivfPqTopKBatch(s, s"$dir/idx",
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 21, probes = 1)
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("pq_cos"), -col("id")))
+              .as("top1_id"),
+            count(lit(1)).as("n_rows"),
+            (min(col("pq_cos")) >= -1.25 && max(col("pq_cos")) <= 1.05)
+              .as("cos_bounded"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS BIGINT) AS n_rows,
+             |  CAST(v.c3 AS BOOLEAN) AS cos_bounded
+             |FROM (VALUES
+             |  (0, 1000000, 20, true),
+             |  (1, 1000001, 20, true),
+             |  (2, 1000002, 20, true),
+             |  (3, 1000003, 20, true)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
     Q("q_warc_stream_exec", // STREAMING WARC ingestion through the real
       // incremental engine: the staged archive directory drains through
       // readStream (file-stream source over binaryFile, same parser as
@@ -6895,6 +7016,77 @@ object QueryCatalog {
              |          list_transform(q.v, x -> x * x), 'sum'))), 6)
              |    + 0 AS cos_sim
              |FROM c CROSS JOIN q""".stripMargin)),
+
+    Q("q_pq_rerank_batch", // the production ANN recipe, BATCHED:
+      // per-query ADC candidate pools over the 8-byte codes, exact
+      // cosine re-rank of only the pooled rows. Gated in the
+      // oracle-able degenerate case (pool >= corpus: every row
+      // survives candidate generation, so the result IS the exact
+      // batch cosine ranking — q_cosine_knn_batch's oracle verbatim);
+      // batch == per-query at REAL pools is bit-pinned in PqSpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopKRerankedBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv",
+          pqModelFor(s"rerank:$d",
+            Similarity.trainPq(emb, "vec_id", "embedding",
+              m = 8, nbits = 8, iters = 10)),
+          k = 10, pool = 1000000)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 4),
+             |s AS (SELECT q.qid, e.vec_id AS id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS cos_sim
+             |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+             |r AS (SELECT qid, id, cos_sim,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY cos_sim DESC, id) AS rn
+             |  FROM s)
+             |SELECT qid, id, cos_sim FROM r WHERE rn <= 10"""
+        .stripMargin)),
+
+    Q("q_ivfpq_filtered", // FILTERED ANN on the COMPOSED index —
+      // q_ivf_filtered's planted design through the ADC probe: 12
+      // copies of vectors 10..21 carry the otherwise-nonexistent
+      // label 99 (metadata riding the code rows via extraCols),
+      // scattered across cells; k=20 > 12 forces widening to FULL
+      // coverage, so the matched set is exactly the planted ids. ADC
+      // scores are model-specific (not oracle-able), so the gate pins
+      // the ID SET — which post-filtering a top-20 would visibly
+      // shrink (only planted rows cracking the unfiltered global
+      // top-20 would survive).
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqf_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        val corpus = emb
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(emb.filter(col("vec_id").between(10, 21))
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding"), lit(99).as("label")))
+        Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", dir,
+          nCells = 8, m = 8, nbits = 8, iters = 3,
+          extraCols = Seq("label"))
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfPqTopKFiltered(s, dir, qVec, k = 20,
+            col("label") === 99, probes = 1)
+          .select(col("id"))
+      },
+      Some("""SELECT CAST(vec_id + 1000000 AS BIGINT) AS id
+             |FROM embeddings WHERE vec_id BETWEEN 10 AND 21"""
+        .stripMargin)),
 
     Q("q_ivfpq_topk", // the composed IVF-PQ index (FAISS IVFADC
       // shape): centroid cells prune the scan to probes/nCells of the

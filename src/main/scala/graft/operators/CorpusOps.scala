@@ -2062,6 +2062,28 @@ object CorpusOps {
     * [[SpanIndexMods]] convention applied to terms). */
   val Bm25IndexMods = 64
 
+  /** Resolved physical locations of a persisted BM25 index: posting
+    * leaves, df table, stats table, tombstones — the legacy sibling
+    * layout (`<path>`, `<path>.df`, `<path>.stats`,
+    * `<path>.tombstones`) or, for an index whose compaction went
+    * versioned ([[bm25IndexCompact]]`(versioned = true)`), the
+    * current hidden `.v<N>` generation under the root — the
+    * [[graft.operators.Similarity]] versioned-swap convention
+    * (`.current` pointer, rename-with-overwrite flip, one-generation
+    * reader grace). Every reader and writer resolves through this,
+    * so legacy indexes behave byte-identically. */
+  private final case class Bm25Roots(postings: String, df: String,
+                                     stats: String, tombstones: String)
+
+  private def bm25Roots(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Bm25Roots =
+    Similarity.readIndexVersion(spark, path) match {
+      case Some(n) => Bm25Roots(s"$path/.v$n/postings",
+        s"$path/.v$n/df", s"$path/.v$n/stats", s"$path/.v$n/tombstones")
+      case None => Bm25Roots(path, s"$path.df", s"$path.stats",
+        s"$path.tombstones")
+    }
+
   /** Persist an inverted BM25 posting index — the retrieval answer at
     * 100 TB, where [[bm25TopKBatch]]'s one-job shape still pays the
     * corpus tokenize+explode scan on EVERY batch of queries: here that
@@ -2095,6 +2117,7 @@ object CorpusOps {
                      filesPerLeaf: Int = 4): Unit = {
     require(filesPerLeaf >= 1,
       s"filesPerLeaf must be >= 1: $filesPerLeaf")
+    val roots = bm25Roots(docs.sparkSession, path)
     val statsMode = if (mode == "overwrite") "overwrite" else "append"
     val base = docs.filter(hasMinTokens(col(textCol), 1))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
@@ -2117,7 +2140,7 @@ object CorpusOps {
     // spark.sql.files.maxRecordsPerFile down) as the corpus grows.
     postings.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
         pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
-      .write.mode(mode).partitionBy("tmod").parquet(path)
+      .write.mode(mode).partitionBy("tmod").parquet(roots.postings)
     // df rides its own leaf table (one row per term per build; probes
     // SUM across builds — append-friendly), so probing never scans the
     // posting leaves twice. Vocabulary-sized, so it clusters by leaf
@@ -2125,10 +2148,10 @@ object CorpusOps {
     postings.groupBy(col("term"), col("tmod"))
       .agg(count(lit(1)).as("df"))
       .repartition(Bm25IndexMods, col("tmod"))
-      .write.mode(mode).partitionBy("tmod").parquet(path + ".df")
+      .write.mode(mode).partitionBy("tmod").parquet(roots.df)
     base.agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tk")).cast("long")).as("sum_dl"))
-      .write.mode(statsMode).parquet(path + ".stats")
+      .write.mode(statsMode).parquet(roots.stats)
   }
 
   /** One micro-batch increment of the persisted BM25 index — the
@@ -2173,18 +2196,20 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("tmod",
         pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
+    val roots = bm25Roots(batch.sparkSession, path)
     postings.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
         pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
       .write.mode("overwrite").partitionBy("tmod")
-      .parquet(s"$path/batch=$batchId")
+      .parquet(s"${roots.postings}/batch=$batchId")
     postings.groupBy(col("term"), col("tmod"))
       .agg(count(lit(1)).as("df"))
       .repartition(Bm25IndexMods, col("tmod"))
       .write.mode("overwrite").partitionBy("tmod")
-      .parquet(s"$path.df/batch=$batchId")
+      .parquet(s"${roots.df}/batch=$batchId")
     base.agg(count(lit(1)).as("n_docs"),
         sum(size(col("__tk")).cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path.stats/batch=$batchId")
+      .write.mode("overwrite")
+      .parquet(s"${roots.stats}/batch=$batchId")
   }
 
   /** Tombstone documents out of a persisted BM25 index — the takedown
@@ -2202,7 +2227,8 @@ object CorpusOps {
   def bm25IndexDelete(path: String, ids: DataFrame,
                       idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path.tombstones")
+      .write.mode("append")
+      .parquet(bm25Roots(ids.sparkSession, path).tombstones)
 
   /** Compact a tombstoned BM25 index: rewrite the posting leaves
     * without deleted documents, recompute the df and stats tables from
@@ -2241,10 +2267,13 @@ object CorpusOps {
     * supersedes the stale `batch=-1` copy. Same pause-probes
     * operational note as [[graft.operators.Similarity.ivfRetrain]]. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
-                       path: String, filesPerLeaf: Int = 4): Unit = {
+                       path: String, filesPerLeaf: Int = 4,
+                       versioned: Boolean = false): Unit = {
     require(filesPerLeaf >= 1,
       s"filesPerLeaf must be >= 1: $filesPerLeaf")
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val roots = bm25Roots(spark, path)
+    val curVersion = Similarity.readIndexVersion(spark, path)
+    val tombPath = new org.apache.hadoop.fs.Path(roots.tombstones)
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     def batchDirs(r: String) = {
       val p = new org.apache.hadoop.fs.Path(r)
@@ -2253,10 +2282,10 @@ object CorpusOps {
           st.getPath.getName.startsWith("batch="))
       else Seq.empty
     }
-    val batchLayout = batchDirs(path).nonEmpty
+    val batchLayout = batchDirs(roots.postings).nonEmpty
     val survivors = Materialize(
       {
-        val raw = spark.read.parquet(path)
+        val raw = spark.read.parquet(roots.postings)
         val deduped =
           if (batchLayout) {
             // upsert healing: per id only its latest batch's rows
@@ -2268,36 +2297,64 @@ object CorpusOps {
         val p = deduped.select(col("id"), col("term"), col("tf"),
           col("dl"), col("tmod"))
         if (fs.exists(tombPath))
-          p.join(spark.read.parquet(s"$path.tombstones"), Seq("id"),
+          p.join(spark.read.parquet(roots.tombstones), Seq("id"),
             "left_anti")
         else p
       },
       eager = true)
-    // fold target per table: the flat root, or the reserved batch=-1
-    // subtree of a batch-incremental layout
+    // compact target: in-place fold (flat root / reserved batch=-1),
+    // or — versioned (the graft.operators.Similarity versioned-swap
+    // contract, opt-in and sticky) — the next hidden generation,
+    // published by a pointer flip so probes and increments need no
+    // pause; the prior generation is retained one cycle as grace
+    val out: Bm25Roots =
+      if (versioned || curVersion.isDefined) {
+        val nextN = curVersion.getOrElse(0) + 1
+        Bm25Roots(s"$path/.v$nextN/postings", s"$path/.v$nextN/df",
+          s"$path/.v$nextN/stats", s"$path/.v$nextN/tombstones")
+      } else roots
+    val inPlace = out == roots
     def target(r: String) = if (batchLayout) s"$r/batch=-1" else r
     def dropSuperseded(r: String): Unit =
-      if (batchLayout)
+      if (inPlace && batchLayout)
         batchDirs(r).filter(_.getPath.getName != "batch=-1")
           .foreach(st => fs.delete(st.getPath, true))
     survivors.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
         pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
-      .write.mode("overwrite").partitionBy("tmod").parquet(target(path))
+      .write.mode("overwrite").partitionBy("tmod")
+      .parquet(target(out.postings))
     survivors.groupBy(col("term"), col("tmod"))
       .agg(count(lit(1)).as("df"))
       .repartition(Bm25IndexMods, col("tmod"))
       .write.mode("overwrite").partitionBy("tmod")
-      .parquet(target(s"$path.df"))
+      .parquet(target(out.df))
     // per-doc length rides every posting row; one distinct pass
     // recovers exact (n_docs, sum_dl) for the survivors
     survivors.select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         sum(col("dl").cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(target(s"$path.stats"))
-    dropSuperseded(path)
-    dropSuperseded(s"$path.df")
-    dropSuperseded(s"$path.stats")
-    fs.delete(tombPath, true)
+      .write.mode("overwrite").parquet(target(out.stats))
+    if (inPlace) {
+      dropSuperseded(roots.postings)
+      dropSuperseded(roots.df)
+      dropSuperseded(roots.stats)
+      fs.delete(tombPath, true)
+    } else {
+      val nextN = curVersion.getOrElse(0) + 1
+      Similarity.publishIndexVersion(spark, path, nextN, () => {
+        // once two generations exist, the pre-versioning layout
+        // (root-level leaves + sibling tables) leaves
+        val rootPath = new org.apache.hadoop.fs.Path(path)
+        fs.listStatus(rootPath)
+          .filter(st => st.isDirectory &&
+            (st.getPath.getName.startsWith("tmod=") ||
+              st.getPath.getName.startsWith("batch=")))
+          .foreach(st => fs.delete(st.getPath, true))
+        Seq(s"$path.df", s"$path.stats", s"$path.tombstones").foreach(
+          p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        ()
+      })
+    }
     ()
   }
 
@@ -2319,26 +2376,25 @@ object CorpusOps {
                      path: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
-    def fsOf(p: String) =
-      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = fsOf(path)
+    val roots = bm25Roots(spark, path)
+    val root = new org.apache.hadoop.fs.Path(roots.postings)
+    val fs = root.getFileSystem(conf)
     val nBatches =
       if (fs.exists(root))
         fs.listStatus(root).count(st => st.isDirectory &&
           st.getPath.getName.startsWith("batch="))
       else 0
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val tombPath = new org.apache.hadoop.fs.Path(roots.tombstones)
     val nTombstones =
       if (fs.exists(tombPath))
-        spark.read.parquet(s"$path.tombstones")
+        spark.read.parquet(roots.tombstones)
           .select(col("id")).distinct().count()
       else 0L
-    val stats = spark.read.parquet(s"$path.stats")
+    val stats = spark.read.parquet(roots.stats)
       .agg(count(lit(1)).as("builds"), sum(col("n_docs")).as("nd"),
         sum(col("sum_dl")).as("sdl"))
       .collect()(0)
-    val dfRows = spark.read.parquet(s"$path.df").count()
+    val dfRows = spark.read.parquet(roots.df).count()
     Seq((
       if (nBatches > 0) "batch" else "flat",
       stats.getLong(0), nBatches.toLong, nTombstones,
@@ -2378,14 +2434,15 @@ object CorpusOps {
       .select(pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong))
         .cast("int").as("tmod"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val stats = spark.read.parquet(path + ".stats")
+    val roots = bm25Roots(spark, path)
+    val stats = spark.read.parquet(roots.stats)
       .agg(sum(col("n_docs")).cast("double").as("__n"),
         (sum(col("sum_dl")).cast("double")
           / sum(col("n_docs")).cast("double")).as("__avgdl"))
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val tombPath = new org.apache.hadoop.fs.Path(roots.tombstones)
     val tombFs = tombPath
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val pruned = spark.read.parquet(path)
+    val pruned = spark.read.parquet(roots.postings)
       .filter(col("tmod").isin(tmods: _*)) // -> partition pruning
       .join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"), "left_semi")
@@ -2394,13 +2451,13 @@ object CorpusOps {
     // scales with the query's postings, not the index
     val tf =
       if (tombFs.exists(tombPath))
-        pruned.join(spark.read.parquet(s"$path.tombstones"),
+        pruned.join(spark.read.parquet(roots.tombstones),
           Seq("id"), "left_anti")
       else pruned
     // df from the build-time leaf table (pruned the same way, rows
     // summed across appended builds) — the posting leaves are scanned
     // exactly ONCE, for scoring
-    val df = spark.read.parquet(path + ".df")
+    val df = spark.read.parquet(roots.df)
       .filter(col("tmod").isin(tmods: _*))
       .join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"), "left_semi")

@@ -416,7 +416,7 @@ object Similarity {
 
   /** The live generation named by `<root>/.current`, if the index is
     * versioned. */
-  private def readIndexVersion(
+  private[operators] def readIndexVersion(
       spark: org.apache.spark.sql.SparkSession,
       root: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/.current")
@@ -466,7 +466,7 @@ object Similarity {
     * generations n and n-1, delete older ones, and — once two
     * versioned generations exist — run `legacyCleanup` to remove the
     * pre-versioning layout. */
-  private def publishIndexVersion(
+  private[operators] def publishIndexVersion(
       spark: org.apache.spark.sql.SparkSession, root: String, n: Int,
       legacyCleanup: () => Unit): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1641,10 +1641,28 @@ object Similarity {
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       path: String, nCells: Int = 16, m: Int = 8,
                       nbits: Int = 8, iters: Int = 4,
-                      maxFitRows: Int = 65536): Seq[Seq[Double]] = {
-    // ONE sample scan feeds both fits: coarse centroids (distributed
-    // Lloyd over the materialized sample) and residual codebooks
-    // (local Lloyd over the same rows, collected once)
+                      maxFitRows: Int = 65536,
+                      extraCols: Seq[String] = Nil): Seq[Seq[Double]] = {
+    val (centroids, model) = fitIvfPqModels(df, idCol, vecCol, path,
+      nCells, m, nbits, iters, maxFitRows)
+    // one distributed pass: assign cell, subtract its centroid, encode
+    ivfPqEncode(df, idCol, vecCol, centroids, model, extraCols)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    centroids
+  }
+
+  /** The model-fit half of [[buildIvfPqIndex]]: fit coarse centroids
+    * (distributed Lloyd over the bounded hash sample) and residual
+    * codebooks (local Lloyd over the same rows, collected once — ONE
+    * sample scan feeds both fits), persist both under `path`, write
+    * no codes. Shared with [[initIvfPqIndex]], the model-first init
+    * of a STREAMING-built composed index. */
+  private def fitIvfPqModels(df: DataFrame, idCol: String,
+                             vecCol: String, path: String, nCells: Int,
+                             m: Int, nbits: Int, iters: Int,
+                             maxFitRows: Int)
+      : (Seq[Seq[Double]], PqModel) = {
     val vnSample = hashSampleVn(df, idCol, vecCol, maxFitRows)
     val centroids = kmeansFromSampleVn(vnSample, nCells, iters)
     val cenArr = centroids.map(_.toArray).toArray
@@ -1665,18 +1683,26 @@ object Similarity {
         x - (if (i < cen.length) cen(i) else 0.0d) }
     }
     val model = trainPqLocal(residuals, m, nbits, iters)
-    // one distributed pass: assign cell, subtract its centroid, encode
-    ivfPqEncode(df, idCol, vecCol, centroids, model)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val spark = df.sparkSession
     import spark.implicits._
     writePqModel(spark, model, path)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    centroids
+    (centroids, model)
   }
+
+  /** Fit and persist the IVF-PQ models on `seed` WITHOUT writing any
+    * codes — the [[initIvfCentroidIndex]] contract on the composed
+    * index: every vector then arrives through [[ivfPqAppendBatch]]
+    * (streaming) or [[ivfPqAppend]] (batch), and the models stay
+    * frozen until [[ivfPqRetrain]]. Returns the coarse centroids. */
+  def initIvfPqIndex(seed: DataFrame, idCol: String, vecCol: String,
+                     path: String, nCells: Int = 16, m: Int = 8,
+                     nbits: Int = 8, iters: Int = 4,
+                     maxFitRows: Int = 65536): Seq[Seq[Double]] =
+    fitIvfPqModels(seed, idCol, vecCol, path, nCells, m, nbits, iters,
+      maxFitRows)._1
 
   /** ADC top-k through the composed index: rank cells by
     * query-centroid similarity, read only the top `probes` partition
@@ -1713,6 +1739,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered ADC top-k through the composed index — the
+    * [[ivfCentroidTopKFiltered]] contract on the IVF-PQ tier: the
+    * predicate (over metadata columns riding the code rows,
+    * [[buildIvfPqIndex]]'s `extraCols`) runs on the pruned cell scan
+    * BEFORE scoring and top-k, and the probe widens (doubling probed
+    * cells in query-centroid-similarity order) until `k` rows match
+    * or every cell is scanned. Scores are the ADC approximation, so
+    * rank quality matches [[ivfPqTopK]]'s — the filter changes WHICH
+    * rows compete, never how they score. */
+  def ivfPqTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queryVec: Array[Float], k: Int,
+                        predicate: Column,
+                        probes: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(probes >= 1, s"probes must be >= 1: $probes")
+    val root = pqRoot(spark, path)
+    val model = loadPqModel(spark, root)
+    val centroids = readCentroidsDir(spark, root + "/centroids")
+    val nrm = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val qn = if (nrm > 0) queryVec.map(_ / nrm) else queryVec.map(_.toDouble)
+    val ranked = centroids.zipWithIndex
+      .map { case (c, ci) =>
+        ci -> c.zip(qn).map { case (a, b) => a * b }.sum }
+      .sortBy { case (ci, s) => (-s, ci) }
+      .map(_._1)
+    val codes = withoutTombstonesAt(spark, s"$root/tombstones",
+      spark.read.parquet(s"$root/codes"))
+    def probeAt(p: Int): DataFrame =
+      ranked.take(p).map { ci =>
+        val res = qn.zip(centroids(ci)).map { case (a, b) => a - b }
+        val lut = pqLut0(res, model)
+        codes.filter(col("cell") === ci) // -> partition pruning
+          .filter(predicate)
+          .select(col("id"), adcCos(lut).as("pq_cos"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("pq_cos").desc, col("id"))
+        .limit(k)
+    var p = math.min(ranked.size, probes)
+    var res = probeAt(p)
+    while (p < ranked.size && res.count() < k) {
+      p = math.min(ranked.size, p * 2)
+      res = probeAt(p)
+    }
+    res
+  }
+
   /** [[pqLut]] without re-normalizing (the input is already a residual
     * in normalized space). */
   private def pqLut0(res: Seq[Double], model: PqModel): Seq[Seq[Double]] =
@@ -1737,16 +1809,18 @@ object Similarity {
     * [[buildIvfPqIndex]] and [[ivfPqAppend]] so the append-equals-
     * one-shot-build law holds by construction. */
   private def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
-                          centroids: Seq[Seq[Double]],
-                          model: PqModel): DataFrame = {
+                          centroids: Seq[Seq[Double]], model: PqModel,
+                          extraCols: Seq[String] = Nil): DataFrame = {
     val cenLit = typedlit(centroids.map(_.toSeq))
-    df.select(col(idCol).as("id"), l2normalize(col(vecCol)).as("__vn"))
+    df.select(col(idCol).as("id") +:
+        l2normalize(col(vecCol)).as("__vn") +: extraCols.map(col): _*)
       .withColumn("cell", nearestCentroid(col("__vn"), centroids))
       .withColumn("pq_code", graft.plans.PqExpressions.pq_encode(
         zip_with(col("__vn"), element_at(cenLit, col("cell") + 1),
           (a, b) => a - b),
         model.codebooks))
-      .select(col("id"), col("cell"), col("pq_code"))
+      .select(col("id") +: col("cell") +: col("pq_code") +:
+        extraCols.map(col): _*)
   }
 
   // ---- IVF-PQ lifecycle: the composed index is the 100 TB deployment
@@ -1774,13 +1848,43 @@ object Similarity {
     * [[ivfDriftSummary]]'s shape on the coarse cells and
     * [[ivfPqRetrain]] when it ages. */
   def ivfPqAppend(newVecs: DataFrame, idCol: String, vecCol: String,
-                  path: String): Unit = {
+                  path: String, extraCols: Seq[String] = Nil): Unit = {
     val spark = newVecs.sparkSession
     val root = pqRoot(spark, path)
+    require(!ivfHasDirs(spark, s"$root/codes", "batch="),
+      s"ivfPqAppend: $path has the streaming batch layout — use " +
+        "ivfPqAppendBatch (mixing layouts breaks partition discovery)")
     val centroids = readCentroidsDir(spark, s"$root/centroids")
     val model = loadPqModel(spark, root)
-    ivfPqEncode(newVecs, idCol, vecCol, centroids, model)
+    ivfPqEncode(newVecs, idCol, vecCol, centroids, model, extraCols)
       .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+  }
+
+  /** The replay-idempotent micro-batch face of [[ivfPqAppend]] — the
+    * [[ivfAppendBatch]] contract on the COMPOSED index: the batch's
+    * rows, assigned and residual-encoded by the PERSISTED models
+    * (init them first with [[initIvfPqIndex]]), OVERWRITE their own
+    * `codes/batch=<id>/cell=<c>` subtree, so a crashed-and-replayed
+    * batch rewrites identical rows. Probes prune on `cell` unchanged
+    * (both are partition columns); flat and batch code layouts are
+    * mutually guarded, and `batch=-1` is [[ivfPqCompact]]'s reserved
+    * fold target. */
+  def ivfPqAppendBatch(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String, batchId: Long,
+                       extraCols: Seq[String] = Nil): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (batch=-1 is ivfPqCompact's reserved " +
+        s"fold target): $batchId")
+    val spark = batch.sparkSession
+    val root = pqRoot(spark, path)
+    require(!ivfHasDirs(spark, s"$root/codes", "cell="),
+      s"ivfPqAppendBatch: $path has the flat one-shot layout — use " +
+        "ivfPqAppend (mixing layouts breaks partition discovery)")
+    val centroids = readCentroidsDir(spark, s"$root/centroids")
+    val model = loadPqModel(spark, root)
+    ivfPqEncode(batch, idCol, vecCol, centroids, model, extraCols)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/codes/batch=$batchId")
   }
 
   /** Tombstone vectors out of an IVF-PQ index — the [[ivfDelete]]
@@ -1810,13 +1914,27 @@ object Similarity {
     val root = pqRoot(spark, path)
     val tombPath = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // PRESERVE the layout (the bm25IndexCompact rule): a streaming
+    // index folds into the reserved codes/batch=-1 subtree so live
+    // increments keep landing beside it; a flat one rewrites flat
+    val batchLayout = ivfHasDirs(spark, s"$root/codes", "batch=")
     val survivors = Materialize(
       withoutTombstonesAt(spark, s"$root/tombstones",
         spark.read.parquet(s"$root/codes")
           .select(col("id"), col("cell"), col("pq_code"))),
       eager = true)
+    val target =
+      if (batchLayout) s"$root/codes/batch=-1" else s"$root/codes"
     survivors.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(target)
+    if (batchLayout) {
+      val codesPath = new org.apache.hadoop.fs.Path(s"$root/codes")
+      fs.listStatus(codesPath)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch=") &&
+          st.getPath.getName != "batch=-1")
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     fs.delete(tombPath, true)
     ()
   }
@@ -1848,8 +1966,33 @@ object Similarity {
       if (nCells > 0) nCells
       else readCentroidsDir(spark, s"$root/centroids").size
     val mEff = if (m > 0) m else loadPqModel(spark, root).m
+    // metadata columns riding the code rows (the filtered-probe
+    // surface) survive the rewrite: the refit re-reads them from the
+    // caller's `vectors`, which must therefore carry them
+    val extras = spark.read.parquet(s"$root/codes").columns.toSeq
+      .filterNot(Set("id", "cell", "pq_code", "batch"))
+    require(extras.forall(vectors.columns.contains),
+      s"ivfPqRetrain: the index carries metadata columns " +
+        s"${extras.mkString(", ")} — `vectors` must supply them")
     val current = withoutTombstonesAt(spark, s"$root/tombstones",
-      vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
+      vectors.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+        extras.map(col)): _*))
+    // a streaming-built index keeps its batch code layout (fold into
+    // the reserved batch=-1 — live increments keep landing beside it)
+    val batchLayout = ivfHasDirs(spark, s"$root/codes", "batch=")
+    def buildTo(target: String): Seq[Seq[Double]] =
+      if (!batchLayout)
+        buildIvfPqIndex(current, "id", "v", target, kEff, mEff, nbits,
+          iters, maxFitRows, extras)
+      else {
+        val (c, model) = fitIvfPqModels(current, "id", "v", target,
+          kEff, mEff, nbits, iters, maxFitRows)
+        ivfPqEncode(current, "id", "v", c, model, extras)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$target/codes/batch=-1")
+        c
+      }
     if (versioned || curVersion.isDefined) {
       // versioned publish ([[ivfRetrain]]'s contract): the next
       // hidden generation gets the whole codes/model/centroids tree,
@@ -1858,8 +2001,7 @@ object Similarity {
       // deletes need no pause
       val nextN = curVersion.getOrElse(0) + 1
       val next = s"$path/.v$nextN"
-      val centroids = buildIvfPqIndex(current, "id", "v", next,
-        kEff, mEff, nbits, iters, maxFitRows)
+      val centroids = buildTo(next)
       publishIndexVersion(spark, path, nextN, () => {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1870,8 +2012,7 @@ object Similarity {
       centroids
     } else {
       val staging = path + ".retrain"
-      val centroids = buildIvfPqIndex(current, "id", "v", staging,
-        kEff, mEff, nbits, iters, maxFitRows)
+      val centroids = buildTo(staging)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
@@ -1880,6 +2021,53 @@ object Similarity {
         s"ivfPqRetrain: rename $staging -> $path failed")
       centroids
     }
+  }
+
+  /** Batch production ANN recipe — [[pqTopKReranked]] for a query
+    * TABLE in ONE job: cheap ADC candidate generation per query
+    * (`pool` candidates over the m-byte codes, per-query lookup
+    * tables on a broadcast — the [[pqTopKBatch]] machinery) followed
+    * by exact cosine re-ranking of ONLY the |q| x pool candidate
+    * rows — the expensive float math never touches the corpus scan.
+    * The candidate list is broadcast back onto the float table, so
+    * the re-rank is a corpus-shuffle-free probe. With
+    * `pool >= corpus` the result IS [[cosineTopKBatch]] bit-for-bit
+    * (every row survives candidate generation — the oracle-able
+    * degenerate case, gated); at any pool the batch equals the
+    * per-query [[pqTopKReranked]] (law pinned in PqSpec). */
+  def pqTopKRerankedBatch(df: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, model: PqModel, k: Int,
+                          pool: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(pool >= k, s"pool ($pool) must cover k ($k)")
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qv"),
+      graft.plans.PqExpressions.pq_lut(
+        l2normalize(l2normalize(col(queryVecCol))),
+        model.codebooks).as("__lut")))
+    val wPool = Window.partitionBy(col("__qid"))
+      .orderBy(col("pq_cos").desc, col("id"))
+    val cands = withPqCodes(df, vecCol, model)
+      .select(col(idCol).as("id"), col("pq_code"))
+      .join(q.select(col("__qid"), col("__lut")),
+        col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        adcCosCol(col("__lut")).as("pq_cos"))
+      .withColumn("__rn", row_number().over(wPool))
+      .filter(col("__rn") <= pool)
+      .select(col("__qid"), col("id"))
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cands), Seq("id"))
+      .join(broadcast(q.select(col("__qid"), col("__qv"))),
+        Seq("__qid"))
+      .select(col("__qid"), col("id"),
+        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
   }
 
   /** Batch ADC top-k over a [[writePqIndex]] layout — the

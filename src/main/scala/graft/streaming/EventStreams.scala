@@ -616,6 +616,32 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[ivfIndexAvailableNow]] on the COMPOSED IVF-PQ index: arriving
+    * embeddings are assigned and residual-encoded by the PERSISTED
+    * models (init them first with [[graft.operators.Similarity
+    * .initIvfPqIndex]]) into per-batch `codes/batch=<id>` subtrees
+    * via [[graft.operators.Similarity.ivfPqAppendBatch]] — replays
+    * rewrite, probes prune on `cell` unchanged. One drain probes
+    * exactly like a one-shot build under the same models (the
+    * execution gate `q_ivfpq_stream_exec`). */
+  def ivfPqIndexAvailableNow(spark: SparkSession, vecsPath: String,
+                             idCol: String,
+                             vecExpr: org.apache.spark.sql.Column,
+                             indexPath: String,
+                             checkpointDir: String): Unit = {
+    val (src, _) = fileSource(spark, vecsPath)
+    val q = src.select(col(idCol), vecExpr.as("__vec"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfPqAppendBatch(
+          batch, idCol, "__vec", indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

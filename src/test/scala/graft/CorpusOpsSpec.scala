@@ -1296,6 +1296,66 @@ class CorpusOpsSpec extends SparkSpec {
       f.getLong(2) == 0 && f.getLong(3) == 0, f)
   }
 
+  test("versioned bm25 compact: pointer flip, grace, sticky; " +
+      "increments and probes resolve to the live generation") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val qs = Seq((0L, "hash join window scan"), (1L, "dup stream"))
+      .toDF("query_id", "query_text")
+    def probe(path: String) = CorpusOps
+      .bm25TopKIndexed(spark, path, qs, "query_id", "query_text", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    def fresh(corpus: org.apache.spark.sql.DataFrame) = CorpusOps
+      .bm25TopKBatch(corpus, "doc_id", "text", qs,
+        "query_id", "query_text", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("bm25ver")
+      .toString + "/idx"
+    def files() = Option(new java.io.File(dir).list())
+      .map(_.toSet).getOrElse(Set.empty[String])
+    // grow through increments, delete, compact VERSIONED
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", dir, batchId = 0L)
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir, batchId = 1L)
+    CorpusOps.bm25IndexDelete(dir,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"), "doc_id")
+    CorpusOps.bm25IndexCompact(spark, dir, versioned = true)
+    assert(files().contains(".current") && files().contains(".v1"),
+      files().toString)
+    // legacy batch dirs retained as reader grace
+    assert(files().exists(_.startsWith("batch=")), "legacy grace gone")
+    val survivors = docs.filter($"doc_id" % 3 =!= 0)
+    assert(probe(dir) == fresh(survivors))
+    // the report resolves through the pointer: 1 fold build, batch
+    // layout, no tombstones
+    val st = CorpusOps.bm25IndexStats(spark, dir).collect()(0)
+    assert(st.getString(0) == "batch" && st.getLong(1) == 1 &&
+      st.getLong(3) == 0, st)
+    // a live increment lands in the .v1 generation and probes
+    val updated = docs.filter($"doc_id" === 2)
+      .select($"doc_id",
+        concat($"text", lit(" dup stream dup")).as("text"))
+    CorpusOps.bm25IndexIncrement(updated, "doc_id", "text", dir,
+      batchId = 2L)
+    assert(new java.io.File(s"$dir/.v1/postings", "batch=2")
+      .isDirectory, "increment missed the live generation")
+    // second compact: sticky versioning (no flag), v2 live, legacy
+    // layout gone, v1 retained as the new grace; the upsert heals
+    // doc 2 to its latest text
+    CorpusOps.bm25IndexCompact(spark, dir)
+    assert(files().contains(".v2") && files().contains(".v1") &&
+      !files().exists(_.startsWith("batch=")), files().toString)
+    assert(!new java.io.File(s"$dir.df").exists() &&
+      !new java.io.File(s"$dir.stats").exists())
+    val healed = survivors.filter($"doc_id" =!= 2).unionByName(updated)
+    assert(probe(dir) == fresh(healed),
+      "post-compact probe != fresh build over latest versions")
+  }
+
   test("searchPipelineBatch == per-query searchPipeline; one-leg fusion") {
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")

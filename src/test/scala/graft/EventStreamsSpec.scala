@@ -557,6 +557,74 @@ class EventStreamsSpec extends SparkSpec {
     assert(top == Set(0L, 777000L), top.toString)
   }
 
+  test("ivfPqIndexAvailableNow: drain == one-shot encode; replay; " +
+      "compact folds batches and live increments continue") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_stream").toString
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    half1.coalesce(1).write.parquet(s"$root/in")
+    // ONE model pair (coarse + codebooks), fit up front, shared by
+    // the streaming index and a flat-append reference
+    Similarity.initIvfPqIndex(emb, "vec_id", "embedding",
+      s"$root/idx", nCells = 4, m = 8, nbits = 8, iters = 3)
+    Similarity.initIvfPqIndex(emb, "vec_id", "embedding",
+      s"$root/ref", nCells = 4, m = 8, nbits = 8, iters = 3)
+    def codesOf(path: String) = spark.read.parquet(s"$path/codes")
+      .select($"id", $"cell", hex($"pq_code").as("c"))
+      .as[(Long, Int, String)].collect().toSet
+    EventStreams.ivfPqIndexAvailableNow(spark, s"$root/in", "vec_id",
+      col("embedding"), s"$root/idx", s"$root/ckpt")
+    Similarity.ivfPqAppend(half1, "vec_id", "embedding", s"$root/ref")
+    assert(codesOf(s"$root/idx") == codesOf(s"$root/ref"))
+    // second drain extends with only the new file
+    half2.coalesce(1).write.mode("append").parquet(s"$root/in")
+    EventStreams.ivfPqIndexAvailableNow(spark, s"$root/in", "vec_id",
+      col("embedding"), s"$root/idx", s"$root/ckpt")
+    Similarity.ivfPqAppend(half2, "vec_id", "embedding", s"$root/ref")
+    assert(codesOf(s"$root/idx") == codesOf(s"$root/ref"))
+    // replay idempotence
+    val before = codesOf(s"$root/idx")
+    Similarity.ivfPqAppendBatch(half2, "vec_id", "embedding",
+      s"$root/idx", batchId = 1L)
+    assert(codesOf(s"$root/idx") == before)
+    // layout guards on the composed index
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppend(half2, "vec_id", "embedding", s"$root/idx")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppendBatch(half2, "vec_id", "embedding",
+        s"$root/ref", batchId = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppendBatch(half2, "vec_id", "embedding",
+        s"$root/idx", batchId = -1L)
+    }
+    // delete + compact: fold lands in codes/batch=-1 (layout
+    // preserved), tombstones clear, survivors verbatim, and a LIVE
+    // increment still lands beside the fold and probes
+    Similarity.ivfPqDelete(s"$root/idx",
+      Seq(0L).toDF("vec_id"), "vec_id")
+    val survivors = before.filter(_._1 != 0L)
+    Similarity.ivfPqCompact(spark, s"$root/idx")
+    assert(codesOf(s"$root/idx") == survivors)
+    assert(new java.io.File(s"$root/idx/codes", "batch=-1").isDirectory &&
+      !new java.io.File(s"$root/idx/codes", "batch=0").exists(),
+      new java.io.File(s"$root/idx/codes").list().mkString(","))
+    assert(!new java.io.File(s"$root/idx/tombstones").exists())
+    Similarity.ivfPqAppendBatch(
+      emb.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 777000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", s"$root/idx", batchId = 7L)
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    val top = Similarity.ivfPqTopK(spark, s"$root/idx", qVec, k = 1,
+      probes = 4).collect().map(_.getLong(0)).toSet
+    assert(top == Set(777000L), top.toString)
+  }
+
   test("paraDedupAvailableNow: drain == batch op; 2nd drain suppresses") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_paradedup_stream").toString

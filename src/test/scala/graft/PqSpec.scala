@@ -337,4 +337,73 @@ class PqSpec extends SparkSpec {
     assert(top(2).contains(0L) && !top(30).contains(900000L))
     assert(!new java.io.File(dir + ".retrain").exists())
   }
+
+  test("filtered ADC probe: predicate before top-k, widening, " +
+      "metadata survives retrain; post-filtering starves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_f")
+      .toString + "/idx"
+    val embL = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val corpus = embL.unionByName(
+      embL.filter($"vec_id".between(10, 21))
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding",
+          lit(99).as("label")))
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nbits = 8, iters = 3,
+      extraCols = Seq("label"))
+    val qVec = embL.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    val planted = (10L to 21L).map(_ + 1000000L).toSet
+    // widening to full coverage returns exactly the planted set
+    val got = Similarity.ivfPqTopKFiltered(spark, dir, qVec, k = 20,
+      $"label" === 99, probes = 1).collect().map(_.getLong(0)).toSet
+    assert(got == planted, got.toString)
+    // the wrong order — unfiltered ADC top-20, then filter — keeps
+    // only planted rows that crack the global top-20
+    val wrongN = Similarity.ivfPqTopK(spark, dir, qVec, k = 20,
+        probes = 8)
+      .join(corpus.select($"vec_id".as("id"), $"label"), Seq("id"))
+      .filter($"label" === 99).count()
+    assert(wrongN < planted.size,
+      s"post-filtering kept $wrongN; planted data should starve it")
+    // a non-selective predicate equals the unfiltered probe at the
+    // same width
+    val all = Similarity.ivfPqTopKFiltered(spark, dir, qVec, k = 10,
+      $"label" >= 0, probes = 8).as[(Long, Double)].collect().toSeq
+    val unf = Similarity.ivfPqTopK(spark, dir, qVec, k = 10,
+      probes = 8).as[(Long, Double)].collect().toSeq
+    assert(all == unf)
+    // metadata survives the retrain rewrite (vectors re-supply it)
+    Similarity.ivfPqRetrain(corpus, "vec_id", "embedding", dir,
+      iters = 3)
+    val post = Similarity.ivfPqTopKFiltered(spark, dir, qVec, k = 20,
+      $"label" === 99, probes = 1).collect().map(_.getLong(0)).toSet
+    assert(post == planted, post.toString)
+    // and a retrain whose vectors LACK the metadata fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRetrain(corpus.drop("label"), "vec_id",
+        "embedding", dir, iters = 3)
+    }
+  }
+
+  test("pqTopKRerankedBatch == per-query pqTopKReranked at a real pool") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.pqTopKRerankedBatch(emb, "vec_id",
+        "embedding", queries, "qid", "qv", model, k = 7, pool = 50)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val perq = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+          qid, model, k = 7, pool = 50)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == perq, s"query $qid: ${batch(qid)} vs $perq")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKRerankedBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", model, k = 7, pool = 3)
+    }
+  }
 }
