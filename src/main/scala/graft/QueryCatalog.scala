@@ -4167,6 +4167,113 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_mrl_batch", // Matryoshka retrieval (Kusupati et al. 2022):
+      // batch cosine ranking on the FIRST 16 of 64 dimensions — the
+      // cheap stage of funnel retrieval (quarter the vector bytes per
+      // pair; cosine is scale-invariant so no renorm after the
+      // slice). FULL differential oracle: DuckDB slices the identical
+      // prefix and runs the identical double arithmetic. The
+      // full-dim rerank funnel and its pool>=corpus degenerate law
+      // are spec-pinned in DedupSimilaritySpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.matryoshkaTopKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, dims = 16)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding[1:16] AS qv
+             |  FROM embeddings WHERE vec_id < 4),
+             |s AS (SELECT q.qid, e.vec_id AS id,
+             |  round(list_aggregate(list_transform(e.embedding[1:16],
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding[1:16],
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS cos_sim
+             |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+             |r AS (SELECT qid, id, cos_sim,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY cos_sim DESC, id) AS rn
+             |  FROM s)
+             |SELECT qid, id, cos_sim FROM r WHERE rn <= 10"""
+        .stripMargin)),
+
+    Q("q_bq_topk", // binary quantization: 1-bit sign signatures
+      // packed 32 per word, XOR+popcount scoring — the 32x-at-rest
+      // rung with NO trained model, so unlike the PQ tier the whole
+      // ranking gates against a FULL differential oracle (DuckDB
+      // packs the identical words with the identical bit arithmetic;
+      // 32-bit words in signed longs keep every value CAST-safe —
+      // the HUGEINT hazard). Planted copy of query 0 has Hamming 0 ->
+      // rank 1; ranking (hamming asc, id) is a total order.
+      (s, d) => Similarity.bqTopK(plantedEmbeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 10),
+      Some("""WITH emb AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, embedding FROM embeddings
+             |  WHERE vec_id < 10),
+             |sig AS (SELECT vec_id,
+             |  list_transform(range((len(embedding)+31)//32), w ->
+             |    CAST(list_aggregate(list_transform(range(32), b ->
+             |      CASE WHEN w*32+b+1 <= len(embedding)
+             |             AND embedding[w*32+b+1] > 0
+             |        THEN 1::BIGINT << b ELSE 0::BIGINT END), 'sum')
+             |      AS BIGINT)) AS s
+             |  FROM emb),
+             |q AS (SELECT s FROM sig WHERE vec_id = 0),
+             |h AS (SELECT e.vec_id AS id,
+             |    CAST(list_aggregate(list_transform(e.s,
+             |      (x, i) -> bit_count(xor(x, q.s[i]))), 'sum')
+             |      AS BIGINT) AS hamming
+             |  FROM sig e CROSS JOIN q WHERE e.vec_id <> 0)
+             |SELECT id, hamming FROM h
+             |ORDER BY hamming, id LIMIT 10""".stripMargin)),
+
+    Q("q_bq_batch", // the binary tier's batch probe (queries 0..3 in
+      // ONE job, broadcast signatures, per-query WindowGroupLimit) —
+      // again a FULL differential oracle: per-query (hamming asc, id)
+      // top-10, the q_cosine_knn_batch gate pattern with integer
+      // scoring. The two-stage rerank recipe (Hamming pools -> exact
+      // cosine) is spec-pinned in DedupSimilaritySpec including the
+      // pool>=corpus == cosineTopKBatch degenerate law.
+      (s, d) => {
+        val planted = plantedEmbeddings(s, d)
+        Similarity.bqTopKBatch(planted, "vec_id", "embedding",
+          planted.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10)
+      },
+      Some("""WITH emb AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, embedding FROM embeddings
+             |  WHERE vec_id < 10),
+             |sig AS (SELECT vec_id,
+             |  list_transform(range((len(embedding)+31)//32), w ->
+             |    CAST(list_aggregate(list_transform(range(32), b ->
+             |      CASE WHEN w*32+b+1 <= len(embedding)
+             |             AND embedding[w*32+b+1] > 0
+             |        THEN 1::BIGINT << b ELSE 0::BIGINT END), 'sum')
+             |      AS BIGINT)) AS s
+             |  FROM emb),
+             |q AS (SELECT vec_id AS qid, s AS qs FROM sig
+             |  WHERE vec_id < 4),
+             |h AS (SELECT q.qid, e.vec_id AS id,
+             |    CAST(list_aggregate(list_transform(e.s,
+             |      (x, i) -> bit_count(xor(x, q.qs[i]))), 'sum')
+             |      AS BIGINT) AS hamming
+             |  FROM sig e JOIN q ON e.vec_id <> q.qid),
+             |r AS (SELECT qid, id, hamming,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY hamming, id) AS rn
+             |  FROM h)
+             |SELECT qid, id, hamming FROM r WHERE rn <= 10"""
+        .stripMargin)),
+
     Q("q_pq_topk", // product-quantization ANN (Jégou et al. 2011): the
       // 32x-compression rung below int8's 4x — 8-byte codes, ADC
       // table-lookup scoring, no per-row float math. Same planted-copy

@@ -975,6 +975,175 @@ object Similarity {
           / col("n_vecs").cast("double"), 6).as("tombstone_frac"))
   }
 
+  // ------------------------------------------------ matryoshka retrieval
+
+  /** Prefix-dimension batch cosine top-k — Matryoshka retrieval
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022): embeddings trained with the MRL objective carry most of
+    * their signal in a prefix of the dimensions, so ranking on the
+    * first `dims` components reads `dims/d` of the vector bytes per
+    * pair (the cheap first stage of adaptive/funnel retrieval; on
+    * non-MRL embeddings it is still the standard dimension-truncation
+    * baseline). Cosine is scale-invariant, so no re-normalization is
+    * needed after the slice. Exactly [[cosineTopKBatch]] on the
+    * sliced columns — with `dims >= d` it IS the full-dimension
+    * ranking (spec-pinned). */
+  def matryoshkaTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, k: Int,
+                          dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    cosineTopKBatch(
+      df.withColumn("__mrl", slice(col(vecCol), 1, dims)),
+      idCol, "__mrl",
+      queries.withColumn("__mrlq", slice(col(queryVecCol), 1, dims)),
+      queryIdCol, "__mrlq", k)
+  }
+
+  /** The Matryoshka funnel: prefix-dimension candidate pools re-ranked
+    * by FULL-dimension exact cosine — [[pqTopKRerankedBatch]]'s
+    * two-stage shape with the sliced scan as the cheap stage. With
+    * `pool >= corpus` the result IS [[cosineTopKBatch]] (degenerate
+    * oracle-able case, spec-pinned). */
+  def matryoshkaRerankedBatch(df: DataFrame, idCol: String,
+                              vecCol: String, queries: DataFrame,
+                              queryIdCol: String, queryVecCol: String,
+                              k: Int, pool: Int, dims: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(pool >= k, s"pool ($pool) must cover k ($k)")
+    val cands = matryoshkaTopKBatch(df, idCol, vecCol, queries,
+        queryIdCol, queryVecCol, pool, dims)
+      .select(col(queryIdCol).as("__qid"), col("id"))
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qv")))
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cands), Seq("id"))
+      .join(q, Seq("__qid"))
+      .select(col("__qid"), col("id"),
+        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
+  // --------------------------------------------------- binary quantization
+
+  /** 1-bit binary signature of a float-array column: the sign bits of
+    * the components, packed 32 per word into `array<bigint>` — the
+    * 32x-at-rest rung of the quantization ladder (below int8's 4x,
+    * beside PQ's 32x but with integer-only scoring and NO trained
+    * model: the signature is a pure function of the vector, so —
+    * unlike ADC scores — the whole tier is expressible in portable
+    * SQL and every ranking gates against a FULL differential oracle).
+    * Bit `b` of word `w` is set when component `32w + b` is > 0;
+    * 32-bit words ride in signed longs so every value stays
+    * non-negative (no sign-bit overflow in either engine's packing
+    * arithmetic). Built-ins only (sequence/aggregate folds + a
+    * power-of-two lookup literal) — stays in whole-stage codegen. */
+  def binarySignature(vecCol: Column): Column = {
+    val pows = typedlit((0 until 32).map(b => 1L << b))
+    transform(
+      sequence(lit(0), ((size(vecCol) + 31) / 32).cast("int") - 1),
+      w => aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+        val idx = w * 32 + b
+        acc + when(idx < size(vecCol) &&
+            element_at(vecCol, idx + 1) > 0,
+          element_at(pows, b + 1)).otherwise(lit(0L))
+      }))
+  }
+
+  /** Hamming distance between two packed signatures (`sum` of
+    * `bit_count(xor)` per word) — the integer-only scorer of the
+    * binary tier. For random unit vectors the expected Hamming
+    * distance tracks the angle (Charikar 2002's SRP argument applied
+    * to the coordinate basis), so ascending Hamming is the
+    * approximate cosine-descending ranking. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Binary-signature top-k for one query: the corpus scan reads
+    * 32x fewer at-rest bytes and scores with XOR+popcount only.
+    * Ranked (hamming asc, id) — deterministic and, because the
+    * signature math is engine-portable, FULLY differential-oracle-able
+    * (unlike the PQ tier's model-dependent scores). An identical
+    * vector has Hamming 0, so planted copies rank first. */
+  def bqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(
+      df.filter(col(idCol) === queryId)
+        .select(binarySignature(col(vecCol)).as("__qsig")))
+    // sign the corpus BEFORE the join: one packing fold per row, not
+    // one per (row, query) pair (production materializes (id, sig)
+    // once at ingest, like writePqCorpus)
+    df.filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("id"),
+        binarySignature(col(vecCol)).as("__sig"))
+      .join(q)
+      .select(col("id"),
+        hammingDistance(col("__sig"), col("__qsig")).as("hamming"))
+      .orderBy(col("hamming").asc, col("id"))
+      .limit(k)
+  }
+
+  /** [[bqTopK]] for a query TABLE in ONE job ([[cosineTopKBatch]]'s
+    * shape with the integer scorer): broadcast query signatures, one
+    * pass over the corpus, per-query WindowGroupLimit. Self-match
+    * excluded per query. */
+  def bqTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, queryIdCol: String,
+                  queryVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      binarySignature(col(queryVecCol)).as("__qsig")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("hamming").asc, col("id"))
+    // sign the corpus BEFORE the broadcast join — one packing fold
+    // per row, not one per (row, query) pair
+    df.select(col(idCol).as("id"),
+        binarySignature(col(vecCol)).as("__sig"))
+      .join(q, col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        hammingDistance(col("__sig"), col("__qsig")).as("hamming"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("hamming"))
+  }
+
+  /** The binary tier's production recipe — [[pqTopKRerankedBatch]]'s
+    * two-stage shape with Hamming candidate generation: per-query
+    * `pool` lowest-Hamming candidates over the packed signatures,
+    * exact cosine re-rank of only the pooled rows. With
+    * `pool >= corpus` the result IS [[cosineTopKBatch]] (every row
+    * survives candidate generation — the oracle-able degenerate
+    * case); batch == per-query-composition is spec-pinned. */
+  def bqTopKRerankedBatch(df: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, k: Int,
+                          pool: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(pool >= k, s"pool ($pool) must cover k ($k)")
+    val cands = bqTopKBatch(df, idCol, vecCol, queries, queryIdCol,
+        queryVecCol, pool)
+      .select(col(queryIdCol).as("__qid"), col("id"))
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qv")))
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cands), Seq("id"))
+      .join(q, Seq("__qid"))
+      .select(col("__qid"), col("id"),
+        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
   // ------------------------------------------------------- int8 quantization
 
   /** Adds symmetric per-vector int8 quantization columns for `vecCol`:

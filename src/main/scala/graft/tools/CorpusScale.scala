@@ -312,6 +312,20 @@ object CorpusScale {
     println(f"ivfpq_build_s=$tIvfPqBuild%.2f " +
       f"ivfpq_batch_probe_s=$tIvfPqProbe%.2f queries=128 " +
       f"rows=$nIvfPqRows%d q_per_s=${128 / tIvfPqProbe}%.1f")
+    // binary tier (r16): XOR+popcount batch scan over 32x-smaller
+    // signatures, and the Hamming-pool -> exact-rerank funnel
+    val (nBqRows, tBq) = time {
+      graft.operators.Similarity.bqTopKBatch(embs, "vec_id",
+        "embedding", qVecs, "qid", "qv", k = 100).count()
+    }
+    println(f"bq_batch_s=$tBq%.2f queries=128 rows=$nBqRows%d " +
+      f"q_per_s=${128 / tBq}%.1f Mham_per_s=${nVecs * 128 / 1e6 / tBq}%.1f")
+    val (nBqRr, tBqRr) = time {
+      graft.operators.Similarity.bqTopKRerankedBatch(embs, "vec_id",
+        "embedding", qVecs, "qid", "qv", k = 100, pool = 1000).count()
+    }
+    println(f"bq_rerank_s=$tBqRr%.2f queries=128 rows=$nBqRr%d " +
+      f"q_per_s=${128 / tBqRr}%.1f")
 
     val (nFused, tFuse) = time {
       val sem = graft.operators.Similarity.cosineTopKBatch(embs,

@@ -1496,4 +1496,92 @@ class DedupSimilaritySpec extends SparkSpec {
     // no .retrain staging litter on any versioned path
     assert(!new java.io.File(dir + ".retrain").exists())
   }
+
+  test("binary quantization: batch == per-query; rerank degenerate " +
+      "law; planted copies at Hamming 0") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" < 4)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val queries = planted.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.bqTopKBatch(planted, "vec_id", "embedding",
+        queries, "qid", "qv", k = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (r._2, r._1)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val perq = Similarity.bqTopK(planted, "vec_id", "embedding",
+          qid, k = 8)
+        .as[(Long, Long)].collect().toSeq
+      assert(batch(qid) == perq, s"query $qid diverges")
+      // the planted exact copy is Hamming 0 and ranks first
+      assert(perq.head == (qid + 1000000L, 0L), perq.head.toString)
+    }
+    // rerank degenerate law: pool >= corpus == the exact batch cosine
+    val n = planted.count().toInt
+    val rr = Similarity.bqTopKRerankedBatch(planted, "vec_id",
+        "embedding", queries, "qid", "qv", k = 6, pool = n)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineTopKBatch(planted, "vec_id",
+        "embedding", queries, "qid", "qv", k = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rr == exact, "pool>=corpus rerank != exact batch cosine")
+    // a real pool still surfaces the exact copy at cos 1.0 rank-1
+    val small = Similarity.bqTopKRerankedBatch(planted, "vec_id",
+        "embedding", queries, "qid", "qv", k = 3, pool = 25)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).head).toMap
+    (0L until 4L).foreach { qid =>
+      assert(small(qid) == (qid + 1000000L, 1.0d), small(qid).toString)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bqTopKBatch(planted, "vec_id", "embedding", queries,
+        "qid", "qv", k = 0)
+    }
+  }
+
+  test("matryoshka retrieval: dims >= d == full ranking; funnel " +
+      "degenerate law; planted copy survives the funnel") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" < 2)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val queries = planted.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    // dims >= d degenerates to the full-dimension batch ranking
+    val full = rows(Similarity.cosineTopKBatch(planted, "vec_id",
+      "embedding", queries, "qid", "qv", k = 6))
+    assert(rows(Similarity.matryoshkaTopKBatch(planted, "vec_id",
+      "embedding", queries, "qid", "qv", k = 6, dims = 4096)) == full)
+    // funnel degenerate law: pool >= corpus == exact batch cosine
+    val n = planted.count().toInt
+    assert(rows(Similarity.matryoshkaRerankedBatch(planted, "vec_id",
+      "embedding", queries, "qid", "qv", k = 6, pool = n,
+      dims = 16)) == full)
+    // a real funnel (16 of 64 dims, pool 25) still surfaces the
+    // planted copy at cos 1.0 rank-1: identical vectors have
+    // identical prefixes, so the copy survives candidate generation
+    val funnel = Similarity.matryoshkaRerankedBatch(planted, "vec_id",
+        "embedding", queries, "qid", "qv", k = 3, pool = 25, dims = 16)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).head).toMap
+    (0L until 2L).foreach { qid =>
+      assert(funnel(qid) == (qid + 1000000L, 1.0d),
+        funnel(qid).toString)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopKBatch(planted, "vec_id", "embedding",
+        queries, "qid", "qv", k = 6, dims = 0)
+    }
+  }
 }
