@@ -4167,6 +4167,70 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_embedding_report", // one-call embedding data card (the
+      // q_corpus_report twin on the vector side): fixed metric set —
+      // null/nonfinite/zero-vector counts, dim spread, norm stats
+      // (rounded-6 norms before the order statistics, so both engines
+      // interpolate over identical values), exact-dup fraction. The
+      // corpus leg plants one NULL vector and two copies of vector 0
+      // so every counter has a non-trivial value.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") < 2)
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              lit(null).cast("array<float>").as("embedding")))
+          .unionByName(emb.filter(col("vec_id") === 0)
+            .select((col("vec_id") + 2000000).as("vec_id"),
+              col("embedding")))
+        Similarity.embeddingReport(corpus, "vec_id", "embedding")
+      },
+      Some("""WITH emb AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, NULL FROM embeddings
+             |  WHERE vec_id < 2
+             |  UNION ALL
+             |  SELECT vec_id + 2000000, embedding FROM embeddings
+             |  WHERE vec_id = 0),
+             |b AS (SELECT vec_id, embedding,
+             |    embedding IS NULL AS is_null,
+             |    CASE WHEN embedding IS NOT NULL
+             |      THEN len(embedding) END AS dim,
+             |    CASE WHEN embedding IS NULL THEN false
+             |      ELSE len(list_filter(embedding,
+             |        x -> isnan(x) OR isinf(x))) > 0 END AS nonfinite,
+             |    CASE WHEN embedding IS NOT NULL THEN
+             |      round(sqrt(list_aggregate(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |        'sum')), 6) END AS nrm
+             |  FROM emb)
+             |SELECT 'n_vecs' AS metric, CAST(count(*) AS DOUBLE) AS value
+             |  FROM b
+             |UNION ALL SELECT 'n_null', CAST(sum(CASE WHEN is_null
+             |  THEN 1 ELSE 0 END) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'n_nonfinite', CAST(sum(CASE WHEN
+             |  nonfinite THEN 1 ELSE 0 END) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'dim_min',
+             |  coalesce(CAST(min(dim) AS DOUBLE), CAST(0 AS DOUBLE)) FROM b
+             |UNION ALL SELECT 'dim_max',
+             |  coalesce(CAST(max(dim) AS DOUBLE), CAST(0 AS DOUBLE)) FROM b
+             |UNION ALL SELECT 'n_zero', CAST(sum(CASE WHEN nrm = 0
+             |  THEN 1 ELSE 0 END) AS DOUBLE) FROM b
+             |UNION ALL SELECT 'norm_avg',
+             |  coalesce(round(avg(nrm), 4), CAST(0 AS DOUBLE)) FROM b
+             |UNION ALL SELECT 'norm_p50',
+             |  coalesce(round(percentile_cont(0.5) WITHIN GROUP (
+             |    ORDER BY nrm), 4), CAST(0 AS DOUBLE)) FROM b
+             |UNION ALL SELECT 'norm_p90',
+             |  coalesce(round(percentile_cont(0.9) WITHIN GROUP (
+             |    ORDER BY nrm), 4), CAST(0 AS DOUBLE)) FROM b
+             |UNION ALL SELECT 'exact_dup_frac',
+             |  coalesce(round(CAST(1.0 AS DOUBLE)
+             |    - count(DISTINCT embedding)
+             |      / CAST(count(*) AS DOUBLE), 6), CAST(0 AS DOUBLE))
+             |  FROM b WHERE NOT is_null""".stripMargin)),
+
     Q("q_mrl_batch", // Matryoshka retrieval (Kusupati et al. 2022):
       // batch cosine ranking on the FIRST 16 of 64 dimensions — the
       // cheap stage of funnel retrieval (quarter the vector bytes per
@@ -4272,7 +4336,8 @@ object QueryCatalog {
              |                       ORDER BY hamming, id) AS rn
              |  FROM h)
              |SELECT qid, id, hamming FROM r WHERE rn <= 10"""
-        .stripMargin)),
+        .stripMargin),
+      headline = true),
 
     Q("q_pq_topk", // product-quantization ANN (Jégou et al. 2011): the
       // 32x-compression rung below int8's 4x — 8-byte codes, ADC
@@ -7401,7 +7466,8 @@ object QueryCatalog {
              |  (1, 1000001, 20, true),
              |  (2, 1000002, 20, true),
              |  (3, 1000003, 20, true)) AS v(c0, c1, c2, c3)"""
-        .stripMargin)),
+        .stripMargin),
+      headline = true),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark

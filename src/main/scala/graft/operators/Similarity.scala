@@ -975,6 +975,65 @@ object Similarity {
           / col("n_vecs").cast("double"), 6).as("tombstone_frac"))
   }
 
+  // ----------------------------------------------- embedding data card
+
+  /** One-call embedding-table data card — the
+    * [[graft.operators.CorpusOps.corpusReport]] twin for the vector
+    * side: long-format (`metric`, `value`) rows with a FIXED metric
+    * set (never data-dependent), covering the failure modes an
+    * embedding ingest actually hits: `n_vecs` / `n_null` (missing
+    * vectors), `n_nonfinite` (NaN/Inf components — a poisoned model
+    * batch), `dim_min` / `dim_max` (mixed-dimension ingest; equal
+    * when healthy), `n_zero` (zero vectors — cosine degenerates),
+    * `norm_avg` / `norm_p50` / `norm_p90` (normalization drift: a
+    * unit-normalized corpus sits at 1.0), and `exact_dup_frac`
+    * (re-embedded duplicates). One aggregation pass plus the
+    * distinct-count leg; norms are rounded to 6 before the
+    * order-statistics so the card is engine-portable. */
+  def embeddingReport(df: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val base = df.select(
+      v.isNull.as("__isnull"),
+      when(v.isNotNull, size(v)).as("__dim"),
+      coalesce(exists(v, x => isnan(x.cast("double")) ||
+          abs(x.cast("double")) === lit(Double.PositiveInfinity)),
+        lit(false)).as("__nonfinite"),
+      when(v.isNotNull, round(norm(v), 6)).as("__nrm"),
+      v.as("__vec"))
+    val agg = base.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("__isnull"), 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("__nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+      coalesce(min(col("__dim")).cast("double"), lit(0.0d))
+        .as("dim_min"),
+      coalesce(max(col("__dim")).cast("double"), lit(0.0d))
+        .as("dim_max"),
+      sum(when(col("__nrm") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+      coalesce(round(avg(col("__nrm")), 4), lit(0.0d)).as("norm_avg"),
+      coalesce(round(expr("percentile(__nrm, 0.5)"), 4), lit(0.0d))
+        .as("norm_p50"),
+      coalesce(round(expr("percentile(__nrm, 0.9)"), 4), lit(0.0d))
+        .as("norm_p90"))
+    val dups = base.filter(!col("__isnull"))
+      .agg((lit(1.0d) - try_divide(
+        countDistinct(col("__vec")).cast("double"),
+        count(lit(1)).cast("double"))).as("__f"))
+      .select(coalesce(round(col("__f"), 6), lit(0.0d)).as("value"))
+    agg.selectExpr("stack(9, " +
+        "'n_vecs', CAST(n_vecs AS DOUBLE), " +
+        "'n_null', CAST(n_null AS DOUBLE), " +
+        "'n_nonfinite', CAST(n_nonfinite AS DOUBLE), " +
+        "'dim_min', dim_min, " +
+        "'dim_max', dim_max, " +
+        "'n_zero', CAST(n_zero AS DOUBLE), " +
+        "'norm_avg', norm_avg, " +
+        "'norm_p50', norm_p50, " +
+        "'norm_p90', norm_p90) AS (metric, value)")
+      .unionByName(dups
+        .select(lit("exact_dup_frac").as("metric"), col("value")))
+  }
+
   // ------------------------------------------------ matryoshka retrieval
 
   /** Prefix-dimension batch cosine top-k — Matryoshka retrieval

@@ -1584,4 +1584,38 @@ class DedupSimilaritySpec extends SparkSpec {
         queries, "qid", "qv", k = 6, dims = 0)
     }
   }
+
+  test("embeddingReport: fixed metric set, planted pathologies " +
+      "counted, empty corpus safe") {
+    val healthy = Seq(
+      (1L, Array(3f, 4f)),               // norm 5
+      (2L, Array(0f, 0f)),               // zero vector
+      (3L, Array(Float.NaN, 1f)),        // nonfinite
+      (4L, Array(3f, 4f)))               // exact dup of 1
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(5L).toDF("vec_id")
+        .select($"vec_id", lit(null).cast("array<float>").as("embedding")))
+    val m = Similarity.embeddingReport(healthy, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(m("n_vecs") == 5.0 && m("n_null") == 1.0, m.toString)
+    assert(m("n_nonfinite") == 1.0 && m("n_zero") == 1.0, m.toString)
+    assert(m("dim_min") == 2.0 && m("dim_max") == 2.0)
+    assert(m("norm_p50") == 5.0, m.toString) // norms: 0, 5, 5, NaN
+    // dups: 4 non-null vectors, 3 distinct... NaN-array counts as a
+    // value; copies of (3,4) collapse -> 1 - 3/4
+    assert(m("exact_dup_frac") == 0.25, m.toString)
+    // the metric SET is fixed
+    assert(m.keySet == Set("n_vecs", "n_null", "n_nonfinite",
+      "dim_min", "dim_max", "n_zero", "norm_avg", "norm_p50",
+      "norm_p90", "exact_dup_frac"))
+    // empty corpus: same schema, zero/neutral values, nothing throws
+    val e = Similarity.embeddingReport(
+        healthy.filter($"vec_id" > 100), "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(e.keySet == m.keySet)
+    assert(e("n_vecs") == 0.0 && e("dim_min") == 0.0 &&
+      e("exact_dup_frac") == 0.0, e.toString)
+  }
 }
