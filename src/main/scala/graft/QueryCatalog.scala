@@ -4336,8 +4336,7 @@ object QueryCatalog {
              |                       ORDER BY hamming, id) AS rn
              |  FROM h)
              |SELECT qid, id, hamming FROM r WHERE rn <= 10"""
-        .stripMargin),
-      headline = true),
+        .stripMargin)),
 
     Q("q_pq_topk", // product-quantization ANN (Jégou et al. 2011): the
       // 32x-compression rung below int8's 4x — 8-byte codes, ADC
@@ -7466,8 +7465,7 @@ object QueryCatalog {
              |  (1, 1000001, 20, true),
              |  (2, 1000002, 20, true),
              |  (3, 1000003, 20, true)) AS v(c0, c1, c2, c3)"""
-        .stripMargin),
-      headline = true),
+        .stripMargin)),
   )
 
   /** Oracle for q_lang_id, generated from the same profile table the Spark
