@@ -1543,6 +1543,13 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.bqTopKBatch(planted, "vec_id", "embedding", queries,
         "qid", "qv", k = 0)
     }
+    // plan shape: query signatures ride a broadcast and the per-query
+    // cap compiles to WindowGroupLimit (per-partition k-heaps)
+    val plan = Similarity.bqTopKBatch(planted, "vec_id", "embedding",
+        queries, "qid", "qv", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(600))
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
 
   test("matryoshka retrieval: dims >= d == full ranking; funnel " +
