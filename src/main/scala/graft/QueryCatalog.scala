@@ -4133,6 +4133,37 @@ object QueryCatalog {
              |  CAST(1.0 AS DOUBLE) AS top1_cos,
              |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
 
+    Q("q_int8_batch", // the int8 tier's batch probe (queries 0..3 in
+      // ONE job — the cosineTopKBatch shape over quantized columns,
+      // closing the last single-query-only face of the quantization
+      // ladder): per query the planted +1M copy quantizes identically
+      // and ranks first at q_cos exactly 1.0 with all 20
+      // post-exclusion slots filled. Batch == per-query is spec-pinned
+      // in DedupSimilaritySpec.
+      (s, d) => {
+        val planted = plantedEmbeddings(s, d)
+        Similarity.int8TopKBatch(planted, "vec_id", "embedding",
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("q_cos"), -col("id")))
+              .as("top1_id"),
+            max(col("q_cos")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  CAST(v.c3 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0, 20),
+             |  (1, 1000001, 1.0, 20),
+             |  (2, 1000002, 1.0, 20),
+             |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
     Q("q_int8_bench", // headline: the at-rest-quantized ANN scan. The
       // quantized corpus is materialized ONCE per (process, sf) — the
       // deployment shape: quantize at ingest, then every scan reads

@@ -1256,6 +1256,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[int8TopK]] for a query TABLE in ONE job — the
+    * [[cosineTopKBatch]] shape over the quantized columns: the corpus
+    * quantizes once per row before the broadcast join (the
+    * [[bqTopKBatch]] staging rule), each pair scores the quantized
+    * cosine, per-query WindowGroupLimit. Per query identical to
+    * [[int8TopK]] (law pinned in DedupSimilaritySpec — the same
+    * quantization and scoring expressions on the same inputs). */
+  def int8TopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(withInt8Quantized(
+        queries.select(col(queryIdCol).as("__qid"),
+          col(queryVecCol).as("__qv")), "__qv")
+      .select(col("__qid"), col("q_vec").as("__qvec")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("q_cos").desc, col("id"))
+    withInt8Quantized(df, vecCol)
+      .select(col(idCol).as("id"), col("q_vec"))
+      .join(q, col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        round(quantizedCosine(col("q_vec"), col("__qvec")), 6)
+          .as("q_cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("q_cos"))
+  }
+
   /** Materialize the int8-quantized corpus: `(id, q_vec)` parquet —
     * quantization AT REST, the deployment shape of [[withInt8Quantized]]
     * (quantize once at ingest; every ANN scan after that reads quarter

@@ -1625,4 +1625,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e("n_vecs") == 0.0 && e("dim_min") == 0.0 &&
       e("exact_dup_frac") == 0.0, e.toString)
   }
+
+  test("int8TopKBatch == per-query int8TopK") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" < 3)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val queries = planted.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.int8TopKBatch(planted, "vec_id",
+        "embedding", queries, "qid", "qv", k = 8)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1)).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val perq = Similarity.int8TopK(planted, "vec_id", "embedding",
+          qid, k = 8)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == perq, s"query $qid diverges")
+      assert(perq.head == (qid + 1000000L, 1.0d), perq.head.toString)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.int8TopKBatch(planted, "vec_id", "embedding",
+        queries, "qid", "qv", k = 0)
+    }
+  }
 }
