@@ -343,6 +343,128 @@ object QueryCatalog {
        |       JOIN sz sb ON sb.doc_id = id_b
        |       WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5)""".stripMargin
 
+  /** Shared oracle of q_bm25_filtered and q_bm25_indexed_filtered —
+    * per query the direct and indexed filtered operators are
+    * IDENTICAL (the bm25TopKIndexed equivalence law with the filter
+    * threaded through), so one SQL gates both: the q_bm25_batch CTE
+    * chain over the union corpus (12 planted 'zz' copies of docs
+    * 10..21), df/N/avgdl from the FULL corpus (filter-context
+    * semantics), candidates restricted to 'zz' before ranking. */
+  private val bm25FilteredOracleSql =
+    """WITH qraw AS (SELECT * FROM (VALUES
+      |    (CAST(0 AS BIGINT), 'hash join window scan'),
+      |    (CAST(1 AS BIGINT), 'sort merge batch'),
+      |    (CAST(2 AS BIGINT), 'dup stream'),
+      |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+      |  AS v(query_id, query_text)),
+      |q AS (SELECT DISTINCT query_id, tok FROM (
+      |  SELECT query_id,
+      |    unnest(string_split_regex(trim(query_text), '\s+')) AS tok
+      |  FROM qraw)),
+      |d0 AS (SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, 'zz' FROM documents
+      |  WHERE doc_id BETWEEN 10 AND 21),
+      |d AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM d0
+      |  WHERE text IS NOT NULL AND trim(text) <> ''),
+      |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    avg(dl) AS avgdl FROM lens),
+      |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+      |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |allowed AS (SELECT doc_id FROM d WHERE lang = 'zz'),
+      |contrib AS (SELECT tf.doc_id, tf.tok,
+      |    ln((stats.n - df.df + CAST(0.5 AS DOUBLE))
+      |          / (df.df + CAST(0.5 AS DOUBLE))
+      |          + CAST(1.0 AS DOUBLE))
+      |      * tf.tf
+      |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |      / (tf.tf + CAST(1.2 AS DOUBLE)
+      |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |            + CAST(0.75 AS DOUBLE) * lens.dl
+      |              / stats.avgdl)) AS c
+      |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+      |  CROSS JOIN stats),
+      |sc AS (SELECT q.query_id, contrib.doc_id,
+      |    round(sum(contrib.c), 4) + 0 AS bm25,
+      |    CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM contrib JOIN q ON q.tok = contrib.tok
+      |  JOIN allowed ON allowed.doc_id = contrib.doc_id
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, bm25, n_terms,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY bm25 DESC, doc_id) AS rn
+      |  FROM sc)
+      |SELECT query_id, doc_id, bm25, n_terms
+      |FROM rk WHERE rn <= 10""".stripMargin
+
+  /** Shared oracle of the two-stage rerank funnels gated in the
+    * degenerate pool >= corpus case (q_pq_rerank_batch,
+    * q_bq_rerank_batch, q_mrl_rerank_batch): every corpus row
+    * survives candidate generation, so each funnel's result IS the
+    * exact batch cosine ranking of queries 0..3 — one SQL gates all
+    * three recipes' plumbing (self-exclusion, per-query ranking,
+    * rounding); their real-pool behavior is spec-pinned. */
+  private val exactRerankOracleSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 4),
+      |s AS (SELECT q.qid, e.vec_id AS id,
+      |  round(list_aggregate(list_transform(e.embedding,
+      |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+      |    'sum')
+      |  / (sqrt(list_aggregate(list_transform(e.embedding,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |   * sqrt(list_aggregate(list_transform(q.qv,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+      |    6) + 0 AS cos_sim
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+      |r AS (SELECT qid, id, cos_sim,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY cos_sim DESC, id) AS rn
+      |  FROM s)
+      |SELECT qid, id, cos_sim FROM r WHERE rn <= 10""".stripMargin
+
+  /** Shared oracle of the binary-quantization batch probes
+    * (q_bq_batch / q_bq_indexed / q_bq_stream_exec / q_bq_compact):
+    * signatures are a pure function of the vectors — no trained
+    * model — so direct, indexed, streamed and compacted probes all
+    * rank identically and ONE differential SQL gates them all.
+    * `corpusPred` narrows the CORPUS side only (the q_bq_compact
+    * deletion case; queries keep their vectors — they come from the
+    * query table, not the index). */
+  private def bqBatchOracleSql(corpusPred: String = "TRUE"): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings
+       |  WHERE vec_id < 10),
+       |sig AS (SELECT vec_id,
+       |  list_transform(range((len(embedding)+31)//32), w ->
+       |    CAST(list_aggregate(list_transform(range(32), b ->
+       |      CASE WHEN w*32+b+1 <= len(embedding)
+       |             AND embedding[w*32+b+1] > 0
+       |        THEN 1::BIGINT << b ELSE 0::BIGINT END), 'sum')
+       |      AS BIGINT)) AS s
+       |  FROM emb),
+       |q AS (SELECT vec_id AS qid, s AS qs FROM sig
+       |  WHERE vec_id < 4),
+       |h AS (SELECT q.qid, e.vec_id AS id,
+       |    CAST(list_aggregate(list_transform(e.s,
+       |      (x, i) -> bit_count(xor(x, q.qs[i]))), 'sum')
+       |      AS BIGINT) AS hamming
+       |  FROM (SELECT * FROM sig WHERE $corpusPred) e
+       |  JOIN q ON e.vec_id <> q.qid),
+       |r AS (SELECT qid, id, hamming,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY hamming, id) AS rn
+       |  FROM h)
+       |SELECT qid, id, hamming FROM r WHERE rn <= 10""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -2728,6 +2850,205 @@ object QueryCatalog {
              |  FROM f)
              |WHERE rn <= 10""".stripMargin)),
 
+    Q("q_bm25_filtered", // FILTERED lexical retrieval (r16 verdict
+      // #1): the metadata predicate restricts WHICH docs compete
+      // BEFORE the per-query top-k, with FULL-corpus statistics (the
+      // Lucene filter-context semantics — df/N/avgdl from the whole
+      // collection, so a doc's score equals its unfiltered score).
+      // Planted data (the q_ivf_filtered design on the lexical tier):
+      // 12 copies of docs 10..21 — all matching query vocabulary —
+      // carry the otherwise-nonexistent lang 'zz'; k=10 with only ~a
+      // handful of zz docs per query's terms means post-filtering an
+      // unfiltered top-10 would surface almost nothing (spec-pinned
+      // failure mode). FULL differential oracle: the q_bm25_batch CTE
+      // chain over the union corpus, candidates restricted to 'zz'
+      // after df/stats.
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id").between(10, 21))
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit("zz").as("lang")))
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        CorpusOps.bm25TopKBatchFiltered(corpus, "doc_id", "text",
+          qs, "query_id", "query_text", k = 10, col("lang") === "zz")
+      },
+      Some(bm25FilteredOracleSql)),
+
+    Q("q_bm25_indexed_filtered", // the INDEXED face of
+      // q_bm25_filtered: metadata rides the posting rows
+      // (buildBm25Index extraCols), the predicate runs on the pruned
+      // posting slice before scoring, df/stats stay as built — per
+      // query IDENTICAL to the direct filtered operator, so the
+      // oracle is q_bm25_filtered's VERBATIM. What changes is the
+      // scan: partition-pruned posting leaves instead of a corpus
+      // tokenize+explode.
+      (s, d) => {
+        import s.implicits._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25f_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id").between(10, 21))
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit("zz").as("lang")))
+        CorpusOps.buildBm25Index(corpus, "doc_id", "text", dir,
+          extraCols = Seq("lang"))
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        CorpusOps.bm25TopKIndexedFiltered(s, dir, qs, "query_id",
+            "query_text", k = 10, col("lang") === "zz")
+          .select(col("query_id"), col("id").as("doc_id"), col("bm25"),
+            col("n_terms"))
+      },
+      Some(bm25FilteredOracleSql)),
+
+    Q("q_search_filtered", // FILTERED hybrid retrieval — "hybrid
+      // search WHERE label = X" with BOTH legs filtered pre-top-k
+      // (r16 verdict #1): the lexical leg restricts candidates inside
+      // the BM25 scoring pass (full-corpus stats), the semantic leg
+      // is a pre-filtered exact cosine ranking (the brute baseline of
+      // the filtered ANN probes), and the planted ids coincide
+      // (+1000000 on both tables) so fused rows hit n_signals=2. The
+      // oracle chains the filtered CTE variants of q_search_batch's
+      // two legs through the same per-query RRF.
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id").between(10, 21))
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit("zz").as("lang")))
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        val emb = t(s, d, "embeddings")
+        val plantedEmb = emb.filter(col("vec_id").between(10, 21))
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"), lit(99).as("label"))
+        // the semantic leg arrives ALREADY filtered (its filter runs
+        // inside the probe that owns the metadata — at scale,
+        // ivfCentroidTopKBatchFiltered; here the exact brute twin)
+        val sem = Similarity.cosineTopKBatch(
+          plantedEmb.filter(col("label") === 99), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 50)
+        CorpusOps.searchPipelineBatchFiltered(corpus, "doc_id", "text",
+          qs, "query_id", "query_text", col("lang") === "zz",
+          sem, "qid", "id", "cos_sim", k = 10, candidates = 50)
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+'))
+             |      AS tok
+             |  FROM qraw)),
+             |d0 AS (SELECT doc_id, text, lang FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, 'zz' FROM documents
+             |  WHERE doc_id BETWEEN 10 AND 21),
+             |d AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM d0
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |allowed AS (SELECT doc_id FROM d WHERE lang = 'zz'),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - dfr.df + CAST(0.5 AS DOUBLE))
+             |          / (dfr.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN dfr USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  JOIN allowed ON allowed.doc_id = contrib.doc_id
+             |  GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, bm25 FROM (
+             |    SELECT query_id, doc_id, bm25,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY bm25 DESC, doc_id) AS rn
+             |    FROM sc)
+             |  WHERE rn <= 50),
+             |qv AS (SELECT vec_id AS qid, embedding AS vq
+             |  FROM embeddings WHERE vec_id < 4),
+             |pe AS (SELECT CAST(vec_id + 1000000 AS BIGINT) AS id,
+             |    embedding
+             |  FROM embeddings WHERE vec_id BETWEEN 10 AND 21),
+             |semsc AS (SELECT qv.qid, e.id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(qv.vq[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(qv.vq,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS s
+             |  FROM pe e JOIN qv ON e.id <> qv.qid),
+             |sem AS (SELECT qid AS query_id, id AS doc_id, s FROM (
+             |    SELECT qid, id, s,
+             |      row_number() OVER (PARTITION BY qid
+             |                         ORDER BY s DESC, id) AS rn
+             |    FROM semsc)
+             |  WHERE rn <= 50),
+             |r1 AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS r
+             |  FROM lex),
+             |r2 AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY s DESC, doc_id) AS r
+             |  FROM sem),
+             |u AS (SELECT query_id, doc_id, r FROM r1
+             |      UNION ALL SELECT query_id, doc_id, r FROM r2),
+             |f AS (SELECT query_id, doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_signals,
+             |    round(sum(CAST(1.0 AS DOUBLE)
+             |      / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
+             |  FROM u GROUP BY 1, 2)
+             |SELECT query_id, doc_id, n_signals, rrf_score,
+             |  CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT query_id, doc_id, n_signals, rrf_score,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY rrf_score DESC, doc_id)
+             |      AS rn
+             |  FROM f)
+             |WHERE rn <= 10""".stripMargin)),
+
     Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
       // trained model-based quality/domain filter (DCLM / fastText
       // recipe member). Closed-form training makes the MODEL itself
@@ -4342,31 +4663,187 @@ object QueryCatalog {
             .select(col("vec_id").as("qid"), col("embedding").as("qv")),
           "qid", "qv", k = 10)
       },
-      Some("""WITH emb AS (
-             |  SELECT vec_id, embedding FROM embeddings
-             |  UNION ALL
-             |  SELECT vec_id + 1000000, embedding FROM embeddings
-             |  WHERE vec_id < 10),
-             |sig AS (SELECT vec_id,
-             |  list_transform(range((len(embedding)+31)//32), w ->
-             |    CAST(list_aggregate(list_transform(range(32), b ->
-             |      CASE WHEN w*32+b+1 <= len(embedding)
-             |             AND embedding[w*32+b+1] > 0
-             |        THEN 1::BIGINT << b ELSE 0::BIGINT END), 'sum')
-             |      AS BIGINT)) AS s
-             |  FROM emb),
-             |q AS (SELECT vec_id AS qid, s AS qs FROM sig
-             |  WHERE vec_id < 4),
-             |h AS (SELECT q.qid, e.vec_id AS id,
-             |    CAST(list_aggregate(list_transform(e.s,
-             |      (x, i) -> bit_count(xor(x, q.qs[i]))), 'sum')
-             |      AS BIGINT) AS hamming
-             |  FROM sig e JOIN q ON e.vec_id <> q.qid),
-             |r AS (SELECT qid, id, hamming,
-             |    row_number() OVER (PARTITION BY qid
-             |                       ORDER BY hamming, id) AS rn
-             |  FROM h)
-             |SELECT qid, id, hamming FROM r WHERE rn <= 10"""
+      Some(bqBatchOracleSql())),
+
+    Q("q_bq_indexed", // the PERSISTED signature index (r16 verdict
+      // #2): signatures materialized ONCE at ingest (the native
+      // sign-pack), the q_bq_batch query table probed against them at
+      // rest — per query IDENTICAL to the direct batch operator
+      // (signatures are pure functions of the vectors), so the oracle
+      // is q_bq_batch's VERBATIM. What changes is the scan: the
+      // packing fold over the float corpus is gone, replaced by a
+      // 32x-compressed signature read — the at-rest IO win SCALE.md
+      // claims, now realizable.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bqi_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val planted = plantedEmbeddings(s, d)
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.buildBqIndex(planted, "vec_id", "embedding", dir)
+        Similarity.bqTopKIndexed(s, dir,
+          planted.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10)
+      },
+      Some(bqBatchOracleSql())),
+
+    Q("q_bq_compact", // signature-index lifecycle: tombstone every
+      // id % 3 == 0 (bqDelete — immediate exclusion), COMPACT (the
+      // one explicit rewrite — tombstones clear), probe. A compacted
+      // index must probe exactly like a fresh build over the
+      // survivors, so the oracle is q_bq_batch's with the deletion
+      // predicate applied to the corpus side (queries keep their
+      // vectors — they come from the query table, not the index).
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_bqc_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val dir = s"$root/idx"
+        val planted = plantedEmbeddings(s, d)
+        Similarity.buildBqIndex(planted, "vec_id", "embedding", dir)
+        Similarity.bqDelete(dir,
+          planted.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+          "vec_id")
+        Similarity.bqCompact(s, dir)
+        Similarity.bqTopKIndexed(s, dir,
+          planted.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10)
+      },
+      Some(bqBatchOracleSql(corpusPred = "vec_id % 3 <> 0"))),
+
+    Q("q_bq_stream_exec", // STREAMING EXECUTION gate on the signature
+      // index (r16 verdict #2): the planted corpus drains through the
+      // incremental engine into per-batch signature subtrees
+      // (bqAppendBatch — replay-idempotent overwrite; no model to
+      // init, the signature is a pure function), then the standard
+      // query batch probes the FRESH index at rest. One drain probes
+      // exactly like a one-shot build, so the oracle is q_bq_batch's
+      // VERBATIM; replay idempotence and the layout guards are
+      // spec-pinned in EventStreamsSpec.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-bq")
+        val planted = plantedEmbeddings(s, d)
+        planted.write.parquet(s"$dir/src")
+        graft.streaming.EventStreams.bqIndexAvailableNow(s,
+          s"$dir/src", "vec_id", col("embedding"), s"$dir/idx",
+          s"$dir/ckpt")
+        Similarity.bqTopKIndexed(s, s"$dir/idx",
+          planted.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10)
+      },
+      Some(bqBatchOracleSql())),
+
+    Q("q_int8_indexed", // the at-rest BATCH face of the int8 tier
+      // (r16 verdict #2's "(and int8)"): the 4x-quantized corpus is
+      // materialized once (writeInt8Corpus), the q_int8_batch query
+      // table probes it with NO quantization work in the query — per
+      // query identical to the direct batch operator (quantization is
+      // a pure per-vector function), so the oracle is q_int8_batch's
+      // VERBATIM.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_i8i_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/corpus"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val planted = plantedEmbeddings(s, d)
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.writeInt8Corpus(planted, "vec_id", "embedding", dir)
+        Similarity.int8TopKBatchPrequantized(s, dir,
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("q_cos"), -col("id")))
+              .as("top1_id"),
+            max(col("q_cos")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  CAST(v.c3 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0, 20),
+             |  (1, 1000001, 1.0, 20),
+             |  (2, 1000002, 1.0, 20),
+             |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
+    Q("q_bq_rerank_batch", // the binary tier's PRODUCTION recipe
+      // (r16 verdict #3): Hamming candidate pools over the packed
+      // signatures, exact cosine re-rank of only the pooled rows.
+      // Gated in the oracle-able degenerate case (pool >= corpus:
+      // every row survives candidate generation, so the result IS the
+      // exact batch cosine ranking — the q_pq_rerank_batch recipe
+      // verbatim); batch == per-query composition at REAL pools is
+      // spec-pinned in DedupSimilaritySpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bqTopKRerankedBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, pool = 1000000)
+      },
+      Some(exactRerankOracleSql)),
+
+    Q("q_mrl_rerank_batch", // the Matryoshka funnel (r16 verdict #3):
+      // prefix-dimension candidate pools (16 of 64 dims — quarter the
+      // bytes per scanned pair), exact full-dimension cosine re-rank
+      // of only the pooled rows. Same degenerate pool >= corpus gate:
+      // every row survives the cheap stage, so the result IS the
+      // exact batch cosine ranking; the real-pool funnel laws are
+      // spec-pinned in DedupSimilaritySpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.matryoshkaRerankedBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, pool = 1000000, dims = 16)
+      },
+      Some(exactRerankOracleSql)),
+
+    Q("q_ivfpq_batch_filtered", // FILTERED batch ANN on the COMPOSED
+      // index — q_ivfpq_filtered's planted design through the
+      // DataFrame-coordinated widening loop (r16 verdict #4): 12
+      // copies of vectors 10..21 carry the otherwise-nonexistent
+      // label 99, k=20 > 12 forces every query to widen to FULL
+      // coverage, so each query's matched ID SET is exactly the
+      // planted ids (ADC scores are model-specific — the set is the
+      // oracle-able surface, and post-filtering a top-20 would
+      // visibly shrink it). Batch == single law and the no-IN-list
+      // coordination are spec-pinned.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqbf_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        val corpus = emb
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(emb.filter(col("vec_id").between(10, 21))
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding"), lit(99).as("label")))
+        Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", dir,
+          nCells = 8, m = 8, nbits = 8, iters = 3,
+          extraCols = Seq("label"))
+        Similarity.ivfPqTopKBatchFiltered(s, dir,
+            emb.filter(col("vec_id") < 2)
+              .select(col("vec_id").as("qid"),
+                col("embedding").as("qv")),
+            "qid", "qv", k = 20, col("label") === 99, probes = 1)
+          .select(col("qid"), col("id"))
+      },
+      Some("""SELECT q.qid, CAST(e.vec_id + 1000000 AS BIGINT) AS id
+             |FROM (SELECT vec_id AS qid FROM embeddings
+             |      WHERE vec_id < 2) q
+             |CROSS JOIN (SELECT vec_id FROM embeddings
+             |            WHERE vec_id BETWEEN 10 AND 21) e"""
         .stripMargin)),
 
     Q("q_pq_topk", // product-quantization ANN (Jégou et al. 2011): the
@@ -7237,24 +7714,7 @@ object QueryCatalog {
               m = 8, nbits = 8, iters = 10)),
           k = 10, pool = 1000000)
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
-             |  FROM embeddings WHERE vec_id < 4),
-             |s AS (SELECT q.qid, e.vec_id AS id,
-             |  round(list_aggregate(list_transform(e.embedding,
-             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
-             |    'sum')
-             |  / (sqrt(list_aggregate(list_transform(e.embedding,
-             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-             |   * sqrt(list_aggregate(list_transform(q.qv,
-             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-             |    6) + 0 AS cos_sim
-             |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
-             |r AS (SELECT qid, id, cos_sim,
-             |    row_number() OVER (PARTITION BY qid
-             |                       ORDER BY cos_sim DESC, id) AS rn
-             |  FROM s)
-             |SELECT qid, id, cos_sim FROM r WHERE rn <= 10"""
-        .stripMargin)),
+      Some(exactRerankOracleSql)),
 
     Q("q_ivfpq_filtered", // FILTERED ANN on the COMPOSED index —
       // q_ivf_filtered's planted design through the ADC probe: 12

@@ -1852,6 +1852,47 @@ object CorpusOps {
       rrfK = rrfK)
   }
 
+  /** FILTERED batch hybrid retrieval — "hybrid-search WHERE label = X"
+    * in one call, with BOTH legs filtered PRE-top-k (r16 verdict #1):
+    * the lexical candidates come from [[bm25TopKBatchFiltered]] (the
+    * predicate restricts candidates inside the scoring pass, full-
+    * corpus statistics), and `semantic` must be an ALREADY-FILTERED
+    * batch ranking — [[graft.operators.Similarity
+    * .ivfCentroidTopKBatchFiltered]] at scale, or a predicate-
+    * filtered [[graft.operators.Similarity.cosineTopKBatch]] as the
+    * exact baseline (the semantic leg's filter runs inside ITS probe,
+    * where the index's metadata lives — this operator cannot reach
+    * into an arbitrary score relation to re-filter it, so passing an
+    * unfiltered ranking post-filters by fusion rank and LOSES recall;
+    * that contract is spec-pinned). Fusion and output contract are
+    * [[searchPipelineBatch]]'s. */
+  def searchPipelineBatchFiltered(docs: DataFrame, idCol: String,
+                                  textCol: String, queries: DataFrame,
+                                  queryIdCol: String,
+                                  queryTextCol: String,
+                                  predicate: Column,
+                                  semantic: DataFrame,
+                                  semanticQueryCol: String,
+                                  semanticIdCol: String,
+                                  semanticScoreCol: String, k: Int,
+                                  candidates: Int = 100,
+                                  rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    val lex = bm25TopKBatchFiltered(docs, idCol, textCol, queries,
+        queryIdCol, queryTextCol, candidates, predicate)
+      .select(col(queryIdCol), col(idCol), col("bm25"))
+    val sem = semantic.select(
+      col(semanticQueryCol).as(queryIdCol),
+      col(semanticIdCol).as(idCol),
+      col(semanticScoreCol).as("__sem"))
+    rrfTopKGrouped(Map(
+        "lexical" -> ((lex, "bm25")),
+        "semantic" -> ((sem, "__sem"))), queryIdCol, idCol, k = k,
+      rrfK = rrfK)
+  }
+
   /** Top-`k` terms per document by tf-idf (classic
     * `tf * ln(N / df)`) — keyword extraction for corpus exploration,
     * topic labeling, and cheap near-dup features. Returns (`idCol`,
@@ -2018,7 +2059,48 @@ object CorpusOps {
   def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, queryIdCol: String,
                     queryTextCol: String, k: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25BatchCore(docs, idCol, textCol, queries, queryIdCol,
+      queryTextCol, k, k1, b, None)
+
+  /** Metadata-filtered batch BM25 — the LEXICAL leg of filtered
+    * retrieval (r16 verdict #1; [[graft.operators.Similarity
+    * .ivfCentroidTopKFiltered]]'s contract on this tier): the
+    * predicate (over `docs`' metadata columns) restricts WHICH
+    * documents compete, BEFORE the per-query top-k — never a
+    * post-filter of a truncated ranking, so a selective filter costs
+    * nothing in recall (that failure mode is spec-pinned). Corpus
+    * statistics keep the Lucene filter-context semantics: idf (df),
+    * N and avgdl come from the FULL corpus — the filter names a
+    * candidate subset, it does not re-weigh the collection — so a
+    * document's score is IDENTICAL to its unfiltered score
+    * (spec-pinned), and the filtered top-k is exactly the unfiltered
+    * scoring relation post-filtered BEFORE truncation. Identical
+    * arithmetic on the indexed probe ([[bm25TopKIndexedFiltered]] —
+    * equivalence law spec-pinned).
+    *
+    * Scale shape: [[bm25TopKBatch]]'s, plus one boolean riding the
+    * tokenize pass (evaluated once per doc, carried through the tf
+    * aggregation) — no extra join, no second corpus scan. */
+  def bm25TopKBatchFiltered(docs: DataFrame, idCol: String,
+                            textCol: String, queries: DataFrame,
+                            queryIdCol: String, queryTextCol: String,
+                            k: Int, predicate: Column,
+                            k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame =
+    bm25BatchCore(docs, idCol, textCol, queries, queryIdCol,
+      queryTextCol, k, k1, b, Some(predicate))
+
+  /** The one shared batch-BM25 dataflow ([[bm25TopKBatch]] documents
+    * the shape). `docPredicate`, when present, is evaluated on the
+    * doc rows during the tokenize pass and restricts the candidate
+    * rows AFTER df/stats are aggregated (full-corpus statistics) and
+    * BEFORE scoring and the per-query top-k. */
+  private def bm25BatchCore(docs: DataFrame, idCol: String,
+                            textCol: String, queries: DataFrame,
+                            queryIdCol: String, queryTextCol: String,
+                            k: Int, k1: Double, b: Double,
+                            docPredicate: Option[Column]): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"BM25 params out of range: k1=$k1 b=$b")
@@ -2026,18 +2108,25 @@ object CorpusOps {
       .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("__t"))
       .distinct()
     val base = docs.filter(hasMinTokens(col(textCol), 1))
-      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol) +: tokens(col(textCol)).as("__tk") +:
+        docPredicate.map(_.as("__keep")).toSeq: _*)
     val stats = base.agg(count(lit(1)).cast("double").as("__n"),
       avg(size(col("__tk"))).as("__avgdl"))
     val tf = base
-      .select(col(idCol), size(col("__tk")).as("__dl"),
-        explode(col("__tk")).as("__t"))
+      .select(col(idCol) +: size(col("__tk")).as("__dl") +:
+        explode(col("__tk")).as("__t") +:
+        docPredicate.map(_ => col("__keep")).toSeq: _*)
       .join(broadcast(qterms.select(col("__t")).distinct()), Seq("__t"),
         "left_semi")
       .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+      .agg(count(lit(1)).as("__tf"),
+        max(col("__dl")).as("__dl") +:
+          docPredicate.map(_ => max(col("__keep")).as("__keep")).toSeq: _*)
+    // df over the UNFILTERED (vocabulary-pruned) tf — full-corpus idf
     val df = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(df), Seq("__t"))
+    // the candidate restriction: after df, before scoring and top-k
+    docPredicate.fold(tf)(_ => tf.filter(col("__keep")))
+      .join(broadcast(df), Seq("__t"))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("__t"),
         (log((col("__n") - col("__df").cast("double") + lit(0.5d))
@@ -2072,10 +2161,10 @@ object CorpusOps {
     * (`.current` pointer, rename-with-overwrite flip, one-generation
     * reader grace). Every reader and writer resolves through this,
     * so legacy indexes behave byte-identically. */
-  private final case class Bm25Roots(postings: String, df: String,
+  private[graft] final case class Bm25Roots(postings: String, df: String,
                                      stats: String, tombstones: String)
 
-  private def bm25Roots(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def bm25Roots(spark: org.apache.spark.sql.SparkSession,
                         path: String): Bm25Roots =
     Similarity.readIndexVersion(spark, path) match {
       case Some(n) => Bm25Roots(s"$path/.v$n/postings",
@@ -2114,17 +2203,25 @@ object CorpusOps {
     * [[bm25IndexCompact]] heals duplicates to the latest batch. */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      path: String, mode: String = "overwrite",
-                     filesPerLeaf: Int = 4): Unit = {
+                     filesPerLeaf: Int = 4,
+                     extraCols: Seq[String] = Nil): Unit = {
     require(filesPerLeaf >= 1,
       s"filesPerLeaf must be >= 1: $filesPerLeaf")
     val roots = bm25Roots(docs.sparkSession, path)
     val statsMode = if (mode == "overwrite") "overwrite" else "append"
+    // extraCols ride INSIDE the posting rows (the [[graft.operators
+    // .Similarity]] ivfAssigned convention) so a filtered probe
+    // ([[bm25TopKIndexedFiltered]]) evaluates its predicate straight
+    // off the pruned posting scan — no id-join per probe; they join
+    // the (id, term) group keys (constant per id, so cardinality is
+    // unchanged)
     val base = docs.filter(hasMinTokens(col(textCol), 1))
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("id") +: tokens(col(textCol)).as("__tk") +:
+        extraCols.map(col): _*)
     val postings = base
-      .select(col("id"), size(col("__tk")).as("dl"),
-        explode(col("__tk")).as("term"))
-      .groupBy(col("id"), col("term"))
+      .select(col("id") +: size(col("__tk")).as("dl") +:
+        explode(col("__tk")).as("term") +: extraCols.map(col): _*)
+      .groupBy((Seq("id", "term") ++ extraCols).map(col): _*)
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("tmod",
         pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
@@ -2181,18 +2278,20 @@ object CorpusOps {
     * [[buildBm25Index]]. */
   def bm25IndexIncrement(batch: DataFrame, idCol: String,
                          textCol: String, path: String, batchId: Long,
-                         filesPerLeaf: Int = 4): Unit = {
+                         filesPerLeaf: Int = 4,
+                         extraCols: Seq[String] = Nil): Unit = {
     require(filesPerLeaf >= 1,
       s"filesPerLeaf must be >= 1: $filesPerLeaf")
     require(batchId >= 0,
       s"batchId must be >= 0 (batch=-1 is bm25IndexCompact's " +
         s"reserved fold target): $batchId")
     val base = batch.filter(hasMinTokens(col(textCol), 1))
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("id") +: tokens(col(textCol)).as("__tk") +:
+        extraCols.map(col): _*)
     val postings = base
-      .select(col("id"), size(col("__tk")).as("dl"),
-        explode(col("__tk")).as("term"))
-      .groupBy(col("id"), col("term"))
+      .select(col("id") +: size(col("__tk")).as("dl") +:
+        explode(col("__tk")).as("term") +: extraCols.map(col): _*)
+      .groupBy((Seq("id", "term") ++ extraCols).map(col): _*)
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("tmod",
         pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
@@ -2283,9 +2382,25 @@ object CorpusOps {
       else Seq.empty
     }
     val batchLayout = batchDirs(roots.postings).nonEmpty
+    // snapshot the exact files this compact reads (r16 advice: the
+    // late-arrival fold of the VERSIONED path diffs against these
+    // after the rewrite; the in-place path overwrites its own root,
+    // so there concurrent ingest stays the documented pause)
+    val raw = spark.read.parquet(roots.postings)
+    val postingsSnapshot = raw.inputFiles
+      .map(new org.apache.hadoop.fs.Path(_).toString).toSet
+    val dfSnapshot = graft.operators.Similarity
+      .listDataFiles(spark, roots.df)
+    val statsSnapshot = graft.operators.Similarity
+      .listDataFiles(spark, roots.stats)
+    val tombDf =
+      if (fs.exists(tombPath)) Some(spark.read.parquet(roots.tombstones))
+      else None
+    val tombSnapshot = tombDf.map(_.inputFiles
+      .map(new org.apache.hadoop.fs.Path(_).toString).toSet)
+      .getOrElse(Set.empty[String])
     val survivors = Materialize(
       {
-        val raw = spark.read.parquet(roots.postings)
         val deduped =
           if (batchLayout) {
             // upsert healing: per id only its latest batch's rows
@@ -2294,12 +2409,12 @@ object CorpusOps {
               .agg(max(col("batch")).as("batch"))
             raw.join(latest, Seq("id", "batch"))
           } else raw
-        val p = deduped.select(col("id"), col("term"), col("tf"),
-          col("dl"), col("tmod"))
-        if (fs.exists(tombPath))
-          p.join(spark.read.parquet(roots.tombstones), Seq("id"),
-            "left_anti")
-        else p
+        // metadata columns riding the posting rows (the filtered-
+        // retrieval surface, [[buildBm25Index]]'s extraCols) survive
+        // the rewrite
+        val keep = raw.columns.toSeq.filterNot(Set("batch"))
+        val p = deduped.select(keep.map(col): _*)
+        tombDf.fold(p)(t => p.join(t, Seq("id"), "left_anti"))
       },
       eager = true)
     // compact target: in-place fold (flat root / reserved batch=-1),
@@ -2340,6 +2455,25 @@ object CorpusOps {
       dropSuperseded(roots.stats)
       fs.delete(tombPath, true)
     } else {
+      // late-arrival fold (r16 advice): increments/appends/deletes
+      // that landed in the superseded generation after the snapshot
+      // read are folded into the new one BEFORE the pointer flips —
+      // postings are a pure function of their batch (no model), so
+      // the fold copies late `batch=<id>` subtrees (and, flat, late
+      // files) verbatim across all three tables; repeated until a
+      // pass finds nothing new. A write still mid-flight at the final
+      // re-list must be replayed (the increment face's per-batch
+      // overwrite makes that safe) — or pause ingest across the flip.
+      var snapP = postingsSnapshot
+      var snapDf = dfSnapshot
+      var snapS = statsSnapshot
+      var snapT = tombSnapshot
+      var folded = 1
+      while (folded > 0) {
+        val (np, ndf, ns, nt, n) = foldLateBm25(spark, roots, out,
+          snapP, snapDf, snapS, snapT, batchLayout, filesPerLeaf)
+        snapP = np; snapDf = ndf; snapS = ns; snapT = nt; folded = n
+      }
       val nextN = curVersion.getOrElse(0) + 1
       Similarity.publishIndexVersion(spark, path, nextN, () => {
         // once two generations exist, the pre-versioning layout
@@ -2356,6 +2490,70 @@ object CorpusOps {
       })
     }
     ()
+  }
+
+  /** One pass of the BM25 late-arrival fold
+    * ([[graft.operators.Similarity.foldLateIvf]]'s contract on the
+    * lexical index): diff each table of the superseded generation
+    * against the snapshot the compact read, and fold anything new
+    * into the next generation — whole new `batch=<id>` subtrees
+    * copied verbatim to the same batch id (posting rows are a pure
+    * function of their batch, and same-id overwrite keeps a post-flip
+    * replay idempotent), flat-layout late files appended, late
+    * tombstone files appended to the new tombstone table. Returns the
+    * new snapshots and the number of late units folded. */
+  private[graft] def foldLateBm25(spark: org.apache.spark.sql.SparkSession,
+                           old: Bm25Roots, out: Bm25Roots,
+                           snapP: Set[String], snapDf: Set[String],
+                           snapS: Set[String], snapT: Set[String],
+                           batchLayout: Boolean, filesPerLeaf: Int)
+      : (Set[String], Set[String], Set[String], Set[String], Int) = {
+    var folded = 0
+    def batchIds(files: Set[String]): Set[Long] =
+      files.flatMap(_.split('/').collectFirst {
+        case s if s.startsWith("batch=") =>
+          s.stripPrefix("batch=").toLong
+      })
+    def foldTable(oldDir: String, newDir: String, snap: Set[String],
+                  write: (DataFrame, String) => Unit): Set[String] = {
+      val now = Similarity.listDataFiles(spark, oldDir)
+      val late = now -- snap
+      if (late.nonEmpty) {
+        if (batchLayout) {
+          val lateBids =
+            (batchIds(late) -- batchIds(snap)).toSeq.sorted
+          lateBids.foreach { bid =>
+            write(spark.read.parquet(s"$oldDir/batch=$bid"),
+              s"$newDir/batch=$bid")
+          }
+          folded += lateBids.size
+        } else {
+          write(spark.read.option("basePath", oldDir)
+            .parquet(late.toSeq.sorted: _*), newDir)
+          folded += late.size
+        }
+      }
+      now
+    }
+    val writeMode = if (batchLayout) "overwrite" else "append"
+    val np = foldTable(old.postings, out.postings, snapP, (df, dir) =>
+      df.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
+          pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
+        .write.mode(writeMode).partitionBy("tmod").parquet(dir))
+    val ndf = foldTable(old.df, out.df, snapDf, (df, dir) =>
+      df.repartition(Bm25IndexMods, col("tmod"))
+        .write.mode(writeMode).partitionBy("tmod").parquet(dir))
+    val ns = foldTable(old.stats, out.stats, snapS, (df, dir) =>
+      df.write.mode(writeMode).parquet(dir))
+    val nowT = Similarity.listDataFiles(spark, old.tombstones)
+    val lateT = nowT -- snapT
+    if (lateT.nonEmpty) {
+      spark.read.parquet(lateT.toSeq.sorted: _*)
+        .select(col("id")).distinct()
+        .write.mode("append").parquet(out.tombstones)
+      folded += lateT.size
+    }
+    (np, ndf, ns, nowT, folded)
   }
 
   /** One-row health report of a persisted BM25 index (r15 verdict #5)
@@ -2390,18 +2588,29 @@ object CorpusOps {
         spark.read.parquet(roots.tombstones)
           .select(col("id")).distinct().count()
       else 0L
-    val stats = spark.read.parquet(roots.stats)
-      .agg(count(lit(1)).as("builds"), sum(col("n_docs")).as("nd"),
-        sum(col("sum_dl")).as("sdl"))
-      .collect()(0)
-    val dfRows = spark.read.parquet(roots.df).count()
+    // degenerate-index hardening: a root holding only a model /
+    // tombstone sidecar has no stats or df table yet, and an EMPTY
+    // stats table sums to null — both must report zeros, not throw
+    // (the report is exactly what an operator runs to find out why an
+    // index looks wrong)
+    def exists(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir))
+    val (builds, nd, sdl) =
+      if (exists(roots.stats)) {
+        val r = spark.read.parquet(roots.stats)
+          .agg(count(lit(1)).as("builds"),
+            coalesce(sum(col("n_docs")), lit(0L)).as("nd"),
+            coalesce(sum(col("sum_dl")), lit(0L)).as("sdl"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      } else (0L, 0L, 0L)
+    val dfRows =
+      if (exists(roots.df)) spark.read.parquet(roots.df).count() else 0L
+    val avgdl: java.lang.Double =
+      if (nd > 0) math.round(sdl.toDouble / nd * 1e6) / 1e6 else null
     Seq((
       if (nBatches > 0) "batch" else "flat",
-      stats.getLong(0), nBatches.toLong, nTombstones,
-      stats.getLong(1), stats.getLong(2),
-      math.round(stats.getLong(2).toDouble / stats.getLong(1)
-        * 1e6) / 1e6,
-      dfRows))
+      builds, nBatches.toLong, nTombstones, nd, sdl, avgdl, dfRows))
       .toDF("layout", "n_builds", "n_batches", "n_tombstones",
         "n_docs", "sum_dl", "avgdl", "df_rows")
   }
@@ -2422,7 +2631,38 @@ object CorpusOps {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: DataFrame,
                       queryIdCol: String, queryTextCol: String, k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25IndexedCore(spark, path, queries, queryIdCol, queryTextCol,
+      k, k1, b, None)
+
+  /** Metadata-filtered probe of a persisted BM25 index — the INDEXED
+    * face of [[bm25TopKBatchFiltered]] (r16 verdict #1): the
+    * predicate evaluates over the metadata columns riding the posting
+    * rows ([[buildBm25Index]]'s `extraCols`) on the already-pruned
+    * posting slice — BEFORE scoring and the per-query top-k, never as
+    * a post-filter of a truncated ranking. Statistics keep the
+    * filter-context semantics (df table and stats rows as built —
+    * full corpus), so per query the result is IDENTICAL to
+    * [[bm25TopKBatchFiltered]] over the indexed corpus with the same
+    * predicate (equivalence law spec-pinned). The filter's cost
+    * scales with the query's pruned postings, not the index. */
+  def bm25TopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame,
+                              queryIdCol: String, queryTextCol: String,
+                              k: Int, predicate: Column,
+                              k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame =
+    bm25IndexedCore(spark, path, queries, queryIdCol, queryTextCol,
+      k, k1, b, Some(predicate))
+
+  /** The one shared indexed-probe dataflow ([[bm25TopKIndexed]]
+    * documents the shape); `pred` filters the pruned posting slice
+    * before scoring — the filtered-probe contract. */
+  private def bm25IndexedCore(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame,
+                              queryIdCol: String, queryTextCol: String,
+                              k: Int, k1: Double, b: Double,
+                              pred: Option[Column]): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"BM25 params out of range: k1=$k1 b=$b")
@@ -2442,10 +2682,13 @@ object CorpusOps {
     val tombPath = new org.apache.hadoop.fs.Path(roots.tombstones)
     val tombFs = tombPath
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val pruned = spark.read.parquet(roots.postings)
+    val prunedAll = spark.read.parquet(roots.postings)
       .filter(col("tmod").isin(tmods: _*)) // -> partition pruning
       .join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"), "left_semi")
+    // the filtered-probe contract: the metadata predicate runs on the
+    // pruned slice, before scoring and top-k (df/stats stay as built)
+    val pruned = pred.fold(prunedAll)(prunedAll.filter)
     // tombstoned docs ([[bm25IndexDelete]]) never surface — the
     // anti-join runs on the already-pruned posting slice, so its cost
     // scales with the query's postings, not the index

@@ -411,8 +411,115 @@ object Similarity {
   // the upgrade. Opt-in at [[ivfRetrain]] / [[ivfPqRetrain]] via
   // `versioned = true`; an index with a pointer stays versioned on
   // every later retrain. Single-maintenance-actor contract: one
-  // retrain/compact at a time (same as every compaction here) —
-  // probes and appends, however, need no pause anymore. ----
+  // retrain/compact at a time (same as every compaction here).
+  //
+  // What the pointer makes pause-free, precisely (r16 advice):
+  // PROBES — a probe keeps reading the generation it resolved, which
+  // outlives it by a full cycle. Ingest (appends / deletes /
+  // increments) is covered by the LATE-ARRIVAL FOLD instead: writes
+  // that land in the superseded generation between the retrain's
+  // snapshot read and the pointer flip are re-listed and folded into
+  // the new generation BEFORE the flip ([[foldLateIvf]]; repeated
+  // until a pass finds nothing new), so an append that COMPLETES
+  // before the flip is never hidden or destroyed. The residual that
+  // no fold can close: a write still mid-flight at the flip's final
+  // re-list (its files land after the fold looked) — pause ingest
+  // across the flip for a hard guarantee, or ingest through the
+  // replay-idempotent batch faces and replay the affected batch.
+  // [[ivfPqRetrain]] is stricter: PQ codes are lossy and the refit
+  // changes the codebooks, so superseded-generation code rows CANNOT
+  // be re-encoded — it folds late tombstones, and fails LOUDLY if
+  // late code rows reference ids missing from the refit corpus
+  // (pause ingest across a PQ retrain). ----
+
+  /** Leaf data files currently under `dir` (recursive; hidden `_`/`.`
+    * names excluded at every path segment, matching Spark's partition
+    * discovery so `.v<N>` generation subtrees never leak into a
+    * legacy root's listing). Empty when the directory does not
+    * exist — the snapshot/diff primitive of the late-arrival fold. */
+  private[graft] def listDataFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val base = fs.makeQualified(p).toString
+      val it = fs.listFiles(fs.makeQualified(p), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        val rel = f.stripPrefix(base)
+        if (!rel.split('/').exists(s =>
+            s.startsWith("_") || s.startsWith(".")))
+          b += f
+      }
+      b.result()
+    }
+  }
+
+  /** The `batch=<id>` id a leaf file under `base` rides in, if any. */
+  private def batchIdOf(file: String): Option[Long] =
+    file.split('/').collectFirst {
+      case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong
+    }
+
+  /** One pass of the centroid-IVF late-arrival fold (r16 advice):
+    * diff the superseded generation's data and tombstone trees
+    * against the snapshot the retrain built from, and fold anything
+    * new into the next generation — flat-layout files re-assigned
+    * under the NEW model and appended; whole NEW `batch=<id>`
+    * subtrees re-assigned and overwritten to the same batch id (so a
+    * post-flip streaming replay of that batch overwrites the same
+    * subtree — idempotence preserved; batch ids already in the
+    * snapshot are skipped: their rows were folded into `batch=-1` by
+    * the build, and a replay rewrites identical rows); late tombstone
+    * files appended to the new generation's tombstone table. Returns
+    * the new snapshots and the number of late units folded — the
+    * retrain loops until a pass folds nothing. */
+  private[graft] def foldLateIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      oldData: String, oldTombs: String,
+      dataSnapshot: Set[String], tombSnapshot: Set[String],
+      centroids: Seq[Seq[Double]], extras: Seq[String],
+      batchLayout: Boolean, newData: String, newTombs: String)
+      : (Set[String], Set[String], Int) = {
+    val cols = (Seq("id", "v") ++ extras).map(col)
+    var folded = 0
+    val nowD = listDataFiles(spark, oldData)
+    val lateD = nowD -- dataSnapshot
+    if (lateD.nonEmpty) {
+      if (batchLayout) {
+        val snapBatches = dataSnapshot.flatMap(batchIdOf)
+        val lateBatches =
+          (lateD.flatMap(batchIdOf) -- snapBatches).toSeq.sorted
+        lateBatches.foreach { bid =>
+          ivfAssigned(
+            spark.read.parquet(s"$oldData/batch=$bid").select(cols: _*),
+            "id", "v", centroids, extras)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$newData/batch=$bid")
+        }
+        folded += lateBatches.size
+      } else {
+        ivfAssigned(
+          spark.read.option("basePath", oldData)
+            .parquet(lateD.toSeq.sorted: _*).select(cols: _*),
+          "id", "v", centroids, extras)
+          .write.mode("append").partitionBy("cell").parquet(newData)
+        folded += lateD.size
+      }
+    }
+    val nowT = listDataFiles(spark, oldTombs)
+    val lateT = nowT -- tombSnapshot
+    if (lateT.nonEmpty) {
+      spark.read.parquet(lateT.toSeq.sorted: _*)
+        .select(col("id")).distinct()
+        .write.mode("append").parquet(newTombs)
+      folded += lateT.size
+    }
+    (nowD, nowT, folded)
+  }
 
   /** The live generation named by `<root>/.current`, if the index is
     * versioned. */
@@ -631,11 +738,16 @@ object Similarity {
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id"))
         .limit(k)
+    // each round materializes eagerly (the batch form's rule): the
+    // count that decides widening and the rows the caller consumes
+    // must come from ONE execution — a lazy result would re-run the
+    // final probe plan and could diverge from the satisfaction
+    // decision under a concurrent index mutation
     var p = math.min(ranked.size, probes)
-    var res = probeAt(p)
+    var res = Materialize(probeAt(p), eager = true)
     while (p < ranked.size && res.count() < k) {
       p = math.min(ranked.size, p * 2)
-      res = probeAt(p)
+      res = Materialize(probeAt(p), eager = true)
     }
     res
   }
@@ -650,7 +762,17 @@ object Similarity {
     * that decides satisfaction must not recompute the probe), rounds
     * are bounded by log2(nCells), and per query the output equals
     * [[ivfCentroidTopKFiltered]] at the same dials (law pinned in
-    * DedupSimilaritySpec). */
+    * DedupSimilaritySpec).
+    *
+    * Coordination is DATAFRAME-shaped (r16 verdict #4): satisfied
+    * qids are a small aggregate OVER the materialized round result,
+    * and finished/unfinished queries split by semi/anti-join against
+    * it — no per-round collect of the qid list, no `isin` literal
+    * plans, so a 100k-query batch never turns the driver (or codegen
+    * over giant IN-lists) into the widening bottleneck. The only
+    * per-round driver value is the one-boolean "any queries left"
+    * check (spec-pinned: no executed plan carries an IN-list over
+    * qids). */
   def ivfCentroidTopKBatchFiltered(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
@@ -658,29 +780,45 @@ object Similarity {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
     val nCells = readCentroids(spark, indexPath).size
-    var remaining = queries.select(col(queryIdCol).as("qid"),
-      col(queryVecCol).as("__qv"))
+    filteredWideningLoop(nCells, probes,
+      queries.select(col(queryIdCol).as("qid"),
+        col(queryVecCol).as("__qv")),
+      (q, p) => ivfBatchCore(spark, indexPath, q, k, p,
+        Some(predicate)),
+      k)
+      .select(col("qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
+  /** The shared probe-widening coordinator of the batch filtered ANN
+    * probes ([[ivfCentroidTopKBatchFiltered]] /
+    * [[ivfPqTopKBatchFiltered]]): run `probe(remaining, p)` per round,
+    * finalize queries that filled `k` slots (all of them once `p`
+    * covers every cell), double `p`, and re-probe only the
+    * unsatisfied remainder. Rounds <= log2(nCells); every round's
+    * result is eagerly materialized so the satisfaction decision and
+    * the returned rows come from one execution; all query bookkeeping
+    * stays in DataFrames (semi/anti-joins on `qid`). */
+  private def filteredWideningLoop(nCells: Int, probes: Int,
+                                   queries: DataFrame,
+                                   probe: (DataFrame, Int) => DataFrame,
+                                   k: Int): DataFrame = {
+    var remaining = queries
     var done: List[DataFrame] = Nil
     var p = math.min(nCells, probes)
     while (true) {
-      val res = Materialize(
-        ivfBatchCore(spark, indexPath, remaining, k, p,
-          Some(predicate)),
+      val res = Materialize(probe(remaining, p), eager = true)
+      if (p >= nCells) // full coverage: every remaining query finalizes
+        return (res :: done).reduce(_ unionByName _)
+      val satisfied = res.groupBy(col("qid"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= k)
+        .select(col("qid"))
+      done ::= res.join(satisfied, Seq("qid"), "left_semi")
+      val next = Materialize(
+        remaining.join(satisfied, Seq("qid"), "left_anti"),
         eager = true)
-      val counts = res.groupBy(col("qid"))
-        .agg(count(lit(1)).as("__n")).collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
-      val qids = remaining.select(col("qid")).distinct()
-        .collect().map(_.get(0)).toSeq
-      val finished =
-        if (p >= nCells) qids.toSet
-        else qids.filter(id => counts.getOrElse(id, 0L) >= k).toSet
-      done :+= res.filter(col("qid").isin(finished.toSeq: _*))
-      val unfinished = qids.filterNot(finished)
-      if (unfinished.isEmpty)
-        return done.reduce(_ unionByName _)
-          .select(col("qid").as(queryIdCol), col("id"), col("cos_sim"))
-      remaining = remaining.filter(col("qid").isin(unfinished: _*))
+      if (next.isEmpty) return done.reduce(_ unionByName _)
+      remaining = next
       p = math.min(nCells, p * 2)
     }
     sys.error("unreachable")
@@ -838,6 +976,13 @@ object Similarity {
       if (k > 0) k else readCentroidsDir(spark, roots.centroids).size
     val batchLayout = ivfHasDirs(spark, roots.data, "batch=")
     val raw = spark.read.parquet(roots.data)
+    // snapshot EXACTLY the files the rewrite will read (r16 advice:
+    // the late-arrival fold diffs against this after the build) —
+    // inputFiles comes from the scan's own file index, so a write
+    // racing the listing is either in the build or in the fold,
+    // never in both and never in neither
+    val dataSnapshot = raw.inputFiles
+      .map(new org.apache.hadoop.fs.Path(_).toString).toSet
     // metadata columns ([[ivfAssigned]]'s extraCols) survive the
     // rewrite; the layout columns (cell, batch) are recomputed/folded
     val extras = raw.columns.toSeq
@@ -845,8 +990,18 @@ object Similarity {
     // the retrain is also the DELETION compaction: tombstoned vectors
     // ([[ivfDelete]]) are dropped from the rewrite and the tombstone
     // table clears with the swap/publish
-    val current = withoutTombstonesAt(spark, roots.tombstones,
-      raw.select((Seq("id", "v") ++ extras).map(col): _*))
+    val tombDf = {
+      val p = new org.apache.hadoop.fs.Path(roots.tombstones)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) Some(spark.read.parquet(roots.tombstones))
+      else None
+    }
+    val tombSnapshot = tombDf.map(_.inputFiles
+      .map(new org.apache.hadoop.fs.Path(_).toString).toSet)
+      .getOrElse(Set.empty[String])
+    val rawSel = raw.select((Seq("id", "v") ++ extras).map(col): _*)
+    val current =
+      tombDf.fold(rawSel)(t => rawSel.join(t, Seq("id"), "left_anti"))
     // a streaming-built index keeps its batch layout (the rewrite
     // folds every batch into the reserved batch=-1 subtree — stream
     // batch ids are non-negative, so later increments never collide),
@@ -865,11 +1020,24 @@ object Similarity {
     if (versioned || curVersion.isDefined) {
       // versioned publish (r15 verdict #7): build the next hidden
       // generation, flip the pointer atomically, retain the prior
-      // generation one cycle as reader grace — probes and appends
-      // need no pause across the retrain
+      // generation one cycle as reader grace — probes need no pause
+      // across the retrain, and ingest that COMPLETES before the
+      // flip is caught by the late-arrival fold below (r16 advice)
       val nextN = curVersion.getOrElse(0) + 1
       val next = s"$indexPath/.v$nextN"
       val centroids = buildInto(s"$next/data", s"$next/centroids")
+      // fold appends/deletes that landed in the superseded generation
+      // after the snapshot read, until a pass finds nothing new —
+      // only then flip the pointer
+      var snapD = dataSnapshot
+      var snapT = tombSnapshot
+      var folded = 1
+      while (folded > 0) {
+        val (nd, nt, n) = foldLateIvf(spark, roots.data,
+          roots.tombstones, snapD, snapT, centroids, extras,
+          batchLayout, s"$next/data", s"$next/tombstones")
+        snapD = nd; snapT = nt; folded = n
+      }
       publishIndexVersion(spark, indexPath, nextN, () => {
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(spark.sessionState.newHadoopConf())
@@ -950,14 +1118,20 @@ object Similarity {
     // index ROWS including tombstoned ones (the stats scan reads the
     // layout as stored), so tombstone_frac is exactly the fraction a
     // retrain-compaction would reclaim — the dial that says "compact
-    // now" independently of model drift
-    val tombs = ivfRoots(spark, indexPath).tombstones
-    val tombPath = new org.apache.hadoop.fs.Path(tombs)
+    // now" independently of model drift. Tombstoned ids are counted
+    // through a LEFT-SEMI join against the index, so deletes of
+    // never-indexed or already-compacted ids never overstate the
+    // reclaimable fraction (frac could otherwise exceed 1.0).
+    val roots = ivfRoots(spark, indexPath)
+    val tombPath = new org.apache.hadoop.fs.Path(roots.tombstones)
     val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
     val nTombstones =
       if (fs.exists(tombPath))
-        spark.read.parquet(tombs)
-          .select(col("id")).distinct().count()
+        spark.read.parquet(roots.tombstones)
+          .select(col("id")).distinct()
+          .join(spark.read.parquet(roots.data).select(col("id")),
+            Seq("id"), "left_semi")
+          .count()
       else 0L
     ivfDriftStats(spark, indexPath)
       .agg(count(lit(1)).as("n_cells"),
@@ -1099,18 +1273,34 @@ object Similarity {
     * Bit `b` of word `w` is set when component `32w + b` is > 0;
     * 32-bit words ride in signed longs so every value stays
     * non-negative (no sign-bit overflow in either engine's packing
-    * arithmetic). Built-ins only (sequence/aggregate folds + a
-    * power-of-two lookup literal) — stays in whole-stage codegen. */
-  def binarySignature(vecCol: Column): Column = {
+    * arithmetic). Delegates to the native fused
+    * [[graft.plans.BinarySignature]] (one branchy integer loop per
+    * row — the ingest hot path of [[buildBqIndex]] signs the whole
+    * corpus once); [[binarySignatureDeclarative]] is the
+    * built-ins-only semantic spec (bit-equality spec-pinned). An
+    * EMPTY vector packs to an empty signature (matching the oracle's
+    * `range((len+31)//32)` = []); a NULL vector stays NULL. */
+  def binarySignature(vecCol: Column): Column =
+    graft.plans.VectorExpressions.binary_signature(vecCol)
+
+  /** Built-ins-only sign packing — the semantic spec for
+    * [[graft.plans.BinarySignature]] (sequence/aggregate folds + a
+    * power-of-two lookup literal). Allocates a 32-element sequence
+    * per word and dispatches two lambdas per component — do not use
+    * on a hot path. Without the empty guard `sequence(0, -1)` would
+    * descend to word -1 and trip element_at's 1-based-index check at
+    * runtime (r16 advice). */
+  private[graft] def binarySignatureDeclarative(vecCol: Column): Column = {
     val pows = typedlit((0 until 32).map(b => 1L << b))
-    transform(
-      sequence(lit(0), ((size(vecCol) + 31) / 32).cast("int") - 1),
-      w => aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
-        val idx = w * 32 + b
-        acc + when(idx < size(vecCol) &&
-            element_at(vecCol, idx + 1) > 0,
-          element_at(pows, b + 1)).otherwise(lit(0L))
-      }))
+    when(size(vecCol) <= 0, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(vecCol) + 31) / 32).cast("int") - 1),
+        w => aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+          val idx = w * 32 + b
+          acc + when(idx < size(vecCol) &&
+              element_at(vecCol, idx + 1) > 0,
+            element_at(pows, b + 1)).otherwise(lit(0L))
+        })))
   }
 
   /** Hamming distance between two packed signatures (`sum` of
@@ -1201,6 +1391,174 @@ object Similarity {
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
+  // ---- Persisted binary-signature index (r16 verdict #2): the
+  // 32x-at-rest claim is only real with signatures AT REST — without
+  // it every bqTopK* call re-runs the packing fold over the float
+  // corpus (the 47.7 s -> 5.9 s staging lesson, now paid once at
+  // ingest instead of once per query batch). The signature is a pure
+  // function of the vector — NO trained model — so the lifecycle is
+  // the house index contract with no retrain face at all: append is
+  // trivially one-shot-equivalent, compaction only heals deletions
+  // and upserts, and nothing ever needs a versioned swap. Layout:
+  // `(id, sig[, extraCols])` parquet at `<path>` (flat) or under
+  // `batch=<id>` subtrees (the replay-idempotent streaming face),
+  // tombstones at `<path>.tombstones`. The probe is a full
+  // signature-table scan at 32x fewer bytes than the float corpus —
+  // deliberately unpartitioned (Hamming has no cheap exact pruning;
+  // the compression IS the scale story, SCALE.md). ----
+
+  /** Materialize the binary-signature index: sign the corpus ONCE
+    * (native [[graft.plans.BinarySignature]] — the ingest hot path)
+    * and write `(id, sig[, extras])` at rest. `extraCols` ride the
+    * signature rows so [[bqTopKIndexedFiltered]] evaluates its
+    * predicate straight off the 32x-compressed scan. */
+  def buildBqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   path: String, extraCols: Seq[String] = Nil): Unit =
+    bqSigned(df, idCol, vecCol, extraCols)
+      .write.mode("overwrite").parquet(path)
+
+  private def bqSigned(df: DataFrame, idCol: String, vecCol: String,
+                       extraCols: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id") +:
+      binarySignature(col(vecCol)).as("sig") +: extraCols.map(col): _*)
+
+  /** Incremental maintenance of a [[buildBqIndex]] layout: sign and
+    * APPEND — the signature is a pure function of the vector, so an
+    * appended index is row-for-row identical to a one-shot build
+    * (the [[ivfAppend]] law with no model to hold fixed). */
+  def bqAppend(newVecs: DataFrame, idCol: String, vecCol: String,
+               path: String, extraCols: Seq[String] = Nil): Unit = {
+    require(!ivfHasDirs(newVecs.sparkSession, path, "batch="),
+      s"bqAppend: $path has the streaming batch layout — use " +
+        "bqAppendBatch (mixing layouts breaks partition discovery)")
+    bqSigned(newVecs, idCol, vecCol, extraCols)
+      .write.mode("append").parquet(path)
+  }
+
+  /** The replay-idempotent micro-batch face of [[bqAppend]]
+    * ([[ivfAppendBatch]]'s contract on the signature index): the
+    * batch's rows OVERWRITE their own `batch=<id>` subtree, so a
+    * crashed-and-replayed batch rewrites identical rows instead of
+    * double-appending. `batch=-1` is [[bqCompact]]'s reserved fold
+    * target, hence `batchId >= 0`. */
+  def bqAppendBatch(batch: DataFrame, idCol: String, vecCol: String,
+                    path: String, batchId: Long,
+                    extraCols: Seq[String] = Nil): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (batch=-1 is bqCompact's reserved fold " +
+        s"target): $batchId")
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")),
+      s"bqAppendBatch: $path has the flat one-shot layout — use " +
+        "bqAppend (mixing layouts breaks partition discovery)")
+    bqSigned(batch, idCol, vecCol, extraCols)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** Tombstone vectors out of a signature index — the [[ivfDelete]]
+    * contract: ids append to `<path>.tombstones`, probes exclude them
+    * immediately, the index itself is untouched until
+    * [[bqCompact]]. */
+  def bqDelete(path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append")
+      .parquet(s"$path.tombstones")
+
+  /** Compact a signature index: rewrite without tombstoned rows,
+    * clear the tombstone table — the one explicit read-modify-write
+    * (the [[graft.operators.CorpusOps.bm25IndexCompact]] shape minus
+    * the statistics healing, because signatures carry none). A batch
+    * layout folds every `batch=<id>` subtree into the reserved
+    * `batch=-1` (stream batch ids are non-negative, so later
+    * increments never collide), keeping only each id's LATEST batch —
+    * the upsert-healing point for re-embedded ids; a flat layout
+    * compacts in place. Survivors are eagerly materialized BEFORE the
+    * overwrite (the house mutate-then-reread protection). Pause
+    * ingest across a compact (single-maintenance-actor). */
+  def bqCompact(spark: org.apache.spark.sql.SparkSession,
+                path: String): Unit = {
+    val batchLayout = ivfHasDirs(spark, path, "batch=")
+    val raw = spark.read.parquet(path)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val survivors = Materialize(
+      {
+        val deduped =
+          if (batchLayout) {
+            val latest = raw.groupBy(col("id"))
+              .agg(max(col("batch")).as("batch"))
+            raw.join(latest, Seq("id", "batch"))
+          } else raw
+        val keep = raw.columns.toSeq.filterNot(_ == "batch")
+        val p = deduped.select(keep.map(col): _*)
+        if (fs.exists(tombPath))
+          p.join(spark.read.parquet(s"$path.tombstones"), Seq("id"),
+            "left_anti")
+        else p
+      },
+      eager = true)
+    if (batchLayout) {
+      survivors.write.mode("overwrite").parquet(s"$path/batch=-1")
+      val root = new org.apache.hadoop.fs.Path(path)
+      fs.listStatus(root)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch=") &&
+          st.getPath.getName != "batch=-1")
+        .foreach(st => fs.delete(st.getPath, true))
+    } else
+      survivors.write.mode("overwrite").parquet(path)
+    fs.delete(tombPath, true)
+    ()
+  }
+
+  /** Batch Hamming top-k over a [[buildBqIndex]] layout — the pure
+    * at-rest probe: no packing work in the query (paid once at
+    * ingest), the scan reads 32x fewer bytes than the float corpus,
+    * scoring is XOR+popcount. Per query IDENTICAL to [[bqTopKBatch]]
+    * over the indexed corpus (signatures are pure functions — law
+    * spec-pinned, gate `q_bq_indexed` reuses `q_bq_batch`'s oracle
+    * verbatim). Tombstoned ids never surface. */
+  def bqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    path: String, queries: DataFrame,
+                    queryIdCol: String, queryVecCol: String,
+                    k: Int): DataFrame =
+    bqIndexedCore(spark, path, queries, queryIdCol, queryVecCol, k,
+      None)
+
+  /** Metadata-filtered [[bqTopKIndexed]] — the predicate (over the
+    * metadata riding the signature rows, [[buildBqIndex]]'s
+    * `extraCols`) runs on the compressed scan BEFORE scoring and the
+    * per-query top-k; the scan is already full (no pruning to widen),
+    * so selectivity costs nothing extra. */
+  def bqTopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame,
+                            queryIdCol: String, queryVecCol: String,
+                            k: Int, predicate: Column): DataFrame =
+    bqIndexedCore(spark, path, queries, queryIdCol, queryVecCol, k,
+      Some(predicate))
+
+  private def bqIndexedCore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame,
+                            queryIdCol: String, queryVecCol: String,
+                            k: Int, pred: Option[Column]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      binarySignature(col(queryVecCol)).as("__qsig")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("hamming").asc, col("id"))
+    val idx = withoutTombstones(spark, path, spark.read.parquet(path))
+    pred.fold(idx)(idx.filter)
+      .join(q, col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        hammingDistance(col("sig"), col("__qsig")).as("hamming"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("hamming"))
   }
 
   // ------------------------------------------------------- int8 quantization
@@ -1309,6 +1667,35 @@ object Similarity {
         round(quantizedCosine(col("q_vec"), col("__qvec")), 6).as("q_cos"))
       .orderBy(col("q_cos").desc, col("id"))
       .limit(k)
+  }
+
+  /** Batch top-k over a [[writeInt8Corpus]] layout — the at-rest
+    * batch face of the int8 tier (r16 verdict #2's "(and int8)"):
+    * query vectors quantize on the fly (|q| rows — free), the corpus
+    * scan reads the 4x-compressed table with NO quantization work in
+    * the query, per-query WindowGroupLimit. Per query identical to
+    * [[int8TopKBatch]] over the float corpus (quantization is a pure
+    * function of the vector — law gated, `q_int8_indexed` reuses
+    * `q_int8_batch`'s oracle verbatim). */
+  def int8TopKBatchPrequantized(spark: org.apache.spark.sql.SparkSession,
+                                path: String, queries: DataFrame,
+                                queryIdCol: String, queryVecCol: String,
+                                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(withInt8Quantized(
+        queries.select(col(queryIdCol).as("__qid"),
+          col(queryVecCol).as("__qv")), "__qv")
+      .select(col("__qid"), col("q_vec").as("__qvec")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("q_cos").desc, col("id"))
+    spark.read.parquet(path)
+      .join(q, col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        round(quantizedCosine(col("q_vec"), col("__qvec")), 6)
+          .as("q_cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("q_cos"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
@@ -2032,11 +2419,14 @@ object Similarity {
       }.reduce(_ unionByName _)
         .orderBy(col("pq_cos").desc, col("id"))
         .limit(k)
+    // eager per-round materialization — the flat-IVF filtered probe's
+    // rule: the widening count and the returned rows come from one
+    // execution, never a re-run of the probe plan
     var p = math.min(ranked.size, probes)
-    var res = probeAt(p)
+    var res = Materialize(probeAt(p), eager = true)
     while (p < ranked.size && res.count() < k) {
       p = math.min(ranked.size, p * 2)
-      res = probeAt(p)
+      res = Materialize(probeAt(p), eager = true)
     }
     res
   }
@@ -2230,9 +2620,27 @@ object Similarity {
     require(extras.forall(vectors.columns.contains),
       s"ivfPqRetrain: the index carries metadata columns " +
         s"${extras.mkString(", ")} — `vectors` must supply them")
-    val current = withoutTombstonesAt(spark, s"$root/tombstones",
-      vectors.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
-        extras.map(col)): _*))
+    // late-arrival accounting (r16 advice): codes are LOSSY and the
+    // refit changes the codebooks, so a code row appended to the
+    // superseded generation during the retrain cannot be re-encoded
+    // into the new one — snapshot the code/tombstone trees now, and
+    // before the flip fold late tombstones and FAIL LOUDLY if late
+    // code rows reference ids the refit corpus doesn't cover
+    val codesSnapshot = listDataFiles(spark, s"$root/codes")
+    val tombDf = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) Some(spark.read.parquet(s"$root/tombstones"))
+      else None
+    }
+    val tombSnapshot = tombDf.map(_.inputFiles
+      .map(new org.apache.hadoop.fs.Path(_).toString).toSet)
+      .getOrElse(Set.empty[String])
+    val vecsSel = vectors.select(
+      (Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+        extras.map(col)): _*)
+    val current =
+      tombDf.fold(vecsSel)(t => vecsSel.join(t, Seq("id"), "left_anti"))
     // a streaming-built index keeps its batch code layout (fold into
     // the reserved batch=-1 — live increments keep landing beside it)
     val batchLayout = ivfHasDirs(spark, s"$root/codes", "batch=")
@@ -2253,11 +2661,47 @@ object Similarity {
       // versioned publish ([[ivfRetrain]]'s contract): the next
       // hidden generation gets the whole codes/model/centroids tree,
       // the pointer flips atomically, and the prior generation is
-      // retained one cycle as reader grace — probes, appends and
-      // deletes need no pause
+      // retained one cycle as reader grace — probes need no pause;
+      // ingest must (codes are lossy — see the late-arrival guard)
       val nextN = curVersion.getOrElse(0) + 1
       val next = s"$path/.v$nextN"
       val centroids = buildTo(next)
+      // the guard + tombstone fold, repeated until a pass is quiet
+      var snapC = codesSnapshot
+      var snapT = tombSnapshot
+      var busy = true
+      while (busy) {
+        busy = false
+        val nowC = listDataFiles(spark, s"$root/codes")
+        val lateC = nowC -- snapC
+        if (lateC.nonEmpty) {
+          val missing = spark.read
+            .option("basePath", s"$root/codes")
+            .parquet(lateC.toSeq.sorted: _*)
+            .select(col("id")).distinct()
+            .join(spark.read.parquet(s"$next/codes").select(col("id")),
+              Seq("id"), "left_anti")
+            .count()
+          require(missing == 0L,
+            s"ivfPqRetrain: $missing vector(s) were appended to the " +
+              "superseded generation during the retrain and are " +
+              "absent from the refit corpus — their codes cannot be " +
+              "re-encoded under the new model. Pause ingest across " +
+              "ivfPqRetrain, include the late vectors in `vectors`, " +
+              "and re-run (the live index is untouched).")
+          snapC = nowC
+          busy = true
+        }
+        val nowT = listDataFiles(spark, s"$root/tombstones")
+        val lateT = nowT -- snapT
+        if (lateT.nonEmpty) {
+          spark.read.parquet(lateT.toSeq.sorted: _*)
+            .select(col("id")).distinct()
+            .write.mode("append").parquet(s"$next/tombstones")
+          snapT = nowT
+          busy = true
+        }
+      }
       publishIndexVersion(spark, path, nextN, () => {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2387,6 +2831,23 @@ object Similarity {
                      probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
+    ivfPqBatchCore(spark, path,
+      queries.select(col(queryIdCol).as("qid"),
+        col(queryVecCol).as("__qv")),
+      k, probes, None)
+      .select(col("qid").as(queryIdCol), col("id"), col("pq_cos"))
+  }
+
+  /** The one shared batch ADC-probe dataflow ([[ivfPqTopKBatch]]
+    * documents the shape): takes (qid, __qv) queries, returns
+    * (qid, id, pq_cos). `pred`, when present, filters the pruned
+    * code scan BEFORE scoring and the per-query top-k — the filtered
+    * ANN contract on the composed index
+    * ([[ivfPqTopKBatchFiltered]]). */
+  private def ivfPqBatchCore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, q: DataFrame, k: Int,
+                             probes: Int,
+                             pred: Option[Column]): DataFrame = {
     val root = pqRoot(spark, path)
     val model = loadPqModel(spark, root)
     val centroids = readCentroidsDir(spark, s"$root/centroids")
@@ -2395,9 +2856,9 @@ object Similarity {
     })
     val wCell = Window.partitionBy(col("__qid"))
       .orderBy(col("__s").desc, col("cell"))
-    val probed = queries
-      .select(col(queryIdCol).as("__qid"),
-        l2normalize(col(queryVecCol)).as("__qn"))
+    val probed = q
+      .select(col("qid").as("__qid"),
+        l2normalize(col("__qv")).as("__qn"))
       .select(col("__qid"), col("__qn"), explode(cellsLit).as("__c"))
       .select(col("__qid"), col("__qn"), col("__c._1").as("cell"),
         col("__c._2").as("__cen"),
@@ -2413,14 +2874,41 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val wTop = Window.partitionBy(col("__qid"))
       .orderBy(col("pq_cos").desc, col("id"))
-    withoutTombstonesAt(spark, s"$root/tombstones",
-        spark.read.parquet(s"$root/codes")
-          .filter(col("cell").isin(allCells: _*))) // -> partition pruning
+    val pruned = withoutTombstonesAt(spark, s"$root/tombstones",
+      spark.read.parquet(s"$root/codes")
+        .filter(col("cell").isin(allCells: _*))) // -> partition pruning
+    pred.fold(pruned)(pruned.filter)
       .join(broadcast(probed), Seq("cell"))
       .select(col("__qid"), col("id"),
         adcCosCol(col("__lut")).as("pq_cos"))
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
-      .select(col("__qid").as(queryIdCol), col("id"), col("pq_cos"))
+      .select(col("__qid").as("qid"), col("id"), col("pq_cos"))
+  }
+
+  /** [[ivfPqTopKFiltered]] for a query TABLE in one job per widening
+    * round — the composed-index twin of
+    * [[ivfCentroidTopKBatchFiltered]], sharing its DataFrame-shaped
+    * coordination ([[filteredWideningLoop]]): the metadata predicate
+    * runs on the pruned code scan BEFORE ADC scoring and the per-query
+    * top-k, queries that filled their `k` slots finalize, and only the
+    * unsatisfied remainder re-probes at double width. Scores are the
+    * ADC approximation ([[ivfPqTopK]]'s quality); the filter changes
+    * WHICH rows compete, never how they score. */
+  def ivfPqTopKBatchFiltered(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             queryIdCol: String, queryVecCol: String,
+                             k: Int, predicate: Column,
+                             probes: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(probes >= 1, s"probes must be >= 1: $probes")
+    val nCells =
+      readCentroidsDir(spark, s"${pqRoot(spark, path)}/centroids").size
+    filteredWideningLoop(nCells, probes,
+      queries.select(col(queryIdCol).as("qid"),
+        col(queryVecCol).as("__qv")),
+      (q, p) => ivfPqBatchCore(spark, path, q, k, p, Some(predicate)),
+      k)
+      .select(col("qid").as(queryIdCol), col("id"), col("pq_cos"))
   }
 }

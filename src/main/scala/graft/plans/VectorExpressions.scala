@@ -26,6 +26,105 @@ object VectorExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(
       CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def binary_signature(v: Column): Column =
+    GraftBridge.column(BinarySignature(GraftBridge.expression(v)))
+}
+
+/** Fused 1-bit sign packing of a numeric-array column into
+  * `array<bigint>` (32 sign bits per word) — bit-equal to the
+  * declarative [[graft.operators.Similarity
+  * .binarySignatureDeclarative]] fold (spec-pinned in
+  * DedupSimilaritySpec), including its edge semantics:
+  *
+  *   - NULL array → NULL; EMPTY array → empty signature,
+  *   - a NULL element leaves its bit unset (the declarative `when`
+  *     falls through on a null comparison),
+  *   - NaN SETS its bit (Spark comparison semantics: NaN > 0 is
+  *     true),
+  *   - otherwise bit `b` of word `w` is set iff component `32w + b`
+  *     is > 0.
+  *
+  * The declarative fold allocates a 32-element sequence per word and
+  * dispatches two lambdas per COMPONENT; at ingest rates (the
+  * [[graft.operators.Similarity]] buildBqIndex hot path — signatures
+  * are computed once per corpus row) this fuses to one branchy
+  * integer loop per row, no allocation beyond the output words. */
+case class BinarySignature(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "binary_signature"
+
+  private def elemKind(dt: DataType): Int = dt match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(ByteType, _) => 2
+    case ArrayType(ShortType, _) => 3
+    case ArrayType(IntegerType, _) => 4
+    case ArrayType(LongType, _) => 5
+    case _ => -1
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemKind(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric-element array input, got " +
+        child.dataType.catalogString)
+
+  @transient private lazy val kind = elemKind(child.dataType)
+
+  private def get(v: ArrayData, i: Int): Double = kind match {
+    case 0 => v.getDouble(i)
+    case 1 => v.getFloat(i).toDouble
+    case 2 => v.getByte(i).toDouble
+    case 3 => v.getShort(i).toDouble
+    case 4 => v.getInt(i).toDouble
+    case _ => v.getLong(i).toDouble
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input))
+
+  /** Public: called from generated code. */
+  def compute(raw: Any): ArrayData = {
+    if (raw == null) return null
+    val v = raw.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val words = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = get(v, i)
+        // NaN > 0 is TRUE under Spark's comparison ordering — the
+        // declarative fold's exact behavior
+        if (java.lang.Double.isNaN(x) || x > 0)
+          words(i >> 5) |= 1L << (i & 31)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("binarySignature", this,
+      classOf[BinarySignature].getName)
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("sigWords")
+    ev.copy(code =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  $ref.compute(${c.isNull} ? null : (Object) ${c.value});
+         |boolean ${ev.isNull} = $out == null;
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $out;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BinarySignature = copy(child = newChild)
 }
 
 /** Fused cosine similarity of two numeric-array columns,

@@ -642,6 +642,32 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[ivfIndexAvailableNow]] on the BINARY-SIGNATURE index
+    * (r16 verdict #2): arriving embeddings are sign-packed by the
+    * native [[graft.plans.BinarySignature]] (a pure function — no
+    * model to init) into per-batch `batch=<id>` subtrees via
+    * [[graft.operators.Similarity.bqAppendBatch]] — replays rewrite
+    * identical rows, probes read signatures at rest. One drain probes
+    * exactly like a one-shot [[graft.operators.Similarity
+    * .buildBqIndex]] (the execution gate `q_bq_stream_exec`). */
+  def bqIndexAvailableNow(spark: SparkSession, vecsPath: String,
+                          idCol: String,
+                          vecExpr: org.apache.spark.sql.Column,
+                          indexPath: String,
+                          checkpointDir: String): Unit = {
+    val (src, _) = fileSource(spark, vecsPath)
+    val q = src.select(col(idCol), vecExpr.as("__vec"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.bqAppendBatch(
+          batch, idCol, "__vec", indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

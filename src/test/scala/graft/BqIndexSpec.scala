@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** The persisted binary-signature index (r16 verdict #2): native
+  * sign-pack == declarative spec, the at-rest lifecycle laws
+  * (append ≡ one-shot, replay-idempotent batches, delete/compact,
+  * filtered probe), and indexed ≡ direct probing. */
+class BqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb: DataFrame = Tables.embeddings(spark, sfDir)
+    .select($"vec_id", $"embedding")
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("native BinarySignature == declarative fold, bit for bit — " +
+      "including null elements, NaN, empty and null vectors") {
+    val edge = Seq(
+      (900L, Some(Seq(Some(1.0f), Some(-2.0f), None, Some(Float.NaN),
+        Some(0.0f), Some(3.5f)))),
+      (901L, Some(Seq.empty[Option[Float]])),
+      (902L, None))
+      .toDF("vec_id", "embedding")
+    val cmp = emb.unionByName(edge.select($"vec_id",
+        $"embedding".cast("array<float>")))
+      .select(
+        Similarity.binarySignature($"embedding").as("native"),
+        Similarity.binarySignatureDeclarative($"embedding").as("decl"))
+      .collect()
+    cmp.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      val d = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      assert(n == d, s"native $n != declarative $d")
+    }
+  }
+
+  test("bq index lifecycle: append == one-shot build; indexed == " +
+      "direct; delete excludes immediately; compact == fresh build " +
+      "over survivors") {
+    val dir = tmp("bqlife") + "/idx"
+    val a = emb.filter($"vec_id" < 300)
+    val b = emb.filter($"vec_id" >= 300)
+    Similarity.buildBqIndex(a, "vec_id", "embedding", dir)
+    Similarity.bqAppend(b, "vec_id", "embedding", dir)
+    val oneShot = tmp("bqone") + "/idx"
+    Similarity.buildBqIndex(emb, "vec_id", "embedding", oneShot)
+    val apRows = spark.read.parquet(dir)
+      .select($"id", $"sig".cast("string")).as[(Long, String)]
+      .collect().toSet
+    val osRows = spark.read.parquet(oneShot)
+      .select($"id", $"sig".cast("string")).as[(Long, String)]
+      .collect().toSet
+    assert(apRows == osRows, "append must equal the one-shot build")
+    // indexed == direct probe
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val indexed = Similarity.bqTopKIndexed(spark, dir, qs, "qid", "qv",
+      k = 10).as[(Long, Long, Long)].collect().toSet
+    val direct = Similarity.bqTopKBatch(emb, "vec_id", "embedding",
+      qs, "qid", "qv", k = 10).as[(Long, Long, Long)].collect().toSet
+    assert(indexed == direct)
+    // delete: immediate exclusion, index untouched
+    val victims = indexed.map(_._2).take(3).toSeq
+    Similarity.bqDelete(dir, victims.toDF("vec_id"), "vec_id")
+    val afterDel = Similarity.bqTopKIndexed(spark, dir, qs, "qid",
+      "qv", k = 10).as[(Long, Long, Long)].collect()
+    assert(afterDel.forall(r => !victims.contains(r._2)))
+    // compact: tombstones clear, probe == fresh build over survivors
+    Similarity.bqCompact(spark, dir)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    val compacted = Similarity.bqTopKIndexed(spark, dir, qs, "qid",
+      "qv", k = 10).as[(Long, Long, Long)].collect().toSet
+    val fresh = tmp("bqfresh") + "/idx"
+    Similarity.buildBqIndex(
+      emb.filter(!$"vec_id".isin(victims: _*)), "vec_id", "embedding",
+      fresh)
+    val freshRes = Similarity.bqTopKIndexed(spark, fresh, qs, "qid",
+      "qv", k = 10).as[(Long, Long, Long)].collect().toSet
+    assert(compacted == freshRes)
+    // layout guards: a flat index refuses the batch face and vice versa
+    intercept[IllegalArgumentException] {
+      Similarity.bqAppendBatch(b, "vec_id", "embedding", dir, 0L)
+    }
+  }
+
+  test("bq batch layout: replay-idempotent overwrite; compact folds " +
+      "to batch=-1 keeping each id's latest batch; flat append refused") {
+    val dir = tmp("bqbatch") + "/idx"
+    Similarity.bqAppendBatch(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", dir, batchId = 0L)
+    // a re-embedded id arrives in batch 1 (same ids, the upsert case)
+    Similarity.bqAppendBatch(emb.filter($"vec_id" < 50), "vec_id",
+      "embedding", dir, batchId = 1L)
+    // replay of batch 1 rewrites identical rows — row count stable
+    val before = spark.read.parquet(dir).count()
+    Similarity.bqAppendBatch(emb.filter($"vec_id" < 50), "vec_id",
+      "embedding", dir, batchId = 1L)
+    assert(spark.read.parquet(dir).count() == before)
+    intercept[IllegalArgumentException] {
+      Similarity.bqAppend(emb, "vec_id", "embedding", dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bqAppendBatch(emb, "vec_id", "embedding", dir, -1L)
+    }
+    Similarity.bqCompact(spark, dir)
+    val dirs = new java.io.File(dir).list().toSet
+      .filter(_.startsWith("batch="))
+    assert(dirs == Set("batch=-1"), dirs.toString)
+    // upsert healed: every id once
+    val ids = spark.read.parquet(dir).select($"id").as[Long].collect()
+    assert(ids.length == ids.distinct.length && ids.length == 200)
+  }
+
+  test("bqTopKIndexedFiltered: predicate on the compressed scan, " +
+      "before top-k") {
+    val dir = tmp("bqfilt") + "/idx"
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label")
+    Similarity.buildBqIndex(corpus, "vec_id", "embedding", dir,
+      extraCols = Seq("label"))
+    val qs = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val lbl = corpus.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val got = Similarity.bqTopKIndexedFiltered(spark, dir, qs, "qid",
+        "qv", k = 5, $"label" === 1)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(r => lbl(r._2) == 1))
+    // equals the direct ranking post-filtered BEFORE truncation
+    val deep = Similarity.bqTopKIndexed(spark, dir, qs, "qid", "qv",
+        k = 100000)
+      .as[(Long, Long, Long)].collect()
+      .filter(r => lbl(r._2) == 1)
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2))
+        .take(5).toSet).toMap
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.toSet == deep(qid), s"query $qid diverges")
+    }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Similarity}
+
+/** Filtered retrieval across the lexical, hybrid and composed-ANN
+  * tiers (r16 verdict #1/#4): predicates run INSIDE each probe,
+  * before the per-query top-k — the laws here pin the semantics the
+  * catalog gates (q_bm25_filtered / q_bm25_indexed_filtered /
+  * q_search_filtered / q_ivfpq_batch_filtered) rely on. */
+class FilteredRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val queries = Seq(
+    (0L, "hash join window scan"),
+    (1L, "sort merge batch"),
+    (2L, "dup stream"),
+    (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+
+  /** documents + 12 planted copies of docs 10..21 under the
+    * otherwise-nonexistent lang 'zz' (all twelve carry query
+    * vocabulary — verified against the corpus generator). */
+  private def plantedDocs: DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang")
+    docs.unionByName(docs.filter($"doc_id".between(10, 21))
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+        lit("zz").as("lang")))
+  }
+
+  test("bm25 filtered: full-corpus statistics (a doc's filtered " +
+      "score equals its unfiltered score), candidates restricted " +
+      "pre-top-k; post-filtering demonstrably loses rows") {
+    val corpus = plantedDocs
+    val filtered = CorpusOps.bm25TopKBatchFiltered(corpus, "doc_id",
+        "text", queries, "query_id", "query_text", k = 10,
+        $"lang" === "zz")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._2 >= 1000000L),
+      "only planted 'zz' docs may surface")
+    // filter-context law: scores are a POST-FILTER of the unfiltered
+    // scoring relation (before truncation) — compare against a deep
+    // unfiltered ranking
+    val unfiltered = CorpusOps.bm25TopKBatch(corpus, "doc_id", "text",
+        queries, "query_id", "query_text", k = 100000)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    filtered.foreach { case (qid, doc, bm25, nTerms) =>
+      assert(unfiltered((qid, doc)) == ((bm25, nTerms)),
+        s"score of ($qid, $doc) must equal its unfiltered score")
+    }
+    // the failure mode: filtering an already-truncated top-10 keeps
+    // almost nothing (planted docs rarely crack the global top-10)
+    val postFiltered = CorpusOps.bm25TopKBatch(corpus, "doc_id",
+        "text", queries, "query_id", "query_text", k = 10)
+      .filter($"doc_id" >= 1000000L).count()
+    assert(postFiltered < filtered.length,
+      s"post-filter kept $postFiltered; pre-filter ${filtered.length}")
+  }
+
+  test("bm25 filtered: indexed == direct (metadata riding the " +
+      "posting rows via extraCols)") {
+    val corpus = plantedDocs
+    val dir = java.nio.file.Files.createTempDirectory("bm25f")
+      .toString + "/idx"
+    CorpusOps.buildBm25Index(corpus, "doc_id", "text", dir,
+      extraCols = Seq("lang"))
+    val direct = CorpusOps.bm25TopKBatchFiltered(corpus, "doc_id",
+        "text", queries, "query_id", "query_text", k = 10,
+        $"lang" === "zz")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val indexed = CorpusOps.bm25TopKIndexedFiltered(spark, dir,
+        queries, "query_id", "query_text", k = 10, $"lang" === "zz")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(indexed == direct)
+    // and with a predicate nothing matches, no rows — never a fallback
+    // to the unfiltered ranking
+    assert(CorpusOps.bm25TopKIndexedFiltered(spark, dir, queries,
+      "query_id", "query_text", k = 10, $"lang" === "qq").isEmpty)
+  }
+
+  test("searchPipelineBatchFiltered: both legs filtered pre-top-k; " +
+      "an unfiltered semantic leg visibly loses recall (the " +
+      "documented contract)") {
+    val corpus = plantedDocs
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val plantedEmb = emb.filter($"vec_id".between(10, 21))
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val qvecs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val semFiltered = Similarity.cosineTopKBatch(plantedEmb, "vec_id",
+      "embedding", qvecs, "qid", "qv", k = 50)
+    val fused = CorpusOps.searchPipelineBatchFiltered(corpus, "doc_id",
+        "text", queries, "query_id", "query_text", $"lang" === "zz",
+        semFiltered, "qid", "id", "cos_sim", k = 10, candidates = 50)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(fused.nonEmpty)
+    assert(fused.forall(_._2 >= 1000000L), "only planted ids surface")
+    // q3 matches nothing lexically but still fuses semantically
+    assert(fused.exists(r => r._1 == 3L && r._3 == 1L))
+    // some planted rows fuse from both legs
+    assert(fused.exists(_._3 == 2L), "expected n_signals=2 rows")
+    // the contract's failure mode: pass an UNFILTERED semantic leg and
+    // the fusion can only post-filter by rank — planted rows that
+    // never crack the unfiltered semantic top-50 are gone from the
+    // semantic signal entirely
+    val semUnfiltered = Similarity.cosineTopKBatch(
+      emb.unionByName(plantedEmb), "vec_id", "embedding", qvecs,
+      "qid", "qv", k = 50)
+    val wrong = CorpusOps.searchPipelineBatchFiltered(corpus, "doc_id",
+        "text", queries, "query_id", "query_text", $"lang" === "zz",
+        semUnfiltered, "qid", "id", "cos_sim", k = 10, candidates = 50)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(wrong.count(_._3 == 2L) < fused.count(_._3 == 2L),
+      "an unfiltered semantic leg must lose two-signal fusions")
+  }
+
+  test("ivfPqTopKBatchFiltered: batch == single per query; widening " +
+      "reaches full coverage on the planted rare label") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label")
+    val corpus = emb.unionByName(
+      emb.filter($"vec_id".between(10, 21))
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding",
+          lit(99).as("label")))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqbf")
+      .toString + "/idx"
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nbits = 8, iters = 3,
+      extraCols = Seq("label"))
+    val batch = Similarity.ivfPqTopKBatchFiltered(spark, dir,
+        emb.filter($"vec_id" < 2)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "qid", "qv", k = 20, $"label" === 99, probes = 1)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1))
+        .toSeq).toMap
+    (0L until 2L).foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding").collect()(0).getSeq[Float](0).toArray
+      val single = Similarity.ivfPqTopKFiltered(spark, dir, qv,
+          k = 20, $"label" === 99, probes = 1)
+        .as[(Long, Double)].collect().toSeq
+        .sortBy(r => (-r._2, r._1))
+      assert(batch(qid) == single, s"query $qid diverges")
+      assert(single.map(_._1).toSet ==
+        (10L to 21L).map(_ + 1000000L).toSet,
+        "widening must reach every planted row")
+    }
+  }
+}

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.operators.{CorpusOps, Similarity}
+
+/** Index-maintenance contracts added in r17: the late-arrival folds
+  * of the versioned publish paths (r16 advice, medium), the
+  * DataFrame-shaped widening coordination of the batch filtered ANN
+  * probes (r16 verdict #4), probe-during-swap safety (r16 verdict
+  * #7), and the degenerate-input hardening of the observability /
+  * signature surfaces (r16 advice, lows). */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb: DataFrame = Tables.embeddings(spark, sfDir)
+    .select($"vec_id", $"embedding")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("binarySignature: empty vector packs to an empty signature, " +
+      "null stays null, word count clamps") {
+    val rows = Seq(
+      (1L, Some(Seq.empty[Float])),
+      (2L, None),
+      (3L, Some(Seq(1.0f, -1.0f, 0.5f))))
+      .toDF("id", "v")
+      .select($"id", Similarity.binarySignature($"v").as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(rows(1L) == Seq.empty[Long], s"empty vec: ${rows(1L)}")
+    assert(rows(2L) == null, s"null vec: ${rows(2L)}")
+    assert(rows(3L) == Seq(5L), s"packed: ${rows(3L)}") // bits 0 and 2
+  }
+
+  test("bm25IndexStats: tombstone-only / missing-table roots report " +
+      "zeros and a null avgdl instead of throwing") {
+    val root = tmp("bm25deg") + "/idx"
+    // only a tombstone sidecar exists — no postings, df, or stats
+    CorpusOps.bm25IndexDelete(root, Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val r = CorpusOps.bm25IndexStats(spark, root).collect()(0)
+    assert(r.getString(0) == "flat")
+    assert(r.getLong(1) == 0L, s"n_builds: $r")       // n_builds
+    assert(r.getLong(3) == 2L, s"n_tombstones: $r")   // n_tombstones
+    assert(r.getLong(4) == 0L, s"n_docs: $r")         // n_docs
+    assert(r.isNullAt(6), s"avgdl should be null: $r")
+    assert(r.getLong(7) == 0L, s"df_rows: $r")        // df_rows
+  }
+
+  test("ivfDriftSummary: tombstones of never-indexed ids never " +
+      "overstate the reclaimable fraction") {
+    val dir = tmp("ivftomb") + "/idx"
+    Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", dir,
+      k = 4, iters = 2)
+    // 2 real deletions + 5 ids the index never held
+    Similarity.ivfDelete(dir,
+      emb.filter($"vec_id" < 2).select($"vec_id"), "vec_id")
+    Similarity.ivfDelete(dir,
+      Seq(900001L, 900002L, 900003L, 900004L, 900005L).toDF("vec_id"),
+      "vec_id")
+    val r = Similarity.ivfDriftSummary(spark, dir).collect()(0)
+    assert(r.getLong(5) == 2L, s"n_tombstones counts only indexed: $r")
+    assert(r.getDouble(6) <= 1.0, s"tombstone_frac bounded: $r")
+  }
+
+  test("batch filtered ANN widening: no executed plan filters qids " +
+      "through an IN-list literal") {
+    val corpus = emb.select($"vec_id", $"embedding",
+        (($"vec_id" % 100L) === 0L).cast("int").as("label"))
+    val dir = tmp("ivfnoin") + "/idx"
+    Similarity.buildIvfCentroidIndex(corpus, "vec_id", "embedding",
+      dir, k = 8, iters = 2, extraCols = Seq("label"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // label==1 is rare (~1/100) -> selective queries widen; k small
+      // enough that some queries satisfy early, so BOTH the semi-join
+      // finalize leg and the anti-join re-probe leg execute
+      val queries = emb.filter($"vec_id" < 6)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val out = Similarity.ivfCentroidTopKBatchFiltered(spark, dir,
+        queries, "qid", "qv", k = 3, $"label" === 1, probes = 1)
+      assert(out.count() > 0)
+      // listener delivery is async: poll until the captured set is
+      // stable, then assert
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+      val inList = "(?i)qid#\\d+L? IN(SET)? ".r
+      val offenders = plans.toArray(Array.empty[String])
+        .filter(p => inList.findFirstIn(p).isDefined)
+      assert(offenders.isEmpty,
+        s"qid IN-list found in executed plan:\n${offenders.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("foldLateIvf: flat-layout files appended after the snapshot " +
+      "land in the new generation under the new model") {
+    val root = tmp("ivffold")
+    val dir = s"$root/idx"
+    val base = emb.filter($"vec_id" < 300)
+    val centroids = Similarity.buildIvfCentroidIndex(base, "vec_id",
+      "embedding", dir, k = 4, iters = 2)
+    val snapshot = Similarity.listDataFiles(spark, dir)
+    // "concurrent" appends + a delete landing after the snapshot
+    Similarity.ivfAppend(
+      emb.filter($"vec_id".between(300, 349)), "vec_id", "embedding", dir)
+    Similarity.ivfDelete(dir,
+      Seq(300L, 301L).toDF("vec_id"), "vec_id")
+    val newData = s"$root/next/data"
+    val newTombs = s"$root/next/tombstones"
+    val (nd, nt, n1) = Similarity.foldLateIvf(spark, dir,
+      s"$dir.tombstones", snapshot, Set.empty, centroids, Nil,
+      batchLayout = false, newData, newTombs)
+    assert(n1 > 0, "late files must fold")
+    // folded rows: exactly the late ids, assigned to the same cells
+    // the live index gave them (same model => same pure assignment)
+    val folded = spark.read.parquet(newData)
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val live = spark.read.parquet(dir)
+      .filter($"id".between(300, 349))
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    assert(folded == live, "fold must re-assign identically")
+    val tombs = spark.read.parquet(newTombs)
+      .select($"id").as[Long].collect().toSet
+    assert(tombs == Set(300L, 301L))
+    // a quiet pass folds nothing
+    val (_, _, n2) = Similarity.foldLateIvf(spark, dir,
+      s"$dir.tombstones", nd, nt, centroids, Nil,
+      batchLayout = false, newData, newTombs)
+    assert(n2 == 0)
+  }
+
+  test("foldLateIvf: batch layout folds only NEW batch ids, to the " +
+      "same batch id (replay stays idempotent)") {
+    val root = tmp("ivffoldb")
+    val dir = s"$root/idx"
+    val centroids = Similarity.initIvfCentroidIndex(
+      emb.filter($"vec_id" < 200), "vec_id", "embedding", dir,
+      k = 4, iters = 2)
+    Similarity.ivfAppendBatch(emb.filter($"vec_id" < 100),
+      "vec_id", "embedding", dir, batchId = 0L)
+    val snapshot = Similarity.listDataFiles(spark, dir)
+    Similarity.ivfAppendBatch(emb.filter($"vec_id".between(100, 149)),
+      "vec_id", "embedding", dir, batchId = 1L)
+    val newData = s"$root/next/data"
+    val (nd, nt, n1) = Similarity.foldLateIvf(spark, dir,
+      s"$dir.tombstones", snapshot, Set.empty, centroids, Nil,
+      batchLayout = true, newData, s"$root/next/tombstones")
+    assert(n1 == 1, s"exactly one late batch: $n1")
+    val foldedDirs = new java.io.File(newData).list().toSet
+      .filter(_.startsWith("batch="))
+    assert(foldedDirs == Set("batch=1"), foldedDirs.toString)
+    assert(spark.read.parquet(s"$newData/batch=1").count() == 50L)
+    val (_, _, n2) = Similarity.foldLateIvf(spark, dir,
+      s"$dir.tombstones", nd, nt, centroids, Nil,
+      batchLayout = true, newData, s"$root/next/tombstones")
+    assert(n2 == 0)
+  }
+
+  test("foldLateBm25: a batch increment landing after the snapshot " +
+      "folds verbatim into the new generation") {
+    val root = tmp("bmfold")
+    val dir = s"$root/idx"
+    val docs = Tables.documents(spark, sfDir)
+    CorpusOps.bm25IndexIncrement(docs.filter($"doc_id" < 100),
+      "doc_id", "text", dir, batchId = 0L)
+    val oldRoots = CorpusOps.bm25Roots(spark, dir)
+    val snapP = Similarity.listDataFiles(spark, oldRoots.postings)
+    val snapDf = Similarity.listDataFiles(spark, oldRoots.df)
+    val snapS = Similarity.listDataFiles(spark, oldRoots.stats)
+    CorpusOps.bm25IndexIncrement(
+      docs.filter($"doc_id".between(100, 149)),
+      "doc_id", "text", dir, batchId = 1L)
+    val out = CorpusOps.Bm25Roots(s"$root/next/postings",
+      s"$root/next/df", s"$root/next/stats", s"$root/next/tombstones")
+    val (np, _, _, nt, n1) = CorpusOps.foldLateBm25(spark, oldRoots,
+      out, snapP, snapDf, snapS, Set.empty,
+      batchLayout = true, filesPerLeaf = 2)
+    assert(n1 > 0)
+    val foldedPostings = spark.read.parquet(s"${out.postings}/batch=1")
+    val livePostings = spark.read.parquet(s"${oldRoots.postings}/batch=1")
+    assert(foldedPostings.count() == livePostings.count())
+    assert(spark.read.parquet(s"${out.stats}/batch=1")
+      .select($"n_docs").as[Long].collect()(0) == 50L)
+    val (_, _, _, _, n2) = CorpusOps.foldLateBm25(spark, oldRoots,
+      out, np, Similarity.listDataFiles(spark, oldRoots.df),
+      Similarity.listDataFiles(spark, oldRoots.stats), nt,
+      batchLayout = true, filesPerLeaf = 2)
+    assert(n2 == 0)
+  }
+
+  test("versioned swap: a probe in flight across a retrain completes " +
+      "against its resolved generation; a fresh probe sees the new one") {
+    val dir = tmp("ivfswap") + "/idx"
+    val base = emb.filter($"vec_id" < 400)
+    Similarity.buildIvfCentroidIndex(base, "vec_id", "embedding", dir,
+      k = 4, iters = 2)
+    Similarity.ivfRetrain(spark, dir, iters = 2, versioned = true) // -> .v1
+    val qVec = emb.filter($"vec_id" === 0L)
+      .select($"embedding").collect()(0).getSeq[Float](0).toArray
+    // the in-flight probe: resolves .v1's file listing NOW
+    val inFlight = Similarity.ivfCentroidTopK(spark, dir, qVec,
+      k = 5, probes = 4)
+    // plant an exact copy of the query vector, then publish .v2
+    Similarity.ivfAppend(
+      emb.filter($"vec_id" === 0L)
+        .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", dir)
+    Similarity.ivfRetrain(spark, dir, iters = 2, versioned = true) // -> .v2
+    // fresh probe: the planted copy ties at cos 1.0 and wins on id 0
+    val fresh = Similarity.ivfCentroidTopK(spark, dir, qVec,
+      k = 5, probes = 4).as[(Long, Double)].collect()
+    assert(fresh.exists(_._1 == 5000000L),
+      s"fresh probe must see the v2 content: ${fresh.mkString(",")}")
+    // the in-flight probe still completes against v1 (retained as
+    // reader grace) and cannot see the planted row
+    val old = inFlight.as[(Long, Double)].collect()
+    assert(old.nonEmpty && !old.exists(_._1 == 5000000L),
+      s"in-flight probe must stay pinned to v1: ${old.mkString(",")}")
+  }
+
+  test("ivfRetrain versioned: an append that lands before the flip " +
+      "is folded, not hidden (late-arrival fold end to end)") {
+    // deterministic stand-in for a concurrent append: the fold is
+    // exercised through its real call path by appending BETWEEN two
+    // retrains and asserting both generations carry the row — the
+    // interleaved schedule itself is covered by the foldLateIvf unit
+    // contracts above
+    val dir = tmp("ivffolde2e") + "/idx"
+    Similarity.buildIvfCentroidIndex(emb.filter($"vec_id" < 300),
+      "vec_id", "embedding", dir, k = 4, iters = 2)
+    Similarity.ivfRetrain(spark, dir, iters = 2, versioned = true)
+    Similarity.ivfAppend(
+      emb.filter($"vec_id" === 1L)
+        .select(($"vec_id" + 7000000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", dir)
+    Similarity.ivfRetrain(spark, dir, iters = 2, versioned = true)
+    val ids = spark.read.parquet(s"$dir/.v2/data")
+      .select($"id").as[Long].collect().toSet
+    assert(ids.contains(7000001L), "appended row survives the publish")
+  }
+}
