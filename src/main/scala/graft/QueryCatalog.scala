@@ -4519,6 +4519,95 @@ object QueryCatalog {
         .stripMargin),
       headline = true),
 
+    Q("q_index_report", // one-call index health report (r16 verdict
+      // #6): indexReport(root) DETECTS what lives at a path — here a
+      // flat BM25 posting index, a flat centroid-IVF index, a flat
+      // binary-signature index, and the raw embeddings table — and
+      // emits each kind's fixed metric set as one long relation
+      // (kind, layout, metric, value). The gate pins the DETECTION
+      // and the SQL-derivable metrics (counts + corpus statistics);
+      // the model-dependent dials (skew, residual) and the versioned/
+      // batch layouts are spec-pinned in MaintenanceSpec. Indexes are
+      // staged once per (process, sf), _SUCCESS-gated.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ixr_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        if (!new java.io.File(s"$root/bm25", "_SUCCESS").exists())
+          CorpusOps.buildBm25Index(docs, "doc_id", "text", s"$root/bm25")
+        if (!new java.io.File(s"$root/ivf", "_SUCCESS").exists())
+          Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding",
+            s"$root/ivf", k = 8, iters = 3)
+        if (!new java.io.File(s"$root/bq", "_SUCCESS").exists())
+          Similarity.buildBqIndex(emb, "vec_id", "embedding", s"$root/bq")
+        val keep = Map(
+          "bm25" -> Set("n_builds", "n_batches", "n_tombstones",
+            "n_docs", "sum_dl", "generation"),
+          "ivf" -> Set("n_cells", "n_vecs", "n_tombstones",
+            "tombstone_frac", "generation"),
+          "bq" -> Set("n_vecs", "n_tombstones", "tombstone_frac",
+            "generation"),
+          "embeddings" -> Set("n_vecs", "n_null", "dim_min", "dim_max",
+            "generation"))
+        Seq(s"$root/bm25", s"$root/ivf", s"$root/bq",
+            s"$d/embeddings.parquet")
+          .map(p => graft.operators.IndexOps.indexReport(s, p))
+          .reduce(_ unionByName _)
+          .filter(keep.map { case (kind, ms) =>
+            col("kind") === kind &&
+              col("metric").isin(ms.toSeq: _*)
+          }.reduce(_ || _))
+      },
+      Some("""WITH dtok AS (SELECT
+             |    len(string_split_regex(trim(text), '\s+')) AS dl
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |bm AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |    CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dtok),
+             |ec AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(min(len(embedding)) AS DOUBLE) AS dmin,
+             |    CAST(max(len(embedding)) AS DOUBLE) AS dmax
+             |  FROM embeddings)
+             |SELECT 'bm25' AS kind, 'flat' AS layout,
+             |  'n_builds' AS metric, CAST(1 AS DOUBLE) AS value
+             |UNION ALL SELECT 'bm25', 'flat', 'n_batches',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'bm25', 'flat', 'n_tombstones',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'bm25', 'flat', 'n_docs', n_docs FROM bm
+             |UNION ALL SELECT 'bm25', 'flat', 'sum_dl', sum_dl FROM bm
+             |UNION ALL SELECT 'bm25', 'flat', 'generation',
+             |  CAST(-1 AS DOUBLE)
+             |UNION ALL SELECT 'ivf', 'flat', 'n_cells',
+             |  CAST(8 AS DOUBLE)
+             |UNION ALL SELECT 'ivf', 'flat', 'n_vecs', n FROM ec
+             |UNION ALL SELECT 'ivf', 'flat', 'n_tombstones',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'ivf', 'flat', 'tombstone_frac',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'ivf', 'flat', 'generation',
+             |  CAST(-1 AS DOUBLE)
+             |UNION ALL SELECT 'bq', 'flat', 'n_vecs', n FROM ec
+             |UNION ALL SELECT 'bq', 'flat', 'n_tombstones',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'bq', 'flat', 'tombstone_frac',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'bq', 'flat', 'generation',
+             |  CAST(-1 AS DOUBLE)
+             |UNION ALL SELECT 'embeddings', 'table', 'n_vecs',
+             |  n FROM ec
+             |UNION ALL SELECT 'embeddings', 'table', 'n_null',
+             |  CAST(0 AS DOUBLE)
+             |UNION ALL SELECT 'embeddings', 'table', 'dim_min',
+             |  dmin FROM ec
+             |UNION ALL SELECT 'embeddings', 'table', 'dim_max',
+             |  dmax FROM ec
+             |UNION ALL SELECT 'embeddings', 'table', 'generation',
+             |  CAST(-1 AS DOUBLE)""".stripMargin)),
+
     Q("q_embedding_report", // one-call embedding data card (the
       // q_corpus_report twin on the vector side): fixed metric set —
       // null/nonfinite/zero-vector counts, dim spread, norm stats
@@ -4807,6 +4896,49 @@ object QueryCatalog {
           "qid", "qv", k = 10, pool = 1000000, dims = 16)
       },
       Some(exactRerankOracleSql)),
+
+    Q("q_mmr_rerank", // maximal-marginal-relevance diversified
+      // re-rank (Carbonell & Goldstein 1998) — the diversification
+      // stage of a retrieval/selection pipeline, greedy per-query
+      // selection over a BOUNDED candidate pool (one shuffle on the
+      // query key, the legitimate mapGroups case). Gated in the
+      // oracle-able degenerate case lambda=1 (pure relevance: the
+      // selection order IS the (rel desc, id) ranking, so the result
+      // matches the exact batch-cosine top-10 with rank); the
+      // diversity behavior (a duplicate of an already-picked row is
+      // penalized by cosine 1.0 and sinks at lambda<1) plus the
+      // mmr == rel score law are spec-pinned in FilteredRetrievalSpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cands = Similarity.cosineTopKBatch(emb, "vec_id",
+            "embedding",
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 50)
+          .join(emb.select(col("vec_id").as("id"), col("embedding")),
+            Seq("id"))
+        Similarity.mmrRerankBatch(cands, "qid", "id", "cos_sim",
+            "embedding", k = 10, lambda = 1.0)
+          .select(col("qid"), col("id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+             |  FROM embeddings WHERE vec_id < 4),
+             |s AS (SELECT q.qid, e.vec_id AS id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(q.qv,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS cos_sim
+             |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+             |r AS (SELECT qid, id, cos_sim,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY cos_sim DESC, id) AS rn
+             |  FROM s)
+             |SELECT qid, id, CAST(rn AS BIGINT) AS rank
+             |FROM r WHERE rn <= 10""".stripMargin)),
 
     Q("q_ivfpq_batch_filtered", // FILTERED batch ANN on the COMPOSED
       // index — q_ivfpq_filtered's planted design through the

@@ -2363,8 +2363,18 @@ object CorpusOps {
     * between leaves duplicate postings (df temporarily inflated,
     * deletes still masked by the uncleared tombstones) — re-running
     * compact heals completely, because the latest-batch fold
-    * supersedes the stale `batch=-1` copy. Same pause-probes
-    * operational note as [[graft.operators.Similarity.ivfRetrain]]. */
+    * supersedes the stale `batch=-1` copy.
+    *
+    * Concurrency (same contract as [[graft.operators.Similarity
+    * .ivfRetrain]]): the IN-PLACE compact overwrites its own root —
+    * pause probes and ingest across it. The VERSIONED compact makes
+    * probes pause-free (they keep their resolved generation, retained
+    * one cycle), and ingest that COMPLETES before the pointer flip is
+    * caught by the late-arrival fold ([[foldLateBm25]], repeated until
+    * a pass finds nothing new); a write still mid-flight at the final
+    * re-list must be replayed (the increment face's per-batch
+    * overwrite makes replay safe) — or pause ingest across the flip
+    * for a hard guarantee. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        path: String, filesPerLeaf: Int = 4,
                        versioned: Boolean = false): Unit = {

@@ -90,14 +90,19 @@ object Similarity {
     * The query id is renamed to a reserved internal name before the
     * join (the `__qv` convention), so a query table whose id column
     * shares the corpus id's NAME (both "id", the common case) joins
-    * unambiguously; it is restored on output. Callers whose
-    * `queryIdCol` literally equals the output corpus column name
-    * "id" should still rename one side first — the RESULT would
-    * carry two "id" columns. */
+    * unambiguously; it is restored on output. The output contract
+    * reserves the corpus column name "id" outright: a `queryIdCol`
+    * literally named "id" would make the RESULT carry two "id"
+    * columns (unselectable by name), so it is rejected loudly —
+    * rename the query id first (r16 verdict residual, closed). */
   def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
                       queries: DataFrame, queryIdCol: String,
                       queryVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(queryIdCol != "id",
+      "cosineTopKBatch: queryIdCol must not be named \"id\" — the " +
+        "output reserves that name for the corpus id (rename the " +
+        "query id column first)")
     val q = broadcast(queries
       .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv")))
     val w = Window.partitionBy(col("__qid"))
@@ -1391,6 +1396,106 @@ object Similarity {
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein 1998): greedily select `k` of each query's candidates,
+    * each pick maximizing `lambda * rel - (1 - lambda) * max cosine
+    * to the already-selected set` — the standard diversification of a
+    * retrieval pool (RAG context assembly, diverse training-example
+    * selection: near-duplicate candidates stop crowding out coverage).
+    * `lambda = 1` is pure relevance — selection order IS the
+    * (rel desc, id) ranking (the oracle-able degenerate case, gated);
+    * at `lambda < 1` a candidate identical to an already-picked one
+    * is penalized by cosine 1.0 and sinks (spec-pinned).
+    *
+    * Input is a per-query candidate POOL — (`queryIdCol`, `idCol`,
+    * `relCol`, `vecCol`) from any batch retriever ([[cosineTopKBatch]]
+    * / [[graft.operators.CorpusOps.bm25TopKBatch]] / the fused
+    * pipelines) — with long ids and a numeric-array vector. Returns
+    * (`queryIdCol`, `id`, `mmr`, `rank` 1..k) in selection order;
+    * `mmr` is the raw greedy objective at pick time (first pick:
+    * `lambda * rel` — no selected set to be similar to yet). Ties
+    * break to the smaller id, so selection is deterministic.
+    *
+    * Scale shape: ONE shuffle on the query key; the greedy loop is
+    * per-group imperative work over a BOUNDED pool (the caller's
+    * candidate depth — `maxPoolRows` guards the contract loudly), the
+    * legitimate `mapGroups` case: O(k * pool) dot products per query
+    * over unit-normalized vectors, never a corpus-sized pass. */
+  def mmrRerankBatch(candidates: DataFrame, queryIdCol: String,
+                     idCol: String, relCol: String, vecCol: String,
+                     k: Int, lambda: Double,
+                     maxPoolRows: Int = 100000): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(lambda >= 0 && lambda <= 1,
+      s"lambda must be in [0, 1]: $lambda")
+    require(queryIdCol != "id",
+      "mmrRerankBatch: queryIdCol must not be named \"id\" — the " +
+        "output reserves that name for the candidate id")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col(queryIdCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("id"),
+        col(relCol).cast("double").as("rel"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        val pool = it.toArray
+        if (pool.length > maxPoolRows)
+          throw new IllegalArgumentException(
+            s"mmrRerankBatch: query $qid has ${pool.length} candidates " +
+              s"> maxPoolRows=$maxPoolRows — cap the pool upstream " +
+              "(MMR is quadratic in the pool, not the corpus)")
+        val vecs = pool.map { case (_, _, _, v) =>
+          val arr = v.toArray
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n > 0) arr.map(_ / n) else arr
+        }
+        val n = pool.length
+        val chosen = new Array[Boolean](n)
+        val maxSim = new Array[Double](n)
+        val out = Seq.newBuilder[(Long, Long, Double, Long)]
+        var rank = 1L
+        while (rank <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val s = lambda * pool(i)._3 - (1 - lambda) * maxSim(i)
+              if (s > bestScore ||
+                  (s == bestScore && pool(i)._2 < bestId)) {
+                best = i; bestScore = s; bestId = pool(i)._2
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          out += ((qid, pool(best)._2, bestScore, rank))
+          rank += 1
+          val bv = vecs(best)
+          i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val vi = vecs(i)
+              var d = 0.0d
+              var j = 0
+              val m = math.min(vi.length, bv.length)
+              while (j < m) { d += vi(j) * bv(j); j += 1 }
+              if (d > maxSim(i)) maxSim(i) = d
+            }
+            i += 1
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("qid", "id", "mmr", "rank")
+      .select(col("qid").as(queryIdCol), col("id"), col("mmr"),
+        col("rank"))
   }
 
   // ---- Persisted binary-signature index (r16 verdict #2): the

@@ -118,6 +118,56 @@ class FilteredRetrievalSpec extends SparkSpec {
       "an unfiltered semantic leg must lose two-signal fusions")
   }
 
+  test("mmrRerankBatch: lambda=1 is pure relevance (mmr == rel, " +
+      "relevance order); at lambda<1 the duplicate of a picked row " +
+      "sinks below every non-duplicate; oversized pools fail loudly") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    // corpus + TWO exact copies of vector 7 — the query's own row is
+    // self-excluded by cosineTopKBatch, so the pool carries the copy
+    // PAIR (both cos 1.0 to the query, cos 1.0 to each other)
+    val corpus = emb
+      .unionByName(emb.filter($"vec_id" === 7L)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+      .unionByName(emb.filter($"vec_id" === 7L)
+        .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding"))
+    val qs = emb.filter($"vec_id" === 7L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val cands = Similarity.cosineTopKBatch(corpus, "vec_id",
+        "embedding", qs, "qid", "qv", k = 50)
+      .join(corpus.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+    def run(lambda: Double) =
+      Similarity.mmrRerankBatch(cands, "qid", "id", "cos_sim",
+          "embedding", k = 10, lambda = lambda)
+        .orderBy($"rank").as[(Long, Long, Double, Long)].collect()
+    // lambda=1: order == (rel desc, id), mmr == rel bit-for-bit, and
+    // the copy pair sits adjacent at ranks 1-2
+    val rel = run(1.0)
+    val relMap = cands.select($"id", $"cos_sim")
+      .as[(Long, Double)].collect().toMap
+    assert(rel.forall(r => r._3 == relMap(r._2)),
+      "lambda=1 mmr must equal the relevance score")
+    val expected = relMap.toSeq.sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1)
+    assert(rel.map(_._2).toSeq == expected, "lambda=1 order diverges")
+    assert(rel.take(2).map(_._2).toSeq == Seq(1000007L, 2000007L))
+    // lambda=0.3: the first copy is still the best first pick, but
+    // its twin's penalized score is 0.3*1 - 0.7*1 = -0.4, while every
+    // non-duplicate with rel < 1 scores -0.4*rel > -0.4 — the twin
+    // sinks below ALL of them
+    val div = run(0.3)
+    assert(div.head._2 == 1000007L, s"rank-1: ${div.head}")
+    assert(div.find(_._2 == 2000007L).forall(_._4 > 2L),
+      s"the twin must not be adjacent: ${div.mkString(",")}")
+    assert(div.map(_._2).toSeq != rel.map(_._2).toSeq,
+      "lambda=0.3 must diverge from pure relevance on a pool with " +
+        "duplicates")
+    interceptGuard("maxPoolRows") {
+      Similarity.mmrRerankBatch(cands, "qid", "id", "cos_sim",
+        "embedding", k = 3, lambda = 0.5, maxPoolRows = 5).collect()
+    }
+  }
+
   test("ivfPqTopKBatchFiltered: batch == single per query; widening " +
       "reaches full coverage on the planted rare label") {
     val emb = Tables.embeddings(spark, sfDir)

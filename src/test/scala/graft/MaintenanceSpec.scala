@@ -233,6 +233,65 @@ class MaintenanceSpec extends SparkSpec {
       s"in-flight probe must stay pinned to v1: ${old.mkString(",")}")
   }
 
+  test("indexReport: detects every persisted kind, resolves " +
+      "versioned roots through .current, reads batch layouts, and " +
+      "fails loudly on garbage") {
+    import graft.operators.IndexOps
+    val root = tmp("ixrep")
+    def metrics(p: String): Map[(String, String, String), Option[Double]] =
+      IndexOps.indexReport(spark, p).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // versioned IVF: generation resolves through the pointer
+    val ivf = s"$root/ivf"
+    Similarity.buildIvfCentroidIndex(emb, "vec_id", "embedding", ivf,
+      k = 4, iters = 2)
+    Similarity.ivfRetrain(spark, ivf, iters = 2, versioned = true)
+    val mi = metrics(ivf)
+    assert(mi(("ivf", "flat", "generation")).contains(1.0))
+    assert(mi(("ivf", "flat", "n_vecs")).contains(500.0))
+    assert(mi.contains(("ivf", "flat", "count_skew")))
+    assert(mi.contains(("ivf", "flat", "mean_residual")))
+    // batch-layout IVF-PQ with tombstones
+    val pq = s"$root/pq"
+    Similarity.initIvfPqIndex(emb, "vec_id", "embedding", pq,
+      nCells = 4, m = 8, nbits = 8, iters = 2)
+    Similarity.ivfPqAppendBatch(emb.filter($"vec_id" < 100), "vec_id",
+      "embedding", pq, batchId = 0L)
+    Similarity.ivfPqDelete(pq, Seq(0L, 1L, 777777L).toDF("vec_id"),
+      "vec_id")
+    val mp = metrics(pq)
+    assert(mp(("ivfpq", "batch", "n_vecs")).contains(100.0))
+    // the never-indexed id 777777 must not count
+    assert(mp(("ivfpq", "batch", "n_tombstones")).contains(2.0))
+    // batch-layout BM25
+    val bm = s"$root/bm25"
+    graft.operators.CorpusOps.bm25IndexIncrement(
+      Tables.documents(spark, sfDir).filter($"doc_id" < 50),
+      "doc_id", "text", bm, batchId = 0L)
+    val mb = metrics(bm)
+    assert(mb(("bm25", "batch", "n_batches")).contains(1.0))
+    assert(mb(("bm25", "batch", "n_docs")).contains(50.0))
+    // signature index
+    val bq = s"$root/bq"
+    Similarity.buildBqIndex(emb, "vec_id", "embedding", bq)
+    Similarity.bqDelete(bq, Seq(3L).toDF("vec_id"), "vec_id")
+    val mq = metrics(bq)
+    assert(mq(("bq", "flat", "n_vecs")).contains(500.0))
+    assert(mq(("bq", "flat", "n_tombstones")).contains(1.0))
+    // raw embedding table falls through to the data card
+    val raw = s"$root/rawemb"
+    emb.write.parquet(raw)
+    val mr = metrics(raw)
+    assert(mr(("embeddings", "table", "n_vecs")).contains(500.0))
+    assert(mr(("embeddings", "table", "generation")).contains(-1.0))
+    // garbage fails loudly, never misreports
+    val junk = s"$root/junk"
+    Seq((1L, "x")).toDF("a", "b").write.parquet(junk)
+    val e = intercept[RuntimeException](metrics(junk))
+    assert(e.getMessage.contains("neither a known index layout"))
+  }
+
   test("ivfRetrain versioned: an append that lands before the flip " +
       "is folded, not hidden (late-arrival fold end to end)") {
     // deterministic stand-in for a concurrent append: the fold is
