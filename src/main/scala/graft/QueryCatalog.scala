@@ -4897,6 +4897,29 @@ object QueryCatalog {
       },
       Some(exactRerankOracleSql)),
 
+    Q("q_bq_rerank_indexed", // the binary production funnel fully AT
+      // REST: Hamming candidate pools read the persisted signature
+      // index (no re-signing of the float corpus — the r17 at-rest
+      // story end to end), exact cosine re-rank of only the pooled
+      // rows. Degenerate pool >= corpus == the exact batch cosine
+      // (the shared rerank oracle); indexed ≡ direct funnel at real
+      // pools is spec-pinned in BqIndexSpec.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bqri_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.buildBqIndex(emb, "vec_id", "embedding", dir)
+        Similarity.bqTopKIndexedRerankedBatch(s, dir, emb, "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, pool = 1000000)
+      },
+      Some(exactRerankOracleSql)),
+
     Q("q_mmr_rerank", // maximal-marginal-relevance diversified
       // re-rank (Carbonell & Goldstein 1998) — the diversification
       // stage of a retrieval/selection pipeline, greedy per-query

@@ -1647,6 +1647,41 @@ object Similarity {
     bqIndexedCore(spark, path, queries, queryIdCol, queryVecCol, k,
       Some(predicate))
 
+  /** The binary tier's production recipe AT REST — [[bqTopKRerankedBatch]]
+    * with candidate generation reading the persisted signature index
+    * instead of re-signing the float corpus: per-query `pool`
+    * lowest-Hamming candidates off the 32x-compressed scan
+    * ([[bqTopKIndexed]]), exact cosine re-rank of ONLY the pooled rows
+    * against the caller's float table (broadcast candidate list — the
+    * re-rank never scans the corpus). With `pool >= corpus` the result
+    * IS [[cosineTopKBatch]] (gated); at any pool it equals
+    * [[bqTopKRerankedBatch]] over the indexed corpus (signatures are
+    * pure functions — law spec-pinned). */
+  def bqTopKIndexedRerankedBatch(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, df: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 queries: DataFrame, queryIdCol: String,
+                                 queryVecCol: String, k: Int,
+                                 pool: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(pool >= k, s"pool ($pool) must cover k ($k)")
+    val cands = bqTopKIndexed(spark, path, queries, queryIdCol,
+        queryVecCol, pool)
+      .select(col(queryIdCol).as("__qid"), col("id"))
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qv")))
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cands), Seq("id"))
+      .join(q, Seq("__qid"))
+      .select(col("__qid"), col("id"),
+        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
   private def bqIndexedCore(spark: org.apache.spark.sql.SparkSession,
                             path: String, queries: DataFrame,
                             queryIdCol: String, queryVecCol: String,

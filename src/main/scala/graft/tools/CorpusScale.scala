@@ -326,6 +326,31 @@ object CorpusScale {
     }
     println(f"bq_rerank_s=$tBqRr%.2f queries=128 rows=$nBqRr%d " +
       f"q_per_s=${128 / tBqRr}%.1f")
+    // r17: the signature index AT REST — the packing fold paid once
+    // at build, probes read (id, sig) only; the numbers beside
+    // bq_batch_s (which re-signs the float corpus per batch) are the
+    // structural closure of the r16 staging lesson
+    val bqIdxDir = java.nio.file.Files.createTempDirectory("bqscale")
+      .toString + "/idx"
+    val (_, tBqBuild) = time {
+      graft.operators.Similarity.buildBqIndex(embs, "vec_id",
+        "embedding", bqIdxDir)
+    }
+    val (nBqIdxRows, tBqIdx) = time {
+      graft.operators.Similarity.bqTopKIndexed(spark, bqIdxDir,
+        qVecs, "qid", "qv", k = 100).count()
+    }
+    println(f"bq_index_build_s=$tBqBuild%.2f " +
+      f"bq_indexed_probe_s=$tBqIdx%.2f queries=128 rows=$nBqIdxRows%d " +
+      f"q_per_s=${128 / tBqIdx}%.1f " +
+      f"Mham_per_s=${nVecs * 128 / 1e6 / tBqIdx}%.1f")
+    val (nBqIdxRr, tBqIdxRr) = time {
+      graft.operators.Similarity.bqTopKIndexedRerankedBatch(spark,
+        bqIdxDir, embs, "vec_id", "embedding", qVecs, "qid", "qv",
+        k = 100, pool = 1000).count()
+    }
+    println(f"bq_indexed_rerank_s=$tBqIdxRr%.2f queries=128 " +
+      f"rows=$nBqIdxRr%d q_per_s=${128 / tBqIdxRr}%.1f")
 
     val (nFused, tFuse) = time {
       val sem = graft.operators.Similarity.cosineTopKBatch(embs,

@@ -115,6 +115,21 @@ class BqIndexSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length && ids.length == 200)
   }
 
+  test("bqTopKIndexedRerankedBatch at a real pool == the direct " +
+      "rerank funnel over the indexed corpus") {
+    val dir = tmp("bqrr") + "/idx"
+    Similarity.buildBqIndex(emb, "vec_id", "embedding", dir)
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val indexed = Similarity.bqTopKIndexedRerankedBatch(spark, dir,
+        emb, "vec_id", "embedding", qs, "qid", "qv", k = 5, pool = 25)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Similarity.bqTopKRerankedBatch(emb, "vec_id",
+        "embedding", qs, "qid", "qv", k = 5, pool = 25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == direct)
+  }
+
   test("bqTopKIndexedFiltered: predicate on the compressed scan, " +
       "before top-k") {
     val dir = tmp("bqfilt") + "/idx"
