@@ -4897,6 +4897,140 @@ object QueryCatalog {
       },
       Some(exactRerankOracleSql)),
 
+    Q("q_bq_filtered", // metadata-filtered probe of the signature
+      // index: the predicate (over extraCols riding the signature
+      // rows) runs on the 32x-compressed scan BEFORE the per-query
+      // top-k. Signatures and Hamming are engine-portable integer
+      // math, so unlike the ADC tiers this is a FULL differential
+      // oracle — the q_bq_batch SQL with the label restriction on the
+      // corpus side.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bqf_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.buildBqIndex(emb, "vec_id", "embedding", dir,
+            extraCols = Seq("label"))
+        Similarity.bqTopKIndexedFiltered(s, dir,
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, col("label") === 1)
+      },
+      Some("""WITH sig AS (SELECT vec_id, label,
+             |  list_transform(range((len(embedding)+31)//32), w ->
+             |    CAST(list_aggregate(list_transform(range(32), b ->
+             |      CASE WHEN w*32+b+1 <= len(embedding)
+             |             AND embedding[w*32+b+1] > 0
+             |        THEN 1::BIGINT << b ELSE 0::BIGINT END), 'sum')
+             |      AS BIGINT)) AS s
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, s AS qs FROM sig
+             |  WHERE vec_id < 4),
+             |h AS (SELECT q.qid, e.vec_id AS id,
+             |    CAST(list_aggregate(list_transform(e.s,
+             |      (x, i) -> bit_count(xor(x, q.qs[i]))), 'sum')
+             |      AS BIGINT) AS hamming
+             |  FROM (SELECT * FROM sig WHERE label = 1) e
+             |  JOIN q ON e.vec_id <> q.qid),
+             |r AS (SELECT qid, id, hamming,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY hamming, id) AS rn
+             |  FROM h)
+             |SELECT qid, id, hamming FROM r WHERE rn <= 10"""
+        .stripMargin)),
+
+    Q("q_int8_lifecycle", // int8 index lifecycle (the pure-function
+      // lifecycle core shared with the signature index): build the
+      // at-rest corpus on a prefix, APPEND the rest plus planted +1M
+      // copies of queries 0..3 (append ≡ one-shot by purity), DELETE
+      // ids 4..9 (immediate exclusion), COMPACT (tombstones clear),
+      // then the batch probe: per query the planted copy ranks first
+      // at q_cos 1.0 with all 20 slots filled and zero deleted ids
+      // surfacing.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_i8l_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val dir = s"$root/corpus"
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.writeInt8Corpus(emb.filter(col("vec_id") < 400),
+          "vec_id", "embedding", dir)
+        Similarity.int8Append(
+          emb.filter(col("vec_id") >= 400).unionByName(
+            emb.filter(col("vec_id") < 4)
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                col("embedding"))),
+          "vec_id", "embedding", dir)
+        Similarity.int8Delete(dir,
+          emb.filter(col("vec_id").between(4, 9)).select(col("vec_id")),
+          "vec_id")
+        Similarity.int8Compact(s, dir)
+        Similarity.int8TopKBatchPrequantized(s, dir,
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("q_cos"), -col("id")))
+              .as("top1_id"),
+            max(col("q_cos")).as("top1_cos"),
+            count(lit(1)).as("n_rows"),
+            sum(col("id").between(4, 9).cast("long"))
+              .as("deleted_hits"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  CAST(v.c3 AS BIGINT) AS n_rows,
+             |  CAST(0 AS BIGINT) AS deleted_hits
+             |FROM (VALUES
+             |  (0, 1000000, 1.0, 20),
+             |  (1, 1000001, 1.0, 20),
+             |  (2, 1000002, 1.0, 20),
+             |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
+    Q("q_int8_stream_exec", // STREAMING EXECUTION gate on the int8
+      // layout (the q_bq_stream_exec recipe on the 4x tier): the
+      // planted corpus drains through the incremental engine into
+      // per-batch quantized subtrees (int8AppendBatch — replays
+      // rewrite; quantization is a pure per-vector function, no model
+      // to init), then the standard query batch probes the FRESH
+      // table at rest — one drain probes exactly like a one-shot
+      // writeInt8Corpus, so the oracle is q_int8_batch's VALUES pin.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-int8")
+        val planted = plantedEmbeddings(s, d)
+        planted.write.parquet(s"$dir/src")
+        graft.streaming.EventStreams.int8IndexAvailableNow(s,
+          s"$dir/src", "vec_id", col("embedding"), s"$dir/idx",
+          s"$dir/ckpt")
+        Similarity.int8TopKBatchPrequantized(s, s"$dir/idx",
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("q_cos"), -col("id")))
+              .as("top1_id"),
+            max(col("q_cos")).as("top1_cos"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  CAST(v.c3 AS BIGINT) AS n_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0, 20),
+             |  (1, 1000001, 1.0, 20),
+             |  (2, 1000002, 1.0, 20),
+             |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
     Q("q_bq_rerank_indexed", // the binary production funnel fully AT
       // REST: Hamming candidate pools read the persisted signature
       // index (no re-signing of the float corpus — the r17 at-rest

@@ -1534,13 +1534,9 @@ object Similarity {
     * appended index is row-for-row identical to a one-shot build
     * (the [[ivfAppend]] law with no model to hold fixed). */
   def bqAppend(newVecs: DataFrame, idCol: String, vecCol: String,
-               path: String, extraCols: Seq[String] = Nil): Unit = {
-    require(!ivfHasDirs(newVecs.sparkSession, path, "batch="),
-      s"bqAppend: $path has the streaming batch layout — use " +
-        "bqAppendBatch (mixing layouts breaks partition discovery)")
-    bqSigned(newVecs, idCol, vecCol, extraCols)
-      .write.mode("append").parquet(path)
-  }
+               path: String, extraCols: Seq[String] = Nil): Unit =
+    pureIndexAppend(bqSigned(newVecs, idCol, vecCol, extraCols), path,
+      "bqAppend", "bqAppendBatch")
 
   /** The replay-idempotent micro-batch face of [[bqAppend]]
     * ([[ivfAppendBatch]]'s contract on the signature index): the
@@ -1550,29 +1546,16 @@ object Similarity {
     * target, hence `batchId >= 0`. */
   def bqAppendBatch(batch: DataFrame, idCol: String, vecCol: String,
                     path: String, batchId: Long,
-                    extraCols: Seq[String] = Nil): Unit = {
-    require(batchId >= 0,
-      s"batchId must be >= 0 (batch=-1 is bqCompact's reserved fold " +
-        s"target): $batchId")
-    val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(p) || !fs.listStatus(p).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet")),
-      s"bqAppendBatch: $path has the flat one-shot layout — use " +
-        "bqAppend (mixing layouts breaks partition discovery)")
-    bqSigned(batch, idCol, vecCol, extraCols)
-      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
-  }
+                    extraCols: Seq[String] = Nil): Unit =
+    pureIndexAppendBatch(bqSigned(batch, idCol, vecCol, extraCols),
+      path, batchId, "bqAppendBatch", "bqAppend", "bqCompact")
 
   /** Tombstone vectors out of a signature index — the [[ivfDelete]]
     * contract: ids append to `<path>.tombstones`, probes exclude them
     * immediately, the index itself is untouched until
     * [[bqCompact]]. */
   def bqDelete(path: String, ids: DataFrame, idCol: String): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append")
-      .parquet(s"$path.tombstones")
+    pureIndexDelete(path, ids, idCol)
 
   /** Compact a signature index: rewrite without tombstoned rows,
     * clear the tombstone table — the one explicit read-modify-write
@@ -1586,7 +1569,49 @@ object Similarity {
     * overwrite (the house mutate-then-reread protection). Pause
     * ingest across a compact (single-maintenance-actor). */
   def bqCompact(spark: org.apache.spark.sql.SparkSession,
-                path: String): Unit = {
+                path: String): Unit = pureIndexCompact(spark, path)
+
+  // ---- The shared lifecycle core of the MODEL-FREE vector indexes
+  // (binary signatures, int8 quantization): their rows are pure
+  // per-vector functions, so append ≡ one-shot build, batches replay
+  // by overwrite, deletes are sibling tombstones, and compaction is
+  // deletion + latest-batch upsert healing with nothing to refit —
+  // no versioned swap ever needed. The faces above/below delegate
+  // here with their own names in the guard messages. ----
+
+  private def pureIndexAppend(rows: DataFrame, path: String,
+                              face: String, batchFace: String): Unit = {
+    require(!ivfHasDirs(rows.sparkSession, path, "batch="),
+      s"$face: $path has the streaming batch layout — use " +
+        s"$batchFace (mixing layouts breaks partition discovery)")
+    rows.write.mode("append").parquet(path)
+  }
+
+  private def pureIndexAppendBatch(rows: DataFrame, path: String,
+                                   batchId: Long, face: String,
+                                   flatFace: String,
+                                   compactFace: String): Unit = {
+    require(batchId >= 0,
+      s"batchId must be >= 0 (batch=-1 is $compactFace's reserved " +
+        s"fold target): $batchId")
+    val spark = rows.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")),
+      s"$face: $path has the flat one-shot layout — use " +
+        s"$flatFace (mixing layouts breaks partition discovery)")
+    rows.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  private def pureIndexDelete(path: String, ids: DataFrame,
+                              idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append")
+      .parquet(s"$path.tombstones")
+
+  private def pureIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
     val batchLayout = ivfHasDirs(spark, path, "batch=")
     val raw = spark.read.parquet(path)
     val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
@@ -1789,16 +1814,54 @@ object Similarity {
     * and candidates re-rank against the float table by id. */
   def writeInt8Corpus(df: DataFrame, idCol: String, vecCol: String,
                       path: String): Unit =
+    int8Rows(df, idCol, vecCol).write.mode("overwrite").parquet(path)
+
+  private def int8Rows(df: DataFrame, idCol: String,
+                       vecCol: String): DataFrame =
     withInt8Quantized(df, vecCol)
       .select(col(idCol).as("id"), col("q_vec"))
-      .write.mode("overwrite").parquet(path)
+
+  // ---- int8 index lifecycle ([[pureIndexAppend]] family): the
+  // quantized row is a pure per-vector function, exactly like the
+  // binary signature — so the at-rest int8 corpus carries the same
+  // model-free lifecycle as [[buildBqIndex]]'s: append ≡ one-shot,
+  // replay-idempotent batches, sibling tombstones with immediate
+  // probe exclusion, deletion/upsert-healing compaction. ----
+
+  /** [[bqAppend]]'s contract on the int8 layout: quantize and APPEND
+    * (pure function — appended ≡ one-shot [[writeInt8Corpus]]). */
+  def int8Append(newVecs: DataFrame, idCol: String, vecCol: String,
+                 path: String): Unit =
+    pureIndexAppend(int8Rows(newVecs, idCol, vecCol), path,
+      "int8Append", "int8AppendBatch")
+
+  /** [[bqAppendBatch]]'s contract on the int8 layout: the batch's
+    * quantized rows overwrite their own `batch=<id>` subtree —
+    * replays rewrite, never double-append. */
+  def int8AppendBatch(batch: DataFrame, idCol: String, vecCol: String,
+                      path: String, batchId: Long): Unit =
+    pureIndexAppendBatch(int8Rows(batch, idCol, vecCol), path, batchId,
+      "int8AppendBatch", "int8Append", "int8Compact")
+
+  /** [[bqDelete]]'s contract on the int8 layout: sibling tombstones,
+    * immediate exclusion on every prequantized probe. */
+  def int8Delete(path: String, ids: DataFrame, idCol: String): Unit =
+    pureIndexDelete(path, ids, idCol)
+
+  /** [[bqCompact]]'s contract on the int8 layout: drop tombstoned
+    * rows, fold batches to `batch=-1` keeping each id's latest batch,
+    * clear the tombstone table. */
+  def int8Compact(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit = pureIndexCompact(spark, path)
 
   /** Brute-force top-k over a [[writeInt8Corpus]] layout: the pure
     * at-rest-quantized ANN scan (no quantization work in the query —
     * that was paid once at ingest). */
   def int8TopKPrequantized(spark: org.apache.spark.sql.SparkSession,
                            path: String, queryId: Long, k: Int): DataFrame = {
-    val qz = spark.read.parquet(path)
+    // tombstoned ids ([[int8Delete]]) never surface; no-op on an
+    // undeleted corpus (the exists check keeps legacy plans unchanged)
+    val qz = withoutTombstones(spark, path, spark.read.parquet(path))
     val q = broadcast(qz.filter(col("id") === queryId)
       .select(col("q_vec").as("__qvec")))
     qz.filter(col("id") =!= queryId)
@@ -1828,7 +1891,7 @@ object Similarity {
       .select(col("__qid"), col("q_vec").as("__qvec")))
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("q_cos").desc, col("id"))
-    spark.read.parquet(path)
+    withoutTombstones(spark, path, spark.read.parquet(path))
       .join(q, col("id") =!= col("__qid"))
       .select(col("__qid"), col("id"),
         round(quantizedCosine(col("q_vec"), col("__qvec")), 6)

@@ -668,6 +668,30 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[bqIndexAvailableNow]] on the int8 layout: arriving embeddings
+    * quantize (pure per-vector function, no model) into per-batch
+    * `batch=<id>` subtrees via [[graft.operators.Similarity
+    * .int8AppendBatch]] — replays rewrite identical rows; probes read
+    * the 4x-compressed table at rest (the execution gate
+    * `q_int8_stream_exec`). */
+  def int8IndexAvailableNow(spark: SparkSession, vecsPath: String,
+                            idCol: String,
+                            vecExpr: org.apache.spark.sql.Column,
+                            indexPath: String,
+                            checkpointDir: String): Unit = {
+    val (src, _) = fileSource(spark, vecsPath)
+    val q = src.select(col(idCol), vecExpr.as("__vec"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.int8AppendBatch(
+          batch, idCol, "__vec", indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

@@ -130,6 +130,50 @@ class BqIndexSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
+  test("int8 lifecycle (the shared pure-function core): append == " +
+      "one-shot; delete excludes immediately; batch replay " +
+      "idempotent; layout guards") {
+    val dir = tmp("i8life") + "/corpus"
+    Similarity.writeInt8Corpus(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", dir)
+    Similarity.int8Append(emb.filter($"vec_id" >= 300), "vec_id",
+      "embedding", dir)
+    val oneShot = tmp("i8one") + "/corpus"
+    Similarity.writeInt8Corpus(emb, "vec_id", "embedding", oneShot)
+    val a = spark.read.parquet(dir)
+      .select($"id", $"q_vec".cast("string")).as[(Long, String)]
+      .collect().toSet
+    val b = spark.read.parquet(oneShot)
+      .select($"id", $"q_vec".cast("string")).as[(Long, String)]
+      .collect().toSet
+    assert(a == b, "int8 append must equal the one-shot build")
+    Similarity.int8Delete(dir, Seq(5L, 6L).toDF("vec_id"), "vec_id")
+    val probed = Similarity.int8TopKBatchPrequantized(spark, dir,
+        emb.filter($"vec_id" === 5L)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "qid", "qv", k = 100000)
+      .select($"id").as[Long].collect().toSet
+    assert(!probed.contains(5L) && !probed.contains(6L) &&
+      probed.contains(7L))
+    Similarity.int8Compact(spark, dir)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(spark.read.parquet(dir).count() == 498L)
+    intercept[IllegalArgumentException] {
+      Similarity.int8AppendBatch(emb, "vec_id", "embedding", dir, 0L)
+    }
+    // batch face: replay idempotence on a fresh root
+    val bdir = tmp("i8batch") + "/corpus"
+    Similarity.int8AppendBatch(emb.filter($"vec_id" < 50), "vec_id",
+      "embedding", bdir, 0L)
+    val n0 = spark.read.parquet(bdir).count()
+    Similarity.int8AppendBatch(emb.filter($"vec_id" < 50), "vec_id",
+      "embedding", bdir, 0L)
+    assert(spark.read.parquet(bdir).count() == n0)
+    intercept[IllegalArgumentException] {
+      Similarity.int8Append(emb, "vec_id", "embedding", bdir)
+    }
+  }
+
   test("bqTopKIndexedFiltered: predicate on the compressed scan, " +
       "before top-k") {
     val dir = tmp("bqfilt") + "/idx"
