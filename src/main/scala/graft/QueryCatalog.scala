@@ -4390,6 +4390,37 @@ object QueryCatalog {
              |  CAST(1.0 AS DOUBLE) AS top1_cos,
              |  CAST(20 AS BIGINT) AS n_rows""".stripMargin)),
 
+    Q("q_srp_batch", // the LSH-bucketed tier's batch face (closing
+      // the last single-query-only probe in the ANN family): queries
+      // 0..3 in ONE job, each scoring only its own SRP bucket via the
+      // cell-equality broadcast join. Cell membership isn't
+      // SQL-expressible (xxhash64 signatures), so the gate pins the
+      // planted-duplicate property per query: the exact copy
+      // co-buckets by construction and ranks first at cos 1.0.
+      // Batch ≡ per-query srpTopK is spec-pinned.
+      (s, d) => {
+        val planted = plantedEmbeddings(s, d)
+        Similarity.srpTopKBatch(planted, "vec_id", "embedding",
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20, nBits = 4)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            (count(lit(1)) >= 1).as("has_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  true AS has_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0),
+             |  (1, 1000001, 1.0),
+             |  (2, 1000002, 1.0),
+             |  (3, 1000003, 1.0)) AS v(c0, c1, c2)""".stripMargin)),
+
     Q("q_srp_bench", // headline bench twin of q_srp_topk: times the RAW
       // bucketed-ANN scan on the raw embeddings table — no planted
       // union, no gate scaffolding (VERDICT r6 task 1; the r5→r6

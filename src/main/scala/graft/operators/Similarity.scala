@@ -162,6 +162,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[srpTopK]] for a query TABLE in ONE job — the batch face of the
+    * LSH-bucketed tier ([[cosineTopKBatch]]'s shape with the bucket
+    * equality as the join key): the corpus signs once per row, query
+    * signatures ride a broadcast, candidates meet their queries on
+    * CELL EQUALITY (each query scores only its bucket — 1/2^nBits of
+    * the corpus in expectation), exact cosine within the bucket,
+    * per-query WindowGroupLimit. Per query identical to [[srpTopK]]
+    * at the same dials (law spec-pinned); a query whose bucket holds
+    * nothing but itself contributes no rows. */
+  def srpTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, queryIdCol: String,
+                   queryVecCol: String, k: Int,
+                   nBits: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(queryIdCol != "id",
+      "srpTopKBatch: queryIdCol must not be named \"id\" — the " +
+        "output reserves that name for the corpus id")
+    val withSig = df.select(col(idCol).as("id"),
+      col(vecCol).as("__v"),
+      srpSignature(col(vecCol), nBits).as("__cell"))
+    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qv"),
+      srpSignature(col(queryVecCol), nBits).as("__qcell")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    withSig.join(q,
+        col("__cell") === col("__qcell") && col("id") =!= col("__qid"))
+      .select(col("__qid"), col("id"),
+        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+  }
+
   /** IVF-style ANN index: embeddings written hive-partitioned by their
     * SRP cell. A probe reads ONLY the query's cell directory (partition
     * pruning — at 100 TB the scan touches 1/2^nBits of the corpus;

@@ -168,6 +168,28 @@ class FilteredRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("srpTopKBatch == per-query srpTopK (the LSH-bucketed tier's " +
+      "batch face)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val qs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = Similarity.srpTopKBatch(emb, "vec_id", "embedding",
+        qs, "qid", "qv", k = 10, nBits = 4)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1))
+        .toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val single = Similarity.srpTopK(emb, "vec_id", "embedding",
+          queryId = qid, k = 10, nBits = 4)
+        .as[(Long, Double)].collect().toSeq
+        .sortBy(r => (-r._2, r._1))
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"query $qid diverges")
+    }
+  }
+
   test("ivfPqTopKBatchFiltered: batch == single per query; widening " +
       "reaches full coverage on the planted rare label") {
     val emb = Tables.embeddings(spark, sfDir)
