@@ -465,6 +465,109 @@ object QueryCatalog {
        |  FROM h)
        |SELECT qid, id, hamming FROM r WHERE rn <= 10""".stripMargin
 
+  /** Shared oracle of q_search_filtered and its fully-INDEXED twin
+    * q_search_filtered_indexed: per query the indexed filtered legs
+    * equal the direct ones exactly (bm25 by the indexed==direct law;
+    * the IVF leg widens to full coverage on the planted rare label,
+    * so it IS the brute filtered ranking), hence one SQL gates both
+    * compositions. */
+  private val searchFilteredOracleSql =
+    """WITH qraw AS (SELECT * FROM (VALUES
+      |    (CAST(0 AS BIGINT), 'hash join window scan'),
+      |    (CAST(1 AS BIGINT), 'sort merge batch'),
+      |    (CAST(2 AS BIGINT), 'dup stream'),
+      |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+      |  AS v(query_id, query_text)),
+      |q AS (SELECT DISTINCT query_id, tok FROM (
+      |  SELECT query_id,
+      |    unnest(string_split_regex(trim(query_text), '\s+'))
+      |      AS tok
+      |  FROM qraw)),
+      |d0 AS (SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, 'zz' FROM documents
+      |  WHERE doc_id BETWEEN 10 AND 21),
+      |d AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\s+') AS toks
+      |  FROM d0
+      |  WHERE text IS NOT NULL AND trim(text) <> ''),
+      |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    avg(dl) AS avgdl FROM lens),
+      |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+      |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+      |  GROUP BY 1, 2),
+      |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |allowed AS (SELECT doc_id FROM d WHERE lang = 'zz'),
+      |contrib AS (SELECT tf.doc_id, tf.tok,
+      |    ln((stats.n - dfr.df + CAST(0.5 AS DOUBLE))
+      |          / (dfr.df + CAST(0.5 AS DOUBLE))
+      |          + CAST(1.0 AS DOUBLE))
+      |      * tf.tf
+      |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |      / (tf.tf + CAST(1.2 AS DOUBLE)
+      |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |            + CAST(0.75 AS DOUBLE) * lens.dl
+      |              / stats.avgdl)) AS c
+      |  FROM tf JOIN dfr USING (tok) JOIN lens USING (doc_id)
+      |  CROSS JOIN stats),
+      |sc AS (SELECT q.query_id, contrib.doc_id,
+      |    round(sum(contrib.c), 4) + 0 AS bm25
+      |  FROM contrib JOIN q ON q.tok = contrib.tok
+      |  JOIN allowed ON allowed.doc_id = contrib.doc_id
+      |  GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, bm25 FROM (
+      |    SELECT query_id, doc_id, bm25,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY bm25 DESC, doc_id) AS rn
+      |    FROM sc)
+      |  WHERE rn <= 50),
+      |qv AS (SELECT vec_id AS qid, embedding AS vq
+      |  FROM embeddings WHERE vec_id < 4),
+      |pe AS (SELECT CAST(vec_id + 1000000 AS BIGINT) AS id,
+      |    embedding
+      |  FROM embeddings WHERE vec_id BETWEEN 10 AND 21),
+      |semsc AS (SELECT qv.qid, e.id,
+      |  round(list_aggregate(list_transform(e.embedding,
+      |    (x, i) -> CAST(x AS DOUBLE) * CAST(qv.vq[i] AS DOUBLE)),
+      |    'sum')
+      |  / (sqrt(list_aggregate(list_transform(e.embedding,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |   * sqrt(list_aggregate(list_transform(qv.vq,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+      |    6) + 0 AS s
+      |  FROM pe e JOIN qv ON e.id <> qv.qid),
+      |sem AS (SELECT qid AS query_id, id AS doc_id, s FROM (
+      |    SELECT qid, id, s,
+      |      row_number() OVER (PARTITION BY qid
+      |                         ORDER BY s DESC, id) AS rn
+      |    FROM semsc)
+      |  WHERE rn <= 50),
+      |r1 AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY bm25 DESC, doc_id) AS r
+      |  FROM lex),
+      |r2 AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY s DESC, doc_id) AS r
+      |  FROM sem),
+      |u AS (SELECT query_id, doc_id, r FROM r1
+      |      UNION ALL SELECT query_id, doc_id, r FROM r2),
+      |f AS (SELECT query_id, doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_signals,
+      |    round(sum(CAST(1.0 AS DOUBLE)
+      |      / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
+      |  FROM u GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_signals, rrf_score,
+      |  CAST(rn AS BIGINT) AS rank
+      |FROM (SELECT query_id, doc_id, n_signals, rrf_score,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY rrf_score DESC, doc_id)
+      |      AS rn
+      |  FROM f)
+      |WHERE rn <= 10""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -2953,101 +3056,65 @@ object QueryCatalog {
           qs, "query_id", "query_text", col("lang") === "zz",
           sem, "qid", "id", "cos_sim", k = 10, candidates = 50)
       },
-      Some("""WITH qraw AS (SELECT * FROM (VALUES
-             |    (CAST(0 AS BIGINT), 'hash join window scan'),
-             |    (CAST(1 AS BIGINT), 'sort merge batch'),
-             |    (CAST(2 AS BIGINT), 'dup stream'),
-             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
-             |  AS v(query_id, query_text)),
-             |q AS (SELECT DISTINCT query_id, tok FROM (
-             |  SELECT query_id,
-             |    unnest(string_split_regex(trim(query_text), '\s+'))
-             |      AS tok
-             |  FROM qraw)),
-             |d0 AS (SELECT doc_id, text, lang FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000, text, 'zz' FROM documents
-             |  WHERE doc_id BETWEEN 10 AND 21),
-             |d AS (SELECT doc_id, lang,
-             |    string_split_regex(trim(text), '\s+') AS toks
-             |  FROM d0
-             |  WHERE text IS NOT NULL AND trim(text) <> ''),
-             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
-             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             |    avg(dl) AS avgdl FROM lens),
-             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
-             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
-             |  GROUP BY 1, 2),
-             |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-             |allowed AS (SELECT doc_id FROM d WHERE lang = 'zz'),
-             |contrib AS (SELECT tf.doc_id, tf.tok,
-             |    ln((stats.n - dfr.df + CAST(0.5 AS DOUBLE))
-             |          / (dfr.df + CAST(0.5 AS DOUBLE))
-             |          + CAST(1.0 AS DOUBLE))
-             |      * tf.tf
-             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
-             |      / (tf.tf + CAST(1.2 AS DOUBLE)
-             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-             |            + CAST(0.75 AS DOUBLE) * lens.dl
-             |              / stats.avgdl)) AS c
-             |  FROM tf JOIN dfr USING (tok) JOIN lens USING (doc_id)
-             |  CROSS JOIN stats),
-             |sc AS (SELECT q.query_id, contrib.doc_id,
-             |    round(sum(contrib.c), 4) + 0 AS bm25
-             |  FROM contrib JOIN q ON q.tok = contrib.tok
-             |  JOIN allowed ON allowed.doc_id = contrib.doc_id
-             |  GROUP BY 1, 2),
-             |lex AS (SELECT query_id, doc_id, bm25 FROM (
-             |    SELECT query_id, doc_id, bm25,
-             |      row_number() OVER (PARTITION BY query_id
-             |                         ORDER BY bm25 DESC, doc_id) AS rn
-             |    FROM sc)
-             |  WHERE rn <= 50),
-             |qv AS (SELECT vec_id AS qid, embedding AS vq
-             |  FROM embeddings WHERE vec_id < 4),
-             |pe AS (SELECT CAST(vec_id + 1000000 AS BIGINT) AS id,
-             |    embedding
-             |  FROM embeddings WHERE vec_id BETWEEN 10 AND 21),
-             |semsc AS (SELECT qv.qid, e.id,
-             |  round(list_aggregate(list_transform(e.embedding,
-             |    (x, i) -> CAST(x AS DOUBLE) * CAST(qv.vq[i] AS DOUBLE)),
-             |    'sum')
-             |  / (sqrt(list_aggregate(list_transform(e.embedding,
-             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-             |   * sqrt(list_aggregate(list_transform(qv.vq,
-             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-             |    6) + 0 AS s
-             |  FROM pe e JOIN qv ON e.id <> qv.qid),
-             |sem AS (SELECT qid AS query_id, id AS doc_id, s FROM (
-             |    SELECT qid, id, s,
-             |      row_number() OVER (PARTITION BY qid
-             |                         ORDER BY s DESC, id) AS rn
-             |    FROM semsc)
-             |  WHERE rn <= 50),
-             |r1 AS (SELECT query_id, doc_id,
-             |    row_number() OVER (PARTITION BY query_id
-             |                       ORDER BY bm25 DESC, doc_id) AS r
-             |  FROM lex),
-             |r2 AS (SELECT query_id, doc_id,
-             |    row_number() OVER (PARTITION BY query_id
-             |                       ORDER BY s DESC, doc_id) AS r
-             |  FROM sem),
-             |u AS (SELECT query_id, doc_id, r FROM r1
-             |      UNION ALL SELECT query_id, doc_id, r FROM r2),
-             |f AS (SELECT query_id, doc_id,
-             |    CAST(count(*) AS BIGINT) AS n_signals,
-             |    round(sum(CAST(1.0 AS DOUBLE)
-             |      / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
-             |  FROM u GROUP BY 1, 2)
-             |SELECT query_id, doc_id, n_signals, rrf_score,
-             |  CAST(rn AS BIGINT) AS rank
-             |FROM (SELECT query_id, doc_id, n_signals, rrf_score,
-             |    row_number() OVER (PARTITION BY query_id
-             |                       ORDER BY rrf_score DESC, doc_id)
-             |      AS rn
-             |  FROM f)
-             |WHERE rn <= 10""".stripMargin)),
+      Some(searchFilteredOracleSql)),
+
+    Q("q_search_filtered_indexed", // the FULLY-INDEXED filtered
+      // hybrid stack: filtered BM25 candidates off the posting index
+      // (metadata on the posting rows) fused with filtered ANN
+      // candidates off the centroid-IVF index (metadata on the index
+      // rows, DataFrame-coordinated widening) through per-query RRF —
+      // the complete at-scale answer to "hybrid search WHERE
+      // label = X", nothing scanning a raw corpus. Per query it
+      // equals the DIRECT filtered pipeline exactly (bm25 by the
+      // indexed == direct law; the IVF leg widens to full coverage on
+      // the planted rare label, so it IS the brute filtered ranking),
+      // hence q_search_filtered's oracle VERBATIM.
+      (s, d) => {
+        import s.implicits._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_sfi_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id").between(10, 21))
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit("zz").as("lang")))
+        val emb = t(s, d, "embeddings")
+        val corpusEmb = emb
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(emb.filter(col("vec_id").between(10, 21))
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding"), lit(99).as("label")))
+        if (!new java.io.File(s"$root/bm25", "_SUCCESS").exists())
+          CorpusOps.buildBm25Index(corpus, "doc_id", "text",
+            s"$root/bm25", extraCols = Seq("lang"))
+        if (!new java.io.File(s"$root/ivf", "_SUCCESS").exists())
+          Similarity.buildIvfCentroidIndex(corpusEmb, "vec_id",
+            "embedding", s"$root/ivf", k = 8, iters = 3,
+            extraCols = Seq("label"))
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        val lex = CorpusOps.bm25TopKIndexedFiltered(s, s"$root/bm25",
+            qs, "query_id", "query_text", k = 50, col("lang") === "zz")
+          .select(col("query_id"), col("id").as("doc_id"), col("bm25"))
+        val sem = Similarity.ivfCentroidTopKBatchFiltered(s,
+            s"$root/ivf",
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 50, col("label") === 99, probes = 1)
+          .select(col("qid").as("query_id"), col("id").as("doc_id"),
+            col("cos_sim"))
+        CorpusOps.rrfTopKGrouped(Map(
+            "lexical" -> ((lex, "bm25")),
+            "semantic" -> ((sem, "cos_sim"))),
+          "query_id", "doc_id", k = 10)
+      },
+      Some(searchFilteredOracleSql)),
 
     Q("q_nb_quality", // hashed-feature multinomial Naive Bayes — the
       // trained model-based quality/domain filter (DCLM / fastText
