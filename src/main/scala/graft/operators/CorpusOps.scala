@@ -2392,17 +2392,26 @@ object CorpusOps {
       else Seq.empty
     }
     val batchLayout = batchDirs(roots.postings).nonEmpty
+    val willVersion = versioned || curVersion.isDefined
     // snapshot the exact files this compact reads (r16 advice: the
     // late-arrival fold of the VERSIONED path diffs against these
-    // after the rewrite; the in-place path overwrites its own root,
-    // so there concurrent ingest stays the documented pause)
+    // after the rewrite; the in-place path overwrites its own root —
+    // there concurrent ingest stays the documented pause, so it skips
+    // the df/stats listings, which on an object store are the
+    // compact's dominant metadata cost). The postings/tombstone
+    // snapshots reuse the scans' own already-materialized file
+    // indexes (inputFiles) — no extra listing either way.
     val raw = spark.read.parquet(roots.postings)
     val postingsSnapshot = raw.inputFiles
       .map(new org.apache.hadoop.fs.Path(_).toString).toSet
-    val dfSnapshot = graft.operators.Similarity
-      .listDataFiles(spark, roots.df)
-    val statsSnapshot = graft.operators.Similarity
-      .listDataFiles(spark, roots.stats)
+    val dfSnapshot =
+      if (willVersion)
+        graft.operators.Similarity.listDataFiles(spark, roots.df)
+      else Set.empty[String]
+    val statsSnapshot =
+      if (willVersion)
+        graft.operators.Similarity.listDataFiles(spark, roots.stats)
+      else Set.empty[String]
     val tombDf =
       if (fs.exists(tombPath)) Some(spark.read.parquet(roots.tombstones))
       else None

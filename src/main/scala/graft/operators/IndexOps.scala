@@ -76,11 +76,16 @@ object IndexOps {
     def d(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
 
     if (exists(s"$genRoot/codes") && exists(s"$genRoot/model")) {
-      // ---- IVF-PQ: occupancy skew + pending deletes off the codes
+      // ---- IVF-PQ: occupancy skew + pending deletes off the codes.
+      // An EMPTY codes tree (everything tombstoned then compacted, or
+      // a crashed build) must report zeros and a null skew — the
+      // report is exactly what an operator runs to find out why an
+      // index looks wrong (the bm25IndexStats hardening rule).
       val codes = spark.read.parquet(s"$genRoot/codes")
       val occ = codes.groupBy(col("cell"))
         .agg(count(lit(1)).as("n")).agg(
-          count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+          count(lit(1)).as("n_cells"),
+          coalesce(sum(col("n")), lit(0L)).as("n_vecs"),
           (max(col("n")).cast("double") / avg(col("n"))).as("skew"))
         .collect()(0)
       val nVecs = occ.getLong(1)
@@ -89,7 +94,8 @@ object IndexOps {
       emit("ivfpq", layoutOf(s"$genRoot/codes"), Seq(
         "n_cells" -> d(occ.getLong(0).toDouble),
         "n_vecs" -> d(nVecs.toDouble),
-        "count_skew" -> d(math.round(occ.getDouble(2) * 1e6) / 1e6),
+        "count_skew" -> (if (occ.isNullAt(2)) null
+          else d(math.round(occ.getDouble(2) * 1e6) / 1e6)),
         "n_tombstones" -> d(nTomb.toDouble),
         "tombstone_frac" -> d(if (nVecs > 0)
           math.round(nTomb.toDouble / nVecs * 1e6) / 1e6 else 0.0)))
@@ -128,10 +134,16 @@ object IndexOps {
       if (isSig) {
         // ---- binary-signature index
         val nVecs = df.count()
+        val nBatches = {
+          val hp = new org.apache.hadoop.fs.Path(root)
+          hp.getFileSystem(conf).listStatus(hp).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch="))
+        }
         val nTomb = tombstoneCount(s"$root.tombstones",
           df.select(col("id")))
         emit("bq", layoutOf(root), Seq(
           "n_vecs" -> d(nVecs.toDouble),
+          "n_batches" -> d(nBatches.toDouble),
           "n_tombstones" -> d(nTomb.toDouble),
           "tombstone_frac" -> d(if (nVecs > 0)
             math.round(nTomb.toDouble / nVecs * 1e6) / 1e6 else 0.0)))

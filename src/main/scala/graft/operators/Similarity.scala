@@ -95,14 +95,23 @@ object Similarity {
     * literally named "id" would make the RESULT carry two "id"
     * columns (unselectable by name), so it is rejected loudly —
     * rename the query id first (r16 verdict residual, closed). */
+  /** Every batch probe in this family returns (`queryIdCol`, `id`,
+    * score) — the corpus column name "id" is RESERVED in the output
+    * (a query id literally named "id" would make the result carry two
+    * unselectable "id" columns), so every face rejects it loudly
+    * (r16 verdict residual, closed across the family). */
+  private def requireQueryIdNotReserved(queryIdCol: String,
+                                        op: String): Unit =
+    require(queryIdCol != "id",
+      s"$op: queryIdCol must not be named \"id\" — the output " +
+        "reserves that name for the corpus id (rename the query id " +
+        "column first)")
+
   def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
                       queries: DataFrame, queryIdCol: String,
                       queryVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(queryIdCol != "id",
-      "cosineTopKBatch: queryIdCol must not be named \"id\" — the " +
-        "output reserves that name for the corpus id (rename the " +
-        "query id column first)")
+    requireQueryIdNotReserved(queryIdCol, "cosineTopKBatch")
     val q = broadcast(queries
       .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv")))
     val w = Window.partitionBy(col("__qid"))
@@ -176,9 +185,7 @@ object Similarity {
                    queryVecCol: String, k: Int,
                    nBits: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(queryIdCol != "id",
-      "srpTopKBatch: queryIdCol must not be named \"id\" — the " +
-        "output reserves that name for the corpus id")
+    requireQueryIdNotReserved(queryIdCol, "srpTopKBatch")
     val withSig = df.select(col(idCol).as("id"),
       col(vecCol).as("__v"),
       srpSignature(col(vecCol), nBits).as("__cell"))
@@ -689,6 +696,7 @@ object Similarity {
                            k: Int, probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
+    requireQueryIdNotReserved(queryIdCol, "ivfCentroidTopKBatch")
     ivfBatchCore(spark, indexPath,
       queries.select(col(queryIdCol).as("qid"),
         col(queryVecCol).as("__qv")),
@@ -818,6 +826,7 @@ object Similarity {
       k: Int, predicate: Column, probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
+    requireQueryIdNotReserved(queryIdCol, "ivfCentroidTopKBatchFiltered")
     val nCells = readCentroids(spark, indexPath).size
     filteredWideningLoop(nCells, probes,
       queries.select(col(queryIdCol).as("qid"),
@@ -1283,21 +1292,12 @@ object Similarity {
                               k: Int, pool: Int, dims: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(pool >= k, s"pool ($pool) must cover k ($k)")
-    val cands = matryoshkaTopKBatch(df, idCol, vecCol, queries,
-        queryIdCol, queryVecCol, pool, dims)
-      .select(col(queryIdCol).as("__qid"), col("id"))
-    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
-      col(queryVecCol).as("__qv")))
-    val wTop = Window.partitionBy(col("__qid"))
-      .orderBy(col("cos_sim").desc, col("id"))
-    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cands), Seq("id"))
-      .join(q, Seq("__qid"))
-      .select(col("__qid"), col("id"),
-        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= k)
-      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+    exactRerankStage(df, idCol, vecCol, queries, queryIdCol,
+      queryVecCol,
+      matryoshkaTopKBatch(df, idCol, vecCol, queries, queryIdCol,
+          queryVecCol, pool, dims)
+        .select(col(queryIdCol).as("__qid"), col("id")),
+      k)
   }
 
   // --------------------------------------------------- binary quantization
@@ -1386,6 +1386,7 @@ object Similarity {
                   queries: DataFrame, queryIdCol: String,
                   queryVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, "bqTopKBatch")
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
       binarySignature(col(queryVecCol)).as("__qsig")))
     val w = Window.partitionBy(col("__qid"))
@@ -1415,9 +1416,26 @@ object Similarity {
                           pool: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(pool >= k, s"pool ($pool) must cover k ($k)")
-    val cands = bqTopKBatch(df, idCol, vecCol, queries, queryIdCol,
-        queryVecCol, pool)
-      .select(col(queryIdCol).as("__qid"), col("id"))
+    requireQueryIdNotReserved(queryIdCol, "bqTopKRerankedBatch")
+    exactRerankStage(df, idCol, vecCol, queries, queryIdCol,
+      queryVecCol,
+      bqTopKBatch(df, idCol, vecCol, queries, queryIdCol, queryVecCol,
+          pool)
+        .select(col(queryIdCol).as("__qid"), col("id")),
+      k)
+  }
+
+  /** The shared exact-cosine re-rank stage of the two-stage funnels
+    * ([[bqTopKRerankedBatch]] / [[bqTopKIndexedRerankedBatch]] /
+    * [[matryoshkaRerankedBatch]]): per-query candidate ids (`__qid`,
+    * `id`) broadcast back onto the float table, exact rounded-6
+    * cosine, per-query WindowGroupLimit — one definition so a
+    * tie-break or rounding change can never diverge the gated
+    * indexed == direct laws. */
+  private def exactRerankStage(df: DataFrame, idCol: String,
+                               vecCol: String, queries: DataFrame,
+                               queryIdCol: String, queryVecCol: String,
+                               cands: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
       col(queryVecCol).as("__qv")))
     val wTop = Window.partitionBy(col("__qid"))
@@ -1464,9 +1482,7 @@ object Similarity {
     require(k > 0, s"k must be positive: $k")
     require(lambda >= 0 && lambda <= 1,
       s"lambda must be in [0, 1]: $lambda")
-    require(queryIdCol != "id",
-      "mmrRerankBatch: queryIdCol must not be named \"id\" — the " +
-        "output reserves that name for the candidate id")
+    requireQueryIdNotReserved(queryIdCol, "mmrRerankBatch")
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
@@ -1493,7 +1509,8 @@ object Similarity {
         val maxSim = new Array[Double](n)
         val out = Seq.newBuilder[(Long, Long, Double, Long)]
         var rank = 1L
-        while (rank <= math.min(k, n)) {
+        var exhausted = false
+        while (!exhausted && rank <= math.min(k, n)) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var bestId = Long.MaxValue
@@ -1501,6 +1518,10 @@ object Similarity {
           while (i < n) {
             if (!chosen(i)) {
               val s = lambda * pool(i)._3 - (1 - lambda) * maxSim(i)
+              // a NaN score (NaN relevance — e.g. a zero-vector rel
+              // upstream) fails every comparison and is never
+              // selected; if ONLY NaN candidates remain, stop instead
+              // of indexing -1 (fewer than k rows, never a crash)
               if (s > bestScore ||
                   (s == bestScore && pool(i)._2 < bestId)) {
                 best = i; bestScore = s; bestId = pool(i)._2
@@ -1508,21 +1529,24 @@ object Similarity {
             }
             i += 1
           }
-          chosen(best) = true
-          out += ((qid, pool(best)._2, bestScore, rank))
-          rank += 1
-          val bv = vecs(best)
-          i = 0
-          while (i < n) {
-            if (!chosen(i)) {
-              val vi = vecs(i)
-              var d = 0.0d
-              var j = 0
-              val m = math.min(vi.length, bv.length)
-              while (j < m) { d += vi(j) * bv(j); j += 1 }
-              if (d > maxSim(i)) maxSim(i) = d
+          if (best < 0) exhausted = true
+          else {
+            chosen(best) = true
+            out += ((qid, pool(best)._2, bestScore, rank))
+            rank += 1
+            val bv = vecs(best)
+            i = 0
+            while (i < n) {
+              if (!chosen(i)) {
+                val vi = vecs(i)
+                var d = 0.0d
+                var j = 0
+                val m = math.min(vi.length, bv.length)
+                while (j < m) { d += vi(j) * bv(j); j += 1 }
+                if (d > maxSim(i)) maxSim(i) = d
+              }
+              i += 1
             }
-            i += 1
           }
         }
         out.result().iterator
@@ -1724,21 +1748,13 @@ object Similarity {
                                  pool: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(pool >= k, s"pool ($pool) must cover k ($k)")
-    val cands = bqTopKIndexed(spark, path, queries, queryIdCol,
-        queryVecCol, pool)
-      .select(col(queryIdCol).as("__qid"), col("id"))
-    val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
-      col(queryVecCol).as("__qv")))
-    val wTop = Window.partitionBy(col("__qid"))
-      .orderBy(col("cos_sim").desc, col("id"))
-    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cands), Seq("id"))
-      .join(q, Seq("__qid"))
-      .select(col("__qid"), col("id"),
-        round(cosine(col("__v"), col("__qv")), 6).as("cos_sim"))
-      .withColumn("__rn", row_number().over(wTop))
-      .filter(col("__rn") <= k)
-      .select(col("__qid").as(queryIdCol), col("id"), col("cos_sim"))
+    requireQueryIdNotReserved(queryIdCol, "bqTopKIndexedRerankedBatch")
+    exactRerankStage(df, idCol, vecCol, queries, queryIdCol,
+      queryVecCol,
+      bqTopKIndexed(spark, path, queries, queryIdCol, queryVecCol,
+          pool)
+        .select(col(queryIdCol).as("__qid"), col("id")),
+      k)
   }
 
   private def bqIndexedCore(spark: org.apache.spark.sql.SparkSession,
@@ -1746,6 +1762,7 @@ object Similarity {
                             queryIdCol: String, queryVecCol: String,
                             k: Int, pred: Option[Column]): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, "bqTopKIndexed")
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
       binarySignature(col(queryVecCol)).as("__qsig")))
     val w = Window.partitionBy(col("__qid"))
@@ -1824,6 +1841,7 @@ object Similarity {
                     queries: DataFrame, queryIdCol: String,
                     queryVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, "int8TopKBatch")
     val q = broadcast(withInt8Quantized(
         queries.select(col(queryIdCol).as("__qid"),
           col(queryVecCol).as("__qv")), "__qv")
@@ -1919,6 +1937,7 @@ object Similarity {
                                 queryIdCol: String, queryVecCol: String,
                                 k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, "int8TopKBatchPrequantized")
     val q = broadcast(withInt8Quantized(
         queries.select(col(queryIdCol).as("__qid"),
           col(queryVecCol).as("__qv")), "__qv")
@@ -2978,6 +2997,7 @@ object Similarity {
                           pool: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(pool >= k, s"pool ($pool) must cover k ($k)")
+    requireQueryIdNotReserved(queryIdCol, "pqTopKRerankedBatch")
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
       col(queryVecCol).as("__qv"),
       graft.plans.PqExpressions.pq_lut(
@@ -3027,6 +3047,7 @@ object Similarity {
                   path: String, queries: DataFrame, queryIdCol: String,
                   queryVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, "pqTopKBatch")
     val model = loadPqModel(spark, path)
     // TWO normalizations, deliberately: the per-query path collects an
     // l2normalize'd vector and [[pqLut]] then renormalizes it on the
@@ -3068,6 +3089,7 @@ object Similarity {
                      probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
+    requireQueryIdNotReserved(queryIdCol, "ivfPqTopKBatch")
     ivfPqBatchCore(spark, path,
       queries.select(col(queryIdCol).as("qid"),
         col(queryVecCol).as("__qv")),
@@ -3139,6 +3161,7 @@ object Similarity {
                              probes: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(probes >= 1, s"probes must be >= 1: $probes")
+    requireQueryIdNotReserved(queryIdCol, "ivfPqTopKBatchFiltered")
     val nCells =
       readCentroidsDir(spark, s"${pqRoot(spark, path)}/centroids").size
     filteredWideningLoop(nCells, probes,

@@ -168,6 +168,21 @@ class FilteredRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerankBatch: NaN relevance is never selected and never " +
+      "crashes the greedy loop (fewer than k rows, not an error)") {
+    val cands = Seq(
+      (0L, 1L, 0.9d, Seq(1.0f, 0.0f)),
+      (0L, 2L, Double.NaN, Seq(0.0f, 1.0f)),
+      (0L, 3L, 0.5d, Seq(0.5f, 0.5f)),
+      (0L, 4L, Double.NaN, Seq(0.1f, 0.9f)))
+      .toDF("qid", "id", "rel", "v")
+    val out = Similarity.mmrRerankBatch(cands, "qid", "id", "rel",
+        "v", k = 4, lambda = 0.7)
+      .orderBy($"rank").as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 3L),
+      s"only finite-relevance candidates may rank: ${out.mkString(",")}")
+  }
+
   test("srpTopKBatch == per-query srpTopK (the LSH-bucketed tier's " +
       "batch face)") {
     val emb = Tables.embeddings(spark, sfDir)

@@ -233,6 +233,30 @@ class MaintenanceSpec extends SparkSpec {
       s"in-flight probe must stay pinned to v1: ${old.mkString(",")}")
   }
 
+  test("foldLateIvf: works on a VERSIONED generation root (explicit " +
+      "late files under the hidden .vN ancestor read correctly)") {
+    val root = tmp("ivffoldv")
+    val dir = s"$root/idx"
+    Similarity.buildIvfCentroidIndex(emb.filter($"vec_id" < 300),
+      "vec_id", "embedding", dir, k = 4, iters = 2)
+    val centroids = Similarity.ivfRetrain(spark, dir, iters = 2,
+      versioned = true) // live generation: $dir/.v1
+    val genData = s"$dir/.v1/data"
+    val snapshot = Similarity.listDataFiles(spark, genData)
+    assert(snapshot.nonEmpty, "the .v1 data tree must list")
+    // a late append lands in .v1 (resolved through the pointer)
+    Similarity.ivfAppend(
+      emb.filter($"vec_id".between(300, 319)), "vec_id", "embedding",
+      dir)
+    val (_, _, n1) = Similarity.foldLateIvf(spark, genData,
+      s"$dir/.v1/tombstones", snapshot, Set.empty, centroids, Nil,
+      batchLayout = false, s"$root/next/data", s"$root/next/tombstones")
+    assert(n1 > 0, "late files under .v1 must fold")
+    val folded = spark.read.parquet(s"$root/next/data")
+      .select($"id").as[Long].collect().toSet
+    assert(folded == (300L to 319L).toSet, folded.toString)
+  }
+
   test("indexReport: detects every persisted kind, resolves " +
       "versioned roots through .current, reads batch layouts, and " +
       "fails loudly on garbage") {
@@ -285,6 +309,17 @@ class MaintenanceSpec extends SparkSpec {
     val mr = metrics(raw)
     assert(mr(("embeddings", "table", "n_vecs")).contains(500.0))
     assert(mr(("embeddings", "table", "generation")).contains(-1.0))
+    // bq batch layout reports its batch count (the compact-due dial)
+    assert(mq(("bq", "flat", "n_batches")).contains(0.0))
+    // an EMPTY IVF-PQ codes tree reports zeros + null skew, no NPE
+    val emptyPq = s"$root/emptypq"
+    Seq.empty[(Long, Int, Array[Byte])].toDF("id", "cell", "pq_code")
+      .write.parquet(s"$emptyPq/codes")
+    Seq((0, Seq(0.0d))).toDF("m", "c").write.parquet(s"$emptyPq/model")
+    val me = metrics(emptyPq)
+    assert(me(("ivfpq", "flat", "n_vecs")).contains(0.0))
+    assert(me(("ivfpq", "flat", "count_skew")).isEmpty,
+      "empty-index skew must be null")
     // garbage fails loudly, never misreports
     val junk = s"$root/junk"
     Seq((1L, "x")).toDF("a", "b").write.parquet(junk)
