@@ -30,7 +30,8 @@ object IndexOps {
     *   - `bm25`: [[CorpusOps.bm25IndexStats]]'s row unpivoted
     *     (n_builds, n_batches, n_tombstones, n_docs, sum_dl, avgdl) —
     *     df_rows growth and n_batches are the "compact due" dials;
-    *   - `bq`: n_vecs, n_batches, n_tombstones, tombstone_frac;
+    *   - `bq` / `int8` (the model-free quantized layouts): n_vecs,
+    *     n_batches, n_tombstones, tombstone_frac;
     *   - `embeddings` (a raw vector table, no index layout):
     *     [[Similarity.embeddingReport]]'s ingest-health card.
     *
@@ -131,8 +132,13 @@ object IndexOps {
           case ArrayType(LongType, _) => true
           case _ => false
         }))
-      if (isSig) {
-        // ---- binary-signature index
+      val isInt8 = df.schema.fields.exists(f =>
+        f.name == "q_vec" && (f.dataType match {
+          case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+          case _ => false
+        }))
+      if (isSig || isInt8) {
+        // ---- model-free quantized index (binary signatures / int8)
         val nVecs = df.count()
         val nBatches = {
           val hp = new org.apache.hadoop.fs.Path(root)
@@ -141,7 +147,7 @@ object IndexOps {
         }
         val nTomb = tombstoneCount(s"$root.tombstones",
           df.select(col("id")))
-        emit("bq", layoutOf(root), Seq(
+        emit(if (isSig) "bq" else "int8", layoutOf(root), Seq(
           "n_vecs" -> d(nVecs.toDouble),
           "n_batches" -> d(nBatches.toDouble),
           "n_tombstones" -> d(nTomb.toDouble),

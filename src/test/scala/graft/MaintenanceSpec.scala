@@ -311,6 +311,13 @@ class MaintenanceSpec extends SparkSpec {
     assert(mr(("embeddings", "table", "generation")).contains(-1.0))
     // bq batch layout reports its batch count (the compact-due dial)
     assert(mq(("bq", "flat", "n_batches")).contains(0.0))
+    // the int8 layout (q_vec array<tinyint>) is detected, not an error
+    val i8 = s"$root/int8"
+    Similarity.writeInt8Corpus(emb, "vec_id", "embedding", i8)
+    Similarity.int8Delete(i8, Seq(9L).toDF("vec_id"), "vec_id")
+    val m8 = metrics(i8)
+    assert(m8(("int8", "flat", "n_vecs")).contains(500.0))
+    assert(m8(("int8", "flat", "n_tombstones")).contains(1.0))
     // an EMPTY IVF-PQ codes tree reports zeros + null skew, no NPE
     val emptyPq = s"$root/emptypq"
     Seq.empty[(Long, Int, Array[Byte])].toDF("id", "cell", "pq_code")
