@@ -144,6 +144,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(n2 == 0)
   }
 
+  test("foldLateIvf: metadata columns (extraCols) survive the fold") {
+    val root = tmp("ivffoldx")
+    val dir = s"$root/idx"
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label")
+    val centroids = Similarity.buildIvfCentroidIndex(
+      corpus.filter($"vec_id" < 300), "vec_id", "embedding", dir,
+      k = 4, iters = 2, extraCols = Seq("label"))
+    val snapshot = Similarity.listDataFiles(spark, dir)
+    Similarity.ivfAppend(corpus.filter($"vec_id".between(300, 319)),
+      "vec_id", "embedding", dir, extraCols = Seq("label"))
+    val (_, _, n1) = Similarity.foldLateIvf(spark, dir,
+      s"$dir.tombstones", snapshot, Set.empty, centroids,
+      Seq("label"), batchLayout = false,
+      s"$root/next/data", s"$root/next/tombstones")
+    assert(n1 > 0)
+    val folded = spark.read.parquet(s"$root/next/data")
+      .select($"id", $"label").as[(Long, Int)].collect().toMap
+    val expected = corpus.filter($"vec_id".between(300, 319))
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(folded == expected, "labels must ride the folded rows")
+  }
+
   test("foldLateIvf: batch layout folds only NEW batch ids, to the " +
       "same batch id (replay stays idempotent)") {
     val root = tmp("ivffoldb")
