@@ -2201,6 +2201,46 @@ object CorpusOps {
     * current — dedup ids upstream, or ingest updates through
     * [[bm25IndexIncrement]]'s batch layout, where
     * [[bm25IndexCompact]] heals duplicates to the latest batch. */
+  /** The shared posting aggregation of [[buildBm25Index]] /
+    * [[bm25IndexIncrement]]: one row per (doc, term) with
+    * `(tf, dl[, extras, ]tmod)`. extraCols are aggregated OUT of the
+    * group key (min == max == the value) and constancy per (id, term)
+    * is asserted IN-PASS via `raise_error` — a per-row-varying
+    * metadata column (the r17 advice hazard: it would have silently
+    * inflated posting cardinality and the df table, skewing every
+    * score) now fails the build loudly at write time, with no extra
+    * job. All-null extras pass (one value: null); a mixed null/value
+    * extra within one (id, term) group fails like any other
+    * non-constant one. */
+  private def bm25PostingRows(base: DataFrame, extraCols: Seq[String],
+                              face: String): DataFrame = {
+    val exploded = base
+      .select(col("id") +: size(col("__tk")).as("dl") +:
+        explode(col("__tk")).as("term") +: extraCols.map(col): _*)
+    val aggs = Seq(count(lit(1)).as("tf"), max(col("dl")).as("dl")) ++
+      extraCols.flatMap(e => Seq(
+        min(col(e)).as(s"__mn_$e"), max(col(e)).as(s"__mx_$e"),
+        count(col(e)).as(s"__ct_$e")))
+    val grouped = exploded.groupBy(col("id"), col("term"))
+      .agg(aggs.head, aggs.tail: _*)
+    extraCols.foldLeft(grouped) { (df, e) =>
+        df.withColumn(e,
+            when(col(s"__mn_$e") <=> col(s"__mx_$e") &&
+                (col(s"__ct_$e") === 0L || col(s"__ct_$e") === col("tf")),
+              col(s"__mn_$e"))
+              .otherwise(raise_error(concat(
+                lit(s"$face: metadata column '$e' is not constant " +
+                  "within doc id "), col("id").cast("string"),
+                lit(" — extraCols must be doc-level metadata (one " +
+                  "value per id); a per-row-varying column would " +
+                  "inflate posting cardinality and skew every score")))
+                .cast(df.schema(s"__mn_$e").dataType)))
+          .drop(s"__mn_$e", s"__mx_$e", s"__ct_$e")
+      }
+      .withColumn("tmod",
+        pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
+  }
+
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      path: String, mode: String = "overwrite",
                      filesPerLeaf: Int = 4,
@@ -2212,19 +2252,12 @@ object CorpusOps {
     // extraCols ride INSIDE the posting rows (the [[graft.operators
     // .Similarity]] ivfAssigned convention) so a filtered probe
     // ([[bm25TopKIndexedFiltered]]) evaluates its predicate straight
-    // off the pruned posting scan — no id-join per probe; they join
-    // the (id, term) group keys (constant per id, so cardinality is
-    // unchanged)
+    // off the pruned posting scan — no id-join per probe; constancy
+    // per doc id is ASSERTED in the aggregation ([[bm25PostingRows]])
     val base = docs.filter(hasMinTokens(col(textCol), 1))
       .select(col(idCol).as("id") +: tokens(col(textCol)).as("__tk") +:
         extraCols.map(col): _*)
-    val postings = base
-      .select(col("id") +: size(col("__tk")).as("dl") +:
-        explode(col("__tk")).as("term") +: extraCols.map(col): _*)
-      .groupBy((Seq("id", "term") ++ extraCols).map(col): _*)
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("tmod",
-        pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
+    val postings = bm25PostingRows(base, extraCols, "buildBm25Index")
     // cluster rows onto (leaf, id-salt) BEFORE the partitioned write.
     // Both extremes hurt the probe, and both were MEASURED at the
     // 500k tier (SCALE.md): a partitionBy straight off the unrelated
@@ -2288,13 +2321,8 @@ object CorpusOps {
     val base = batch.filter(hasMinTokens(col(textCol), 1))
       .select(col(idCol).as("id") +: tokens(col(textCol)).as("__tk") +:
         extraCols.map(col): _*)
-    val postings = base
-      .select(col("id") +: size(col("__tk")).as("dl") +:
-        explode(col("__tk")).as("term") +: extraCols.map(col): _*)
-      .groupBy((Seq("id", "term") ++ extraCols).map(col): _*)
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("tmod",
-        pmod(xxhash64(col("term")), lit(Bm25IndexMods.toLong)).cast("int"))
+    val postings = bm25PostingRows(base, extraCols,
+      "bm25IndexIncrement")
     val roots = bm25Roots(batch.sparkSession, path)
     postings.repartition(Bm25IndexMods * filesPerLeaf, col("tmod"),
         pmod(xxhash64(col("id")), lit(filesPerLeaf.toLong)))
@@ -2488,7 +2516,18 @@ object CorpusOps {
       var snapS = statsSnapshot
       var snapT = tombSnapshot
       var folded = 1
+      var passes = 0
       while (folded > 0) {
+        passes += 1
+        // bounded (r17 advice): ingest landing >= 1 file per pass
+        // would otherwise livelock the compact; fail loudly with the
+        // remediation instead
+        require(passes <= Similarity.MaxFoldPasses,
+          s"bm25IndexCompact: the late-arrival fold found new ingest " +
+            s"on ${Similarity.MaxFoldPasses} consecutive passes — " +
+            "ingest is outpacing the fold and the publish cannot " +
+            "converge. Pause ingest on this root and re-run (the " +
+            "live index is untouched).")
         val (np, ndf, ns, nt, n) = foldLateBm25(spark, roots, out,
           snapP, snapDf, snapS, snapT, batchLayout, filesPerLeaf)
         snapP = np; snapDf = ndf; snapS = ns; snapT = nt; folded = n

@@ -81,25 +81,34 @@ object IndexOps {
       // An EMPTY codes tree (everything tombstoned then compacted, or
       // a crashed build) must report zeros and a null skew — the
       // report is exactly what an operator runs to find out why an
-      // index looks wrong (the bm25IndexStats hardening rule).
-      val codes = spark.read.parquet(s"$genRoot/codes")
-      val occ = codes.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n")).agg(
-          count(lit(1)).as("n_cells"),
-          coalesce(sum(col("n")), lit(0L)).as("n_vecs"),
-          (max(col("n")).cast("double") / avg(col("n"))).as("skew"))
-        .collect()(0)
-      val nVecs = occ.getLong(1)
-      val nTomb = tombstoneCount(s"$genRoot/tombstones",
-        codes.select(col("id")))
-      emit("ivfpq", layoutOf(s"$genRoot/codes"), Seq(
-        "n_cells" -> d(occ.getLong(0).toDouble),
-        "n_vecs" -> d(nVecs.toDouble),
-        "count_skew" -> (if (occ.isNullAt(2)) null
-          else d(math.round(occ.getDouble(2) * 1e6) / 1e6)),
-        "n_tombstones" -> d(nTomb.toDouble),
-        "tombstone_frac" -> d(if (nVecs > 0)
-          math.round(nTomb.toDouble / nVecs * 1e6) / 1e6 else 0.0)))
+      // index looks wrong (the bm25IndexStats hardening rule). A codes
+      // dir with NO data files at all would trip parquet schema
+      // inference, so guard with a listing first (r17 advice).
+      if (Similarity.listDataFiles(spark, s"$genRoot/codes").isEmpty)
+        emit("ivfpq", "flat", Seq(
+          "n_cells" -> d(0.0), "n_vecs" -> d(0.0),
+          "count_skew" -> null, "n_tombstones" -> d(0.0),
+          "tombstone_frac" -> d(0.0)))
+      else {
+        val codes = spark.read.parquet(s"$genRoot/codes")
+        val occ = codes.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n")).agg(
+            count(lit(1)).as("n_cells"),
+            coalesce(sum(col("n")), lit(0L)).as("n_vecs"),
+            (max(col("n")).cast("double") / avg(col("n"))).as("skew"))
+          .collect()(0)
+        val nVecs = occ.getLong(1)
+        val nTomb = tombstoneCount(s"$genRoot/tombstones",
+          codes.select(col("id")))
+        emit("ivfpq", layoutOf(s"$genRoot/codes"), Seq(
+          "n_cells" -> d(occ.getLong(0).toDouble),
+          "n_vecs" -> d(nVecs.toDouble),
+          "count_skew" -> (if (occ.isNullAt(2)) null
+            else d(math.round(occ.getDouble(2) * 1e6) / 1e6)),
+          "n_tombstones" -> d(nTomb.toDouble),
+          "tombstone_frac" -> d(if (nVecs > 0)
+            math.round(nTomb.toDouble / nVecs * 1e6) / 1e6 else 0.0)))
+      }
     } else if (exists(s"$genRoot/postings") || exists(s"$root.df") ||
         hasDir(root, "tmod=")) {
       // ---- BM25: the stats report unpivoted (no posting-leaf scan)
@@ -113,17 +122,23 @@ object IndexOps {
         "avgdl" -> (if (r.isNullAt(6)) null else d(r.getDouble(6)))))
     } else if (exists(s"$genRoot/centroids") ||
         exists(s"$root.centroids")) {
-      // ---- centroid IVF: the drift summary unpivoted
+      // ---- centroid IVF: the drift summary unpivoted. A zero-vector
+      // index aggregates to null n_vecs/skew/residual (sum/max/avg of
+      // no rows) — null-safe getters, not primitive NPEs (r17 advice)
       val r = Similarity.ivfDriftSummary(spark, root).collect()(0)
       val dataDir = if (gen.isDefined) s"$genRoot/data" else root
+      def od(i: Int): java.lang.Double =
+        if (r.isNullAt(i)) null else d(r.getDouble(i))
       emit("ivf", layoutOf(dataDir), Seq(
         "n_cells" -> d(r.getLong(0).toDouble),
-        "n_vecs" -> d(r.getLong(1).toDouble),
-        "count_skew" -> d(r.getDouble(2)),
-        "mean_residual" -> d(r.getDouble(3)),
-        "retrain_recommended" -> d(if (r.getBoolean(4)) 1.0 else 0.0),
+        "n_vecs" -> (if (r.isNullAt(1)) d(0.0)
+          else d(r.getLong(1).toDouble)),
+        "count_skew" -> od(2),
+        "mean_residual" -> od(3),
+        "retrain_recommended" -> (if (r.isNullAt(4)) null
+          else d(if (r.getBoolean(4)) 1.0 else 0.0)),
         "n_tombstones" -> d(r.getLong(5).toDouble),
-        "tombstone_frac" -> d(r.getDouble(6))))
+        "tombstone_frac" -> od(6)))
     } else {
       require(exists(root), s"indexReport: nothing at $root")
       val df = spark.read.parquet(root)

@@ -478,6 +478,17 @@ object Similarity {
   // late code rows reference ids missing from the refit corpus
   // (pause ingest across a PQ retrain). ----
 
+  /** Cap on consecutive late-arrival fold passes in every versioned
+    * publish ([[ivfRetrain]], [[ivfPqRetrain]],
+    * [[graft.operators.CorpusOps.bm25IndexCompact]]) — r17 advice: a
+    * fold that finds new ingest on this many straight passes is being
+    * outpaced (each pass is a full list+diff; sustained concurrent
+    * ingest at >= 1 file per pass would otherwise livelock the
+    * retrain), so the publish fails loudly with the pause-ingest
+    * remediation instead of looping forever. 20 passes absorbs any
+    * realistic trailing burst while bounding the worst case. */
+  private[graft] val MaxFoldPasses = 20
+
   /** Leaf data files currently under `dir` (recursive; hidden `_`/`.`
     * names excluded at every path segment, matching Spark's partition
     * discovery so `.v<N>` generation subtrees never leak into a
@@ -1080,7 +1091,18 @@ object Similarity {
       var snapD = dataSnapshot
       var snapT = tombSnapshot
       var folded = 1
+      var passes = 0
       while (folded > 0) {
+        passes += 1
+        // bounded, not unbounded (r17 advice): sustained concurrent
+        // ingest that lands >= 1 file per pass would otherwise
+        // livelock the retrain and the pointer would never flip
+        require(passes <= MaxFoldPasses,
+          s"ivfRetrain: the late-arrival fold found new ingest on " +
+            s"$MaxFoldPasses consecutive passes — ingest is outpacing " +
+            "the fold and the publish cannot converge. Pause ingest " +
+            "on this root and re-run (the live index is untouched; " +
+            "the staged generation folds the passes already made).")
         val (nd, nt, n) = foldLateIvf(spark, roots.data,
           roots.tombstones, snapD, snapT, centroids, extras,
           batchLayout, s"$next/data", s"$next/tombstones")
@@ -1274,6 +1296,9 @@ object Similarity {
                           queryVecCol: String, k: Int,
                           dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1: $dims")
+    // explicit, not transitive via cosineTopKBatch: the guard must
+    // name the face the caller actually invoked (r17 advice)
+    requireQueryIdNotReserved(queryIdCol, "matryoshkaTopKBatch")
     cosineTopKBatch(
       df.withColumn("__mrl", slice(col(vecCol), 1, dims)),
       idCol, "__mrl",
@@ -1292,6 +1317,7 @@ object Similarity {
                               k: Int, pool: Int, dims: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(pool >= k, s"pool ($pool) must cover k ($k)")
+    requireQueryIdNotReserved(queryIdCol, "matryoshkaRerankedBatch")
     exactRerankStage(df, idCol, vecCol, queries, queryIdCol,
       queryVecCol,
       matryoshkaTopKBatch(df, idCol, vecCol, queries, queryIdCol,
@@ -1347,8 +1373,20 @@ object Similarity {
     * binary tier. For random unit vectors the expected Hamming
     * distance tracks the angle (Charikar 2002's SRP argument applied
     * to the coordinate basis), so ascending Hamming is the
-    * approximate cosine-descending ranking. */
+    * approximate cosine-descending ranking. Delegates to the native
+    * fused [[graft.plans.HammingDistance]] (one XOR+popcount integer
+    * loop per pair, no lambda dispatch) — the recurring per-(query,
+    * row) scorer of every at-rest signature probe;
+    * [[hammingDistanceDeclarative]] is the built-ins-only semantic
+    * spec (bit-equality incl. null/length-mismatch/empty edges
+    * spec-pinned in BqIndexSpec). */
   def hammingDistance(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.hamming_distance(a, b)
+
+  /** Built-ins-only Hamming distance — the semantic spec for
+    * [[graft.plans.HammingDistance]]. Two lambda dispatches per packed
+    * WORD per (query, row) pair — do not use on a hot path. */
+  private[graft] def hammingDistanceDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, v) => acc + v)
@@ -1483,6 +1521,24 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1,
       s"lambda must be in [0, 1]: $lambda")
     requireQueryIdNotReserved(queryIdCol, "mmrRerankBatch")
+    // the id columns are cast to long for the group key; a non-numeric
+    // id (string ids are accepted by the other batch faces) would cast
+    // to NULL, collapsing every query into one null group and emitting
+    // null ids — reject it loudly instead (r17 advice)
+    Seq(queryIdCol, idCol).foreach { c =>
+      val dt = candidates.schema(c).dataType
+      require(dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        },
+        s"mmrRerankBatch: column \"$c\" must be an integral id " +
+          s"(byte/short/int/long), got ${dt.catalogString} — cast or " +
+          "re-key non-numeric ids upstream (a silent cast would " +
+          "collapse queries into one null group)")
+    }
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
@@ -1716,7 +1772,7 @@ object Similarity {
                     queryIdCol: String, queryVecCol: String,
                     k: Int): DataFrame =
     bqIndexedCore(spark, path, queries, queryIdCol, queryVecCol, k,
-      None)
+      None, "bqTopKIndexed")
 
   /** Metadata-filtered [[bqTopKIndexed]] — the predicate (over the
     * metadata riding the signature rows, [[buildBqIndex]]'s
@@ -1728,7 +1784,7 @@ object Similarity {
                             queryIdCol: String, queryVecCol: String,
                             k: Int, predicate: Column): DataFrame =
     bqIndexedCore(spark, path, queries, queryIdCol, queryVecCol, k,
-      Some(predicate))
+      Some(predicate), "bqTopKIndexedFiltered")
 
   /** The binary tier's production recipe AT REST — [[bqTopKRerankedBatch]]
     * with candidate generation reading the persisted signature index
@@ -1760,9 +1816,11 @@ object Similarity {
   private def bqIndexedCore(spark: org.apache.spark.sql.SparkSession,
                             path: String, queries: DataFrame,
                             queryIdCol: String, queryVecCol: String,
-                            k: Int, pred: Option[Column]): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    requireQueryIdNotReserved(queryIdCol, "bqTopKIndexed")
+                            k: Int, pred: Option[Column],
+                            face: String): DataFrame = {
+    // guards name the face the caller actually invoked (r17 advice)
+    require(k > 0, s"$face: k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, face)
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"),
       binarySignature(col(queryVecCol)).as("__qsig")))
     val w = Window.partitionBy(col("__qid"))
@@ -2926,8 +2984,16 @@ object Similarity {
       var snapC = codesSnapshot
       var snapT = tombSnapshot
       var busy = true
+      var passes = 0
       while (busy) {
         busy = false
+        passes += 1
+        require(passes <= MaxFoldPasses,
+          s"ivfPqRetrain: the late-arrival guard found new ingest on " +
+            s"$MaxFoldPasses consecutive passes — ingest is outpacing " +
+            "the fold and the publish cannot converge. Pause ingest " +
+            "on this root (see quiesceIvfPq) and re-run (the live " +
+            "index is untouched).")
         val nowC = listDataFiles(spark, s"$root/codes")
         val lateC = nowC -- snapC
         if (lateC.nonEmpty) {

@@ -38,6 +38,41 @@ class BqIndexSpec extends SparkSpec {
     }
   }
 
+  test("native HammingDistance == declarative fold, bit for bit — " +
+      "including null arrays, null elements, length mismatch and " +
+      "empty pairs") {
+    // real signature pairs: every corpus signature against one query's
+    val signed = emb.select($"vec_id",
+      Similarity.binarySignature($"embedding").as("sig"))
+    val q = signed.filter($"vec_id" === 0L).select($"sig".as("qsig"))
+    val real = signed.crossJoin(q)
+      .select($"sig".as("a"), $"qsig".as("b"))
+    // edge pairs: nulls, a null element, mismatched lengths, empties
+    val edge = Seq(
+      (Some(Seq(Some(5L), Some(-1L))), Some(Seq(Some(3L), Some(7L)))),
+      (None, Some(Seq(Some(1L)))),
+      (Some(Seq(Some(1L))), None),
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))),
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L)))),
+      (Some(Seq.empty[Option[Long]]), Some(Seq(Some(9L)))),
+      (Some(Seq.empty[Option[Long]]), Some(Seq.empty[Option[Long]])))
+      .toDF("a", "b")
+    val cmp = real.unionByName(edge)
+      .select(Similarity.hammingDistance($"a", $"b").as("native"),
+        Similarity.hammingDistanceDeclarative($"a", $"b").as("decl"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val n = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      val d = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      assert(n == d, s"native $n != declarative $d")
+    }
+    // the two-empty-arrays fold is 0, not null (the zero accumulator)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(Similarity.hammingDistance($"a", $"b")).collect()(0)
+    assert(!empty.isNullAt(0) && empty.getLong(0) == 0L)
+  }
+
   test("bq index lifecycle: append == one-shot build; indexed == " +
       "direct; delete excludes immediately; compact == fresh build " +
       "over survivors") {
@@ -171,6 +206,28 @@ class BqIndexSpec extends SparkSpec {
     assert(spark.read.parquet(bdir).count() == n0)
     intercept[IllegalArgumentException] {
       Similarity.int8Append(emb, "vec_id", "embedding", bdir)
+    }
+  }
+
+  test("guards name the invoked face: bqTopKIndexedFiltered and the " +
+      "matryoshka batch faces reject queryIdCol=\"id\" under their " +
+      "own names (r17 advice)") {
+    val dir = tmp("bqface") + "/idx"
+    Similarity.buildBqIndex(emb.filter($"vec_id" < 20), "vec_id",
+      "embedding", dir)
+    val badQs = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("id"), $"embedding".as("qv"))
+    interceptGuard("bqTopKIndexedFiltered") {
+      Similarity.bqTopKIndexedFiltered(spark, dir, badQs, "id", "qv",
+        k = 3, lit(true))
+    }
+    interceptGuard("matryoshkaTopKBatch") {
+      Similarity.matryoshkaTopKBatch(emb, "vec_id", "embedding",
+        badQs, "id", "qv", k = 3, dims = 16)
+    }
+    interceptGuard("matryoshkaRerankedBatch") {
+      Similarity.matryoshkaRerankedBatch(emb, "vec_id", "embedding",
+        badQs, "id", "qv", k = 3, pool = 5, dims = 16)
     }
   }
 

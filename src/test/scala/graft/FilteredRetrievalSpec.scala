@@ -168,6 +168,53 @@ class FilteredRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerankBatch: a non-integral id column is rejected loudly " +
+      "(a silent long cast would collapse queries into one null " +
+      "group) — r17 advice") {
+    val strIds = Seq(("a", 1L, 0.9d, Seq(1.0f)), ("b", 2L, 0.5d, Seq(0.5f)))
+      .toDF("qid", "id", "rel", "v")
+    interceptGuard("integral id") {
+      Similarity.mmrRerankBatch(strIds, "qid", "id", "rel", "v",
+        k = 2, lambda = 0.5).collect()
+    }
+    val strDoc = Seq((1L, "x", 0.9d, Seq(1.0f)))
+      .toDF("qid", "id", "rel", "v")
+    interceptGuard("integral id") {
+      Similarity.mmrRerankBatch(strDoc, "qid", "id", "rel", "v",
+        k = 2, lambda = 0.5).collect()
+    }
+  }
+
+  test("bm25 index extraCols: a per-row-varying metadata column " +
+      "fails the build loudly instead of inflating posting " +
+      "cardinality — r17 advice") {
+    // two rows share doc id 1 with DIFFERENT labels and overlapping
+    // vocabulary: the old group-key join would have written two
+    // posting rows for ('common', 1); now the aggregation raises
+    val docs = Seq(
+      (1L, "common alpha", "en"),
+      (1L, "common beta", "fr"),
+      (2L, "common gamma", "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("bm25var")
+      .toString + "/idx"
+    interceptGuard("not constant") {
+      CorpusOps.buildBm25Index(docs, "doc_id", "text", dir,
+        extraCols = Seq("lang"))
+    }
+    // constant (and all-null) metadata still builds and probes
+    val ok = Seq((1L, "common alpha", "en"), (2L, "common beta", null))
+      .toDF("doc_id", "text", "lang")
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25ok")
+      .toString + "/idx"
+    CorpusOps.buildBm25Index(ok, "doc_id", "text", dir2,
+      extraCols = Seq("lang"))
+    val probed = CorpusOps.bm25TopKIndexedFiltered(spark, dir2,
+        Seq((0L, "common")).toDF("query_id", "query_text"),
+        "query_id", "query_text", k = 10, $"lang" === "en")
+      .select($"id").as[Long].collect().toSet
+    assert(probed == Set(1L))
+  }
+
   test("mmrRerankBatch: NaN relevance is never selected and never " +
       "crashes the greedy loop (fewer than k rows, not an error)") {
     val cands = Seq(

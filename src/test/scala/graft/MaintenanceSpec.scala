@@ -350,6 +350,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(me(("ivfpq", "flat", "n_vecs")).contains(0.0))
     assert(me(("ivfpq", "flat", "count_skew")).isEmpty,
       "empty-index skew must be null")
+    // a codes dir with NO data files at all (a crashed build) would
+    // trip parquet schema inference — it must report zeros instead
+    // (r17 advice)
+    val barePq = s"$root/barepq"
+    assert(new java.io.File(s"$barePq/codes").mkdirs())
+    Seq((0, Seq(0.0d))).toDF("m", "c").write.parquet(s"$barePq/model")
+    val mbare = metrics(barePq)
+    assert(mbare(("ivfpq", "flat", "n_vecs")).contains(0.0))
+    assert(mbare(("ivfpq", "flat", "count_skew")).isEmpty)
+    // a zero-vector centroid-IVF index aggregates to null
+    // n_vecs/skew/residual — null-safe report, no NPE (r17 advice)
+    val zeroIvf = s"$root/zeroivf"
+    Seq.empty[(Long, Seq[Double], Int)].toDF("id", "v", "cell")
+      .write.parquet(zeroIvf)
+    Seq((0, Seq(0.0d, 0.0d))).toDF("cell", "c")
+      .write.parquet(s"$zeroIvf.centroids")
+    val mz = metrics(zeroIvf)
+    assert(mz(("ivf", "flat", "n_vecs")).contains(0.0))
+    assert(mz(("ivf", "flat", "count_skew")).isEmpty)
+    assert(mz(("ivf", "flat", "retrain_recommended")).isEmpty)
     // garbage fails loudly, never misreports
     val junk = s"$root/junk"
     Seq((1L, "x")).toDF("a", "b").write.parquet(junk)
