@@ -4488,6 +4488,130 @@ object QueryCatalog {
              |  (2, 1000002, 1.0),
              |  (3, 1000003, 1.0)) AS v(c0, c1, c2)""".stripMargin)),
 
+    Q("q_srp_indexed", // the PERSISTED SRP index (r17 verdict #2):
+      // cells materialized once at ingest with nBits persisted as
+      // index metadata (.srpmeta — probes derive their query
+      // signatures from it, so build/probe disagreement is
+      // impossible), the q_srp_batch query table probed at rest — per
+      // query IDENTICAL to the direct batch operator (cells are pure
+      // in (vector, nBits)), so the oracle is q_srp_batch's VERBATIM.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_srpi_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val planted = plantedEmbeddings(s, d)
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.buildSrpIndex(planted, "vec_id", "embedding", dir,
+            nBits = 4)
+        Similarity.srpTopKIndexed(s, dir,
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            (count(lit(1)) >= 1).as("has_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  true AS has_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0),
+             |  (1, 1000001, 1.0),
+             |  (2, 1000002, 1.0),
+             |  (3, 1000003, 1.0)) AS v(c0, c1, c2)""".stripMargin)),
+
+    Q("q_srp_stream_exec", // STREAMING EXECUTION gate on the SRP
+      // index (the q_bq_stream_exec recipe on the LSH tier): the
+      // planted corpus drains through the incremental engine into
+      // per-batch signed subtrees (srpAppendBatch under the persisted
+      // nBits — replays rewrite identical rows), then the standard
+      // query batch probes the FRESH index at rest. One drain probes
+      // exactly like a one-shot buildSrpIndex, so the oracle is
+      // q_srp_batch's VERBATIM.
+      (s, d) => {
+        val dir = scratchDir("graft-stream-srp")
+        val planted = plantedEmbeddings(s, d)
+        planted.write.parquet(s"$dir/src")
+        graft.streaming.EventStreams.srpIndexAvailableNow(s,
+          s"$dir/src", "vec_id", col("embedding"), s"$dir/idx",
+          s"$dir/ckpt", nBits = 4)
+        Similarity.srpTopKIndexed(s, s"$dir/idx",
+            planted.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            (count(lit(1)) >= 1).as("has_rows"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  true AS has_rows
+             |FROM (VALUES
+             |  (0, 1000000, 1.0),
+             |  (1, 1000001, 1.0),
+             |  (2, 1000002, 1.0),
+             |  (3, 1000003, 1.0)) AS v(c0, c1, c2)""".stripMargin)),
+
+    Q("q_srp_lifecycle", // SRP index lifecycle (the model-free core
+      // with the .srpmeta sidecar): build on a prefix, APPEND the rest
+      // plus planted +1M copies of queries 0..3 (append ≡ one-shot —
+      // cells derive from the persisted nBits), DELETE ids 4..9
+      // (immediate exclusion), COMPACT (tombstones clear), probe: per
+      // query the planted copy co-buckets and ranks first at cos 1.0,
+      // zero deleted ids surface.
+      (s, d) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_srpl_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        TempDirs.deleteOnExit(new java.io.File(root))
+        val dir = s"$root/idx"
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.buildSrpIndex(emb.filter(col("vec_id") < 400),
+          "vec_id", "embedding", dir, nBits = 4)
+        Similarity.srpAppend(
+          emb.filter(col("vec_id") >= 400).unionByName(
+            emb.filter(col("vec_id") < 4)
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                col("embedding"))),
+          "vec_id", "embedding", dir)
+        Similarity.srpDelete(dir,
+          emb.filter(col("vec_id").between(4, 9)).select(col("vec_id")),
+          "vec_id")
+        Similarity.srpCompact(s, dir)
+        Similarity.srpTopKIndexed(s, dir,
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            (count(lit(1)) >= 1).as("has_rows"),
+            sum(col("id").between(4, 9).cast("long"))
+              .as("deleted_hits"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  true AS has_rows,
+             |  CAST(0 AS BIGINT) AS deleted_hits
+             |FROM (VALUES
+             |  (0, 1000000, 1.0),
+             |  (1, 1000001, 1.0),
+             |  (2, 1000002, 1.0),
+             |  (3, 1000003, 1.0)) AS v(c0, c1, c2)""".stripMargin)),
+
     Q("q_srp_bench", // headline bench twin of q_srp_topk: times the RAW
       // bucketed-ANN scan on the raw embeddings table — no planted
       // union, no gate scaffolding (VERDICT r6 task 1; the r5→r6
@@ -5127,6 +5251,45 @@ object QueryCatalog {
              |  (1, 1000001, 1.0, 20),
              |  (2, 1000002, 1.0, 20),
              |  (3, 1000003, 1.0, 20)) AS v(c0, c1, c2, c3)"""
+        .stripMargin)),
+
+    Q("q_int8_filtered", // the int8 tier's FILTERED face (r17 verdict
+      // #3 / missing #1): metadata rides the 4x-quantized rows
+      // (writeInt8Corpus extraCols) and the predicate runs on the
+      // compressed scan BEFORE the per-query top-k — the
+      // q_ivfpq_batch_filtered planted design: 12 copies of vectors
+      // 10..21 carry the otherwise-nonexistent label 99, k=20 > 12, so
+      // each query's matched ID SET is exactly the planted ids (a
+      // post-filtered top-20 of the unfiltered ranking would visibly
+      // shrink it — spec-pinned in BqIndexSpec). Scores are quantized
+      // cosine (engine-local rounding), so the set is the oracle-able
+      // surface, matching the ivfpq precedent.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_i8f_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/corpus"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        val corpus = emb
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(emb.filter(col("vec_id").between(10, 21))
+            .select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding"), lit(99).as("label")))
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.writeInt8Corpus(corpus, "vec_id", "embedding",
+            dir, extraCols = Seq("label"))
+        Similarity.int8TopKBatchPrequantizedFiltered(s, dir,
+            emb.filter(col("vec_id") < 2)
+              .select(col("vec_id").as("qid"),
+                col("embedding").as("qv")),
+            "qid", "qv", k = 20, col("label") === 99)
+          .select(col("qid"), col("id"))
+      },
+      Some("""SELECT q.qid, CAST(e.vec_id + 1000000 AS BIGINT) AS id
+             |FROM (SELECT vec_id AS qid FROM embeddings
+             |      WHERE vec_id < 2) q
+             |CROSS JOIN (SELECT vec_id FROM embeddings
+             |            WHERE vec_id BETWEEN 10 AND 21) e"""
         .stripMargin)),
 
     Q("q_bq_rerank_indexed", // the binary production funnel fully AT

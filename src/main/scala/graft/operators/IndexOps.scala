@@ -32,6 +32,10 @@ object IndexOps {
     *     df_rows growth and n_batches are the "compact due" dials;
     *   - `bq` / `int8` (the model-free quantized layouts): n_vecs,
     *     n_batches, n_tombstones, tombstone_frac;
+    *   - `srp` (detected by the `.srpmeta` sidecar): the model-free
+    *     dials plus `n_bits` (the persisted signature width) and
+    *     `n_cells`/`count_skew` (bucket-occupancy health — the LSH
+    *     prune assumes occupancy near n/2^nBits);
     *   - `embeddings` (a raw vector table, no index layout):
     *     [[Similarity.embeddingReport]]'s ingest-health card.
     *
@@ -139,6 +143,44 @@ object IndexOps {
           else d(if (r.getBoolean(4)) 1.0 else 0.0)),
         "n_tombstones" -> d(r.getLong(5).toDouble),
         "tombstone_frac" -> od(6)))
+    } else if (exists(s"$root.srpmeta")) {
+      // ---- SRP signature index: the model-free lifecycle dials plus
+      // the persisted nBits and the cell-occupancy skew (the bucket
+      // prune assumes occupancy stays near n/2^nBits)
+      val nBits = Similarity.readSrpNBits(spark, root)
+      if (Similarity.listDataFiles(spark, root).isEmpty)
+        emit("srp", "flat", Seq(
+          "n_vecs" -> d(0.0), "n_batches" -> d(0.0),
+          "n_tombstones" -> d(0.0), "tombstone_frac" -> d(0.0),
+          "n_bits" -> d(nBits.toDouble), "n_cells" -> d(0.0),
+          "count_skew" -> null))
+      else {
+        val rows = spark.read.parquet(root)
+        val occ = rows.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n")).agg(
+            count(lit(1)).as("n_cells"),
+            coalesce(sum(col("n")), lit(0L)).as("n_vecs"),
+            (max(col("n")).cast("double") / avg(col("n"))).as("skew"))
+          .collect()(0)
+        val nVecs = occ.getLong(1)
+        val nBatches = {
+          val hp = new org.apache.hadoop.fs.Path(root)
+          hp.getFileSystem(conf).listStatus(hp).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch="))
+        }
+        val nTomb = tombstoneCount(s"$root.tombstones",
+          rows.select(col("id")))
+        emit("srp", layoutOf(root), Seq(
+          "n_vecs" -> d(nVecs.toDouble),
+          "n_batches" -> d(nBatches.toDouble),
+          "n_tombstones" -> d(nTomb.toDouble),
+          "tombstone_frac" -> d(if (nVecs > 0)
+            math.round(nTomb.toDouble / nVecs * 1e6) / 1e6 else 0.0),
+          "n_bits" -> d(nBits.toDouble),
+          "n_cells" -> d(occ.getLong(0).toDouble),
+          "count_skew" -> (if (occ.isNullAt(2)) null
+            else d(math.round(occ.getDouble(2) * 1e6) / 1e6))))
+      }
     } else {
       require(exists(root), s"indexReport: nothing at $root")
       val df = spark.read.parquet(root)

@@ -692,6 +692,33 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[bqIndexAvailableNow]] on the SRP layout (r17 verdict #2):
+    * arriving embeddings are SRP-signed under the index's PERSISTED
+    * nBits (written up front — the one piece of model metadata this
+    * tier carries; cells are pure in (vector, nBits), so replays
+    * rewrite identical rows) into per-batch `batch=<id>` subtrees via
+    * [[graft.operators.Similarity.srpAppendBatch]]. One drain probes
+    * exactly like a one-shot [[graft.operators.Similarity
+    * .buildSrpIndex]] (the execution gate `q_srp_stream_exec`). */
+  def srpIndexAvailableNow(spark: SparkSession, vecsPath: String,
+                           idCol: String,
+                           vecExpr: org.apache.spark.sql.Column,
+                           indexPath: String, checkpointDir: String,
+                           nBits: Int = 8): Unit = {
+    graft.operators.Similarity.initSrpIndex(spark, indexPath, nBits)
+    val (src, _) = fileSource(spark, vecsPath)
+    val q = src.select(col(idCol), vecExpr.as("__vec"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.srpAppendBatch(
+          batch, idCol, "__vec", indexPath, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-
     * state API) through the incremental engine. Update mode: custom
     * state emits the function's return per touched group per batch

@@ -350,6 +350,16 @@ class MaintenanceSpec extends SparkSpec {
     assert(me(("ivfpq", "flat", "n_vecs")).contains(0.0))
     assert(me(("ivfpq", "flat", "count_skew")).isEmpty,
       "empty-index skew must be null")
+    // SRP index (detected by the .srpmeta sidecar — BEFORE the raw
+    // vector-table fallback, which would misread (id, cell, v))
+    val srp = s"$root/srp"
+    Similarity.buildSrpIndex(emb, "vec_id", "embedding", srp, nBits = 4)
+    Similarity.srpDelete(srp, Seq(2L).toDF("vec_id"), "vec_id")
+    val ms = metrics(srp)
+    assert(ms(("srp", "flat", "n_vecs")).contains(500.0))
+    assert(ms(("srp", "flat", "n_bits")).contains(4.0))
+    assert(ms(("srp", "flat", "n_tombstones")).contains(1.0))
+    assert(ms.contains(("srp", "flat", "count_skew")))
     // a codes dir with NO data files at all (a crashed build) would
     // trip parquet schema inference — it must report zeros instead
     // (r17 advice)
