@@ -1893,6 +1893,108 @@ object CorpusOps {
       rrfK = rrfK)
   }
 
+  /** FILTERED single-query hybrid retrieval — the missing API-symmetry
+    * face beside [[searchPipeline]] (r17 verdict #7): delegates to
+    * [[searchPipelineBatchFiltered]] with a one-row query table (the
+    * batch operator IS the implementation — equivalence spec-pinned),
+    * then restores the single-query output contract (`idCol`,
+    * `n_signals`, `rrf_score`, `rank`). `semantic` must be an
+    * ALREADY-FILTERED single-query ranking (`semanticIdCol`,
+    * `semanticScoreCol`) — the [[searchPipelineBatchFiltered]]
+    * contract: the semantic leg's filter runs inside ITS probe, where
+    * the index's metadata lives. */
+  def searchPipelineFiltered(docs: DataFrame, idCol: String,
+                             textCol: String, queryTerms: Seq[String],
+                             predicate: Column, semantic: DataFrame,
+                             semanticIdCol: String,
+                             semanticScoreCol: String, k: Int,
+                             candidates: Int = 100,
+                             rrfK: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qs = Seq((0L, queryTerms.mkString(" ")))
+      .toDF("__query_id", "__query_text")
+    val sem = semantic.select(lit(0L).as("__sqid"),
+      col(semanticIdCol).as("__sid"), col(semanticScoreCol).as("__sem"))
+    searchPipelineBatchFiltered(docs, idCol, textCol, qs, "__query_id",
+        "__query_text", predicate, sem, "__sqid", "__sid", "__sem",
+        k = k, candidates = candidates, rrfK = rrfK)
+      .select(col(idCol), col("n_signals"), col("rrf_score"),
+        col("rank"))
+  }
+
+  /** Diversified batch hybrid retrieval — [[searchPipelineBatch]]
+    * with [[graft.operators.Similarity.mmrRerankBatch]] threaded in as
+    * the final stage (r17 verdict #4): the fused per-query candidate
+    * pool (top `candidates` by rrf_score) is re-ranked by maximal
+    * marginal relevance, so near-duplicate candidates stop crowding
+    * out coverage in one call. `vectors` supplies the candidate
+    * embeddings by id (the corpus vector table — the pool is
+    * broadcast back onto it, the [[graft.operators.Similarity]]
+    * exactRerankStage shape, so the join never shuffles the corpus).
+    * Returns (`queryIdCol`, `idCol`, `mmr`, `rank` 1..k) in greedy
+    * selection order; `lambda = 1` IS the undiversified pipeline's
+    * ranking (law spec-pinned; the non-degenerate lambda<1 case is
+    * gated by `q_search_diversified`'s unrolled greedy oracle). */
+  def searchPipelineBatchDiversified(docs: DataFrame, idCol: String,
+                                     textCol: String, queries: DataFrame,
+                                     queryIdCol: String,
+                                     queryTextCol: String,
+                                     semantic: DataFrame,
+                                     semanticQueryCol: String,
+                                     semanticIdCol: String,
+                                     semanticScoreCol: String,
+                                     vectors: DataFrame, vecIdCol: String,
+                                     vecCol: String, k: Int,
+                                     lambda: Double,
+                                     candidates: Int = 100,
+                                     rrfK: Int = 60): DataFrame =
+    diversifyFused(
+      searchPipelineBatch(docs, idCol, textCol, queries, queryIdCol,
+        queryTextCol, semantic, semanticQueryCol, semanticIdCol,
+        semanticScoreCol, k = candidates, candidates = candidates,
+        rrfK = rrfK),
+      queryIdCol, idCol, vectors, vecIdCol, vecCol, k, lambda)
+
+  /** [[searchPipelineBatchDiversified]] on the FILTERED pipeline —
+    * both retrieval legs filtered pre-top-k
+    * ([[searchPipelineBatchFiltered]]'s contract), then the MMR stage
+    * over the filtered pool. `vectors` only needs to cover the
+    * candidate ids (the filtered corpus suffices). */
+  def searchPipelineBatchFilteredDiversified(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      predicate: Column, semantic: DataFrame, semanticQueryCol: String,
+      semanticIdCol: String, semanticScoreCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String, k: Int,
+      lambda: Double, candidates: Int = 100,
+      rrfK: Int = 60): DataFrame =
+    diversifyFused(
+      searchPipelineBatchFiltered(docs, idCol, textCol, queries,
+        queryIdCol, queryTextCol, predicate, semantic,
+        semanticQueryCol, semanticIdCol, semanticScoreCol,
+        k = candidates, candidates = candidates, rrfK = rrfK),
+      queryIdCol, idCol, vectors, vecIdCol, vecCol, k, lambda)
+
+  /** The shared MMR stage of the diversified pipelines: attach the
+    * candidate vectors (pool broadcast onto the vector table — the
+    * corpus is never shuffled), greedy-select with rrf_score as the
+    * relevance, restore the caller's id column name. */
+  private def diversifyFused(fused: DataFrame, queryIdCol: String,
+                             idCol: String, vectors: DataFrame,
+                             vecIdCol: String, vecCol: String, k: Int,
+                             lambda: Double): DataFrame = {
+    val cands = fused.select(col(queryIdCol), col(idCol),
+      col("rrf_score"))
+    val withV = vectors
+      .select(col(vecIdCol).as(idCol), col(vecCol).as("__mmrv"))
+      .join(broadcast(cands), Seq(idCol))
+    val picked = graft.operators.Similarity.mmrRerankBatch(withV,
+      queryIdCol, idCol, "rrf_score", "__mmrv", k, lambda)
+    if (idCol == "id") picked
+    else picked.withColumnRenamed("id", idCol)
+  }
+
   /** Top-`k` terms per document by tf-idf (classic
     * `tf * ln(N / df)`) — keyword extraction for corpus exploration,
     * topic labeling, and cheap near-dup features. Returns (`idCol`,

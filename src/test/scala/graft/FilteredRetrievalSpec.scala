@@ -168,6 +168,78 @@ class FilteredRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("searchPipelineFiltered (single query) == the batch filtered " +
+      "pipeline on a one-row query table (r17 verdict #7)") {
+    val corpus = plantedDocs
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val plantedEmb = emb.filter($"vec_id".between(10, 21))
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    // the semantic leg, filtered inside its own probe (the contract)
+    val semBatch = Similarity.cosineTopKBatch(plantedEmb, "vec_id",
+      "embedding", qv, "qid", "qv", k = 50)
+    val single = CorpusOps.searchPipelineFiltered(corpus, "doc_id",
+        "text", Seq("hash", "join", "window", "scan"),
+        $"lang" === "zz",
+        semBatch.select($"id", $"cos_sim"), "id", "cos_sim",
+        k = 10, candidates = 50)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = CorpusOps.searchPipelineBatchFiltered(corpus, "doc_id",
+        "text", Seq((0L, "hash join window scan"))
+          .toDF("query_id", "query_text"),
+        "query_id", "query_text", $"lang" === "zz",
+        semBatch, "qid", "id", "cos_sim", k = 10, candidates = 50)
+      .select($"doc_id", $"n_signals", $"rrf_score", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(single == batch && single.nonEmpty)
+    assert(single.forall(_._1 >= 1000000L), "only planted ids surface")
+  }
+
+  test("searchPipelineBatchDiversified: lambda=1 IS the undiversified " +
+      "pipeline's ranking; the filtered twin surfaces only " +
+      "predicate-matching ids (r17 verdict #4)") {
+    val corpus = plantedDocs
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val qvecs = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val sem = Similarity.cosineTopKBatch(emb, "vec_id", "embedding",
+      qvecs, "qid", "qv", k = 20)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang")
+    val plain = CorpusOps.searchPipelineBatch(docs, "doc_id", "text",
+        queries, "query_id", "query_text", sem, "qid", "id",
+        "cos_sim", k = 5, candidates = 20)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    val div = CorpusOps.searchPipelineBatchDiversified(docs, "doc_id",
+        "text", queries, "query_id", "query_text", sem, "qid", "id",
+        "cos_sim", emb, "vec_id", "embedding", k = 5, lambda = 1.0,
+        candidates = 20)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(div == plain,
+      "lambda=1 diversified ranking must equal the plain pipeline")
+    // the filtered twin: planted 'zz' design, only planted ids surface
+    val plantedEmb = emb.filter($"vec_id".between(10, 21))
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val semFiltered = Similarity.cosineTopKBatch(plantedEmb, "vec_id",
+      "embedding", qvecs, "qid", "qv", k = 20)
+    val fdiv = CorpusOps.searchPipelineBatchFilteredDiversified(corpus,
+        "doc_id", "text", queries, "query_id", "query_text",
+        $"lang" === "zz", semFiltered, "qid", "id", "cos_sim",
+        plantedEmb, "vec_id", "embedding", k = 5, lambda = 0.5,
+        candidates = 20)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(fdiv.nonEmpty && fdiv.forall(_._2 >= 1000000L),
+      "only planted 'zz' ids may surface in the filtered diversified " +
+        s"ranking: ${fdiv.mkString(",")}")
+  }
+
   test("mmrRerankBatch: a non-integral id column is rejected loudly " +
       "(a silent long cast would collapse queries into one null " +
       "group) — r17 advice") {
