@@ -1396,7 +1396,16 @@ object Similarity {
     * Ranked (hamming asc, id) — deterministic and, because the
     * signature math is engine-portable, FULLY differential-oracle-able
     * (unlike the PQ tier's model-dependent scores). An identical
-    * vector has Hamming 0, so planted copies rank first. */
+    * vector has Hamming 0, so planted copies rank first.
+    *
+    * RECALL WARNING: the raw Hamming ranking is a candidate
+    * GENERATOR, not a final ranking — measured recall@10 vs exact
+    * cosine is 0.20 at 64-dim (SCALE.md's binary-recall table; one
+    * sign bit per dimension is a coarse sketch). Production use is
+    * the two-stage funnel ([[bqTopKRerankedBatch]] /
+    * [[bqTopKIndexedRerankedBatch]]) with the pool sized by
+    * [[recommendBqPool]] (pool 200 → 0.77, pool 2000 → ~1.0 at
+    * 64-dim on the measured corpus). */
   def bqTopK(df: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -1419,7 +1428,8 @@ object Similarity {
   /** [[bqTopK]] for a query TABLE in ONE job ([[cosineTopKBatch]]'s
     * shape with the integer scorer): broadcast query signatures, one
     * pass over the corpus, per-query WindowGroupLimit. Self-match
-    * excluded per query. */
+    * excluded per query. Same recall warning as [[bqTopK]] — size the
+    * downstream funnel pool with [[recommendBqPool]]. */
   def bqTopKBatch(df: DataFrame, idCol: String, vecCol: String,
                   queries: DataFrame, queryIdCol: String,
                   queryVecCol: String, k: Int): DataFrame = {
@@ -1766,7 +1776,10 @@ object Similarity {
     * scoring is XOR+popcount. Per query IDENTICAL to [[bqTopKBatch]]
     * over the indexed corpus (signatures are pure functions — law
     * spec-pinned, gate `q_bq_indexed` reuses `q_bq_batch`'s oracle
-    * verbatim). Tombstoned ids never surface. */
+    * verbatim). Tombstoned ids never surface. Same recall warning as
+    * [[bqTopK]]: raw Hamming is a candidate generator — funnel
+    * through [[bqTopKIndexedRerankedBatch]] with a
+    * [[recommendBqPool]]-sized pool. */
   def bqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                     path: String, queries: DataFrame,
                     queryIdCol: String, queryVecCol: String,
@@ -1811,6 +1824,73 @@ object Similarity {
           pool)
         .select(col(queryIdCol).as("__qid"), col("id")),
       k)
+  }
+
+  /** Measured recall@`k` of the raw Hamming ranking against exact
+    * cosine, per candidate pool depth — the [[recommendBqPool]]
+    * instrument (the tools/BqRecall recipe as a library surface, r17
+    * verdict what's-wrong #3): `maxQueries` hash-sampled corpus
+    * vectors query both rankings ONCE (the Hamming pass at the
+    * DEEPEST pool; shallower pools are rank prefixes), and recall is
+    * the fraction of exact top-k ids found inside each prefix.
+    * Returns (`pool`, `recall`) — one row per candidate pool, all from
+    * two corpus passes regardless of how many pools are probed. */
+  def bqPoolReport(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 10, maxQueries: Int = 50,
+                   candidatePools: Seq[Int] =
+                     Seq(50, 100, 200, 500, 1000, 2000)): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(maxQueries > 0, s"maxQueries must be positive: $maxQueries")
+    require(candidatePools.nonEmpty && candidatePools.forall(_ >= k),
+      s"candidatePools must be non-empty and >= k=$k: $candidatePools")
+    val qs = df
+      .select(col(idCol).as("__rq"), col(vecCol).as("__rv"))
+      .orderBy(xxhash64(col("__rq")), col("__rq")).limit(maxQueries)
+    val exact = cosineTopKBatch(df, idCol, vecCol, qs, "__rq", "__rv",
+        k)
+      .select(col("__rq"), col("id"))
+    val w = Window.partitionBy(col("__rq"))
+      .orderBy(col("hamming").asc, col("id"))
+    val ranked = bqTopKBatch(df, idCol, vecCol, qs, "__rq", "__rv",
+        candidatePools.max)
+      .withColumn("__hrank", row_number().over(w))
+    val joined = exact.join(ranked, Seq("__rq", "id"), "left")
+    val pools = candidatePools.distinct.sorted
+    val aggs = pools.map(p =>
+      (sum(when(col("__hrank") <= p, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as(s"__r_$p"))
+    joined.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${pools.size}, " +
+        pools.map(p => s"CAST($p AS BIGINT), round(__r_$p, 4)")
+          .mkString(", ") + ") AS (pool, recall)")
+  }
+
+  /** The smallest candidate pool whose MEASURED sample recall@`k`
+    * reaches `targetRecall` (r17 verdict #6 — the sizing recipe for
+    * the [[bqTopKRerankedBatch]] / [[bqTopKIndexedRerankedBatch]]
+    * funnels, so nobody takes the raw Hamming ranking at face value:
+    * SCALE.md's measured table has raw recall@10 = 0.20 at 64-dim,
+    * pool 200 → 0.77, pool 2000 → ~1). Fails loudly — with the
+    * measured numbers — when no candidate reaches the target. */
+  def recommendBqPool(df: DataFrame, idCol: String, vecCol: String,
+                      targetRecall: Double, k: Int = 10,
+                      maxQueries: Int = 50,
+                      candidatePools: Seq[Int] =
+                        Seq(50, 100, 200, 500, 1000, 2000)): Int = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"targetRecall out of (0, 1]: $targetRecall")
+    val measured = bqPoolReport(df, idCol, vecCol, k, maxQueries,
+        candidatePools)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    measured.find(_._2 >= targetRecall).map(_._1.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"recommendBqPool: no candidate pool reaches recall@$k >= " +
+          s"$targetRecall on the measured sample — measured " +
+          measured.map { case (p, r) => s"pool $p -> $r" }
+            .mkString("[", ", ", "]") +
+          "; widen candidatePools or lower the target (binary " +
+          "signatures at 64-dim need pool >= ~200 for 0.77, " +
+          "SCALE.md's recall table)"))
   }
 
   private def bqIndexedCore(spark: org.apache.spark.sql.SparkSession,
@@ -3013,9 +3093,87 @@ object Similarity {
     * the same MEASURED condition as the flat index's — watch
     * [[ivfDriftSummary]]'s shape on the coarse cells and
     * [[ivfPqRetrain]] when it ages. */
+  // ---- Quiesce protocol (r17 verdict #5): [[ivfPqRetrain]] REFUSES
+  // to publish when ingest lands code rows it cannot re-encode (lossy
+  // codes, changed codebooks) — safe-by-refusal, but operationally it
+  // means ingest must pause across the refit window. The marker makes
+  // that pause ENFORCEABLE instead of a convention: a hidden
+  // `<path>/.quiesce` file (invisible to partition discovery, at the
+  // LOGICAL root so it survives version flips) that every ingest face
+  // checks and refuses loudly while present. [[ivfPqRetrainQuiesced]]
+  // is the recipe: quiesce -> retrain -> resume (always, via finally —
+  // a failed retrain leaves the live index untouched, so resuming is
+  // safe), which by construction ends in a published generation with
+  // zero lost rows: no append can land between the snapshot and the
+  // flip. One FS existence check per ingest call — free at any rate a
+  // retrain cares about. ----
+
+  private def quiescePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/.quiesce")
+
+  /** Block ingest on an IVF-PQ root for a maintenance window: every
+    * [[ivfPqAppend]] / [[ivfPqAppendBatch]] / [[ivfPqDelete]] refuses
+    * loudly until [[resumeIvfPqIngest]]. Refuses if already quiesced
+    * (single-maintenance-actor discipline). */
+  def quiesceIvfPq(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val p = quiescePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"quiesceIvfPq: $path is already quiesced — another maintenance " +
+        "actor may be mid-retrain (single-maintenance-actor contract); " +
+        "if that actor is gone, resumeIvfPqIngest first")
+    val out = fs.create(p, false)
+    try out.write("ivfPq maintenance in progress".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Lift a [[quiesceIvfPq]] marker — ingest faces accept again. */
+  def resumeIvfPqIngest(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val p = quiescePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false)
+    ()
+  }
+
+  private def requireNotQuiesced(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      face: String): Unit = {
+    val p = quiescePath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"$face: ingest on $path is QUIESCED for maintenance (an " +
+        "ivfPqRetrain is in flight, and lossy codes cannot be folded " +
+        "across a refit) — retry after the maintenance actor " +
+        "publishes and resumes ingest (resumeIvfPqIngest)")
+  }
+
+  /** [[ivfPqRetrain]] with the ingest pause ENFORCED (r17 verdict #5
+    * — the recovery recipe for the retrain's loud late-arrival
+    * refusal): quiesce the root, refit and publish, resume. Because
+    * no append/delete can land inside the window, the late-arrival
+    * guard cannot fire and the publish always converges with zero
+    * lost rows (spec-pinned end to end in MaintenanceSpec). A failed
+    * retrain leaves the live index untouched and STILL resumes ingest
+    * (finally) — re-run after fixing the cause. */
+  def ivfPqRetrainQuiesced(vectors: DataFrame, idCol: String,
+                           vecCol: String, path: String,
+                           nCells: Int = 0, m: Int = 0, nbits: Int = 8,
+                           iters: Int = 4, maxFitRows: Int = 65536,
+                           versioned: Boolean = true): Seq[Seq[Double]] = {
+    val spark = vectors.sparkSession
+    quiesceIvfPq(spark, path)
+    try ivfPqRetrain(vectors, idCol, vecCol, path, nCells, m, nbits,
+      iters, maxFitRows, versioned)
+    finally resumeIvfPqIngest(spark, path)
+  }
+
   def ivfPqAppend(newVecs: DataFrame, idCol: String, vecCol: String,
                   path: String, extraCols: Seq[String] = Nil): Unit = {
     val spark = newVecs.sparkSession
+    requireNotQuiesced(spark, path, "ivfPqAppend")
     val root = pqRoot(spark, path)
     require(!ivfHasDirs(spark, s"$root/codes", "batch="),
       s"ivfPqAppend: $path has the streaming batch layout — use " +
@@ -3042,6 +3200,7 @@ object Similarity {
       s"batchId must be >= 0 (batch=-1 is ivfPqCompact's reserved " +
         s"fold target): $batchId")
     val spark = batch.sparkSession
+    requireNotQuiesced(spark, path, "ivfPqAppendBatch")
     val root = pqRoot(spark, path)
     require(!ivfHasDirs(spark, s"$root/codes", "cell="),
       s"ivfPqAppendBatch: $path has the flat one-shot layout — use " +
@@ -3062,10 +3221,12 @@ object Similarity {
     * statistics to heal — scores of surviving vectors are unaffected
     * by pending tombstones, so compaction is purely a space/scan-cost
     * reclaim. */
-  def ivfPqDelete(path: String, ids: DataFrame, idCol: String): Unit =
+  def ivfPqDelete(path: String, ids: DataFrame, idCol: String): Unit = {
+    requireNotQuiesced(ids.sparkSession, path, "ivfPqDelete")
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append")
       .parquet(s"${pqRoot(ids.sparkSession, path)}/tombstones")
+  }
 
   /** Compact a tombstoned IVF-PQ index: rewrite `<path>/codes` without
     * deleted rows and clear the tombstone table. The model and coarse
@@ -3215,8 +3376,9 @@ object Similarity {
               "superseded generation during the retrain and are " +
               "absent from the refit corpus — their codes cannot be " +
               "re-encoded under the new model. Pause ingest across " +
-              "ivfPqRetrain, include the late vectors in `vectors`, " +
-              "and re-run (the live index is untouched).")
+              "the retrain (ivfPqRetrainQuiesced enforces the pause), " +
+              "include the late vectors in `vectors`, and re-run " +
+              "(the live index is untouched).")
           snapC = nowC
           busy = true
         }

@@ -209,6 +209,34 @@ class BqIndexSpec extends SparkSpec {
     }
   }
 
+  test("bqPoolReport / recommendBqPool: recall is monotone in the " +
+      "pool, a corpus-covering pool measures 1.0, and an unreachable " +
+      "target fails loudly with the measured table (r17 verdict #6)") {
+    val pools = Seq(10, 50, 200, 500)
+    val rep = Similarity.bqPoolReport(emb, "vec_id", "embedding",
+        k = 10, maxQueries = 20, candidatePools = pools)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(rep.map(_._1).toSeq == pools.map(_.toLong))
+    assert(rep.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    // prefix recall can only grow with the pool
+    rep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall must be monotone: $a > $b")
+    }
+    // pool >= corpus: every exact id is inside the prefix
+    assert(rep.last._2 == 1.0, s"corpus-covering pool: ${rep.last}")
+    // the recommendation is the SMALLEST pool at target
+    val rec = Similarity.recommendBqPool(emb, "vec_id", "embedding",
+      targetRecall = 1.0, k = 10, maxQueries = 20,
+      candidatePools = pools)
+    assert(rec == rep.find(_._2 >= 1.0).get._1.toInt)
+    // an unreachable target names the measured numbers
+    interceptGuard("no candidate pool reaches", "pool 10 ->") {
+      Similarity.recommendBqPool(emb, "vec_id", "embedding",
+        targetRecall = 1.0, k = 10, maxQueries = 20,
+        candidatePools = Seq(10))
+    }
+  }
+
   test("srp index: indexed == direct batch at the persisted nBits; " +
       "append == one-shot; delete/compact; probes refuse a " +
       "metadata-less root (r17 verdict #2)") {
