@@ -2978,8 +2978,16 @@ object QueryCatalog {
           emb.filter(col("vec_id") < 4)
             .select(col("vec_id").as("qid"), col("embedding").as("qv")),
           "qid", "qv", k = 20)
+        // MMR needs a vector per candidate, and at sf0.1 `documents`
+        // carries doc ids beyond the embeddings table — restrict the
+        // lexical corpus to the embedded docs (mirrored in the
+        // oracle's `d` CTE), exactly what the operator's loud
+        // coverage guard demands
+        val docs = t(s, d, "documents")
+          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+            "left_semi")
         CorpusOps.searchPipelineBatchDiversified(
-            t(s, d, "documents"), "doc_id", "text", qs, "query_id",
+            docs, "doc_id", "text", qs, "query_id",
             "query_text", sem, "qid", "id", "cos_sim",
             emb, "vec_id", "embedding", k = 3, lambda = 0.7,
             candidates = 20)
@@ -3000,7 +3008,8 @@ object QueryCatalog {
              |d AS (SELECT doc_id,
              |    string_split_regex(trim(text), '\s+') AS toks
              |  FROM documents
-             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |  WHERE text IS NOT NULL AND trim(text) <> ''
+             |    AND doc_id IN (SELECT vec_id FROM embeddings)),
              |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
              |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
              |    avg(dl) AS avgdl FROM lens),
@@ -3224,6 +3233,37 @@ object QueryCatalog {
           sem, "qid", "id", "cos_sim", k = 10, candidates = 50)
       },
       Some(searchFilteredOracleSql)),
+
+    Q("q_search_filtered_single", // the SINGLE-query filtered hybrid
+      // face (r17 verdict #7 — API symmetry beside searchPipeline):
+      // delegates to the batch operator with a one-row query table,
+      // so per query it IS q_search_filtered's result for query 0 —
+      // the oracle is that query's slice of the shared filtered-
+      // pipeline SQL, reshaped to the single-query output contract.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id").between(10, 21))
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit("zz").as("lang")))
+        val emb = t(s, d, "embeddings")
+        val plantedEmb = emb.filter(col("vec_id").between(10, 21))
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"))
+        val sem = Similarity.cosineTopKBatch(plantedEmb, "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") === 0L)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 50)
+        CorpusOps.searchPipelineFiltered(corpus, "doc_id", "text",
+          Seq("hash", "join", "window", "scan"), col("lang") === "zz",
+          sem.select(col("id"), col("cos_sim")), "id", "cos_sim",
+          k = 10, candidates = 50)
+      },
+      Some(s"""SELECT doc_id, n_signals, rrf_score, rank
+              |FROM ($searchFilteredOracleSql) t
+              |WHERE query_id = 0""".stripMargin)),
 
     Q("q_search_filtered_indexed", // the FULLY-INDEXED filtered
       // hybrid stack: filtered BM25 candidates off the posting index
@@ -4773,6 +4813,51 @@ object QueryCatalog {
              |  CAST(v.c2 AS DOUBLE) AS top1_cos,
              |  true AS has_rows,
              |  CAST(0 AS BIGINT) AS deleted_hits
+             |FROM (VALUES
+             |  (0, 1000000, 1.0),
+             |  (1, 1000001, 1.0),
+             |  (2, 1000002, 1.0),
+             |  (3, 1000003, 1.0)) AS v(c0, c1, c2)""".stripMargin)),
+
+    Q("q_srp_filtered", // metadata-filtered probe of the SRP index:
+      // the predicate (over extraCols riding the index rows) runs on
+      // the scan BEFORE the bucket join and the per-query top-k.
+      // Planted design: copies of queries 0..3 and vectors 10..21 at
+      // +1M carry the otherwise-nonexistent label 99 — the filter
+      // keeps ONLY planted rows (min id >= 1M pins it), and each
+      // query's exact copy co-buckets by construction and ranks first
+      // at cos 1.0.
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_srpf_" +
+          s"${java.lang.ProcessHandle.current().pid()}_" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}/idx"
+        TempDirs.deleteOnExit(new java.io.File(dir).getParentFile)
+        val emb = t(s, d, "embeddings")
+        val corpus = emb
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(
+            emb.filter(col("vec_id") < 4 ||
+                col("vec_id").between(10, 21))
+              .select((col("vec_id") + 1000000L).as("vec_id"),
+                col("embedding"), lit(99).as("label")))
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Similarity.buildSrpIndex(corpus, "vec_id", "embedding", dir,
+            nBits = 4, extraCols = Seq("label"))
+        Similarity.srpTopKIndexedFiltered(s, dir,
+            emb.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = 20, col("label") === 99)
+          .groupBy(col("qid"))
+          .agg(
+            max_by(col("id"), struct(col("cos_sim"), -col("id")))
+              .as("top1_id"),
+            max(col("cos_sim")).as("top1_cos"),
+            (min(col("id")) >= 1000000L).as("only_filtered"))
+      },
+      Some("""SELECT CAST(v.c0 AS BIGINT) AS qid,
+             |  CAST(v.c1 AS BIGINT) AS top1_id,
+             |  CAST(v.c2 AS DOUBLE) AS top1_cos,
+             |  true AS only_filtered
              |FROM (VALUES
              |  (0, 1000000, 1.0),
              |  (1, 1000001, 1.0),

@@ -1935,7 +1935,13 @@ object CorpusOps {
     * Returns (`queryIdCol`, `idCol`, `mmr`, `rank` 1..k) in greedy
     * selection order; `lambda = 1` IS the undiversified pipeline's
     * ranking (law spec-pinned; the non-degenerate lambda<1 case is
-    * gated by `q_search_diversified`'s unrolled greedy oracle). */
+    * gated by `q_search_diversified`'s unrolled greedy oracle).
+    *
+    * Contract: both id columns must be integral (the MMR group key —
+    * rejected loudly otherwise), `vectors` must carry ONE row per
+    * candidate id (a missing vector fails loudly in-pass; a
+    * duplicated id is caught by the pool's duplicate guard), and
+    * `candidates >= k` (the sibling pipelines' rule). */
   def searchPipelineBatchDiversified(docs: DataFrame, idCol: String,
                                      textCol: String, queries: DataFrame,
                                      queryIdCol: String,
@@ -1948,19 +1954,25 @@ object CorpusOps {
                                      vecCol: String, k: Int,
                                      lambda: Double,
                                      candidates: Int = 100,
-                                     rrfK: Int = 60): DataFrame =
+                                     rrfK: Int = 60): DataFrame = {
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
     diversifyFused(
       searchPipelineBatch(docs, idCol, textCol, queries, queryIdCol,
         queryTextCol, semantic, semanticQueryCol, semanticIdCol,
         semanticScoreCol, k = candidates, candidates = candidates,
         rrfK = rrfK),
-      queryIdCol, idCol, vectors, vecIdCol, vecCol, k, lambda)
+      queryIdCol, idCol, vectors, vecIdCol, vecCol, k, lambda,
+      "searchPipelineBatchDiversified")
+  }
 
   /** [[searchPipelineBatchDiversified]] on the FILTERED pipeline —
     * both retrieval legs filtered pre-top-k
     * ([[searchPipelineBatchFiltered]]'s contract), then the MMR stage
     * over the filtered pool. `vectors` only needs to cover the
-    * candidate ids (the filtered corpus suffices). */
+    * candidate ids (the filtered corpus suffices); same id-type /
+    * one-row-per-id / `candidates >= k` contract as
+    * [[searchPipelineBatchDiversified]]. */
   def searchPipelineBatchFilteredDiversified(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
@@ -1968,28 +1980,55 @@ object CorpusOps {
       semanticIdCol: String, semanticScoreCol: String,
       vectors: DataFrame, vecIdCol: String, vecCol: String, k: Int,
       lambda: Double, candidates: Int = 100,
-      rrfK: Int = 60): DataFrame =
+      rrfK: Int = 60): DataFrame = {
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
     diversifyFused(
       searchPipelineBatchFiltered(docs, idCol, textCol, queries,
         queryIdCol, queryTextCol, predicate, semantic,
         semanticQueryCol, semanticIdCol, semanticScoreCol,
         k = candidates, candidates = candidates, rrfK = rrfK),
-      queryIdCol, idCol, vectors, vecIdCol, vecCol, k, lambda)
+      queryIdCol, idCol, vectors, vecIdCol, vecCol, k, lambda,
+      "searchPipelineBatchFilteredDiversified")
+  }
 
   /** The shared MMR stage of the diversified pipelines: attach the
     * candidate vectors (pool broadcast onto the vector table — the
     * corpus is never shuffled), greedy-select with rrf_score as the
-    * relevance, restore the caller's id column name. */
+    * relevance, restore the caller's id column name. A fused
+    * candidate with NO row in `vectors` fails loudly in-pass (a
+    * silent inner join would shrink the pool and return fewer than k
+    * rows with no error — the house's loud-guard rule); a DUPLICATED
+    * vector id is caught by [[graft.operators.Similarity
+    * .mmrRerankBatch]]'s per-pool duplicate guard. */
   private def diversifyFused(fused: DataFrame, queryIdCol: String,
                              idCol: String, vectors: DataFrame,
                              vecIdCol: String, vecCol: String, k: Int,
-                             lambda: Double): DataFrame = {
+                             lambda: Double, face: String): DataFrame = {
+    graft.operators.Similarity.requireIntegralIds(fused,
+      Seq(queryIdCol, idCol), face)
     val cands = fused.select(col(queryIdCol), col(idCol),
       col("rrf_score"))
-    val withV = vectors
-      .select(col(vecIdCol).as(idCol), col(vecCol).as("__mmrv"))
-      .join(broadcast(cands), Seq(idCol))
-    val picked = graft.operators.Similarity.mmrRerankBatch(withV,
+    // ONE corpus pass (inner broadcast join — an outer join preserving
+    // the broadcast side has no BHJ shape and would shuffle the
+    // corpus), eagerly materialized: the pool is <= |q| x candidates
+    // rows, and everything after — the coverage check and the greedy
+    // stage — works off the cached copy
+    val pool = graft.operators.Materialize(
+      vectors.select(col(vecIdCol).as(idCol), col(vecCol).as("__mmrv"))
+        .join(broadcast(cands), Seq(idCol)),
+      eager = true)
+    val missing = cands.select(col(queryIdCol), col(idCol))
+      .join(pool.select(col(queryIdCol), col(idCol)),
+        Seq(queryIdCol, idCol), "left_anti")
+      .limit(3).collect()
+    require(missing.isEmpty,
+      s"$face: fused candidate ids " +
+        missing.map(_.get(1)).mkString("[", ", ", "]") +
+        " have no row in the vector table — `vectors` must cover " +
+        "every candidate id (a silent drop would return fewer than " +
+        "k rows per query)")
+    val picked = graft.operators.Similarity.mmrRerankBatch(pool,
       queryIdCol, idCol, "rrf_score", "__mmrv", k, lambda)
     if (idCol == "id") picked
     else picked.withColumnRenamed("id", idCol)

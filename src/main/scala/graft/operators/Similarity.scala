@@ -107,6 +107,29 @@ object Similarity {
         "reserves that name for the corpus id (rename the query id " +
         "column first)")
 
+  /** The MMR faces cast their id columns to long for the group key; a
+    * non-numeric id (string ids are accepted by every other batch
+    * face) would cast to NULL, collapsing every query into one null
+    * group and emitting null ids — reject it loudly instead, under
+    * the invoked face's name (r17 advice). */
+  private[operators] def requireIntegralIds(df: DataFrame,
+                                            cols: Seq[String],
+                                            face: String): Unit =
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        },
+        s"$face: column \"$c\" must be an integral id " +
+          s"(byte/short/int/long), got ${dt.catalogString} — cast or " +
+          "re-key non-numeric ids upstream (a silent cast would " +
+          "collapse queries into one null group)")
+    }
+
   def cosineTopKBatch(df: DataFrame, idCol: String, vecCol: String,
                       queries: DataFrame, queryIdCol: String,
                       queryVecCol: String, k: Int): DataFrame = {
@@ -1531,24 +1554,8 @@ object Similarity {
     require(lambda >= 0 && lambda <= 1,
       s"lambda must be in [0, 1]: $lambda")
     requireQueryIdNotReserved(queryIdCol, "mmrRerankBatch")
-    // the id columns are cast to long for the group key; a non-numeric
-    // id (string ids are accepted by the other batch faces) would cast
-    // to NULL, collapsing every query into one null group and emitting
-    // null ids — reject it loudly instead (r17 advice)
-    Seq(queryIdCol, idCol).foreach { c =>
-      val dt = candidates.schema(c).dataType
-      require(dt match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => true
-          case _ => false
-        },
-        s"mmrRerankBatch: column \"$c\" must be an integral id " +
-          s"(byte/short/int/long), got ${dt.catalogString} — cast or " +
-          "re-key non-numeric ids upstream (a silent cast would " +
-          "collapse queries into one null group)")
-    }
+    requireIntegralIds(candidates, Seq(queryIdCol, idCol),
+      "mmrRerankBatch")
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
@@ -1565,6 +1572,23 @@ object Similarity {
             s"mmrRerankBatch: query $qid has ${pool.length} candidates " +
               s"> maxPoolRows=$maxPoolRows — cap the pool upstream " +
               "(MMR is quadratic in the pool, not the corpus)")
+        // a duplicated candidate id is always a caller bug (two rel
+        // scores for one doc — e.g. a vector table with duplicate
+        // ids doubling pool rows in the diversified pipelines); the
+        // greedy loop would emit the same id at two ranks, so refuse
+        // loudly in the same bounded pass
+        locally {
+          val seen = new java.util.HashSet[Long](pool.length * 2)
+          pool.foreach { case (_, id, _, _) =>
+            if (!seen.add(id))
+              throw new IllegalArgumentException(
+                s"mmrRerankBatch: query $qid has duplicate candidate " +
+                  s"id $id in its pool — candidate pools must carry " +
+                  "one row per (query, id); dedup the pool (or the " +
+                  "vector table feeding the diversified pipeline) " +
+                  "upstream")
+          }
+        }
         val vecs = pool.map { case (_, _, _, v) =>
           val arr = v.toArray
           val n = math.sqrt(arr.map(x => x * x).sum)
@@ -2186,10 +2210,26 @@ object Similarity {
   /** Initialize ONLY the metadata of an SRP index — the
     * streaming-from-empty entry point ([[graft.streaming.EventStreams
     * .srpIndexAvailableNow]] drains batches into a root whose nBits
-    * must exist before the first [[srpAppendBatch]]). */
+    * must exist before the first [[srpAppendBatch]]). ENSURE
+    * semantics, never overwrite: idempotent when the persisted nBits
+    * already equals `nBits`, and a LOUD refusal when it differs — a
+    * silent meta rewrite would leave every existing row's cell signed
+    * under the old width, stranding the old corpus in unreachable
+    * buckets (rebuild with [[buildSrpIndex]] to change nBits). */
   def initSrpIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String, nBits: Int = 8): Unit =
-    writeSrpMeta(spark, path, nBits)
+                   path: String, nBits: Int = 8): Unit = {
+    val p = new org.apache.hadoop.fs.Path(srpMetaPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val existing = readSrpNBits(spark, path)
+      require(existing == nBits,
+        s"initSrpIndex: $path is already an SRP index with " +
+          s"nBits=$existing — refusing to flip it to $nBits (existing " +
+          "rows are signed under the old width and would land in " +
+          "unreachable buckets; rebuild with buildSrpIndex to change " +
+          "the signature width)")
+    } else writeSrpMeta(spark, path, nBits)
+  }
 
   /** [[bqAppend]]'s contract on the SRP layout: sign with the
     * PERSISTED nBits and append — appended ≡ one-shot by purity of
@@ -2206,11 +2246,21 @@ object Similarity {
     * rewrite, never double-append. */
   def srpAppendBatch(batch: DataFrame, idCol: String, vecCol: String,
                      path: String, batchId: Long,
-                     extraCols: Seq[String] = Nil): Unit = {
-    val nBits = readSrpNBits(batch.sparkSession, path)
+                     extraCols: Seq[String] = Nil): Unit =
+    srpAppendBatchWith(batch, idCol, vecCol, path, batchId, extraCols,
+      readSrpNBits(batch.sparkSession, path))
+
+  /** [[srpAppendBatch]] with the nBits already in hand — the
+    * streaming face reads the metadata ONCE per drain instead of one
+    * read job per micro-batch (the value is constant for the index's
+    * lifetime). Callers must pass the PERSISTED value. */
+  private[graft] def srpAppendBatchWith(batch: DataFrame, idCol: String,
+                                        vecCol: String, path: String,
+                                        batchId: Long,
+                                        extraCols: Seq[String],
+                                        nBits: Int): Unit =
     pureIndexAppendBatch(srpRows(batch, idCol, vecCol, nBits, extraCols),
       path, batchId, "srpAppendBatch", "srpAppend", "srpCompact")
-  }
 
   /** [[bqDelete]]'s contract on the SRP layout: sibling tombstones,
     * immediate exclusion on every indexed probe. */

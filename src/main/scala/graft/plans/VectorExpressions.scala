@@ -161,19 +161,51 @@ case class HammingDistance(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "hamming_distance"
 
-  private def isSigType(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, _) => true
-    case _ => false
+  // every integral element type the declarative fold accepted (the
+  // CosineSim compatibility rule); the packed-signature layouts are
+  // always array<bigint>, but an external caller's int signatures
+  // keep working
+  private def elemKind(dt: DataType): Int = dt match {
+    case ArrayType(ByteType, _) => 2
+    case ArrayType(ShortType, _) => 3
+    case ArrayType(IntegerType, _) => 4
+    case ArrayType(LongType, _) => 5
+    case _ => -1
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isSigType(left.dataType) && isSigType(right.dataType))
+    if (elemKind(left.dataType) >= 0 && elemKind(right.dataType) >= 0)
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<bigint> packed-signature " +
-          s"inputs, got (${left.dataType.catalogString}, " +
+        s"$prettyName requires two integral-element array inputs " +
+          s"(packed signatures are array<bigint>), got " +
+          s"(${left.dataType.catalogString}, " +
           s"${right.dataType.catalogString})")
+
+  @transient private lazy val leftKind = elemKind(left.dataType)
+  @transient private lazy val rightKind = elemKind(right.dataType)
+  // Spark coerces bitwiseXOR's operands to the WIDER integral type;
+  // bit_count then counts over that type's value SIGN-EXTENDED to
+  // long (Long.bitCount semantics) — replicated exactly below
+  @transient private lazy val widerKind = math.max(leftKind, rightKind)
+
+  private def get(v: ArrayData, i: Int, kind: Int): Long = kind match {
+    case 2 => v.getByte(i).toLong
+    case 3 => v.getShort(i).toLong
+    case 4 => v.getInt(i).toLong
+    case _ => v.getLong(i)
+  }
+
+  /** Narrow the long xor to the wider operand type, then sign-extend
+    * back — the exact value Spark's `bit_count(x.bitwiseXOR(y))`
+    * counts. */
+  private def narrowExtend(x: Long): Long = widerKind match {
+    case 2 => x.toByte.toLong
+    case 3 => x.toShort.toLong
+    case 4 => x.toInt.toLong
+    case _ => x
+  }
 
   // custom eval, NOT nullSafeEval: the null cases above must flow
   // through one code path so the generated code shares them
@@ -194,7 +226,8 @@ case class HammingDistance(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      acc += java.lang.Long.bitCount(narrowExtend(
+        get(a, i, leftKind) ^ get(b, i, rightKind)))
       i += 1
     }
     java.lang.Long.valueOf(acc)

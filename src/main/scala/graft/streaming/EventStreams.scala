@@ -705,15 +705,21 @@ object EventStreams {
                            vecExpr: org.apache.spark.sql.Column,
                            indexPath: String, checkpointDir: String,
                            nBits: Int = 8): Unit = {
+    // ensure-never-overwrite: an existing index with a DIFFERENT
+    // nBits refuses loudly (a silent meta flip would strand its rows
+    // in unreachable buckets); the persisted value is then read ONCE
+    // and threaded through the drain — no per-micro-batch meta job
     graft.operators.Similarity.initSrpIndex(spark, indexPath, nBits)
+    val persistedBits =
+      graft.operators.Similarity.readSrpNBits(spark, indexPath)
     val (src, _) = fileSource(spark, vecsPath)
     val q = src.select(col(idCol), vecExpr.as("__vec"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.srpAppendBatch(
-          batch, idCol, "__vec", indexPath, batchId)
+        graft.operators.Similarity.srpAppendBatchWith(
+          batch, idCol, "__vec", indexPath, batchId, Nil, persistedBits)
       }
       .start()
     q.awaitTermination()

@@ -71,6 +71,33 @@ class BqIndexSpec extends SparkSpec {
     val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
       .select(Similarity.hammingDistance($"a", $"b")).collect()(0)
     assert(!empty.isNullAt(0) && empty.getLong(0) == 0L)
+    // every integral element type the declarative fold accepted keeps
+    // working (the CosineSim compatibility rule), including negative
+    // values (sign-extension semantics) and MIXED-width pairs
+    // (Spark's wider-type coercion)
+    def crossCheck(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df
+        .select(Similarity.hammingDistance($"a", $"b").as("n"),
+          Similarity.hammingDistanceDeclarative($"a", $"b").as("d"))
+        .collect()
+      rows.foreach { r =>
+        val n = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val dd = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+        assert(n == dd, s"native $n != declarative $dd in ${df.columns.toSeq}")
+      }
+    }
+    crossCheck(Seq(
+      (Seq(1, -1, 255, Int.MinValue), Seq(0, 1, -256, Int.MaxValue)))
+      .toDF("a", "b"))
+    crossCheck(Seq(
+      (Seq(1.toByte, (-1).toByte, Byte.MinValue),
+       Seq(0.toByte, 3.toByte, Byte.MaxValue))).toDF("a", "b"))
+    crossCheck(Seq(
+      (Seq(1.toShort, (-5).toShort), Seq((-1).toShort, 5.toShort)))
+      .toDF("a", "b"))
+    // mixed widths: int vs bigint coerces to bigint on both sides
+    crossCheck(Seq((Seq(7, -7), Seq(1L, Long.MinValue)))
+      .toDF("a", "b"))
   }
 
   test("bq index lifecycle: append == one-shot build; indexed == " +
@@ -297,6 +324,14 @@ class BqIndexSpec extends SparkSpec {
     interceptGuard("no SRP index metadata") {
       Similarity.srpAppend(emb.limit(1), "vec_id", "embedding", bare)
     }
+    // initSrpIndex is ensure-never-overwrite: idempotent at the same
+    // nBits, LOUD at a different one (a silent meta flip would strand
+    // the existing rows in unreachable buckets)
+    Similarity.initSrpIndex(spark, dir, nBits = 4)
+    interceptGuard("refusing to flip") {
+      Similarity.initSrpIndex(spark, dir, nBits = 8)
+    }
+    assert(Similarity.readSrpNBits(spark, dir) == 4)
   }
 
   test("srp index: batch layout replays idempotently; filtered " +

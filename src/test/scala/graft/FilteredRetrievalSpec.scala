@@ -238,6 +238,28 @@ class FilteredRetrievalSpec extends SparkSpec {
     assert(fdiv.nonEmpty && fdiv.forall(_._2 >= 1000000L),
       "only planted 'zz' ids may surface in the filtered diversified " +
         s"ranking: ${fdiv.mkString(",")}")
+    // guards: k past the pool refuses like every sibling pipeline; a
+    // vector table missing a candidate id refuses loudly instead of
+    // silently shrinking the pool; a duplicated vector id is caught
+    // by the pool's duplicate guard
+    intercept[IllegalArgumentException] {
+      CorpusOps.searchPipelineBatchDiversified(docs, "doc_id", "text",
+        queries, "query_id", "query_text", sem, "qid", "id",
+        "cos_sim", emb, "vec_id", "embedding", k = 50, lambda = 1.0,
+        candidates = 20)
+    }
+    interceptGuard("no row in the vector table") {
+      CorpusOps.searchPipelineBatchDiversified(docs, "doc_id", "text",
+        queries, "query_id", "query_text", sem, "qid", "id",
+        "cos_sim", emb.filter($"vec_id" > 100), "vec_id", "embedding",
+        k = 5, lambda = 1.0, candidates = 20)
+    }
+    interceptGuard("duplicate candidate id") {
+      CorpusOps.searchPipelineBatchDiversified(docs, "doc_id", "text",
+        queries, "query_id", "query_text", sem, "qid", "id",
+        "cos_sim", emb.unionByName(emb), "vec_id", "embedding",
+        k = 5, lambda = 1.0, candidates = 20).collect()
+    }
   }
 
   test("mmrRerankBatch: a non-integral id column is rejected loudly " +
