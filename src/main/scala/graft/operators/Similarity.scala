@@ -1780,8 +1780,16 @@ object Similarity {
         else p
       },
       eager = true)
+    // an SRP layout carries a `cell` column and its build pays for
+    // cell clustering (row-group stats skip on single-cell probes) —
+    // a compact must not silently degrade that; the bq/int8 layouts
+    // have no cell column and rewrite as-is
+    val clustered =
+      if (survivors.columns.contains("cell"))
+        survivors.repartition(col("cell"))
+      else survivors
     if (batchLayout) {
-      survivors.write.mode("overwrite").parquet(s"$path/batch=-1")
+      clustered.write.mode("overwrite").parquet(s"$path/batch=-1")
       val root = new org.apache.hadoop.fs.Path(path)
       fs.listStatus(root)
         .filter(st => st.isDirectory &&
@@ -1789,7 +1797,7 @@ object Similarity {
           st.getPath.getName != "batch=-1")
         .foreach(st => fs.delete(st.getPath, true))
     } else
-      survivors.write.mode("overwrite").parquet(path)
+      clustered.write.mode("overwrite").parquet(path)
     fs.delete(tombPath, true)
     ()
   }
