@@ -3234,6 +3234,187 @@ object QueryCatalog {
       },
       Some(searchFilteredOracleSql)),
 
+    Q("q_search_filtered_diversified", // the FILTERED diversified
+      // pipeline (both legs pre-top-k, then MMR) gated in a
+      // NON-degenerate case — the q_search_filtered planted design
+      // through the q_search_diversified unrolled-greedy oracle:
+      // lambda=0.7, k=3 picks over the filtered fused top-20 pool
+      // (both legs depth 20); the MMR vectors are the planted
+      // embeddings (they cover every filtered candidate id by
+      // construction, which the operator's coverage guard enforces).
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id").between(10, 21))
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), lit("zz").as("lang")))
+        val qs = Seq(
+          (0L, "hash join window scan"),
+          (1L, "sort merge batch"),
+          (2L, "dup stream"),
+          (3L, "qqqnomatchqqq")).toDF("query_id", "query_text")
+        val emb = t(s, d, "embeddings")
+        val plantedEmb = emb.filter(col("vec_id").between(10, 21))
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"))
+        val sem = Similarity.cosineTopKBatch(plantedEmb, "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 20)
+        CorpusOps.searchPipelineBatchFilteredDiversified(corpus,
+            "doc_id", "text", qs, "query_id", "query_text",
+            col("lang") === "zz", sem, "qid", "id", "cos_sim",
+            plantedEmb, "vec_id", "embedding", k = 3, lambda = 0.7,
+            candidates = 20)
+          .select(col("query_id"), col("doc_id"),
+            (round(col("mmr"), 6) + lit(0.0d)).as("mmr"), col("rank"))
+      },
+      Some("""WITH qraw AS (SELECT * FROM (VALUES
+             |    (CAST(0 AS BIGINT), 'hash join window scan'),
+             |    (CAST(1 AS BIGINT), 'sort merge batch'),
+             |    (CAST(2 AS BIGINT), 'dup stream'),
+             |    (CAST(3 AS BIGINT), 'qqqnomatchqqq'))
+             |  AS v(query_id, query_text)),
+             |q AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT query_id,
+             |    unnest(string_split_regex(trim(query_text), '\s+'))
+             |      AS tok
+             |  FROM qraw)),
+             |d0 AS (SELECT doc_id, text, lang FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, 'zz' FROM documents
+             |  WHERE doc_id BETWEEN 10 AND 21),
+             |d AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS toks
+             |  FROM d0
+             |  WHERE text IS NOT NULL AND trim(text) <> ''),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    avg(dl) AS avgdl FROM lens),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+             |  GROUP BY 1, 2),
+             |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |allowed AS (SELECT doc_id FROM d WHERE lang = 'zz'),
+             |contrib AS (SELECT tf.doc_id, tf.tok,
+             |    ln((stats.n - dfr.df + CAST(0.5 AS DOUBLE))
+             |          / (dfr.df + CAST(0.5 AS DOUBLE))
+             |          + CAST(1.0 AS DOUBLE))
+             |      * tf.tf
+             |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             |      / (tf.tf + CAST(1.2 AS DOUBLE)
+             |          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * lens.dl
+             |              / stats.avgdl)) AS c
+             |  FROM tf JOIN dfr USING (tok) JOIN lens USING (doc_id)
+             |  CROSS JOIN stats),
+             |sc AS (SELECT q.query_id, contrib.doc_id,
+             |    round(sum(contrib.c), 4) + 0 AS bm25
+             |  FROM contrib JOIN q ON q.tok = contrib.tok
+             |  JOIN allowed ON allowed.doc_id = contrib.doc_id
+             |  GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, bm25 FROM (
+             |    SELECT query_id, doc_id, bm25,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY bm25 DESC, doc_id) AS rn
+             |    FROM sc)
+             |  WHERE rn <= 20),
+             |qv AS (SELECT vec_id AS qid, embedding AS vq
+             |  FROM embeddings WHERE vec_id < 4),
+             |pe AS (SELECT CAST(vec_id + 1000000 AS BIGINT) AS id,
+             |    embedding
+             |  FROM embeddings WHERE vec_id BETWEEN 10 AND 21),
+             |semsc AS (SELECT qv.qid, e.id,
+             |  round(list_aggregate(list_transform(e.embedding,
+             |    (x, i) -> CAST(x AS DOUBLE) * CAST(qv.vq[i] AS DOUBLE)),
+             |    'sum')
+             |  / (sqrt(list_aggregate(list_transform(e.embedding,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |   * sqrt(list_aggregate(list_transform(qv.vq,
+             |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             |    6) + 0 AS s
+             |  FROM pe e JOIN qv ON e.id <> qv.qid),
+             |sem AS (SELECT qid AS query_id, id AS doc_id, s FROM (
+             |    SELECT qid, id, s,
+             |      row_number() OVER (PARTITION BY qid
+             |                         ORDER BY s DESC, id) AS rn
+             |    FROM semsc)
+             |  WHERE rn <= 20),
+             |r1 AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY bm25 DESC, doc_id) AS r
+             |  FROM lex),
+             |r2 AS (SELECT query_id, doc_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY s DESC, doc_id) AS r
+             |  FROM sem),
+             |u AS (SELECT query_id, doc_id, r FROM r1
+             |      UNION ALL SELECT query_id, doc_id, r FROM r2),
+             |f AS (SELECT query_id, doc_id,
+             |    round(sum(CAST(1.0 AS DOUBLE)
+             |      / (CAST(60.0 AS DOUBLE) + r)), 6) + 0 AS rrf_score
+             |  FROM u GROUP BY 1, 2),
+             |pool AS (SELECT query_id, doc_id, rrf_score AS rel FROM (
+             |    SELECT query_id, doc_id, rrf_score,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY rrf_score DESC, doc_id)
+             |        AS rn
+             |    FROM f)
+             |  WHERE rn <= 20),
+             |vn AS (SELECT id AS doc_id,
+             |    list_transform(embedding, x ->
+             |      CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm
+             |           ELSE CAST(x AS DOUBLE) END) AS v
+             |  FROM (SELECT id, embedding,
+             |      sqrt(list_aggregate(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             |        'sum')) AS nrm
+             |    FROM pe)),
+             |c0 AS (SELECT p.query_id, p.doc_id, p.rel, vn.v
+             |  FROM pool p JOIN vn USING (doc_id)),
+             |p1 AS (SELECT query_id, doc_id, v,
+             |    CAST(0.7 AS DOUBLE) * rel AS mmr FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, doc_id)
+             |      AS rn
+             |    FROM c0) WHERE rn = 1),
+             |m1 AS (SELECT c0.query_id, c0.doc_id, c0.rel, c0.v,
+             |    greatest(CAST(0 AS DOUBLE),
+             |      list_aggregate(list_transform(c0.v,
+             |        (x, i) -> x * p1.v[i]), 'sum')) AS ms
+             |  FROM c0 JOIN p1 ON c0.query_id = p1.query_id
+             |    AND c0.doc_id <> p1.doc_id),
+             |p2 AS (SELECT query_id, doc_id, v, ms,
+             |    CAST(0.7 AS DOUBLE) * rel
+             |      - CAST(0.3 AS DOUBLE) * ms AS mmr FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY CAST(0.7 AS DOUBLE) * rel
+             |          - CAST(0.3 AS DOUBLE) * ms DESC, doc_id) AS rn
+             |    FROM m1) WHERE rn = 1),
+             |m2 AS (SELECT m1.query_id, m1.doc_id, m1.rel,
+             |    greatest(m1.ms,
+             |      list_aggregate(list_transform(m1.v,
+             |        (x, i) -> x * p2.v[i]), 'sum')) AS ms
+             |  FROM m1 JOIN p2 ON m1.query_id = p2.query_id
+             |    AND m1.doc_id <> p2.doc_id),
+             |p3 AS (SELECT query_id, doc_id,
+             |    CAST(0.7 AS DOUBLE) * rel
+             |      - CAST(0.3 AS DOUBLE) * ms AS mmr FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |        ORDER BY CAST(0.7 AS DOUBLE) * rel
+             |          - CAST(0.3 AS DOUBLE) * ms DESC, doc_id) AS rn
+             |    FROM m2) WHERE rn = 1)
+             |SELECT query_id, doc_id, round(mmr, 6) + 0 AS mmr,
+             |  CAST(1 AS BIGINT) AS rank FROM p1
+             |UNION ALL SELECT query_id, doc_id, round(mmr, 6) + 0,
+             |  CAST(2 AS BIGINT) FROM p2
+             |UNION ALL SELECT query_id, doc_id, round(mmr, 6) + 0,
+             |  CAST(3 AS BIGINT) FROM p3""".stripMargin)),
+
     Q("q_search_filtered_single", // the SINGLE-query filtered hybrid
       // face (r17 verdict #7 — API symmetry beside searchPipeline):
       // delegates to the batch operator with a one-row query table,

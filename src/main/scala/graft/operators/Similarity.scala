@@ -1925,6 +1925,39 @@ object Similarity {
           "SCALE.md's recall table)"))
   }
 
+  /** Measured recall@`k` of ANY batch candidate ranking against the
+    * exact cosine top-k over the same corpus and queries — the
+    * tier-agnostic twin of [[bqPoolReport]] (every approximate probe
+    * in this family emits (`query`, `id`) rows: SRP buckets, IVF
+    * probes, ADC pools, Hamming prefixes, MRL slices — this one
+    * instrument sizes them all against the same ground truth).
+    * Returns one row per query: (`queryIdCol`, `n_exact`, `n_hit`,
+    * `recall` rounded 4). A query absent from `candidates` reports
+    * recall 0 (not a dropped row — silent absence is the failure
+    * this report exists to expose). */
+  def annRecallReport(df: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryVecCol: String, candidates: DataFrame,
+                      candQueryCol: String, candIdCol: String,
+                      k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    requireQueryIdNotReserved(queryIdCol, "annRecallReport")
+    val exact = cosineTopKBatch(df, idCol, vecCol, queries,
+        queryIdCol, queryVecCol, k)
+      .select(col(queryIdCol), col("id"))
+    val cand = candidates
+      .select(col(candQueryCol).as(queryIdCol),
+        col(candIdCol).as("id"), lit(1L).as("__hit"))
+      .distinct()
+    exact.join(cand, Seq(queryIdCol, "id"), "left")
+      .groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col(queryIdCol), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double")
+          / col("n_exact").cast("double"), 4).as("recall"))
+  }
+
   private def bqIndexedCore(spark: org.apache.spark.sql.SparkSession,
                             path: String, queries: DataFrame,
                             queryIdCol: String, queryVecCol: String,

@@ -654,15 +654,20 @@ object EventStreams {
                           idCol: String,
                           vecExpr: org.apache.spark.sql.Column,
                           indexPath: String,
-                          checkpointDir: String): Unit = {
+                          checkpointDir: String,
+                          extraCols: Seq[String] = Nil): Unit = {
+    // extraCols ride each batch's signature rows (the buildBqIndex
+    // convention), so a STREAMED index serves bqTopKIndexedFiltered
+    // exactly like a one-shot build with metadata
     val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol), vecExpr.as("__vec"))
+    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
+        extraCols.map(col): _*)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity.bqAppendBatch(
-          batch, idCol, "__vec", indexPath, batchId)
+          batch, idCol, "__vec", indexPath, batchId, extraCols)
       }
       .start()
     q.awaitTermination()
@@ -678,15 +683,19 @@ object EventStreams {
                             idCol: String,
                             vecExpr: org.apache.spark.sql.Column,
                             indexPath: String,
-                            checkpointDir: String): Unit = {
+                            checkpointDir: String,
+                            extraCols: Seq[String] = Nil): Unit = {
+    // extraCols ride the quantized rows so the streamed table serves
+    // int8TopKBatchPrequantizedFiltered (the writeInt8Corpus contract)
     val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol), vecExpr.as("__vec"))
+    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
+        extraCols.map(col): _*)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity.int8AppendBatch(
-          batch, idCol, "__vec", indexPath, batchId)
+          batch, idCol, "__vec", indexPath, batchId, extraCols)
       }
       .start()
     q.awaitTermination()
@@ -704,7 +713,8 @@ object EventStreams {
                            idCol: String,
                            vecExpr: org.apache.spark.sql.Column,
                            indexPath: String, checkpointDir: String,
-                           nBits: Int = 8): Unit = {
+                           nBits: Int = 8,
+                           extraCols: Seq[String] = Nil): Unit = {
     // ensure-never-overwrite: an existing index with a DIFFERENT
     // nBits refuses loudly (a silent meta flip would strand its rows
     // in unreachable buckets); the persisted value is then read ONCE
@@ -713,13 +723,15 @@ object EventStreams {
     val persistedBits =
       graft.operators.Similarity.readSrpNBits(spark, indexPath)
     val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol), vecExpr.as("__vec"))
+    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
+        extraCols.map(col): _*)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity.srpAppendBatchWith(
-          batch, idCol, "__vec", indexPath, batchId, Nil, persistedBits)
+          batch, idCol, "__vec", indexPath, batchId, extraCols,
+          persistedBits)
       }
       .start()
     q.awaitTermination()

@@ -372,6 +372,59 @@ class BqIndexSpec extends SparkSpec {
     }
   }
 
+  test("annRecallReport: exact-covering candidates recall 1.0, empty " +
+      "candidates recall 0.0, approximate tiers in between — one " +
+      "instrument for every (query, id) probe") {
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    // a deep Hamming ranking covers the corpus → every exact id hits
+    val full = Similarity.bqTopKBatch(emb, "vec_id", "embedding", qs,
+      "qid", "qv", k = 100000)
+    val rFull = Similarity.annRecallReport(emb, "vec_id", "embedding",
+        qs, "qid", "qv", full, "qid", "id", k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rFull.length == 3 && rFull.forall(_._4 == 1.0), rFull.toSeq)
+    // an empty candidate set reports recall 0 per query, never drops
+    val rNone = Similarity.annRecallReport(emb, "vec_id", "embedding",
+        qs, "qid", "qv", full.filter(lit(false)), "qid", "id", k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rNone.length == 3 && rNone.forall(_._4 == 0.0))
+    // an approximate tier lands in [0, 1] with the right row count
+    val srp = Similarity.srpTopKBatch(emb, "vec_id", "embedding", qs,
+      "qid", "qv", k = 10, nBits = 8)
+    val rSrp = Similarity.annRecallReport(emb, "vec_id", "embedding",
+        qs, "qid", "qv", srp, "qid", "id", k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rSrp.length == 3 &&
+      rSrp.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._2 == 10L))
+  }
+
+  test("streamed indexes carry metadata: bq and srp drains with " +
+      "extraCols serve their filtered probes like one-shot builds") {
+    val root = tmp("streamextras")
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label")
+    corpus.write.parquet(s"$root/src")
+    val qs = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val lbl = corpus.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    graft.streaming.EventStreams.bqIndexAvailableNow(spark,
+      s"$root/src", "vec_id", $"embedding", s"$root/bq",
+      s"$root/ckbq", extraCols = Seq("label"))
+    val bq = Similarity.bqTopKIndexedFiltered(spark, s"$root/bq", qs,
+        "qid", "qv", k = 5, $"label" === 1)
+      .as[(Long, Long, Long)].collect()
+    assert(bq.nonEmpty && bq.forall(r => lbl(r._2) == 1))
+    graft.streaming.EventStreams.srpIndexAvailableNow(spark,
+      s"$root/src", "vec_id", $"embedding", s"$root/srp",
+      s"$root/cksrp", nBits = 2, extraCols = Seq("label"))
+    val srp = Similarity.srpTopKIndexedFiltered(spark, s"$root/srp",
+        qs, "qid", "qv", k = 5, $"label" === 1)
+      .as[(Long, Long, Double)].collect()
+    assert(srp.nonEmpty && srp.forall(r => lbl(r._2) == 1))
+  }
+
   test("guards name the invoked face: bqTopKIndexedFiltered and the " +
       "matryoshka batch faces reject queryIdCol=\"id\" under their " +
       "own names (r17 advice)") {
