@@ -1727,11 +1727,38 @@ object Similarity {
   // no versioned swap ever needed. The faces above/below delegate
   // here with their own names in the guard messages. ----
 
+  /** Column-set agreement between appended rows and the existing
+    * index (r18 review): extraCols that DIFFER from the build's would
+    * silently corrupt filtered probes — a later batch without the
+    * metadata column reads it as null and never matches any
+    * predicate, and a compact sampling the metadata-less footer
+    * erases the column for the whole index. One footer read per
+    * append, same cost class as the layout guards. The `batch`
+    * partition column is layout, not data. */
+  private def requireMatchingIndexColumns(rows: DataFrame,
+                                          path: String,
+                                          face: String): Unit = {
+    val spark = rows.sparkSession
+    if (listDataFiles(spark, path).nonEmpty) {
+      val existing = spark.read.parquet(path).columns.toSet - "batch"
+      val incoming = rows.columns.toSet
+      require(existing == incoming,
+        s"$face: the index at $path carries columns " +
+          existing.toSeq.sorted.mkString("(", ", ", ")") +
+          " but the appended rows carry " +
+          incoming.toSeq.sorted.mkString("(", ", ", ")") +
+          " — extraCols must match the build's exactly (a mismatch " +
+          "silently strands rows from filtered probes, and a compact " +
+          "can erase the metadata column for the whole index)")
+    }
+  }
+
   private def pureIndexAppend(rows: DataFrame, path: String,
                               face: String, batchFace: String): Unit = {
     require(!ivfHasDirs(rows.sparkSession, path, "batch="),
       s"$face: $path has the streaming batch layout — use " +
         s"$batchFace (mixing layouts breaks partition discovery)")
+    requireMatchingIndexColumns(rows, path, face)
     rows.write.mode("append").parquet(path)
   }
 
@@ -1749,6 +1776,7 @@ object Similarity {
         st.isFile && st.getPath.getName.endsWith(".parquet")),
       s"$face: $path has the flat one-shot layout — use " +
         s"$flatFace (mixing layouts breaks partition discovery)")
+    requireMatchingIndexColumns(rows, path, face)
     rows.write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
 
@@ -1759,7 +1787,8 @@ object Similarity {
       .parquet(s"$path.tombstones")
 
   private def pureIndexCompact(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Unit = {
+                               path: String,
+                               clusterBy: Option[String] = None): Unit = {
     val batchLayout = ivfHasDirs(spark, path, "batch=")
     val raw = spark.read.parquet(path)
     val tombPath = new org.apache.hadoop.fs.Path(s"$path.tombstones")
@@ -1780,14 +1809,13 @@ object Similarity {
         else p
       },
       eager = true)
-    // an SRP layout carries a `cell` column and its build pays for
-    // cell clustering (row-group stats skip on single-cell probes) —
-    // a compact must not silently degrade that; the bq/int8 layouts
-    // have no cell column and rewrite as-is
+    // the TYPED face says whether its layout is clustered ([[srpCompact]]
+    // passes `cell`; bq/int8 pass nothing) — never sniffed from a
+    // column name, which a user extraCols column could collide with
+    // (r18 review: metadata named "cell" on a bq index would have
+    // collapsed the rewrite onto its few distinct values)
     val clustered =
-      if (survivors.columns.contains("cell"))
-        survivors.repartition(col("cell"))
-      else survivors
+      clusterBy.fold(survivors)(c => survivors.repartition(col(c)))
     if (batchLayout) {
       clustered.write.mode("overwrite").parquet(s"$path/batch=-1")
       val root = new org.apache.hadoop.fs.Path(path)
@@ -1942,6 +1970,14 @@ object Similarity {
                       k: Int = 10): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     requireQueryIdNotReserved(queryIdCol, "annRecallReport")
+    // the output carries (queryIdCol, n_exact, n_hit, recall) and the
+    // plumbing rides __hit — a query id column shadowing any of them
+    // would emit ambiguous columns; refuse under the face's name
+    Seq("n_exact", "n_hit", "recall", "__hit").foreach(r =>
+      require(queryIdCol != r,
+        s"annRecallReport: queryIdCol must not be named \"$r\" — the " +
+          "report reserves that name (rename the query id column " +
+          "first)"))
     val exact = cosineTopKBatch(df, idCol, vecCol, queries,
         queryIdCol, queryVecCol, k)
       .select(col(queryIdCol), col("id"))
@@ -2313,7 +2349,8 @@ object Similarity {
     * the tombstone table. The `.srpmeta` sidecar is untouched — nBits
     * never changes over a compact. */
   def srpCompact(spark: org.apache.spark.sql.SparkSession,
-                 path: String): Unit = pureIndexCompact(spark, path)
+                 path: String): Unit =
+    pureIndexCompact(spark, path, clusterBy = Some("cell"))
 
   /** Batch LSH-bucketed top-k over a [[buildSrpIndex]] layout — the
     * at-rest probe: no SRP pack over the corpus in the query (paid

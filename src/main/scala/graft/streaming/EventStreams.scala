@@ -598,23 +598,41 @@ object EventStreams {
     * one-shot `buildIvfCentroidIndex` under the same model (the
     * execution gate `q_ivf_stream_exec`); later drains see only new
     * files and extend the index incrementally (spec-pinned). */
+  /** The shared AvailableNow drain skeleton of the five vector-index
+    * ingest faces (ivf / ivfPq / bq / int8 / srp — r18 review: five
+    * copy-paste variants is why a cross-cutting edit missed two
+    * tiers): one file source, `(id, __vec[, extras])` projection, a
+    * replay-idempotent per-batch append, await. `extraCols` ride the
+    * projection so every tier's FILTERED probes are reachable from
+    * streaming ingest. */
+  private def drainVectorIndex(spark: SparkSession, vecsPath: String,
+                               idCol: String,
+                               vecExpr: org.apache.spark.sql.Column,
+                               checkpointDir: String,
+                               extraCols: Seq[String])(
+      append: (DataFrame, Long) => Unit): Unit = {
+    val (src, _) = fileSource(spark, vecsPath)
+    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
+        extraCols.map(col): _*)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(append)
+      .start()
+    q.awaitTermination()
+  }
+
   def ivfIndexAvailableNow(spark: SparkSession, vecsPath: String,
                            idCol: String,
                            vecExpr: org.apache.spark.sql.Column,
                            indexPath: String,
-                           checkpointDir: String): Unit = {
-    val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol), vecExpr.as("__vec"))
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfAppendBatch(
-          batch, idCol, "__vec", indexPath, batchId)
-      }
-      .start()
-    q.awaitTermination()
-  }
+                           checkpointDir: String,
+                           extraCols: Seq[String] = Nil): Unit =
+    drainVectorIndex(spark, vecsPath, idCol, vecExpr, checkpointDir,
+      extraCols) { (batch, batchId) =>
+      graft.operators.Similarity.ivfAppendBatch(
+        batch, idCol, "__vec", indexPath, batchId, extraCols)
+    }
 
   /** [[ivfIndexAvailableNow]] on the COMPOSED IVF-PQ index: arriving
     * embeddings are assigned and residual-encoded by the PERSISTED
@@ -628,19 +646,13 @@ object EventStreams {
                              idCol: String,
                              vecExpr: org.apache.spark.sql.Column,
                              indexPath: String,
-                             checkpointDir: String): Unit = {
-    val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol), vecExpr.as("__vec"))
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfPqAppendBatch(
-          batch, idCol, "__vec", indexPath, batchId)
-      }
-      .start()
-    q.awaitTermination()
-  }
+                             checkpointDir: String,
+                             extraCols: Seq[String] = Nil): Unit =
+    drainVectorIndex(spark, vecsPath, idCol, vecExpr, checkpointDir,
+      extraCols) { (batch, batchId) =>
+      graft.operators.Similarity.ivfPqAppendBatch(
+        batch, idCol, "__vec", indexPath, batchId, extraCols)
+    }
 
   /** [[ivfIndexAvailableNow]] on the BINARY-SIGNATURE index
     * (r16 verdict #2): arriving embeddings are sign-packed by the
@@ -655,23 +667,15 @@ object EventStreams {
                           vecExpr: org.apache.spark.sql.Column,
                           indexPath: String,
                           checkpointDir: String,
-                          extraCols: Seq[String] = Nil): Unit = {
+                          extraCols: Seq[String] = Nil): Unit =
     // extraCols ride each batch's signature rows (the buildBqIndex
     // convention), so a STREAMED index serves bqTopKIndexedFiltered
     // exactly like a one-shot build with metadata
-    val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
-        extraCols.map(col): _*)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.bqAppendBatch(
-          batch, idCol, "__vec", indexPath, batchId, extraCols)
-      }
-      .start()
-    q.awaitTermination()
-  }
+    drainVectorIndex(spark, vecsPath, idCol, vecExpr, checkpointDir,
+      extraCols) { (batch, batchId) =>
+      graft.operators.Similarity.bqAppendBatch(
+        batch, idCol, "__vec", indexPath, batchId, extraCols)
+    }
 
   /** [[bqIndexAvailableNow]] on the int8 layout: arriving embeddings
     * quantize (pure per-vector function, no model) into per-batch
@@ -684,22 +688,14 @@ object EventStreams {
                             vecExpr: org.apache.spark.sql.Column,
                             indexPath: String,
                             checkpointDir: String,
-                            extraCols: Seq[String] = Nil): Unit = {
+                            extraCols: Seq[String] = Nil): Unit =
     // extraCols ride the quantized rows so the streamed table serves
     // int8TopKBatchPrequantizedFiltered (the writeInt8Corpus contract)
-    val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
-        extraCols.map(col): _*)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.int8AppendBatch(
-          batch, idCol, "__vec", indexPath, batchId, extraCols)
-      }
-      .start()
-    q.awaitTermination()
-  }
+    drainVectorIndex(spark, vecsPath, idCol, vecExpr, checkpointDir,
+      extraCols) { (batch, batchId) =>
+      graft.operators.Similarity.int8AppendBatch(
+        batch, idCol, "__vec", indexPath, batchId, extraCols)
+    }
 
   /** [[bqIndexAvailableNow]] on the SRP layout (r17 verdict #2):
     * arriving embeddings are SRP-signed under the index's PERSISTED
@@ -722,19 +718,12 @@ object EventStreams {
     graft.operators.Similarity.initSrpIndex(spark, indexPath, nBits)
     val persistedBits =
       graft.operators.Similarity.readSrpNBits(spark, indexPath)
-    val (src, _) = fileSource(spark, vecsPath)
-    val q = src.select(col(idCol) +: vecExpr.as("__vec") +:
-        extraCols.map(col): _*)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.srpAppendBatchWith(
-          batch, idCol, "__vec", indexPath, batchId, extraCols,
-          persistedBits)
-      }
-      .start()
-    q.awaitTermination()
+    drainVectorIndex(spark, vecsPath, idCol, vecExpr, checkpointDir,
+      extraCols) { (batch, batchId) =>
+      graft.operators.Similarity.srpAppendBatchWith(
+        batch, idCol, "__vec", indexPath, batchId, extraCols,
+        persistedBits)
+    }
   }
 
   /** Runs [[userRunningTotals]] (mapGroupsWithState — the arbitrary-

@@ -423,6 +423,58 @@ class BqIndexSpec extends SparkSpec {
         qs, "qid", "qv", k = 5, $"label" === 1)
       .as[(Long, Long, Double)].collect()
     assert(srp.nonEmpty && srp.forall(r => lbl(r._2) == 1))
+    // the IVF and IVF-PQ tiers too (r18 review: the first pass missed
+    // them) — model-first init, extras through the drain, filtered
+    // probe sees only predicate-matching ids
+    Similarity.initIvfCentroidIndex(corpus, "vec_id", "embedding",
+      s"$root/ivf", k = 4, iters = 2)
+    graft.streaming.EventStreams.ivfIndexAvailableNow(spark,
+      s"$root/src", "vec_id", $"embedding", s"$root/ivf",
+      s"$root/ckivf", extraCols = Seq("label"))
+    val ivf = Similarity.ivfCentroidTopKBatchFiltered(spark,
+        s"$root/ivf", qs, "qid", "qv", k = 5, $"label" === 1)
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty && ivf.forall(r => lbl(r._2) == 1))
+    Similarity.initIvfPqIndex(corpus, "vec_id", "embedding",
+      s"$root/ivfpq", nCells = 4, m = 8, nbits = 8, iters = 2)
+    graft.streaming.EventStreams.ivfPqIndexAvailableNow(spark,
+      s"$root/src", "vec_id", $"embedding", s"$root/ivfpq",
+      s"$root/ckivfpq", extraCols = Seq("label"))
+    val ivfpq = Similarity.ivfPqTopKBatchFiltered(spark,
+        s"$root/ivfpq", qs, "qid", "qv", k = 5, $"label" === 1)
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.nonEmpty && ivfpq.forall(r => lbl(r._2) == 1))
+  }
+
+  test("index appends refuse a column-set mismatch with the existing " +
+      "rows (r18 review: differing extraCols silently strand rows " +
+      "from filtered probes)") {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label")
+    val dir = tmp("bqmismatch") + "/idx"
+    Similarity.buildBqIndex(corpus.filter($"vec_id" < 100), "vec_id",
+      "embedding", dir, extraCols = Seq("label"))
+    // appending WITHOUT the metadata column refuses loudly
+    interceptGuard("extraCols must match") {
+      Similarity.bqAppend(corpus.filter($"vec_id" >= 100), "vec_id",
+        "embedding", dir)
+    }
+    // and with it, proceeds
+    Similarity.bqAppend(corpus.filter($"vec_id" >= 100), "vec_id",
+      "embedding", dir, extraCols = Seq("label"))
+    assert(spark.read.parquet(dir).count() == 500L)
+    // the batch face too, on the srp layout
+    val sdir = tmp("srpmismatch") + "/idx"
+    Similarity.initSrpIndex(spark, sdir, nBits = 2)
+    Similarity.srpAppendBatch(corpus.filter($"vec_id" < 50), "vec_id",
+      "embedding", sdir, 0L, extraCols = Seq("label"))
+    interceptGuard("extraCols must match") {
+      Similarity.srpAppendBatch(corpus.filter($"vec_id" >= 50),
+        "vec_id", "embedding", sdir, 1L)
+    }
+    // a REPLAY of the same batch with the same columns still passes
+    Similarity.srpAppendBatch(corpus.filter($"vec_id" < 50), "vec_id",
+      "embedding", sdir, 0L, extraCols = Seq("label"))
   }
 
   test("guards name the invoked face: bqTopKIndexedFiltered and the " +
