@@ -40,18 +40,31 @@ object CorpusOps {
     */
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          evalSet: DataFrame, evalTextCol: String,
-                         n: Int = 8): DataFrame = {
-    def grams(df: DataFrame, text: String, out: Seq[Column]): DataFrame =
-      df.filter(hasMinTokens(col(text), n))
-        .select(col("*"),
-          graft.plans.TextExpressions.word_shingles(col(text), n).as("__sh"))
-        .select(out :+ explode(col("__sh")).as("__g"): _*)
-        .withColumn("__gh", xxhash64(col("__g"))).drop("__g")
-    val evalGrams = grams(evalSet, evalTextCol, Seq.empty)
-      .select(col("__gh")).distinct()
+                         n: Int = 8): DataFrame =
+    contaminationFlagsShingled(docs, idCol,
+      hasMinTokens(col(textCol), n),
+      graft.plans.TextExpressions.word_shingles(col(textCol), n),
+      evalSet, evalTextCol, n)
+
+  /** [[contaminationFlags]] with caller-supplied candidacy / shingle
+    * expressions for the CORPUS side — the single-tokenization face:
+    * curateV2 passes `size(toks) >= n` and
+    * `word_shingles_from_tokens(toks, n)` over its shared token array,
+    * which produce exactly the public face's candidate set and shingle
+    * sets whenever `toks = tokens(text)` (spec-pinned; the eval side is
+    * eval-suite-sized and keeps the text path). */
+  private[graft] def contaminationFlagsShingled(docs: DataFrame,
+      idCol: String, docIsCandidate: Column, docShingles: Column,
+      evalSet: DataFrame, evalTextCol: String, n: Int): DataFrame = {
+    val evalGrams = evalSet.filter(hasMinTokens(col(evalTextCol), n))
+      .select(explode(graft.plans.TextExpressions
+        .word_shingles(col(evalTextCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh")).distinct()
     // word_shingles emits a per-doc SET, so post-join count(1) per id is
     // already the distinct shared-gram count — no countDistinct shuffle
-    val hits = grams(docs, textCol, Seq(col(idCol)))
+    val hits = docs.filter(docIsCandidate)
+      .select(col(idCol), explode(docShingles).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
       .join(broadcast(evalGrams), Seq("__gh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
     docs.select(col(idCol))
@@ -265,16 +278,19 @@ object CorpusOps {
                         textCol: String, budgetTokens: Long,
                         priority: Seq[Column] = Seq.empty,
                         maxGroupRows: Long = 50L * 1000 * 1000): DataFrame =
-    budgetPrefixSelect(df, groupCol, idCol, textCol, lit(budgetTokens),
+    budgetPrefixSelect(df, groupCol, idCol,
+      size(tokens(col(textCol))).cast("long"), lit(budgetTokens),
       priority, maxGroupRows)
 
   /** Shared prefix-sum budget core: keep each group's id/priority-
     * ordered prefix while the running token sum stays within
     * `budgetCol` (a per-row column, so callers can vary the budget by
-    * group). Scale shape and in-pass guard as documented on
-    * [[tokenBudgetSelect]]. */
+    * group). `nToks` is the per-row token count expression — the text
+    * faces pass `size(tokens(text))`; curateV2 passes the size of its
+    * shared token array so the corpus is not re-split here. Scale
+    * shape and in-pass guard as documented on [[tokenBudgetSelect]]. */
   private def budgetPrefixSelect(df: DataFrame, groupCol: String,
-                                 idCol: String, textCol: String,
+                                 idCol: String, nToks: Column,
                                  budgetCol: Column, priority: Seq[Column],
                                  maxGroupRows: Long): DataFrame = {
     val ord = if (priority.nonEmpty) priority :+ col(idCol)
@@ -302,7 +318,7 @@ object CorpusOps {
             "tokenBudgetSelectBucketed, or raise/disable maxGroupRows"))))
           .otherwise(cum)
       }
-    df.withColumn("n_toks", size(tokens(col(textCol))).cast("long"))
+    df.withColumn("n_toks", nToks)
       .withColumn("cum_toks", guarded)
       .filter(col("cum_toks") <= budgetCol)
   }
@@ -345,7 +361,8 @@ object CorpusOps {
       (g, math.floor(totalBudgetTokens.toDouble * (w / wsum)).toLong)
     }.toDF(groupCol, "budget_toks")
     budgetPrefixSelect(df.join(broadcast(budgets), Seq(groupCol)),
-      groupCol, idCol, textCol, col("budget_toks"), priority, maxGroupRows)
+      groupCol, idCol, size(tokens(col(textCol))).cast("long"),
+      col("budget_toks"), priority, maxGroupRows)
   }
 
   /** Leakage-safe train/val/test split: assign every document to a
@@ -2973,19 +2990,27 @@ object CorpusOps {
     require(alpha > 0, s"alpha must be positive (Laplace): $alpha")
     val clean = labeled.filter(col(labelCol).isNotNull &&
       hasMinTokens(col(textCol), 1))
+    // (label, bucket, n)-sized — at most labels x numBuckets rows — and
+    // referenced TWICE (the classTotals rollup and the final join):
+    // without materialization each reference re-executes the whole
+    // tokenize+explode+aggregate subtree over the labeled corpus
+    // (plan-audited r19: q_nb_quality carried 28 parquet scans / 64
+    // exchanges from exactly this pattern, compounded by nbScoreAll's
+    // three model references). Same for docCounts (label-sized,
+    // referenced by allDocs and the final join).
     val toks = clean
       .select(col(labelCol).as("label"),
         explode(tokens(col(textCol))).as("__t"))
       .select(col("label"),
         nbBucket(col("__t"), lit(numBuckets.toLong)).as("bucket"))
-    val counts = toks.groupBy(col("label"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
+    val counts = Materialize(toks.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("__n")), eager = false)
     // class token totals roll up from the (label, bucket) counts — the
     // exploded relation is scanned ONCE, not re-exploded per aggregate
     val classTotals = counts.groupBy(col("label"))
       .agg(sum(col("__n")).as("__nc"))
-    val docCounts = clean.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__dc"))
+    val docCounts = Materialize(clean.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__dc")), eager = false)
     val allDocs = docCounts.agg(sum(col("__dc")).cast("double").as("__dall"))
     counts
       .join(classTotals, Seq("label"))
@@ -3012,10 +3037,16 @@ object CorpusOps {
     * [[bigramLogProb]] convention). The final argmax compiles to a
     * WindowGroupLimit top-1 per doc over [[nbScoreAll]]'s long form. */
   def nbScore(docs: DataFrame, model: DataFrame, idCol: String,
-              textCol: String): DataFrame = {
+              textCol: String): DataFrame =
+    nbScoreTokens(docs, model, idCol, tokens(col(textCol)))
+
+  /** [[nbScore]] with a caller-supplied token-array column (the
+    * single-tokenization face — see [[nbScoreAllTokens]]). */
+  private[graft] def nbScoreTokens(docs: DataFrame, model: DataFrame,
+                                   idCol: String, toks: Column): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("nb_log_score").desc, col("label"))
-    nbScoreAll(docs, model, idCol, textCol)
+    nbScoreAllTokens(docs, model, idCol, toks)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("label").as("pred_label"),
@@ -3036,12 +3067,34 @@ object CorpusOps {
     * side is one explode + one (doc, bucket) aggregation + one
     * per-(doc, class) aggregation — no window, no collect. */
   def nbScoreAll(docs: DataFrame, model: DataFrame, idCol: String,
-                 textCol: String): DataFrame = {
-    val bRow = model.agg(max(col("n_buckets")).as("__b"),
+                 textCol: String): DataFrame =
+    nbScoreAllTokens(docs, model, idCol, tokens(col(textCol)))
+
+  /** [[nbScoreAll]] with a caller-supplied token-array column — the
+    * single-tokenization face: curateV2 tokenizes its rewritten text
+    * ONCE into the materialized stage relation and feeds this, the
+    * Gopher gate and the decontamination gate from the same array
+    * instead of re-splitting every document per stage. Contract:
+    * `toks` must equal `tokens(col(textCol))` of the text being
+    * scored — the public face pins the equality by delegation
+    * (`hasMinTokens(text, 1)` ≡ `size(tokens(text)) >= 1`: null and
+    * whitespace-only docs yield size <= 0 on both forms). */
+  private[graft] def nbScoreAllTokens(docs: DataFrame, model: DataFrame,
+                                      idCol: String, toks: Column)
+      : DataFrame = {
+    // The model relation is (labels x buckets)-bounded but referenced
+    // THREE times below (bRow, classes, the seen-join broadcast) — when
+    // the caller passes a freshly-trained [[trainNbQuality]] DataFrame
+    // (q_nb_quality, curateV2), each reference re-executed the whole
+    // training DAG over the labeled corpus. Materialize so training
+    // runs once per score call.
+    val m = Materialize(model, eager = false)
+    val bRow = m.agg(max(col("n_buckets")).as("__b"),
       (min(col("n_buckets")) === max(col("n_buckets"))).as("__one"))
-    val withToks = docs.filter(hasMinTokens(col(textCol), 1))
+    val withToks = docs.select(col("*"), toks.as("__nbtk"))
+      .filter(size(col("__nbtk")) >= 1)
     val db = withToks
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), explode(col("__nbtk")).as("__t"))
       .crossJoin(broadcast(bRow))
       .select(col(idCol),
         when(col("__one"), nbBucket(col("__t"), col("__b")))
@@ -3055,12 +3108,12 @@ object CorpusOps {
     // db subtree (explode + shuffle) would otherwise execute twice,
     // once under docTotals and once under the seen join
     val docTotals = withToks
-      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("__T"))
-    val classes = model
+      .select(col(idCol), size(col("__nbtk")).cast("long").as("__T"))
+    val classes = m
       .select(col("label"), col("log_prior"), col("log_default"))
       .distinct()
     val seen = db
-      .join(broadcast(model.select(col("bucket"), col("label"),
+      .join(broadcast(m.select(col("bucket"), col("label"),
         col("log_cond"), col("log_default"))), Seq("bucket"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("__cnt").cast("double")
@@ -3416,25 +3469,46 @@ object CorpusOps {
     val dupFlags = Materialize(hashed.join(firstPer, Seq("__h"))
       .select(col(idCol), (col(idCol) =!= col("__first")).as("is_dup")),
       eager = false)
-    val nd = docs.join(dupFlags, Seq(idCol), "left_outer")
+    // survivor relation: consumed by the paragraph pass TWICE
+    // ([[dropRepeatedParagraphs]] references its input from both the
+    // first-occurrence aggregate and the rejoin) and by the nd1
+    // assembly — materialize or the docs ⋈ dupFlags join re-executes
+    // three times (r19 plan audit)
+    val nd = Materialize(docs.join(dupFlags, Seq(idCol), "left_outer")
       .filter(!coalesce(col("is_dup"), lit(false)))
-      .select(col(idCol), col(groupCol), col(textCol))
+      .select(col(idCol), col(groupCol), col(textCol)),
+      eager = false)
     // 2. keep-first paragraph dedup among stage-1 survivors
     val para = dropRepeatedParagraphs(nd, idCol, textCol, paraDelim)
       .select(col(idCol), col("clean_text").as("__t1"),
         col("n_removed").as("n_para_removed"))
-    val nd1 = nd.join(para, Seq(idCol), "left_outer")
+    // paragraph-rewritten relation: [[removeDupSpans]] consumes it
+    // three times (positional spans twice — the documented
+    // recompute-beats-storing choice for a RAW scan input, which nd1
+    // is not — plus the range rejoin) and the nd2 assembly once more;
+    // unmaterialized, each reference re-ran the whole paragraph
+    // pipeline (r19 plan audit: the dominant q_curate_v2 cost)
+    val nd1 = Materialize(nd.join(para, Seq(idCol), "left_outer")
       .select(col(idCol), col(groupCol),
         coalesce(col("__t1"), col(textCol)).as("__t1"),
-        coalesce(col("n_para_removed"), lit(0L)).as("n_para_removed"))
+        coalesce(col("n_para_removed"), lit(0L)).as("n_para_removed")),
+      eager = false)
     // 3. duplicated-span removal on the paragraph-cleaned text
     val spans = removeDupSpans(nd1, idCol, "__t1", spanN, spanMinDf,
         spanMinTokens)
       .select(col(idCol), col("clean_text").as("__t2"),
         col("n_removed").as("n_span_removed"))
+    // the rewritten text is tokenized ONCE here (`__tk2` rides the
+    // checkpoint) and every downstream stage — the three parallel
+    // gates AND the stage-7 budget prefix sum — reads the shared array
+    // instead of re-splitting the corpus per stage (the r18 verdict's
+    // tokenize-times-three finding; at 100 TB each avoided pass is a
+    // full corpus scan's worth of regex work)
     val nd2 = Materialize(
       nd1.select(col(idCol), col(groupCol), col("n_para_removed"))
-        .join(spans, Seq(idCol)),
+        .join(spans, Seq(idCol))
+        .withColumn("__tk2", graft.functions.TextFunctions
+          .tokens(col("__t2"))),
       eager = false)
     // 4.-6. quality / model filter / decontamination, all on __t2.
     // The three id-sized flag relations fold through ONE sparse
@@ -3444,15 +3518,19 @@ object CorpusOps {
     // shuffle keyed on id instead of three successive joins, the r15
     // assembly-tail trim.
     val nullB = lit(null).cast("boolean")
-    val quality = TextAnalysis.gopherRules(nd2, idCol, "__t2", minTokens)
+    val quality = TextAnalysis.gopherRulesTokens(nd2, idCol, "__t2",
+        col("__tk2"), minTokens)
       .select(col("id").as(idCol), col("passes").as("quality_ok"),
         nullB.as("nb_ok"), nullB.as("contaminated"))
-    val nb = nbScore(nd2, nbModel, idCol, "__t2")
+    val nb = nbScoreTokens(nd2, nbModel, idCol, col("__tk2"))
       .select(col(idCol), nullB.as("quality_ok"),
         (col("pred_label") =!= lit(nbRejectLabel)).as("nb_ok"),
         nullB.as("contaminated"))
-    val contam = contaminationFlags(nd2, idCol, "__t2", evalSet,
-        evalTextCol, contamN)
+    val contam = contaminationFlagsShingled(nd2, idCol,
+        size(col("__tk2")) >= contamN,
+        graft.plans.TextExpressions
+          .word_shingles_from_tokens(col("__tk2"), contamN),
+        evalSet, evalTextCol, contamN)
       .select(col(idCol), nullB.as("quality_ok"), nullB.as("nb_ok"),
         col("contaminated"))
     val qnc = quality.unionByName(nb).unionByName(contam)
@@ -3463,6 +3541,7 @@ object CorpusOps {
     val flags = Materialize(nd2
       .join(qnc, Seq(idCol), "left_outer")
       .select(col(idCol), col(groupCol), col("__t2"),
+        size(col("__tk2")).cast("long").as("__ntk2"),
         col("n_para_removed"), col("n_span_removed"),
         coalesce(col("quality_ok"), lit(false)).as("quality_ok"),
         coalesce(col("nb_ok"), lit(false)).as("nb_ok"),
@@ -3477,7 +3556,8 @@ object CorpusOps {
           .cast("long").as("__budget"))
     val picked = budgetPrefixSelect(
         surv.join(broadcast(budgets), Seq(groupCol)),
-        groupCol, idCol, "__t2", col("__budget"), Seq.empty, maxGroupRows)
+        groupCol, idCol, col("__ntk2"), col("__budget"), Seq.empty,
+        maxGroupRows)
       .select(col(idCol), lit(true).as("selected"))
     // final attribution assembly: the same sparse-union fold over
     // (all ids) + dup flags + stage flags + selection — one id-keyed

@@ -220,8 +220,18 @@ object TextAnalysis {
     * documents are excluded (they fail every curation gate anyway, and
     * excluding them keeps the ratio denominators nonzero). */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-                  minTokens: Int = 50): DataFrame = {
-    val toks = tokens(col(textCol))
+                  minTokens: Int = 50): DataFrame =
+    gopherRulesTokens(docs, idCol, textCol, tokens(col(textCol)), minTokens)
+
+  /** [[gopherRules]] with a caller-supplied token-array column — the
+    * single-tokenization face (curateV2 computes `tokens(text)` once
+    * into its materialized stage relation and feeds all three gate
+    * stages from it instead of re-splitting every document per stage).
+    * Contract: `toks` must equal `tokens(col(textCol))` — the public
+    * face pins the equality by delegation. */
+  private[graft] def gopherRulesTokens(docs: DataFrame, idCol: String,
+                                       textCol: String, toks: Column,
+                                       minTokens: Int): DataFrame = {
     val n = size(toks)
     val nD = n.cast("double")
     val lines = split(col(textCol), "\n")

@@ -50,6 +50,9 @@ object TextExpressions {
   def word_shingles(c: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
 
+  def word_shingles_from_tokens(c: Column, n: Int): Column =
+    GraftBridge.column(WordShinglesFromTokens(GraftBridge.expression(c), n))
+
   def char_bigrams(c: Column): Column =
     GraftBridge.column(CharBigrams(GraftBridge.expression(c)))
 
@@ -232,6 +235,71 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** [[WordShingles]] over a PRE-TOKENIZED `array<string>` column: the
+  * same distinct n-gram strings (insertion order) as
+  * `WordShingles(text, n)` whenever the input equals
+  * `TextFunctions.tokens(text)` — spec-pinned in TextFunctionsSpec.
+  * Exists so a pipeline that already carries a shared token array
+  * (curateV2's single-tokenization relation) can derive its
+  * decontamination shingles without re-splitting every document.
+  * Contract: elements are non-null (what `tokens` produces); fewer
+  * than n tokens yields an empty array. */
+case class WordShinglesFromTokens(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles_from_tokens"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles_from_tokens needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Never null for non-null input. Public: called from generated code. */
+  def compute(toks: ArrayData): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShinglesFromTokens", this,
+      classOf[WordShinglesFromTokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShinglesFromTokens =
     copy(child = c)
 }
 

@@ -82,6 +82,45 @@ class TextFunctionsSpec extends SparkSpec {
       Seq("x y", "y x"))
   }
 
+  test("word_shingles_from_tokens(tokens(t), n) ≡ word_shingles(t, n) " +
+      "— the curateV2 single-tokenization contract") {
+    import graft.plans.TextExpressions.{word_shingles, word_shingles_from_tokens}
+    // representative shapes: normal doc, repeated shingles (dedup +
+    // insertion order), short doc (< n tokens), whitespace noise,
+    // blank and null text — the arrays must match element-for-element
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "x y x y x y x y",
+      "a b",
+      "  leading   and \t internal\nwhitespace  ",
+      "",
+      null
+    ).toDF("t")
+    Seq(2, 3, 8).foreach { n =>
+      val rows = docs.select(
+        word_shingles(col("t"), n).as("a"),
+        word_shingles_from_tokens(tokens(col("t")), n).as("b")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at n=$n")
+        if (!r.isNullAt(0))
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"shingle mismatch at n=$n: ${r.getSeq[String](0)} vs " +
+              s"${r.getSeq[String](1)}")
+      }
+    }
+    // candidacy equivalence the pre-tokenized faces rely on:
+    // size(tokens(t)) >= n ≡ hasMinTokens(t, n) for every edge doc
+    val cand = docs.select(
+      (size(tokens(col("t"))) >= 3).as("a"),
+      (col("t").isNotNull && trim(col("t")) =!= "" &&
+        size(split(trim(col("t")), "\\s+")) >= 3).as("b")).collect()
+    cand.foreach { r =>
+      val a = if (r.isNullAt(0)) false else r.getBoolean(0)
+      val b = if (r.isNullAt(1)) false else r.getBoolean(1)
+      assert(a == b, s"candidacy mismatch: $r")
+    }
+  }
+
   test("nfc_normalize composes; identity on composed and null input") {
     import graft.plans.TextExpressions.nfc_normalize
     // decomposed e + U+0301 composes to single-codepoint \u00e9
