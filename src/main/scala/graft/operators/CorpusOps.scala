@@ -1727,6 +1727,38 @@ object CorpusOps {
         (round(sum(col("__c")), 6) + lit(0.0d)).as("rrf_score"))
   }
 
+  /** [[rrfFuse]] for CANDIDATE-BOUNDED signals: every input is already
+    * truncated to its retriever's candidate depth ([[searchPipeline]]'s
+    * legs end in `LIMIT candidates`), so each signal's global rank is
+    * one window over <= candidates rows — the two-phase
+    * range-partitioned rank [[rrfFuse]] needs for corpus-sized signals
+    * would pay, PER SIGNAL, two extra exchanges, a checkpoint, an
+    * offsets aggregate, and `repartitionByRange`'s sampling pass
+    * (which re-executes the unmaterialized retrieval leg) for inputs
+    * of a few hundred rows. Identical output (spec-pinned: same
+    * (score desc, id) total order, same contributions). The
+    * single-partition window is bounded by the caller's `candidates`
+    * parameter by construction, never by the corpus. */
+  private[graft] def rrfFuseBounded(
+      signals: Map[String, (DataFrame, String)], idCol: String,
+      k: Int = 60): DataFrame = {
+    require(signals.nonEmpty, "rrfFuse: no signals")
+    require(k >= 1, s"k must be >= 1: $k")
+    val ranked = signals.toSeq.sortBy(_._1).map { case (_, (df, sc)) =>
+      val w = Window.orderBy(col("__s").desc, col(idCol))
+      df.filter(col(sc).isNotNull)
+        .select(col(idCol), col(sc).as("__s"))
+        .withColumn("__r", row_number().over(w))
+        .select(col(idCol),
+          (lit(1.0d) / (lit(k.toDouble) + col("__r").cast("double")))
+            .as("__c"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_signals"),
+        (round(sum(col("__c")), 6) + lit(0.0d)).as("rrf_score"))
+  }
+
   /** Per-query reciprocal-rank fusion — [[rrfFuse]] for BATCH
     * retrieval: each signal frame carries (`queryCol`, `idCol`,
     * scoreCol) rows and is ranked WITHIN each query
@@ -1795,7 +1827,7 @@ object CorpusOps {
     val sem = semantic
       .select(col(semanticIdCol).as(idCol),
         col(semanticScoreCol).as("__sem"))
-    val fused = rrfFuse(Map(
+    val fused = rrfFuseBounded(Map(
         "lexical" -> ((lex, "bm25")),
         "semantic" -> ((sem, "__sem"))), idCol, k = rrfK)
       .orderBy(col("rrf_score").desc, col(idCol))

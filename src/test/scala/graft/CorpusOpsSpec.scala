@@ -921,6 +921,13 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusOps.rrfFuse(Map("a" -> ((a, "s"))), "doc_id", k = 0)
     }
+    // the bounded-signal fast path (searchPipeline's fuse: legs already
+    // LIMITed) is output-identical to the two-phase global rank
+    val bounded = CorpusOps.rrfFuseBounded(
+      Map("a" -> ((a, "s")), "b" -> ((b, "s"))), "doc_id", k = 60)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(bounded == got, s"bounded $bounded vs two-phase $got")
   }
 
   test("tfidfTopTerms: hand math, rank truncation, zero-idf ubiquity") {
