@@ -1116,10 +1116,17 @@ object CorpusOps {
       .select(col(idCol), col("__ps.pos").as("__pos"),
         col("__ps.span").as("__span"))
     // df over the distinct (doc, span) set — identical semantics to
-    // duplicateSpanStats; posSpans is recomputed by both branches on
-    // purpose (cheap projection of the scan, the removeBoilerplateLines
-    // call: recomputing beats storing corpus x spans blocks)
-    val dupSet = posSpans.select(col(idCol), col("__span")).distinct()
+    // duplicateSpanStats, and computed the same way: word_shingles
+    // emits each doc's span SET at the source, so exploding it IS the
+    // distinct (doc, span) relation — the r19 change; this branch
+    // previously re-exploded the POSITIONAL spans and paid a
+    // corpus x spans `.distinct()` exchange to collapse the stride-1
+    // repeats the set form never emits. The scan+shingle pass is
+    // recomputed per branch on purpose (the removeBoilerplateLines
+    // call: recomputing beats storing corpus x spans blocks).
+    val dupSet = docs.filter(hasMinTokens(col(textCol), n))
+      .select(explode(graft.plans.TextExpressions
+        .word_shingles(col(textCol), n)).as("__span"))
       .select(xxhash64(col("__span")).as("__h"), col("__span"))
       .groupBy(col("__h"), col("__span"))
       .agg(count(lit(1)).as("__df"))
