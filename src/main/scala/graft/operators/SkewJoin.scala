@@ -19,15 +19,19 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
     require(buckets > 0)
-    // deterministic per-row salt: xxhash64 of all fact columns MIXED with
-    // a per-row ordinal — content alone would send fully-duplicated rows
-    // (a common real skew shape) to a single bucket, defeating the
-    // mitigation exactly when the hot key is identical rows.
+    // deterministic per-row salt: xxhash64 of the per-row ordinal ONLY.
+    // The ordinal is unique per row, so the salt spreads even
+    // fully-duplicated rows (a common real skew shape) across buckets;
+    // hashing the content columns on top of it (the pre-r19 form) added
+    // nothing to the distribution but referenced EVERY fact column,
+    // which defeated column pruning at the scan — the salted plan read
+    // the whole fact schema no matter how narrow the query
+    // (ReadSchema audit, plans/r19/q_salted_join_*).
     // monotonically_increasing_id is (partition, position)-derived, so the
     // salt stays stable across task retries for a fixed partition layout.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id() +: fact.columns.map(col).toSeq: _*),
-        lit(buckets)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
+        .cast("int"))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
